@@ -1,13 +1,257 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{EventOps, Relational, Scoring, TextOps, VectorOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every (query, oracle) pair so the driver's
+  * hash-compare is stable: identical output column NAMES on both sides,
+  * explicit ORDER BY on a unique key, computed floats rounded to 4 decimals
+  * in both engines, derived integer columns cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Delegates to the implemented q_groupby_avg — the reference's flagship
+    * analytic (churn rate by subscription, `app_test.py:99`) — so the smoke
+    * run exercises scan → prune → agg → sort for real. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.groupbyAvg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1–2.2 scans / projections / filters
+    "q_scan_project" -> (Relational.scanProject _),
+    "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
+    "q_filter_eq" -> (Relational.filterEq _),
+    "q_filter_range" -> (Relational.filterRange _),
+    "q_id_fallback" -> (Relational.idFallback _),
+    "q_bucket_case" -> (Relational.bucketCase _),
+    // §2.3 aggregations
+    "q_count" -> (Relational.countAll _),
+    "q_ratio" -> (Relational.ratio _),
+    "q_cond_means" -> (Relational.condMeans _),
+    "q_groupby_avg" -> (Relational.groupbyAvg _),
+    "q_histogram" -> (Relational.histogram _),
+    "q_approx_distinct" -> (Relational.distinctAgg _),
+    // §2.5–2.7 joins / windows / top-k
+    "q_join_broadcast" -> (Relational.joinBroadcast _),
+    "q_join_multiway" -> (Relational.joinMultiway _),
+    "q_window_rank" -> (Relational.windowRank _),
+    "q_topk" -> (Relational.topk _),
+    // §2.4 scoring pipeline
+    "q_impute_median" -> (Scoring.imputeMedian _),
+    "q_scale_standard" -> (Scoring.scaleStandard _),
+    "q_onehot" -> (Scoring.onehotQuery _),
+    "q_score_batch" -> (Scoring.scoreBatch _),
+    // §2.9–2.10 LLM-data-pipeline extensions
+    "q_dedup_exact" -> (TextOps.dedupExact _),
+    "q_dedup_jaccard" -> (TextOps.dedupJaccard _),
+    "q_dedup_minhash" -> (TextOps.dedupMinhash _),
+    "q_dedup_simhash" -> (TextOps.dedupSimhash _),
+    "q_text_tokens" -> (TextOps.textTokens _),
+    "q_lang_stats" -> (TextOps.langStats _),
+    "q_quality_score" -> (TextOps.qualityScore _),
+    "q_fingerprint" -> (TextOps.fingerprint _),
+    "q_lang_id" -> (TextOps.langId _),
+    "q_embed_norm" -> (VectorOps.embedNorm _),
+    "q_cosine_topk" -> (VectorOps.cosineTopk _),
+    "q_knn_join" -> (VectorOps.knnJoin _),
+    "q_ann_lsh" -> (VectorOps.annLsh _),
+    "q_json_extract" -> (EventOps.jsonExtract _),
+    "q_time_bucket" -> (EventOps.timeBucket _))
+
+  /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
+    * (constants from the reference pickle, FIXTURES.md §B). */
+  private val synthSql: String = {
+    import Scoring.ModelConstants._
+    val synth = """
+      |WITH synth AS (
+      |  SELECT c_custkey AS customer_id,
+      |    CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE CAST(c_custkey % 60 + 18 AS DOUBLE) END AS age,
+      |    CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE CAST(c_custkey % 73 AS DOUBLE) END AS tenure,
+      |    CAST(c_custkey % 51 AS DOUBLE) AS usage_frequency,
+      |    CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE CAST(c_custkey % 21 AS DOUBLE) END AS support_calls,
+      |    CAST(c_custkey % 31 AS DOUBLE) AS payment_delay,
+      |    CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE abs(c_acctbal) END AS total_spend,
+      |    CAST(c_custkey % 29 AS DOUBLE) AS last_interaction,
+      |    CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |         WHEN c_custkey % 37 = 0 THEN 'Other'
+      |         WHEN c_custkey % 2 = 0 THEN 'Male' ELSE 'Female' END AS gender,
+      |    CASE WHEN c_custkey % 41 = 0 THEN NULL
+      |         WHEN c_custkey % 3 = 0 THEN 'Basic'
+      |         WHEN c_custkey % 3 = 1 THEN 'Premium' ELSE 'Standard' END AS subscription_type,
+      |    CASE WHEN c_custkey % 43 = 0 THEN 'Biennial'
+      |         WHEN (c_custkey + 1) % 3 = 0 THEN 'Annual'
+      |         WHEN (c_custkey + 1) % 3 = 1 THEN 'Monthly' ELSE 'Quarterly' END AS contract_length
+      |  FROM customer
+      |), imputed AS (
+      |  SELECT customer_id,
+      |""".stripMargin
+    val numImp = numericCols.zip(medians).map { case (c, m) =>
+      if (c == "usage_frequency" || c == "payment_delay" || c == "last_interaction") s"    $c"
+      else s"    COALESCE($c, $m) AS $c"
+    }
+    val catImp = catCols.map(c => s"    COALESCE($c, '${modes(c)}') AS $c")
+    synth + (numImp ++ catImp).mkString(",\n") + "\n  FROM synth\n)"
+  }
+
+  private val scaleSelect: String = {
+    import Scoring.ModelConstants._
+    numericCols.zip(means.zip(scales)).map { case (c, (m, s)) =>
+      s"round(($c - $m) / $s, 4) AS z_$c"
+    }.mkString(", ")
+  }
+
+  private val onehotSelect: String =
+    Scoring.ModelConstants.onehotCols.map { case (out, src, v) =>
+      s"CAST(CASE WHEN $src = '$v' THEN 1 ELSE 0 END AS DOUBLE) AS $out"
+    }.mkString(", ")
+
+  /** Shared DuckDB tokenization (mirrors TextOps.tokens / shingles3). */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val jaccardBase = s"""
+    |WITH t AS (
+    |  SELECT doc_id, $toksSql AS toks FROM documents
+    |), sh AS (
+    |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+    |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+    |  FROM t WHERE len(toks) >= 3
+    |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    |pairs AS (
+    |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+    |)""".stripMargin
+
+  private val embSql =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+  private def normSql(a: String) = s"sqrt(list_sum(list_transform($a, x -> x * x)))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (GBT scoring, LSH/sketch-based forms — their exact twins are oracled). */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_range" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 5000.0 ORDER BY c_custkey""".stripMargin,
+    "q_id_fallback" ->
+      """SELECT CAST(row_number() OVER (ORDER BY c_name) AS BIGINT) AS customer_id,
+        |  c_name, c_mktsegment FROM customer ORDER BY customer_id""".stripMargin,
+    "q_bucket_case" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey % 100 AS DOUBLE) / 100.0 AS p,
+        |  printf('%.2f%%', CAST(o_orderkey % 100 AS DOUBLE) / 100.0 * 100) AS churn_pct,
+        |  CASE WHEN CAST(o_orderkey % 100 AS DOUBLE) / 100.0 < 0.3 THEN 'Low'
+        |       WHEN CAST(o_orderkey % 100 AS DOUBLE) / 100.0 < 0.7 THEN 'Medium'
+        |       ELSE 'High' END AS risk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_count" -> "SELECT count(*) AS n FROM lineitem",
+    "q_ratio" ->
+      """SELECT round(avg(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100, 4)
+        |  AS churn_pct FROM orders""".stripMargin,
+    "q_cond_means" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  COALESCE(round(avg(l_quantity), 4), CAST(0 AS DOUBLE)) AS avg_qty,
+        |  COALESCE(round(avg(l_extendedprice), 4), CAST(0 AS DOUBLE)) AS avg_price,
+        |  COALESCE(round(avg(l_discount), 4), CAST(0 AS DOUBLE)) AS avg_discount
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_groupby_avg" ->
+      """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS price_bin,
+        |  o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY price_bin, o_orderstatus""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_custkey, c_name, n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_impute_median" ->
+      s"$synthSql SELECT * FROM imputed ORDER BY customer_id",
+    "q_scale_standard" ->
+      s"$synthSql SELECT customer_id, $scaleSelect FROM imputed ORDER BY customer_id",
+    "q_onehot" ->
+      s"$synthSql SELECT customer_id, $onehotSelect FROM imputed ORDER BY customer_id",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_jaccard" -> (jaccardBase + """
+      |SELECT id_a, id_b,
+      |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin),
+    "q_text_tokens" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(length(tok)), 4) AS avg_word_len,
+         |  round(avg(CASE WHEN tok IN ('a', 'the') THEN CAST(1 AS DOUBLE)
+         |            ELSE CAST(0 AS DOUBLE) END), 4) AS stopword_ratio
+         |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q_embed_norm" ->
+      s"""SELECT vec_id, round(${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")}, 4) AS l2
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_cosine_topk" -> (embSql + s""",
+      |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) AS cos
+      |FROM e, probe p WHERE e.vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+    "q_knn_join" -> (embSql + s""",
+      |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) AS cos
+      |  FROM e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM sims)
+      |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
+      |FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin),
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)
 }

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Core relational operators (SURVEY.md §2.1–2.7).
+  *
+  * Each builder is a pure `(SparkSession, sfDir) => DataFrame` over the harness
+  * tables, modeling a behavior of the reference app (cited per method). Every
+  * declared query ends in an explicit ORDER BY on a unique key and rounds
+  * computed floats to 4 decimals so the driver's hash-compare against the
+  * DuckDB oracle is stable (SURVEY.md §4.2).
+  *
+  * Scale notes (100 TB): all plans here are single-pass scan→(shuffle)→agg/sort
+  * shapes. Aggregations use partial (map-side) combine via HashAggregate;
+  * top-k uses TakeOrderedAndProject (no global sort materialization); the
+  * dimension side of joins is broadcast explicitly.
+  */
+object Relational {
+
+  /** Columnar scan + projection — models the reference's 12-field Mongo
+    * projection (`app_test.py:38-52`). Column pruning reaches the parquet
+    * reader: ReadSchema carries only the 4 selected columns. */
+  def scanProject(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Equality filter — models `df[df['Churn'] == 1]` (`app_test.py:88-93`).
+    * The predicate is pushed to the parquet scan (PushedFilters). */
+  def filterEq(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Range filter — models the slider-driven `df[df['Age'] > min_age]`
+    * (`app_test.py:122-123`). */
+  def filterRange(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Global count — `len(df)` (`app_test.py:87`). */
+  def countAll(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem").agg(count(lit(1)).as("n"))
+
+  /** Filtered ratio — churn % = count(Churn==1)/count(*)*100
+    * (`app_test.py:88`), one conditional aggregate instead of two scans. */
+  def ratio(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .agg(round(avg(when(col("o_orderstatus") === "F", 1).otherwise(0)) * 100, 4)
+        .as("churn_pct"))
+
+  /** Conditional means — the reference computes 5 filtered means with 5
+    * separate scans (`app_test.py:89-93`); one grouped pass replaces them.
+    * `coalesce(avg, 0)` mirrors the empty-frame guard (`app_test.py:88-93`). */
+  def condMeans(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(round(avg("l_quantity"), 4), lit(0.0)).as("avg_qty"),
+        coalesce(round(avg("l_extendedprice"), 4), lit(0.0)).as("avg_price"),
+        coalesce(round(avg("l_discount"), 4), lit(0.0)).as("avg_discount"))
+      .orderBy("l_linestatus")
+
+  /** Group-by + mean — the flagship analytic, churn rate by subscription type
+    * (`app_test.py:99`), transposed to harness columns (SURVEY.md §7.3).
+    * HashAggregate with partial combine: only group-cardinality rows shuffle. */
+  def groupbyAvg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(avg("l_discount"), 4).as("avg_discount"))
+      .orderBy("l_returnflag")
+
+  /** Histogram binning stacked by a second key — models
+    * `sns.histplot(x=Age, hue=Churn, multiple='stack')` (`app_test.py:107-111`):
+    * fixed-width bins, count per (bin, hue). */
+  def histogram(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .groupBy(
+        (floor(col("o_totalprice") / 50000.0).cast("long") * 50000L).as("price_bin"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("price_bin", "o_orderstatus")
+
+  /** Sort + limit top-k — models `filtered_df.head(10)` made deterministic
+    * (`app_test.py:124-125`). Physical plan is TakeOrderedAndProject: each
+    * partition keeps 10 rows, no global sort. */
+  def topk(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** 3-way CASE risk bucket + percent formatting — `app_test.py:238,300-301`.
+    * Strict `<` thresholds: p<0.3 Low, p<0.7 Medium, else High. The synthetic
+    * probability (o_orderkey%100)/100 is exact in binary, so the formatted
+    * string is identical across engines. */
+  def bucketCase(spark: SparkSession, sf: String): DataFrame = {
+    val p = (col("o_orderkey") % 100).cast("double") / 100.0
+    Tables.load(spark, sf, "orders")
+      .select(
+        col("o_orderkey"),
+        p.as("p"),
+        format_string("%.2f%%", p * 100).as("churn_pct"),
+        when(p < 0.3, "Low").when(p < 0.7, "Medium").otherwise("High").as("risk"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Id fallback — `df.get("CustomerID", df.index + 1)` (`app_test.py:299`):
+    * synthesize an ordinal id when the key column is absent. `row_number`
+    * over an explicit unique order is the deterministic distributed form
+    * (pandas' implicit row order does not exist on a cluster). */
+  def idFallback(spark: SparkSession, sf: String): DataFrame = {
+    val df = Tables.load(spark, sf, "customer").select("c_name", "c_mktsegment")
+    df.withColumn("customer_id", row_number().over(Window.orderBy("c_name")).cast("long"))
+      .select("customer_id", "c_name", "c_mktsegment")
+      .orderBy("customer_id")
+  }
+
+  /** Window rank: top-3 per group — generalizes the reference's top-10 view
+    * (`app_test.py:124-125`) to "top spenders per segment" (SURVEY.md §2.6).
+    * Single shuffle on the partition key; rank tie-broken by unique key. */
+  def windowRank(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.load(spark, sf, "customer")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("c_mktsegment", "rk", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  /** Broadcast equi join — enrichment join of fact against a small dimension
+    * (SURVEY.md §2.5 J1). `broadcast()` pins BroadcastHashJoin: zero shuffle
+    * of the fact side — the shape that survives a 100× scale-up as long as
+    * the dim stays small. */
+  def joinBroadcast(spark: SparkSession, sf: String): DataFrame = {
+    val customer = Tables.load(spark, sf, "customer")
+    val nation = Tables.load(spark, sf, "nation")
+    customer.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Multi-way join + aggregation — customer ⋈ nation ⋈ region rolled up to
+    * region grain (SURVEY.md §2.5 J2). Both dims broadcast (25 and 5 rows);
+    * the only shuffle is the final 5-group aggregate. */
+  def joinMultiway(spark: SparkSession, sf: String): DataFrame = {
+    val customer = Tables.load(spark, sf, "customer")
+    val nation = Tables.load(spark, sf, "nation")
+    val region = Tables.load(spark, sf, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name")
+  }
+
+  /** Distinct aggregation (SURVEY.md §2.3 ext). Exact `count(DISTINCT)` so the
+    * DuckDB oracle is hash-comparable; the approximate HLL form
+    * (`approx_count_distinct`) is exercised in unit tests + bench, where
+    * cross-engine sketches can't be compared bit-for-bit. */
+  def distinctAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** CSV round-trip — the reference's upload path (`pd.read_csv`,
+    * `app_test.py:262-263`): write a table as CSV, read it back with an
+    * explicit schema (never inference, SURVEY.md §1.4), prove losslessness. */
+  def csvRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val region = Tables.load(spark, sf, "region")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    region.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    Tables.loadCsv(spark, tmp, region.schema)
+      .select("r_regionkey", "r_name")
+      .orderBy("r_regionkey")
+  }
+}

@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text / LLM-training-data operators over the `documents` table
+  * (SURVEY.md §2.9 X1/X2/X4): dedup (exact, near-dup Jaccard, MinHash-LSH,
+  * SimHash), tokenization, language stats, quality scoring, fingerprinting.
+  *
+  * Tokenization is fixed once — lowercase, split on non-alphanumeric runs,
+  * drop empties — and mirrored verbatim in every DuckDB oracle
+  * (`regexp_split_to_array(lower(text),'[^a-z0-9]+')`).
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens of `text`, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Distinct 3-word shingles of the token array (empty when < 3 tokens).
+    * Word-level shingles, not token sets: the harness vocabulary is tiny, so
+    * token-set Jaccard saturates (~1900 doc pairs at 1.0) while 3-gram
+    * shingles separate the planted near-dups (~25 pairs ≥ 0.9) from
+    * everything else (< 0.2) — measured at sf0.01.
+    *
+    * NOTE: per-row `array_distinct` is O(shingles²) string compares — fine on
+    * a single row, pathological over a corpus (profiled ~12 s per plan
+    * evaluation at sf0.1). The query-path form is [[shingleRows]]: explode
+    * the raw shingles and dedup DISTRIBUTED (one shuffle), never per-row. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3, array_distinct(shingles3Raw(toks)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Raw (non-distinct) 3-gram shingles — O(n) per row. */
+  private def shingles3Raw(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct (doc_id, shingle) rows — the shared base relation of the
+    * near-dup family. Deduped with a distributed `distinct()` (hash shuffle
+    * on (doc_id, s)), not per-row array_distinct; persisted because Jaccard
+    * consumes it three times (two join sides + sizes) in one job. */
+  def shingleRows(spark: SparkSession, sf: String): DataFrame = {
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.load(spark, sf, "documents")
+      // the harness table is one parquet file = one scan task; fan the raw
+      // docs out BEFORE the expensive tokenize+shingle so it runs on every
+      // core (a ~10 MB shuffle buys 32× parallelism; on a real partitioned
+      // 100 TB layout the scan is already parallel and AQE elides this)
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), explode(shingles3Raw(tokens(col("text")))).as("s"))
+      .distinct()
+  }
+
+  /** Exact dedup — canonical row per distinct text (`dropDuplicates`
+    * semantics made deterministic: keep the min doc_id per text).
+    * At scale this is a single hash-shuffle on the text (or, better, on a
+    * fingerprint of it — see [[fingerprint]] — so 100 KB documents don't
+    * ride the wire as shuffle keys). */
+  def dedupExact(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** Near-dup pairs by exact 3-shingle Jaccard ≥ 0.8, via an inverted-index
+    * self-join (explode shingles → join on shingle → count common → Jaccard)
+    * — never the O(n²) all-pairs crossJoin.
+    *
+    * Scale path: this exact form shuffles one row per (doc, shingle); hot
+    * shingles fan out quadratically at 100 TB, so the production variant is
+    * [[dedupMinhash]] (MinHash-LSH banding) with this exact form kept as the
+    * verifier of candidate pairs only. */
+  def dedupJaccard(spark: SparkSession, sf: String): DataFrame = {
+    val ex = shingleRows(spark, sf).persist()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = ex.as("a")
+      .join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Number of MinHash permutations and LSH banding (16 bands × 8 rows):
+    * detection probability at Jaccard s is 1-(1-s^8)^16 — ≈0.99 at s=0.8,
+    * ≈0.04 at s=0.3 — a sharp threshold around our 0.8 cutoff. */
+  val MinhashSigs = 128
+  val MinhashBands = 16
+
+
+  /** MinHash-LSH near-dup candidates, verified by exact shingle Jaccard —
+    * the 100 TB-scale form of [[dedupJaccard]]. Pipeline:
+    *
+    *  1. signature: hash each distinct shingle ONCE to a long (xxhash64 of
+    *     the string), then the k-th permutation is min over shingles of
+    *     xxhash64(h, k) — a fixed-width 16-byte hash, no overflow semantics
+    *     (ANSI mode rejects wrapping a·h+b). Computed as 128 `min()` columns
+    *     in ONE codegen'd HashAggregate over the exploded (doc, shingle-hash)
+    *     rows — never a per-row nested lambda, which profiled ~50 s at sf0.1.
+    *  2. banding: one row per (doc, band); docs sharing any band bucket
+    *     become candidates (equi-join on the bucket).
+    *  3. verify: exact Jaccard on candidate pairs only, via `collect_set`
+    *     shingle sets (order-irrelevant for intersect/union sizes).
+    *
+    * Deterministic end-to-end (fixed splitmix constants, no RNG). */
+  def dedupMinhash(spark: SparkSession, sf: String): DataFrame = {
+    val r = MinhashSigs / MinhashBands
+    val ex = shingleRows(spark, sf).persist()
+    val hashed = ex.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val minCols = (0 until MinhashSigs).map(k =>
+      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashSigs).map(k => col(s"m$k")): _*).as("sig"))
+    // one row per (doc, band): bucket = hash of the band's slice of the signature
+    val banded = sig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(MinhashBands - 1)), b =>
+        struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .persist()
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification on candidates only
+    val sets = ex.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    cands
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash of the token multiset: each token's xxhash64 votes ±1 per
+    * bit; the sign vector is packed into a Long. Near-dups have small Hamming
+    * distance. The token hash is computed ONCE; the 64 bit-votes are plain
+    * shift/mask arithmetic on it (nested lambda-per-bit recomputing the hash
+    * would fall out of codegen and cost 64 string hashes per token). */
+  def simhash(toks: Column): Column = simhashOfHashes(transform(toks, t => xxhash64(t)))
+
+  /** SimHash from a pre-bound array<long> of token hashes. */
+  def simhashOfHashes(hs: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + shiftright(h, i).bitwiseAND(1L) * 2L - 1L)
+    }
+    bits.zipWithIndex.map { case (b, i) =>
+      when(b > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit chunks
+    * (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk equal), join on chunk,
+    * verify Hamming ≤ 3 via bit_count(xor). Same candidate-then-verify shape
+    * as [[dedupMinhash]] — never all-pairs. */
+  def dedupSimhash(spark: SparkSession, sf: String): DataFrame = {
+    // hash each token once on exploded rows, then 64 bit-vote sums in one
+    // codegen'd HashAggregate (the per-row lambda form profiled minutes)
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"b$i"))
+    val packed = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val docs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("sh64"))
+    val banded = docs.select(col("doc_id"), col("sh64"),
+      explode(transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("band"),
+          call_function("shiftright", col("sh64"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sh64"), col("bb.band"), col("bb.chunk"))
+      .persist() // consumed by both self-join sides; avoids recomputing the agg
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Token count per document (SURVEY.md §2.9 X4). */
+  def textTokens(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Per-language corpus stats (SURVEY.md §2.9 X4). */
+  def langStats(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("lang")
+
+  /** Quality scoring — length / stopword-ratio / mean-word-length signals a
+    * training-data pipeline filters on (north-star scope). One explode +
+    * grouped pass per document. */
+  def qualityScore(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(length(col("tok"))), 4).as("avg_word_len"),
+        round(avg(when(col("tok").isin("a", "the"), 1.0).otherwise(0.0)), 4)
+          .as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint — md5 of the raw text, the join/shuffle key a
+    * 100 TB dedup uses instead of the text itself. md5 is identical across
+    * engines, so this one is oracle-checkable (unlike xxhash64). */
+  def fingerprint(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID: score each candidate language by stopword hits,
+    * pick the argmax (deterministic tie-break by language code). N-gram/
+    * stopword language-ID is the standard cheap first pass of a training-data
+    * pipeline; real corpora would use larger stopword lists. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
+
+  def langIdOf(toks: Column): Column = {
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(t.isin(sw: _*), 1L).otherwise(0L)).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by hits, ties broken by reverse-alphabetical struct compare;
+    // zero hits anywhere → "und" (undetermined)
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  def langId(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), langIdOf(tokens(col("text"))).as("lang_pred"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Embedding / similarity-search operators over the `embeddings` table
+  * (`vec_id, embedding: array<float> (64), label`) — SURVEY.md §2.9 X3/X7.
+  *
+  * All dot/norm math casts float→double first (exact widening) so results are
+  * bit-comparable with the DuckDB oracle's double arithmetic, then rounds to
+  * 4 decimals before any order-by on similarity.
+  */
+object VectorOps {
+
+  /** float[] → double[] (exact). */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Σ aᵢbᵢ via zip_with + aggregate — pure codegen-able expressions. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** L2 norm per vector — the basic array-column op (X7). */
+  def embedNorm(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), round(l2norm(asDouble(col("embedding"))), 4).as("l2"))
+      .orderBy("vec_id")
+
+  /** Exact top-k cosine against a single probe vector (vec_id 0). The 1-row
+    * probe side is broadcast, so the scan side never shuffles; top-k is
+    * TakeOrderedAndProject (per-partition heaps, no global sort). Ordering is
+    * on the *rounded* similarity with vec_id tie-break — deterministic across
+    * engines. */
+  def cosineTopk(spark: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probe = emb.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe))
+      .select(col("vec_id"), round(cosine(col("v"), col("pv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Brute-force k-NN join: top-3 neighbors for each of a set of probe
+    * vectors (vec_id < 5), ranked per-probe by a window. The probe set is
+    * broadcast; cost is |probes| × |corpus| — the exact baseline the
+    * approximate path ([[annLsh]]) is measured against. */
+  def knnJoin(spark: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("v"), col("pv")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "rk", "vec_id", "cos")
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Number of random hyperplanes for sign-LSH bucketing. */
+  val LshBits = 8
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * hash-derived value in [-1, 1] — reproducible without an RNG. */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Sign-LSH bucket id: bit p = sign of ⟨v, plane_p⟩. Vectors with high
+    * cosine land in the same bucket with high probability. */
+  def lshBucket(v: Column): Column =
+    aggregate(sequence(lit(0), lit(LshBits - 1)), lit(0L), (acc, p) =>
+      acc + when(
+        aggregate(zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+          x * ((pmod(xxhash64(p, j), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0)),
+          lit(0.0), (a, x) => a + x) > 0,
+        call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+
+  /** ANN via sign-LSH bucketing — the 100 TB path for [[knnJoin]]: bucket all
+    * vectors by [[lshBucket]], compare probes only against their own bucket
+    * (candidate set ≈ corpus / 2^bits per probe instead of the full corpus),
+    * then exact-rank the candidates. Recall < 1 by construction; the exact
+    * forms above are the oracle-checked baseline. */
+  def annLsh(spark: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("v"), col("pv")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "rk", "vec_id", "cos")
+      .orderBy("probe_id", "rk")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("entry (flagship q_groupby_avg) returns one row per return flag") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 3) // A, N, R
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("A", "N", "R"))
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("every declared oracle query has a queries entry (contract integrity)") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("topk is a TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.topk(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("joinBroadcast plans a BroadcastHashJoin (no fact-side shuffle)") {
+    val plan = Relational.joinBroadcast(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("scanProject prunes columns at the parquet scan") {
+    val plan = Relational.scanProject(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_returnflag"), "unused column must not be read:\n" + plan)
+  }
+
+  test("filterEq pushes the predicate to the scan") {
+    val plan = Relational.filterEq(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"), plan)
+  }
+
+  test("windowRank emits exactly top-3 per segment with ranks 1..3") {
+    val rows = Relational.windowRank(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val bals = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bucketCase boundaries: strict < (p=0.3 Medium, p=0.7 High)") {
+    val rows = Relational.bucketCase(spark, sf0001)
+      .filter(col("p").isin(0.3, 0.7)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, risk) = (r.getDouble(1), r.getString(3))
+      assert(if (p == 0.3) risk == "Medium" else risk == "High", s"p=$p risk=$risk")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercase, non-alnum split, empties dropped") {
+    val r = Seq("Hello, World!  foo_bar 42").toDF("text")
+      .select(TextOps.tokens(col("text"))).head().getSeq[String](0)
+    assert(r == Seq("hello", "world", "foo", "bar", "42"))
+  }
+
+  test("shingles3: distinct 3-grams; short docs -> empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextOps.shingles3(TextOps.tokens(col("text"))).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("minhash-LSH candidates reproduce exact jaccard pairs on the fixture") {
+    // the planted near-dups at sf0.001: LSH (16 bands x 8 rows) must find
+    // every pair the exact inverted-index form finds at threshold 0.8
+    val exact = TextOps.dedupJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = TextOps.dedupMinhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val df = Seq(
+      (1L, "spark makes big data processing fast and simple today"),
+      (2L, "spark makes big data processing fast and simple today"),
+      (3L, "completely unrelated words about gardening tulips roses soil"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.simhash(TextOps.tokens(col("text"))).as("h"))
+    val hs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 3)
+  }
+
+  test("langId: stopword heuristic identifies stopword-rich texts") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog is in a box"),
+      (2L, "el gato que vive en la casa y el perro en un patio"),
+      (3L, "le chat et le chien sont dans les maisons des voisins"),
+      (4L, "zzz qqq www"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.langIdOf(TextOps.tokens(col("text"))).as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en")
+    assert(m(2L) == "es")
+    assert(m(3L) == "fr")
+    assert(m(4L) == "und")
+  }
+
+  test("dedupExact keeps min doc_id per duplicate text group") {
+    val df = Seq((5L, "x"), (3L, "x"), (9L, "y")).toDF("doc_id", "text")
+      .groupBy("text").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies").orderBy("doc_id")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 2L), (9L, 1L)))
+  }
+}

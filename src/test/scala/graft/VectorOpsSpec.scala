@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / l2norm / cosine on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(
+        VectorOps.dot(VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))).as("dot"),
+        VectorOps.l2norm(VectorOps.asDouble(col("a"))).as("na"),
+        VectorOps.cosine(VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))).as("cos"))
+    val r = df.head()
+    assert(r.getDouble(0) == 18.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("orthogonal vectors have cosine 0, opposite have -1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(VectorOps.cosine(VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.0, -1.0))
+  }
+
+  test("cosineTopk returns 10 ranked neighbors, self excluded, cos descending") {
+    val rows = VectorOps.cosineTopk(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("annLsh candidates agree with brute-force where buckets collide") {
+    // ANN results must be a subset of the exact ranking's candidate pool
+    // (same probe, cos computed identically) with valid per-probe ranks
+    val ann = VectorOps.annLsh(spark, sf0001).collect()
+    assert(ann.nonEmpty, "probes must at least match themselves' bucket-mates or none")
+    ann.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+  }
+
+  test("lshBucket is deterministic and bucket-stable for identical vectors") {
+    val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(0.5f)).toDF("v")
+      .select(VectorOps.lshBucket(VectorOps.asDouble(col("v"))).as("b"))
+    val bs = df.collect().map(_.getLong(0))
+    assert(bs(0) == bs(1))
+  }
+}
