@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.multimodal.MultimodalOps
 import graft.ops.{EventOps, Relational, Scoring, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -60,7 +61,8 @@ object SparkEntry {
     "q_knn_join" -> (VectorOps.knnJoin _),
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_json_extract" -> (EventOps.jsonExtract _),
-    "q_time_bucket" -> (EventOps.timeBucket _))
+    "q_time_bucket" -> (EventOps.timeBucket _),
+    "q_media_meta" -> (MultimodalOps.mediaMeta _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -253,5 +255,10 @@ object SparkEntry {
     "q_time_bucket" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_media_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |  count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
 }

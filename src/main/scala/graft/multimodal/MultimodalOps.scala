@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** A decoded media asset's typed metadata. The decode itself is STUBBED —
+  * no image/audio codecs exist in this environment — but deterministic, so
+  * every Spark-side concern a 100 TB multimodal pipeline has (schema, binary
+  * columns, partition-wise batching, feature vectors) is real and testable. */
+case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                     width: Int, height: Int, n_frames: Int)
+
+/** A fixed-width feature vector extracted from a media asset. */
+case class MediaFeatures(media_id: Long, features: Array[Float])
+
+/** Multimodal-column operators (north-star scope): image/audio/video as
+  * opaque `binary` columns + typed metadata, processed partition-wise.
+  *
+  * Shape notes for 100 TB: binary payloads stay OFF the shuffle — every
+  * transform here is map-only (`mapPartitions`) over the scan; only compact
+  * metadata/feature rows ever move. Batch iteration per partition mirrors
+  * the Arrow-batch contract of `mapInPandas`: one JVM-side pass, no per-row
+  * task overhead, codec handles (here: the stub) initialized once per
+  * partition, not per row.
+  */
+object MultimodalOps {
+
+  /** Harness stand-in for a media table: `documents.text` bytes as the opaque
+    * binary payload (the engine never looks inside — exactly the contract an
+    * image/video column has), with a media kind assigned per id. */
+  def mediaTable(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("kind"),
+        col("text").cast("binary").as("content"))
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic
+    * function of the payload bytes only. A real deployment swaps this one
+    * function for e.g. a JNI codec; nothing else changes. */
+  private[multimodal] def decodeStub(kind: String, content: Array[Byte]): (Int, Int, Int) = {
+    // ??? real codec goes here; deterministic fake derived from the payload:
+    val h = content.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
+    val w = 16 + math.floorMod(h, 240).toInt
+    val ht = 16 + math.floorMod(h >> 8, 240).toInt
+    val frames = if (kind == "image") 1 else 1 + math.floorMod(h >> 16, 300).toInt
+    (w, ht, frames)
+  }
+
+  /** Decode → typed metadata, one partition-wise pass (no shuffle). */
+  def decodeMeta(spark: SparkSession, sf: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(spark, sf).select("media_id", "kind", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition (not per-row) setup — where a real codec would init
+        rows.map { case (id, kind, content) =>
+          val (w, h, f) = decodeStub(kind, content)
+          MediaMeta(id, kind, content.length.toLong, w, h, f)
+        }
+      }
+  }
+
+  /** Feature extraction: 64-bin byte histogram, L1-normalized — the stub for
+    * "embed this image". Output is the same `Array[Float]` shape the
+    * embeddings table carries, so VectorOps (cosine/ANN) compose directly. */
+  def extractFeatures(spark: SparkSession, sf: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, sf).select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          val hist = new Array[Float](64)
+          var i = 0
+          while (i < content.length) { hist((content(i) & 0xFF) >> 2) += 1f; i += 1 }
+          val n = math.max(1, content.length).toFloat
+          var j = 0
+          while (j < 64) { hist(j) /= n; j += 1 }
+          MediaFeatures(id, hist)
+        }
+      }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size block of the payload as a
+    * "frame" (video decode stub). Emits (media_id, frame_no, frame) — the
+    * fan-out stays map-side; frames of one asset never leave their partition
+    * until a downstream op asks for a shuffle. */
+  def sampleFrames(spark: SparkSession, sf: String, frameBytes: Int = 256,
+                   stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sf).filter(col("kind") === "video")
+      .select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, content) =>
+          content.grouped(frameBytes).zipWithIndex
+            .collect { case (frame, no) if no % stride == 0 => (id, no.toLong, frame) }
+        }
+      }
+      .toDF("media_id", "frame_no", "frame")
+  }
+
+  /** Declared query: payload-size stats per media kind, computed through the
+    * decode path. Only codec-independent columns (count, byte sizes) are
+    * emitted so the DuckDB oracle can reproduce them; the stub-decoded
+    * dims/frames are covered by unit tests (no oracle can re-run the stub). */
+  def mediaMeta(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    decodeMeta(spark, sf).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("n_bytes").as("total_bytes"))
+      .orderBy("kind")
+  }
+}

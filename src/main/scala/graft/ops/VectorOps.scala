@@ -69,20 +69,31 @@ object VectorOps {
   /** Number of random hyperplanes for sign-LSH bucketing. */
   val LshBits = 8
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * hash-derived value in [-1, 1] — reproducible without an RNG. */
-  private def planeComponent(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+  /** Embedding dimensionality of the harness table. */
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1]^Dim, fixed at
+    * class-load via splitmix64 — plan-time CONSTANTS, so the per-row work is
+    * just LshBits dot products (hash-deriving each component inside the
+    * expression re-ran xxhash64 per row per component and profiled 6 s). */
+  private val planes: Array[Array[Double]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(LshBits, Dim) { (p, j) =>
+      (math.floorMod(splitmix(p.toLong * Dim + j), 2000001L) - 1000000L) / 1000000.0
+    }
+  }
 
   /** Sign-LSH bucket id: bit p = sign of ⟨v, plane_p⟩. Vectors with high
     * cosine land in the same bucket with high probability. */
   def lshBucket(v: Column): Column =
-    aggregate(sequence(lit(0), lit(LshBits - 1)), lit(0L), (acc, p) =>
-      acc + when(
-        aggregate(zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-          x * ((pmod(xxhash64(p, j), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0)),
-          lit(0.0), (a, x) => a + x) > 0,
-        call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+    (0 until LshBits).map { p =>
+      when(dot(v, typedLit(planes(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** ANN via sign-LSH bucketing — the 100 TB path for [[knnJoin]]: bucket all
     * vectors by [[lshBucket]], compare probes only against their own bucket
