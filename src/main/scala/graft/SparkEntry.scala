@@ -41,6 +41,12 @@ object SparkEntry {
     "q_join_multiway" -> (Relational.joinMultiway _),
     "q_window_rank" -> (Relational.windowRank _),
     "q_topk" -> (Relational.topk _),
+    "q_rollup" -> (Relational.rollupAgg _),
+    "q_pivot" -> (Relational.pivotCounts _),
+    "q_join_semi" -> (Relational.joinSemi _),
+    "q_join_anti" -> (Relational.joinAnti _),
+    "q_set_ops" -> (Relational.setOps _),
+    "q_sketch_stats" -> (Relational.sketchStats _),
     // §2.4 scoring pipeline
     "q_impute_median" -> (Scoring.imputeMedian _),
     "q_scale_standard" -> (Scoring.scaleStandard _),
@@ -197,6 +203,35 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_ops" ->
+      """SELECT 'intersect' AS op, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY op, c_custkey""".stripMargin,
     "q_impute_median" ->
       s"$synthSql SELECT * FROM imputed ORDER BY customer_id",
     "q_scale_standard" ->

@@ -173,6 +173,71 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"))
 
+  /** Hierarchical rollup — subtotal rows per (returnflag, linestatus) plus
+    * per-returnflag and grand totals (SURVEY.md §2.3 "free from Spark"
+    * grouping-sets family). NULL group keys order first, matching the
+    * oracle's explicit NULLS FIRST. */
+  def rollupAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivot — the reference's stacked histogram is a pivot of counts on the
+    * hue key (`app_test.py:107-111`); explicit pivot values keep the output
+    * schema static, `coalesce` 0 matches SQL's count-of-no-rows. */
+  def pivotCounts(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"))
+      .orderBy("l_returnflag")
+
+  /** Left-semi join — "customers having orders" (EXISTS). Only the key
+    * column of the right side ships; output is left columns only. */
+  def joinSemi(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer").as("c")
+      .join(Tables.load(spark, sf, "orders").as("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join — "customers with no orders" (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer").as("c")
+      .join(Tables.load(spark, sf, "orders").as("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Set operations (SURVEY.md §2.8): high-balance ∩ BUILDING-segment and
+    * high-balance ∖ BUILDING-segment customer keys, tagged and unioned. */
+  def setOps(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+    val a = c.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+    val b = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .union(a.except(b).withColumn("op", lit("except")))
+      .select("op", "c_custkey")
+      .orderBy("op", "c_custkey")
+  }
+
+  /** Approximate sketches — HLL++ distinct and approximate median
+    * (SURVEY.md §2.3 ext). Deterministic for fixed input but sketch
+    * implementations differ across engines, so no SQL oracle; the exact
+    * twins are q_approx_distinct / q_cond_means. At 100 TB these replace
+    * their exact forms: fixed-size sketches merge map-side, no exact
+    * distinct shuffle. */
+  def sketchStats(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 4)
+          .as("approx_median_price"))
+
   /** CSV round-trip — the reference's upload path (`pd.read_csv`,
     * `app_test.py:262-263`): write a table as CSV, read it back with an
     * explicit schema (never inference, SURVEY.md §1.4), prove losslessness. */

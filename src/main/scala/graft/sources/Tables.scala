@@ -27,11 +27,14 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Explicit schema CSV read — the Spark mapping of the reference's
-    * `pd.read_csv(uploaded_file)` upload path (`app_test.py:262-263`), with the
-    * schema declared instead of inferred so a malformed upload fails at
-    * analysis time, not mid-scan. */
+    * `pd.read_csv(uploaded_file)` upload path (`app_test.py:262-263`), with
+    * the schema declared instead of inferred. FAILFAST because Spark's
+    * default PERMISSIVE mode silently nulls type-mismatched cells, which
+    * would then be silently imputed by the scoring pipeline's median/mode
+    * stage — a corrupted upload must be rejected, not absorbed. */
   def loadCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
+    spark.read.option("header", "true").option("mode", "FAILFAST")
+      .schema(schema).csv(path)
 
   /** Reference-faithful customer schema (FIXTURES.md §B) for unit tests and the
     * scoring pipeline's exact-semantics corners. Column names keep the
