@@ -17,13 +17,16 @@ object VectorOps {
   /** float[] → double[] (exact). */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Σ aᵢbᵢ via zip_with + aggregate — pure codegen-able expressions. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢbᵢ — native codegen'd expression (graft.functions.DotProduct); the
+    * composable `aggregate(zip_with(...))` form is semantically identical but
+    * walks a lambda interpreter per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot_product(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Fused single-pass cosine (graft.functions.CosineSimilarity) — same
+    * left-to-right double summation as dot/(√·√), so oracle hashes match. */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /** L2 norm per vector — the basic array-column op (X7). */
   def embedNorm(spark: SparkSession, sf: String): DataFrame =

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot_product matches the composable aggregate/zip_with form") {
+    val df = Seq((Array(1.5, -2.0, 3.25), Array(4.0, 0.5, -1.0))).toDF("a", "b")
+    val native = df.select(VectorFunctions.dot_product(col("a"), col("b"))).head().getDouble(0)
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x))
+      .head().getDouble(0)
+    assert(native == composed) // bit-identical, same summation order
+    assert(native == 1.5 * 4.0 + -2.0 * 0.5 + 3.25 * -1.0)
+  }
+
+  test("native cosine_sim is bit-identical to dot/(sqrt*sqrt)") {
+    val df = Seq((Array(0.1, 0.2, 0.7), Array(0.3, 0.9, 0.11))).toDF("a", "b")
+    val fused = df.select(VectorFunctions.cosine_sim(col("a"), col("b"))).head().getDouble(0)
+    val composed = df.select(
+      VectorFunctions.dot_product(col("a"), col("b")) /
+        (sqrt(VectorFunctions.dot_product(col("a"), col("a"))) *
+          sqrt(VectorFunctions.dot_product(col("b"), col("b"))))).head().getDouble(0)
+    assert(fused == composed)
+  }
+
+  test("expressions survive codegen over many rows and null inputs") {
+    val df = (1 to 1000).map(i => (Array(i.toDouble, 1.0), Array(2.0, i.toDouble)))
+      .toDF("a", "b")
+    val s = df.select(sum(VectorFunctions.dot_product(col("a"), col("b")))).head().getDouble(0)
+    assert(s == (1 to 1000).map(i => 3.0 * i).sum)
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(withNull.select(VectorFunctions.dot_product(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("native functions are SQL-callable once registered (extensions path)") {
+    // the shared test session predates extension wiring, so inject into its
+    // registry the same way GraftExtensions does at session build time
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(children(0), children(1)))
+    val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+    // and the extension hook itself injects without error
+    new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
