@@ -70,6 +70,7 @@ object SparkEntry {
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_json_extract" -> (EventOps.jsonExtract _),
     "q_time_bucket" -> (EventOps.timeBucket _),
+    "q_sessionize" -> (EventOps.sessionize _),
     "q_media_meta" -> (MultimodalOps.mediaMeta _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
@@ -122,6 +123,27 @@ object SparkEntry {
   /** Shared DuckDB tokenization (mirrors TextOps.tokens / shingles3). */
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB twin of TextOps.langIdOf: stopword-hit counts per language,
+    * argmax with the same tie-break as Spark's greatest-of-struct (higher
+    * hits wins; equal hits -> lexicographically larger language code). */
+  private val langIdSql: String = {
+    val langs = TextOps.langStopwords.toSeq.sortBy(_._1) // de, en, es, fr
+    val hitCols = langs.map { case (lang, sw) =>
+      val list = sw.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$list], x))) AS $lang"
+    }.mkString(",\n    ")
+    val tieOrder = langs.map(_._1).sorted.reverse // fr, es, en, de
+    val m = s"greatest(${langs.map(_._1).mkString(", ")})"
+    val cases = tieOrder.init.map(l => s"WHEN $l = $m THEN '$l'").mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |hits AS (SELECT doc_id,
+       |    $hitCols
+       |  FROM toks)
+       |SELECT doc_id, CASE WHEN $m = 0 THEN 'und' $cases
+       |  ELSE '${tieOrder.last}' END AS lang_pred
+       |FROM hits ORDER BY doc_id""".stripMargin
+  }
   private val jaccardBase = s"""
     |WITH t AS (
     |  SELECT doc_id, $toksSql AS toks FROM documents
@@ -269,6 +291,7 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q_lang_id" -> langIdSql,
     "q_embed_norm" ->
       s"""SELECT vec_id, round(${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")}, 4) AS l2
          |FROM embeddings ORDER BY vec_id""".stripMargin,
@@ -308,5 +331,27 @@ object SparkEntry {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
         |  count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_sessionize" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) > CAST(3600 AS BIGINT) * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM w
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -44,6 +45,34 @@ object EventOps {
     * the same physical agg Structured Streaming runs incrementally. The
     * bucket is emitted as a formatted string so the hash-compare is immune
     * to timestamp-encoding differences between engines. */
+  /** Batch sessionization: classic gap-based session assignment — lag the
+    * previous event time per user, mark gaps > 1 h as session starts, running
+    * sum of markers = session number, then aggregate per (user, session).
+    * Two window passes over ONE hash-partitioning by user_id (both windows
+    * share it), then the final agg re-uses the same partitioning — Catalyst
+    * collapses the exchanges. The streaming twin
+    * (graft.streaming.StreamOps.sessionize) holds the same per-user gap
+    * state incrementally in flatMapGroupsWithState. */
+  def sessionize(spark: SparkSession, sf: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 3600L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_no")
+  }
+
   def timeBucket(spark: SparkSession, sf: String): DataFrame =
     events(spark, sf)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))

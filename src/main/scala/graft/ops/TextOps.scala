@@ -76,7 +76,13 @@ object TextOps {
     * [[dedupMinhash]] (MinHash-LSH banding) with this exact form kept as the
     * verifier of candidate pairs only. */
   def dedupJaccard(spark: SparkSession, sf: String): DataFrame = {
-    val ex = shingleRows(spark, sf).persist()
+    // join on the 64-bit shingle fingerprint, not the string: long keys
+    // shuffle, sort and compare far cheaper, and at 100 TB the strings would
+    // otherwise BE the shuffle (collision odds over 2^64 are negligible and
+    // deterministic; the md5 fingerprint op documents the same pattern)
+    val ex = shingleRows(spark, sf)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .persist()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("a")
       .join(ex.as("b"),

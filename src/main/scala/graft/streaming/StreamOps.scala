@@ -1,7 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user session accumulator carried across micro-batches. */
+case class SessState(startMs: Long, lastMs: Long, n: Long)
+
+/** A closed session (gap > threshold observed after it). */
+case class UserSession(user_id: Long, session_start: Timestamp,
+                       session_end: Timestamp, n_events: Long)
 
 /** Structured Streaming forms of the batch event operators (SURVEY.md §2.10).
   *
@@ -31,4 +40,38 @@ object StreamOps {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful gap-based sessionization — the streaming twin of
+    * EventOps.sessionize. Per-user state (start, last-seen, count) lives in
+    * the state store; a session is EMITTED when a later event arrives more
+    * than `gap` after it (the trailing open session stays in state — a
+    * production job adds an event-time timeout to flush it; kept minimal
+    * here so batch and stream semantics coincide on closed sessions).
+    * State size: O(active users), independent of stream length. */
+  def sessionize(events: Dataset[(Long, Timestamp)],
+                 gapMs: Long = 3600 * 1000L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    def close(user: Long, s: SessState) =
+      UserSession(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[SessState]) =>
+          val times = evs.map(_._2.getTime).toSeq.sorted
+          var closed = List.empty[UserSession]
+          var st = state.getOption
+          times.foreach { t =>
+            st = st match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                Some(s.copy(lastMs = t, n = s.n + 1))
+              case Some(s) =>
+                closed ::= close(user, s); Some(SessState(t, t, 1))
+              case None => Some(SessState(t, t, 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.reverse.iterator
+      }
+  }
 }

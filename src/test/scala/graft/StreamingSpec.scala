@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamOps
+import graft.streaming.{StreamOps, UserSession}
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
@@ -36,6 +36,40 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
       ("2024-01-01 11:00:00.0", "view", 1L, 3.0),
       ("2024-01-01 12:00:00.0", "click", 1L, 4.0)))
+  }
+
+  test("sessionize closes sessions across micro-batches with persisted state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two close events (one open session)
+      stream.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // nothing closed yet
+      // batch 2: a later event beyond the gap closes the first session —
+      // proving the (start,last,n) state survived the batch boundary
+      stream.addData((1L, t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val s = spark.table("sessions").as[UserSession].collect()
+      assert(s.length == 1)
+      assert(s.head == UserSession(1L, t("2024-01-01 10:00:00"),
+        t("2024-01-01 10:10:00"), 2L))
+    } finally q.stop()
+  }
+
+  test("batch sessionize splits on >1h gaps (window-lag form)") {
+    val rows = graft.ops.EventOps.sessionize(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // session invariants: starts ordered per user, n_events >= 1
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val nos = rs.map(_.getLong(1)).sorted
+      assert(nos.head == 1L && nos.zipWithIndex.forall { case (n, i) => n == i + 1 })
+      rs.foreach(r => assert(r.getLong(4) >= 1L))
+    }
   }
 
   test("dedupEvents drops in-watermark duplicate ids on a stream") {
