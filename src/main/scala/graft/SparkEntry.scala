@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{EventOps, Relational, Scoring, TextOps, VectorOps}
+import graft.ops.{EventOps, Relational, Scoring, SkewOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,7 @@ object SparkEntry {
     "q_join_anti" -> (Relational.joinAnti _),
     "q_set_ops" -> (Relational.setOps _),
     "q_sketch_stats" -> (Relational.sketchStats _),
+    "q_salted_agg" -> (SkewOps.saltedAgg _),
     // §2.4 scoring pipeline
     "q_impute_median" -> (Scoring.imputeMedian _),
     "q_scale_standard" -> (Scoring.scaleStandard _),
@@ -200,6 +201,9 @@ object SparkEntry {
         |  COALESCE(round(avg(l_discount), 4), CAST(0 AS DOUBLE)) AS avg_discount
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_groupby_avg" ->
+      """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_agg" -> // the salted two-phase plan must REPRODUCE the direct answer
       """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->

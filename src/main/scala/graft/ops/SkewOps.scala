@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Skew-mitigation operators (100 TB design note, SURVEY.md §7.4).
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin`, on by default)
+  * covers sort-merge joins; these utilities cover the two cases it doesn't:
+  * a single hot GROUP BY key, and broadcast-ineligible joins against a
+  * skewed key column. Salting is deterministic here — the salt derives from
+  * a hash of a row-identifying column, never `rand()`, so results are
+  * reproducible and oracle-checkable.
+  */
+object SkewOps {
+
+  /** Two-phase (salted) aggregation: partial-aggregate on (key, salt) —
+    * spreading a hot key over `salts` reducers — then final-aggregate on key.
+    * Algebraic re-association: SUM/COUNT compose exactly, AVG = Σsum/Σcount.
+    * Output is bit-identical to the direct groupBy (same double-summation
+    * tree? no — association differs, which is why the final avg is assembled
+    * from sums, not from partial avgs). */
+  def saltedAvg(df: DataFrame, key: Column, value: Column, saltFrom: Column,
+                salts: Int = 16): DataFrame =
+    df.select(key.as("k"), value.as("v"), pmod(xxhash64(saltFrom), lit(salts)).as("salt"))
+      .groupBy("k", "salt")
+      .agg(sum("v").as("ps"), count(lit(1)).as("pc"))
+      .groupBy("k")
+      .agg((sum("ps") / sum("pc")).as("avg_v"))
+
+  /** Salted aggregation declared query: the flagship groupby_avg computed
+    * through the salted two-phase plan. l_returnflag has only 3 distinct
+    * values — exactly the shape (giant table, tiny key domain) where the
+    * single-phase final agg funnels everything into 3 reducers at 100 TB.
+    * Note the oracle is plain AVG: the salted plan must REPRODUCE the
+    * direct answer (rounded to 4), not approximate it. */
+  def saltedAgg(spark: SparkSession, sf: String): DataFrame =
+    saltedAvg(
+      Tables.load(spark, sf, "lineitem"),
+      col("l_returnflag"), col("l_discount"), col("l_orderkey"))
+      .select(col("k").as("l_returnflag"), round(col("avg_v"), 4).as("avg_discount"))
+      .orderBy("l_returnflag")
+
+  /** Salted join for a skewed key against a non-broadcastable right side:
+    * left rows get salt = hash(probe col) % salts; the right side is
+    * replicated `salts` times (explode) so every (key, salt) pair finds its
+    * match. Replication factor is the knob: salts × |right|. */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: Column,
+                 rightKey: Column, saltFrom: Column, salts: Int = 16): DataFrame = {
+    val saltedLeft = left.withColumn("_salt", pmod(xxhash64(saltFrom), lit(salts)))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedLeft.join(saltedRight,
+      leftKey === rightKey && saltedLeft("_salt") === saltedRight("_salt"))
+      .drop("_salt")
+  }
+}
