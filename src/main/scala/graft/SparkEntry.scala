@@ -48,6 +48,7 @@ object SparkEntry {
     "q_set_ops" -> (Relational.setOps _),
     "q_sketch_stats" -> (Relational.sketchStats _),
     "q_salted_agg" -> (SkewOps.saltedAgg _),
+    "q_kde" -> (Relational.kde _),
     // §2.4 scoring pipeline
     "q_impute_median" -> (Scoring.imputeMedian _),
     "q_scale_standard" -> (Scoring.scaleStandard _),
@@ -206,6 +207,15 @@ object SparkEntry {
     "q_salted_agg" -> // the salted two-phase plan must REPRODUCE the direct answer
       """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_kde" -> {
+      val h = Relational.KdeBandwidth
+      val norm = h * math.sqrt(2 * math.Pi)
+      s"""WITH grid AS (SELECT CAST(unnest(range(-1000, 10001, 550)) AS DOUBLE) AS x),
+         |v AS (SELECT c_acctbal AS v FROM customer)
+         |SELECT x, round(avg(exp(-((x - v) * (x - v)) / (2 * $h * $h))) / $norm, 8)
+         |  AS density
+         |FROM v CROSS JOIN grid GROUP BY x ORDER BY x""".stripMargin
+    },
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS price_bin,
         |  o_orderstatus, count(*) AS n

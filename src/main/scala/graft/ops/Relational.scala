@@ -238,6 +238,28 @@ object Relational {
         round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 4)
           .as("approx_median_price"))
 
+  /** Gaussian KDE over a fixed evaluation grid — closes SURVEY.md §2.3 A6
+    * (the seaborn `kde=True` overlay, `app_test.py:109`). density(x) =
+    * mean over rows of N(x − v; h) — an avg of codegen'd exp terms per grid
+    * point: the 21-point grid broadcasts, the data side scans once, and the
+    * aggregate combines map-side. Rounded to 8 decimals (densities are
+    * ~1e-4; libm exp differs across engines only in the last ulp). */
+  val KdeBandwidth = 500.0
+  val KdeGrid: Seq[Double] = (-1000 to 10000 by 550).map(_.toDouble)
+
+  def kde(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val grid = KdeGrid.toDF("x")
+    val h = KdeBandwidth
+    val norm = h * math.sqrt(2 * math.Pi)
+    val d = col("x") - col("v")
+    Tables.load(spark, sf, "customer").select(col("c_acctbal").as("v"))
+      .join(broadcast(grid))
+      .groupBy("x")
+      .agg(round(avg(exp(-(d * d) / (2 * h * h))) / norm, 8).as("density"))
+      .orderBy("x")
+  }
+
   /** CSV round-trip — the reference's upload path (`pd.read_csv`,
     * `app_test.py:262-263`): write a table as CSV, read it back with an
     * explicit schema (never inference, SURVEY.md §1.4), prove losslessness. */
