@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_knn_join" -> (VectorOps.knnJoin _),
     "q_ann_lsh" -> (VectorOps.annLsh _),
+    "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
     "q_json_extract" -> (EventOps.jsonExtract _),
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),

@@ -116,6 +116,50 @@ object VectorOps {
       when(dot(v, typedLit(planes(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: a k-means coarse quantizer (Spark ML, fixed seed —
+    * deterministic on fixed input) assigns every vector to a cell; each
+    * probe searches only its `nprobe` nearest cells, exact-ranking the
+    * candidates. Complements [[annLsh]]: IVF adapts cells to the data
+    * distribution where sign-LSH uses data-independent hyperplanes. At
+    * 100 TB the quantizer trains on a sample, cells become partition keys,
+    * and a probe touches nprobe/k of the corpus. */
+  def ivfTopk(spark: SparkSession, sf: String, k: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        array_to_vector(col("embedding")).as("fv"))
+      .persist()
+    val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
+      .setPredictionCol("cell").fit(emb)
+    val assigned = km.transform(emb).select(col("vec_id"), col("v"), col("cell"))
+    // centroids are driver-side constants (k × dim doubles) → literal frame
+    val centroids = spark.createDataFrame(
+      km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    // nprobe nearest cells per probe (k rows per probe, tiny)
+    val wCell = Window.partitionBy("probe_id").orderBy(col("cdist"), col("cell"))
+    val probeCells = probes.join(broadcast(centroids))
+      .select(col("probe_id"), col("pv"), col("cell"),
+        (dot(col("pv"), col("pv")) - lit(2.0) * dot(col("pv"), col("centroid")) +
+          dot(col("centroid"), col("centroid"))).as("cdist"))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= nprobe)
+      .select("probe_id", "pv", "cell")
+    // search only the probed cells
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("v"), col("pv")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "rk", "vec_id", "cos")
+      .orderBy("probe_id", "rk")
+  }
+
   /** ANN via sign-LSH bucketing — the 100 TB path for [[knnJoin]]: bucket all
     * vectors by [[lshBucket]], compare probes only against their own bucket
     * (candidate set ≈ corpus / 2^bits per probe instead of the full corpus),

@@ -47,6 +47,25 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopk is deterministic and ranks candidates per probe") {
+    val a = VectorOps.ivfTopk(spark, sf0001).collect()
+    val b = VectorOps.ivfTopk(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq) // fixed-seed quantizer => reproducible
+    assert(a.nonEmpty)
+    a.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      assert(!rs.map(_.getLong(2)).contains(pid)) // self excluded
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+    // recall sanity (fixture embeddings are near-random, so demand a floor,
+    // not perfection): some probes' IVF top-1 appears in the exact top-3
+    val exact = VectorOps.knnJoin(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = a.filter(_.getLong(1) == 1L)
+      .count(r => exact.getOrElse(r.getLong(0), Set.empty).contains(r.getLong(2)))
+    assert(hits >= 2, s"IVF top-1 recall too low: $hits/5 probes")
+  }
+
   test("lshBucket is deterministic and bucket-stable for identical vectors") {
     val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(0.5f)).toDF("v")
       .select(VectorOps.lshBucket(VectorOps.asDouble(col("v"))).as("b"))
