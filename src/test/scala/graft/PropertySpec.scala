@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Property tests (SURVEY.md §5.2) for the semantics corners that must hold
+  * for ALL inputs, not just fixtures. Raw ScalaCheck generators with a fixed
+  * seed (the scalatest-scalacheck bridge isn't in the offline dep cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic forAll: 30 samples from a seeded generator. */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (0 until 30).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private def bucket(p: Double): String =
+    if (p < 0.3) "Low" else if (p < 0.7) "Medium" else "High"
+
+  test("risk bucketing: strict-< rule partitions [0,1] exactly (app_test.py:238)") {
+    forAll(Gen.choose(0.0, 1.0)) { p =>
+      val spark_bucket = Seq(p).toDF("p")
+        .select(when(col("p") < 0.3, "Low").when(col("p") < 0.7, "Medium")
+          .otherwise("High")).head().getString(0)
+      assert(spark_bucket == bucket(p))
+    }
+  }
+
+  test("one-hot: exactly one indicator fires per known category, zero per unknown") {
+    import graft.ops.Scoring
+    import graft.ops.Scoring.ModelConstants._
+    val knowns = categories.values.flatten.toSeq
+    forAll(Gen.oneOf(knowns ++ Seq("Nope", "", "premium" /* case matters */))) { v =>
+      val df = Seq((v, v, v)).toDF("gender", "subscription_type", "contract_length")
+      val row = Scoring.onehot(df)
+        .select(onehotCols.map { case (o, _, _) => col(o) }: _*).head()
+      val fired = row.toSeq.map(_.asInstanceOf[Double]).sum
+      val expected = catCols.count(c => categories(c).contains(v)).toDouble
+      assert(fired == expected)
+    }
+  }
+
+  private val tokenGen = Gen.listOfN(12, Gen.oneOf("spark", "data", "fast", "a", "b", "c"))
+
+  test("simhash is invariant under multiset doubling (votes scale, signs don't)") {
+    forAll(tokenGen) { toks =>
+      val df = Seq((toks, toks ++ toks)).toDF("a", "b")
+        .select(TextOps.simhash(array(toks.map(lit): _*)).as("ha"),
+          TextOps.simhash(array((toks ++ toks).map(lit): _*)).as("hb"))
+      val r = df.head()
+      assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("shingle Jaccard of a doc with itself is 1; with disjoint vocab is 0") {
+    forAll(Gen.listOfN(6, Gen.identifier)) { ws =>
+      whenever(ws.toSet.size >= 4) {
+        val text = ws.mkString(" ").toLowerCase
+        val other = ws.map(w => s"zz${w}q").mkString(" ").toLowerCase
+        val df = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+          .select(col("doc_id"), TextOps.shingles3(TextOps.tokens(col("text"))).as("sh"))
+        val shs = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+        assert(shs(1L) == shs(2L))
+        assert(shs(1L).intersect(shs(3L)).isEmpty)
+      }
+    }
+  }
+
+  test("scaling is invertible: unscale(scale(x)) == x within fp tolerance") {
+    import graft.ops.Scoring.ModelConstants._
+    forAll(Gen.choose(-1e4, 1e4)) { x =>
+      val (m, s) = (means.head, scales.head)
+      val z = (x - m) / s
+      assert(math.abs(z * s + m - x) < 1e-9)
+    }
+  }
+}
