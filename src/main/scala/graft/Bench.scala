@@ -29,7 +29,8 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-20s ${dt}%8.2f s")
-        name -> dt
+        spark.catalog.clearCache() // queries persist() small frames; don't
+        name -> dt                 // let cache residue leak across timings
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

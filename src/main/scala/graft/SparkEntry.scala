@@ -49,6 +49,9 @@ object SparkEntry {
     "q_sketch_stats" -> (Relational.sketchStats _),
     "q_salted_agg" -> (SkewOps.saltedAgg _),
     "q_kde" -> (Relational.kde _),
+    "q_stats_pack" -> (Relational.statsPack _),
+    "q_percentile" -> (Relational.percentileExact _),
+    "q_dow" -> (Relational.dayOfWeek _),
     // §2.4 scoring pipeline
     "q_impute_median" -> (Scoring.imputeMedian _),
     "q_scale_standard" -> (Scoring.scaleStandard _),
@@ -277,6 +280,18 @@ object SparkEntry {
       s"$synthSql SELECT customer_id, $scaleSelect FROM imputed ORDER BY customer_id",
     "q_onehot" ->
       s"$synthSql SELECT customer_id, $onehotSelect FROM imputed ORDER BY customer_id",
+    "q_stats_pack" ->
+      """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4)
+        |  AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dow" ->
+      """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

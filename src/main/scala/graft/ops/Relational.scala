@@ -238,6 +238,33 @@ object Relational {
         round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 4)
           .as("approx_median_price"))
 
+  /** Descriptive-stats pack — sample stddev and Pearson correlation per
+    * group (both single-pass algebraic aggregates with map-side combine;
+    * definitions match DuckDB's stddev_samp/corr exactly). */
+  def statsPack(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Exact interpolated median per group — `percentile` (exact, sort-based
+    * per group) vs the sketch form in [[sketchStats]]. At 100 TB the exact
+    * form costs a per-group sort; the t-digest/GK sketch replaces it. */
+  def percentileExact(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("median_price"))
+      .orderBy("l_returnflag")
+
+  /** Day-of-week aggregation (0 = Sunday, matching DuckDB's dayofweek). */
+  def dayOfWeek(spark: SparkSession, sf: String): DataFrame =
+    EventOps.events(spark, sf)
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("dow")
+
   /** Gaussian KDE over a fixed evaluation grid — closes SURVEY.md §2.3 A6
     * (the seaborn `kde=True` overlay, `app_test.py:109`). density(x) =
     * mean over rows of N(x − v; h) — an avg of codegen'd exp terms per grid
