@@ -52,6 +52,7 @@ object SparkEntry {
     "q_stats_pack" -> (Relational.statsPack _),
     "q_percentile" -> (Relational.percentileExact _),
     "q_dow" -> (Relational.dayOfWeek _),
+    "q_string_funcs" -> (Relational.stringFuncs _),
     // §2.4 scoring pipeline
     "q_impute_median" -> (Scoring.imputeMedian _),
     "q_scale_standard" -> (Scoring.scaleStandard _),
@@ -292,6 +293,13 @@ object SparkEntry {
       """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, count(*) AS n,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  concat(c_mktsegment, ':', c_name) AS segmented,
+        |  CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

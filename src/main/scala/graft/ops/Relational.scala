@@ -238,6 +238,20 @@ object Relational {
         round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 4)
           .as("approx_median_price"))
 
+  /** String-function pack over customer names — upper/lower, 1-based
+    * substring, regexp replace, concat, length: the scalar-function family
+    * the reference only touches via Python f-strings (`app_test.py:300`). */
+  def stringFuncs(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("segmented"),
+        length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
   /** Descriptive-stats pack — sample stddev and Pearson correlation per
     * group (both single-pass algebraic aggregates with map-side combine;
     * definitions match DuckDB's stddev_samp/corr exactly). */

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sink-side scale techniques: bucketed tables for shuffle-free co-located
+  * joins, and ML model persistence (SURVEY.md §2.1 S4/S6). */
+class SinkSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange (co-located join)") {
+    // tables land in the default ./spark-warehouse (gitignored);
+    // disable broadcast so the join strategy must rely on the bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.load(spark, sf0001, "orders")
+        .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_b")
+      Tables.load(spark, sf0001, "customer")
+        .write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key: SortMergeJoin with ZERO
+      // Exchange operators — the layout a 100 TB fact/fact join needs
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" + plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("GBT model artifact saves and reloads with identical predictions (S4)") {
+    import graft.ops.Scoring
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/gbt"
+    val train = Scoring.synthCustomers(spark, sf0001)
+    val model = Scoring.trainModel(train.filter(col("customer_id") % 3 =!= 0))
+    model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.classification.GBTClassificationModel.load(dir)
+    val a = Scoring.score(model, train).collect()
+    val b = Scoring.score(reloaded, train).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}
