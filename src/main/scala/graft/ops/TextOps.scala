@@ -39,10 +39,13 @@ object TextOps {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct (doc_id, shingle) rows — the shared base relation of the
-    * near-dup family. Deduped with a distributed `distinct()` (hash shuffle
-    * on (doc_id, s)), not per-row array_distinct; persisted because Jaccard
-    * consumes it three times (two join sides + sizes) in one job. */
+  /** Distinct (doc_id, shingle-fingerprint) rows — the shared base relation
+    * of the near-dup family. Shingles are fingerprinted to 64-bit longs
+    * immediately (collision odds over 2^64 negligible): longs shuffle, sort
+    * and compare far cheaper than the strings, which would otherwise BE the
+    * shuffle at 100 TB. Deduped with a distributed `distinct()` (hash
+    * shuffle), not per-row array_distinct; both Jaccard and MinHash consume
+    * the SAME plan, so a shared persist serves them. */
   def shingleRows(spark: SparkSession, sf: String): DataFrame = {
     val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
     Tables.load(spark, sf, "documents")
@@ -51,7 +54,8 @@ object TextOps {
       // core (a ~10 MB shuffle buys 32× parallelism; on a real partitioned
       // 100 TB layout the scan is already parallel and AQE elides this)
       .repartition(parallelism, col("doc_id"))
-      .select(col("doc_id"), explode(shingles3Raw(tokens(col("text")))).as("s"))
+      .select(col("doc_id"),
+        explode(transform(shingles3Raw(tokens(col("text"))), s => xxhash64(s))).as("s"))
       .distinct()
   }
 
@@ -76,13 +80,7 @@ object TextOps {
     * [[dedupMinhash]] (MinHash-LSH banding) with this exact form kept as the
     * verifier of candidate pairs only. */
   def dedupJaccard(spark: SparkSession, sf: String): DataFrame = {
-    // join on the 64-bit shingle fingerprint, not the string: long keys
-    // shuffle, sort and compare far cheaper, and at 100 TB the strings would
-    // otherwise BE the shuffle (collision odds over 2^64 are negligible and
-    // deterministic; the md5 fingerprint op documents the same pattern)
-    val ex = shingleRows(spark, sf)
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .persist()
+    val ex = shingleRows(spark, sf).persist()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("a")
       .join(ex.as("b"),
@@ -123,10 +121,9 @@ object TextOps {
   def dedupMinhash(spark: SparkSession, sf: String): DataFrame = {
     val r = MinhashSigs / MinhashBands
     val ex = shingleRows(spark, sf).persist()
-    val hashed = ex.select(col("doc_id"), xxhash64(col("s")).as("h"))
     val minCols = (0 until MinhashSigs).map(k =>
-      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      min(xxhash64(col("s"), lit(k))).as(s"m$k"))
+    val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashSigs).map(k => col(s"m$k")): _*).as("sig"))
     // one row per (doc, band): bucket = hash of the band's slice of the signature
