@@ -70,6 +70,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_lang_id" -> (TextOps.langId _),
     "q_embed_norm" -> (VectorOps.embedNorm _),
+    "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_knn_join" -> (VectorOps.knnJoin _),
@@ -333,6 +334,12 @@ object SparkEntry {
     "q_embed_norm" ->
       s"""SELECT vec_id, round(${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")}, 4) AS l2
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_centroid" ->
+      """SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c FROM (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_cosine_topk" -> (embSql + s""",
       |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
       |SELECT e.vec_id,

@@ -69,6 +69,21 @@ object VectorOps {
       .orderBy("probe_id", "rk")
   }
 
+  /** Per-label embedding centroids, long form: one row per (label,
+    * dimension) via posexplode → grouped avg. Two codegen'd aggregates
+    * (partial+final) over label×dim keys — the building block for IVF-style
+    * coarse quantizers and per-class prototypes. The typed single-pass
+    * Aggregator form (graft.functions.CentroidAggregator) computes the same
+    * centroids without the explode fan-out — preferable when dim is large
+    * and rows are wide; this declared form is the oracle-checkable one. */
+  def centroids(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "embeddings")
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(avg("x"), 4).as("c"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("c"))
+      .orderBy("label", "pos")
+
   /** Embedding-cosine near-dup pairs (threshold on rounded similarity —
     * 0.45 marks the fixture's closest pairs; a production dedup would use
     * ~0.95 on real near-identical embeddings). Exact all-pairs form: the

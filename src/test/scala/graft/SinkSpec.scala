@@ -34,6 +34,21 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("FAILFAST CSV rejects a corrupt upload instead of nulling it (ADVICE.md)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.writeString(dir.resolve("bad.csv"),
+      "id,amount\n1,10.5\n2,not-a-number\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Tables.loadCsv(spark, dir.toString, schema).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.toLowerCase.contains("malformed"), chain)
+  }
+
   test("GBT model artifact saves and reloads with identical predictions (S4)") {
     import graft.ops.Scoring
     val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/gbt"

@@ -66,6 +66,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(hits >= 2, s"IVF top-1 recall too low: $hits/5 probes")
   }
 
+  test("typed CentroidAggregator matches the posexplode centroid query") {
+    import graft.functions.CentroidAggregator
+    val ds = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+    val typed = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(new CentroidAggregator(64).toColumn.name("c"))
+      .collect().toMap
+    val longForm = VectorOps.centroids(spark, sf0001).collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2))).toMap
+    assert(typed.keySet == longForm.keySet)
+    typed.foreach { case (label, c) =>
+      val expect = longForm(label)
+      c.zip(expect).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-4, s"label $label: $a vs $b") // b is rounded(4)
+      }
+    }
+  }
+
   test("lshBucket is deterministic and bucket-stable for identical vectors") {
     val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(0.5f)).toDF("v")
       .select(VectorOps.lshBucket(VectorOps.asDouble(col("v"))).as("b"))
