@@ -69,6 +69,9 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_lang_id" -> (TextOps.langId _),
+    "q_text_clean" -> (TextOps.textClean _),
+    "q_split" -> (TextOps.splitCounts _),
+    "q_stratified" -> (TextOps.stratifiedSample _),
     "q_embed_norm" -> (VectorOps.embedNorm _),
     "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
@@ -331,6 +334,24 @@ object SparkEntry {
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_lang_id" -> langIdSql,
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+        |    '[0-9]', '#', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_split" ->
+      """SELECT CASE WHEN vec_id % 10 < 8 THEN 'train'
+        |            WHEN vec_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM embeddings GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_stratified" ->
+      """SELECT label, CAST(rk AS BIGINT) AS rk, vec_id FROM (
+        |  SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM embeddings) WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
     "q_embed_norm" ->
       s"""SELECT vec_id, round(${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")}, 4) AS l2
          |FROM embeddings ORDER BY vec_id""".stripMargin,

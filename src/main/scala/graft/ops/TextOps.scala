@@ -252,6 +252,48 @@ object TextOps {
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Text normalization + PII masking — the cleaning pass a training-data
+    * pipeline runs before dedup/tokenization: lowercase, digit-mask,
+    * email-shaped spans → [EMAIL], collapse whitespace runs, trim. Regexes
+    * stay in the Java∩RE2 common subset so the oracle matches byte-for-byte. */
+  def textClean(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("text")),
+          "[a-z0-9.]+@[a-z0-9.]+", "[EMAIL]"),
+          "[0-9]", "#"),
+          "\\s+", " ")).as("clean"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split by key residue — reproducible
+    * splits need a pure function of the key, never rand(). */
+  def splitCounts(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "embeddings")
+      .select(
+        when(col("vec_id") % 10 < 8, "train")
+          .when(col("vec_id") % 10 === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split")
+
+  /** Stratified sample: top-5 per label ordered by md5(key) — a
+    * deterministic pseudo-random draw both engines compute identically
+    * (md5 hex is engine-independent, unlike xxhash/rand). One shuffle on
+    * the stratum key; per-stratum heaps would replace the full window sort
+    * at 100 TB. */
+  def stratifiedSample(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("label")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    Tables.load(spark, sf, "embeddings")
+      .select(col("label"), col("vec_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("label", "rk")
+  }
+
   /** Heuristic language ID: score each candidate language by stopword hits,
     * pick the argmax (deterministic tie-break by language code). N-gram/
     * stopword language-ID is the standard cheap first pass of a training-data
