@@ -41,6 +41,23 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: match each purchase to the
+    * same user's clicks in the preceding hour. Both sides carry watermarks
+    * so the join state is bounded — Spark can discard click state older
+    * than (purchase watermark − interval). The equality key routes both
+    * streams to the same partition; the range predicate bounds buffering. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Stateful gap-based sessionization — the streaming twin of
     * EventOps.sessionize. Per-user state (start, last-seen, count) lives in
     * the state store; a session is EMITTED when a later event arrives more

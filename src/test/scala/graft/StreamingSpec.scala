@@ -72,6 +72,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join attributes purchases to prior-hour clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(
+      Ev(1, t("2024-01-01 09:30:00"), "click", 0.0),  // in window for p1
+      Ev(2, t("2024-01-01 07:00:00"), "click", 0.0),  // too old for p2
+      Ev(3, t("2024-01-01 09:50:00"), "click", 0.0))  // wrong user
+    purchases.addData(
+      Ev(10, t("2024-01-01 10:00:00"), "purchase", 99.0).copy(event_id = 10),
+      Ev(11, t("2024-01-01 10:00:00"), "purchase", 5.0).copy(event_id = 11))
+    // rename: Ev has no user column; reuse event_id as user_id via select
+    def withUser(df: org.apache.spark.sql.DataFrame, users: Map[Long, Long]) = {
+      val mapping = typedLit(users)
+      df.select(element_at(mapping, col("event_id")).as("user_id"),
+        col("ts"), col("value"))
+    }
+    val c = withUser(clicks.toDF(), Map(1L -> 100L, 2L -> 200L, 3L -> 300L))
+    val p = withUser(purchases.toDF(), Map(10L -> 100L, 11L -> 200L))
+    val q = StreamOps.purchaseAttribution(c, p)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("attr").collect()
+    assert(rows.length == 1) // only user 100's click is within the hour
+    assert(rows.head.getLong(0) == 100L)
+    assert(rows.head.getDouble(3) == 99.0)
+  }
+
   test("dedupEvents drops in-watermark duplicate ids on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
