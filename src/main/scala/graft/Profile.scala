@@ -16,6 +16,7 @@ object Profile {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
       System.err.println(f"[prof] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      spark.catalog.clearCache() // mirror Bench's isolation between queries
     }
     spark.stop()
   }
