@@ -82,6 +82,7 @@ object SparkEntry {
     "q_json_extract" -> (EventOps.jsonExtract _),
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),
+    "q_window_frames" -> (EventOps.windowFrames _),
     "q_media_meta" -> (MultimodalOps.mediaMeta _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
@@ -398,6 +399,15 @@ object SparkEntry {
         |            ELSE 'video' END AS kind,
         |  count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_window_frames" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |    AS quartile
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_sessionize" ->
       """WITH w AS (
         |  SELECT user_id, event_id, ts,

@@ -45,6 +45,24 @@ object EventOps {
     * the same physical agg Structured Streaming runs incrementally. The
     * bucket is emitted as a formatted string so the hash-compare is immune
     * to timestamp-encoding differences between engines. */
+  /** Window-frame family over the event stream, per user ordered by time:
+    * 3-row moving average (ROWS BETWEEN frame), previous/next values
+    * (lag/lead), and quartile assignment (ntile) — the analytic-window
+    * surface beyond plain ranking. One hash-partitioning on user_id serves
+    * every window (same spec), so this is a single-shuffle plan. */
+  def windowFrames(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val frame = w.rowsBetween(-2, Window.currentRow)
+    events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("mov_avg", round(avg("value").over(frame), 4))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("next_value", lead("value", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select("user_id", "event_id", "mov_avg", "prev_value", "next_value", "quartile")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Batch sessionization: classic gap-based session assignment — lag the
     * previous event time per user, mark gaps > 1 h as session starts, running
     * sum of markers = session number, then aggregate per (user, session).
