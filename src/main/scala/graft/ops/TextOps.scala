@@ -115,9 +115,9 @@ object TextOps {
     *  2. banding: one row per (doc, band); docs sharing any band bucket
     *     become candidates (equi-join on the bucket).
     *  3. verify: exact Jaccard on candidate pairs only, via `collect_set`
-    *     shingle sets (order-irrelevant for intersect/union sizes).
+    *     shingle-hash sets (order-irrelevant for intersect/union sizes).
     *
-    * Deterministic end-to-end (fixed splitmix constants, no RNG). */
+    * Deterministic end-to-end (seeded xxhash64 everywhere, no RNG). */
   def dedupMinhash(spark: SparkSession, sf: String): DataFrame = {
     val r = MinhashSigs / MinhashBands
     val ex = shingleRows(spark, sf).persist()
