@@ -40,6 +40,7 @@ object SparkEntry {
     "q_join_broadcast" -> (Relational.joinBroadcast _),
     "q_join_multiway" -> (Relational.joinMultiway _),
     "q_window_rank" -> (Relational.windowRank _),
+    "q_topk_custom" -> (Relational.topkCustom _),
     "q_topk" -> (Relational.topk _),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_pivot" -> (Relational.pivotCounts _),
@@ -242,6 +243,12 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_topk_custom" -> // custom heap operator must reproduce the window answer
+      """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
     "q_window_rank" ->
       """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, c_custkey, c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -238,6 +238,23 @@ object Relational {
         round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 4)
           .as("approx_median_price"))
 
+  /** Top-3 per segment through the CUSTOM physical operator
+    * (org.apache.spark.sql.graft.TopKPerKey: LogicalPlan + Strategy +
+    * SparkPlan with bounded per-key heaps) — same semantics and oracle as
+    * [[windowRank]], but instead of sorting each segment's full row set the
+    * executor keeps at most k rows per key. The window form IS the right
+    * plan until group sizes explode; this is the 100 TB replacement. */
+  def topkCustom(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKPerKey
+    val base = Tables.load(spark, sf, "customer")
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+    TopKPerKey.topKPerKey(base, 3,
+        Seq("c_mktsegment"),
+        Seq("c_acctbal" -> false, "c_custkey" -> true))
+      .select("c_mktsegment", "rk", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rk")
+  }
+
   /** String-function pack over customer names — upper/lower, 1-based
     * substring, regexp replace, concat, length: the scalar-function family
     * the reference only touches via Python f-strings (`app_test.py:300`). */

@@ -1,0 +1,117 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Custom whole-operator extension (the (c) tier of the custom-op ladder:
+  * LogicalPlan + Strategy + SparkPlan): top-k rows per key with dense ranks,
+  * executed as BOUNDED PER-KEY HEAPS instead of Window's sort-the-whole-
+  * partition. The window form (`row_number ... filter rk <= k`) sorts every
+  * group's full row set; this operator keeps at most k rows per key in
+  * memory per partition — at 100 TB with millions of rows per key, that is
+  * the difference between a full sort-spill and a fixed-size heap.
+  *
+  * Declared as `q_topk_custom`; semantics (and the DuckDB oracle) are
+  * identical to the window form, which is what makes it checkable.
+  */
+case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+                      rkAttr: Attribute, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rkAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rkAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+                          rkAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rkAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rkAttr)
+
+  /** Ask the planner to hash-partition input by the key — every group lands
+    * whole on one partition, so per-partition heaps are globally correct. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitionsInternal { rows =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val ordering = new LazilyGeneratedOrdering(order, childOutput)
+      // heap keeps the k SMALLEST under `ordering` (= the top-k of the
+      // requested sort, since SortOrder already encodes asc/desc)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val reverse = ordering.reverse // max-heap on "worst kept row" at head
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](k + 1, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.add(row.copy().asInstanceOf[UnsafeRow])
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy().asInstanceOf[UnsafeRow])
+        }
+      }
+      val outProj = UnsafeProjection.create(output, output)
+      val joined = new JoinedRow
+      val rkRow = new GenericInternalRow(1)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        val sorted = heap.asScala.toArray.sorted(ordering)
+        sorted.iterator.zipWithIndex.map { case (row, i) =>
+          rkRow.setLong(0, i + 1L)
+          outProj(joined(row, rkRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, keys, order, rk, child) =>
+      TopKPerKeyExec(k, keys, order, rk, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Top-k rows per key with a `rk` rank column appended. Key/order columns
+    * are named and resolved directly against the child's analyzed output
+    * (a Column's lazy node would reach execution unresolved inside a custom
+    * plan). `orderBy` pairs are (column, ascending?). Installs
+    * [[TopKStrategy]] into the session (idempotent). */
+  def topKPerKey(df: DataFrame, k: Int, keys: Seq[String],
+                 orderBy: Seq[(String, Boolean)]): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute = child.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in [${child.output.map(_.name).mkString(", ")}]"))
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val node = TopKPerKey(
+      k,
+      keys.map(attr),
+      orderBy.map { case (name, asc) =>
+        SortOrder(attr(name), if (asc) Ascending else Descending)
+      },
+      AttributeReference("rk", LongType, nullable = false)(),
+      child)
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
+  }
+}

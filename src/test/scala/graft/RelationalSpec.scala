@@ -38,6 +38,16 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"), plan)
   }
 
+  test("custom TopKPerKey operator reproduces the window-rank answer") {
+    val window = Relational.windowRank(spark, sf0001).collect().toSeq
+    val custom = Relational.topkCustom(spark, sf0001).collect().toSeq
+    assert(custom == window)
+    // and it really is the custom exec, not a planner fallback
+    val plan = Relational.topkCustom(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("windowRank emits exactly top-3 per segment with ranks 1..3") {
     val rows = Relational.windowRank(spark, sf0001).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
