@@ -43,6 +43,8 @@ object SparkEntry {
     "q_topk_custom" -> (Relational.topkCustom _),
     "q_topk" -> (Relational.topk _),
     "q_rollup" -> (Relational.rollupAgg _),
+    "q_cube" -> (Relational.cubeAgg _),
+    "q_sql_entry" -> (Relational.sqlEntry _),
     "q_pivot" -> (Relational.pivotCounts _),
     "q_join_semi" -> (Relational.joinSemi _),
     "q_join_anti" -> (Relational.joinAnti _),
@@ -263,6 +265,15 @@ object SparkEntry {
         |  round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_sql_entry" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,

@@ -183,6 +183,26 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Cube — all 2^n grouping-set combinations (rollup's bigger sibling). */
+  def cubeAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pure-SQL surface: the engine's other front door. A correlated-free
+    * scalar subquery (above-average filter) through `spark.sql` over a temp
+    * view — proves a reference user can bring plain SQL, not just the
+    * DataFrame API, and Catalyst plans both identically. */
+  def sqlEntry(spark: SparkSession, sf: String): DataFrame = {
+    Tables.load(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    spark.sql("""
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer_v
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+      ORDER BY c_custkey""")
+  }
+
   /** Pivot — the reference's stacked histogram is a pivot of counts on the
     * hue key (`app_test.py:107-111`); explicit pivot values keep the output
     * schema static, `coalesce` 0 matches SQL's count-of-no-rows. */

@@ -71,6 +71,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey equals window row_number on random data for random k") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rowGen = Gen.listOfN(120, for {
+      key <- Gen.choose(0, 5)
+      value <- Gen.choose(-100.0, 100.0)
+      id <- Gen.choose(0L, 1000000L)
+    } yield (key, value, id))
+    forAll(Gen.zip(rowGen, Gen.choose(1, 5))) { case (rows, k) =>
+      // unique tiebreak ids so both forms are deterministic
+      val distinct = rows.groupBy(_._3).map(_._2.head).toSeq
+      whenever(distinct.nonEmpty) {
+        val df = distinct.toDF("key", "value", "id")
+        val win = df.withColumn("rk",
+            row_number().over(W.partitionBy("key")
+              .orderBy(col("value").desc, col("id"))).cast("long"))
+          .filter(col("rk") <= k)
+          .orderBy("key", "rk")
+          .collect().toSeq
+        val custom = org.apache.spark.sql.graft.TopKPerKey
+          .topKPerKey(df, k, Seq("key"), Seq("value" -> false, "id" -> true))
+          .select("key", "value", "id", "rk")
+          .orderBy("key", "rk")
+          .collect().toSeq
+        assert(custom == win, s"k=$k")
+      }
+    }
+  }
+
   test("scaling is invertible: unscale(scale(x)) == x within fp tolerance") {
     import graft.ops.Scoring.ModelConstants._
     forAll(Gen.choose(-1e4, 1e4)) { x =>
