@@ -285,7 +285,9 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
     "q_set_ops" ->
       """SELECT 'intersect' AS op, c_custkey FROM (

@@ -225,10 +225,13 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** Left-anti join — "customers with no orders" (NOT EXISTS). */
+  /** Left-anti join — "customers with no high-value order" (NOT EXISTS).
+    * The right side is pre-filtered so the anti-join is non-vacuous at every
+    * sf (every customer has SOME order in the fixtures). */
   def joinAnti(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "customer").as("c")
-      .join(Tables.load(spark, sf, "orders").as("o"),
+      .join(Tables.load(spark, sf, "orders")
+          .filter(col("o_totalprice") > 300000.0).as("o"),
         col("c.c_custkey") === col("o.o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
