@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("get_json_object yields null for malformed or missing JSON, not errors") {
+    val df = Seq(
+      (1L, """{"k": 42}"""),
+      (2L, """{"other": 1}"""),
+      (3L, "not json at all"),
+      (4L, ""))
+      .toDF("id", "props")
+      .select(col("id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val rows = df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L).contains(42L))
+    assert(rows(2L).isEmpty && rows(3L).isEmpty && rows(4L).isEmpty)
+  }
+
+  test("events loader converts nanos exactly (div, not double division)") {
+    val first = graft.ops.EventOps.events(spark, sf0001)
+      .orderBy("event_id").select("ts").head().getTimestamp(0)
+    // fixture events start 2024-01-01; exact to the microsecond
+    assert(first.toString.startsWith("2024-01-01"))
+    assert(graft.ops.EventOps.events(spark, sf0001).schema("ts").dataType.typeName == "timestamp")
+  }
+}

@@ -107,6 +107,12 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("scoreBatch is deterministic across independent runs (fixed seed)") {
+    val a = Scoring.scoreBatch(spark, sf0001).collect().toSeq
+    val b = Scoring.scoreBatch(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
+
   test("reference spaced-name schema maps onto the engine pipeline") {
     val spaced = Seq((1L, 35L, "Male", 12L, 15L, 2L, 5L, "Standard", "Annual", 500.0, 10L, 0))
       .toDF("CustomerID", "Age", "Gender", "Tenure", "Usage Frequency",
