@@ -145,7 +145,9 @@ object VectorOps {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"),
         array_to_vector(col("embedding")).as("fv"))
       .persist()
-    val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
+    // a coarse quantizer only buckets — 5 iterations is plenty and halves
+    // the query's cost; seed keeps it deterministic
+    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setFeaturesCol("fv")
       .setPredictionCol("cell").fit(emb)
     val assigned = km.transform(emb).select(col("vec_id"), col("v"), col("cell"))
     // centroids are driver-side constants (k × dim doubles) → literal frame
