@@ -86,6 +86,7 @@ object SparkEntry {
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),
     "q_window_frames" -> (EventOps.windowFrames _),
+    "q_asof_join" -> (EventOps.asofJoin _),
     "q_media_meta" -> (MultimodalOps.mediaMeta _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
@@ -419,6 +420,16 @@ object SparkEntry {
         |            ELSE 'video' END AS kind,
         |  count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS asof_date, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_window_frames" ->
       """SELECT user_id, event_id,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -45,6 +45,27 @@ object EventOps {
     * the same physical agg Structured Streaming runs incrementally. The
     * bucket is emitted as a formatted string so the hash-compare is immune
     * to timestamp-encoding differences between engines. */
+  /** As-of join — for each event, the most recent order at-or-before the
+    * event time for that user (SURVEY.md custom-op family; composed per the
+    * preference ladder: equi+range join then per-event latest via window,
+    * no custom operator needed). The equi key bounds the fan-out to each
+    * user's own orders; at 100 TB the range side would be bucketed by key
+    * and date so the join prunes partitions instead of scanning history. */
+  def asofJoin(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    ev.join(ord, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"),
+        col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Window-frame family over the event stream, per user ordered by time:
     * 3-row moving average (ROWS BETWEEN frame), previous/next values
     * (lag/lead), and quartile assignment (ntile) — the analytic-window
