@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sessionize" -> (EventOps.sessionize _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
+    "q_range_join" -> (EventOps.rangeJoin _),
     "q_media_meta" -> (MultimodalOps.mediaMeta _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
@@ -420,6 +421,13 @@ object SparkEntry {
         |            ELSE 'video' END AS kind,
         |  count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.user_id, count(*) AS n_close_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST(60 AS BIGINT) * 1000000
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS asof_date, o_totalprice

@@ -66,6 +66,25 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join — pairs of a user's events within 60 s of each
+    * other (burst detection). The equi key (user) bounds the quadratic term
+    * to per-user event counts; the range predicate filters inside the
+    * equi-join — the standard shape until per-user history explodes, at
+    * which point the time axis gets bucketed (join on (user, minute) ±1)
+    * exactly like the LSH banding pattern. */
+  def rangeJoin(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf).select(col("user_id"), col("event_id"), col("ts"))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("user_id").as("user_b"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+    a.join(b,
+        col("user_id") === col("user_b") && col("id_a") < col("id_b") &&
+          unix_micros(col("ts_b")) - unix_micros(col("ts_a")) <= 60L * 1000000L &&
+          unix_micros(col("ts_b")) >= unix_micros(col("ts_a")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy("user_id")
+  }
+
   /** Window-frame family over the event stream, per user ordered by time:
     * 3-row moving average (ROWS BETWEEN frame), previous/next values
     * (lag/lead), and quartile assignment (ntile) — the analytic-window
