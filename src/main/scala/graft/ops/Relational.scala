@@ -99,8 +99,9 @@ object Relational {
 
   /** 3-way CASE risk bucket + percent formatting — `app_test.py:238,300-301`.
     * Strict `<` thresholds: p<0.3 Low, p<0.7 Medium, else High. The synthetic
-    * probability (o_orderkey%100)/100 is exact in binary, so the formatted
-    * string is identical across engines. */
+    * probability (o_orderkey%100)/100 is the same IEEE double in any engine
+    * (identical integer inputs, one division), so the formatted string and
+    * bucket boundaries agree exactly. */
   def bucketCase(spark: SparkSession, sf: String): DataFrame = {
     val p = (col("o_orderkey") % 100).cast("double") / 100.0
     Tables.load(spark, sf, "orders")
