@@ -18,6 +18,19 @@ class EventOpsSpec extends SparkSpec {
     assert(rows(2L).isEmpty && rows(3L).isEmpty && rows(4L).isEmpty)
   }
 
+  test("from_json parses props into a typed map for key-level analytics") {
+    val df = Seq(
+      (1L, """{"k": 42, "extra": 7}"""),
+      (2L, """{"k": 1}"""))
+      .toDF("id", "props")
+      .select(col("id"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+          .as(Seq("key", "value")))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, "k", 42L), (1L, "extra", 7L), (2L, "k", 1L)))
+  }
+
   test("events loader converts nanos exactly (div, not double division)") {
     val first = graft.ops.EventOps.events(spark, sf0001)
       .orderBy("event_id").select("ts").head().getTimestamp(0)

@@ -107,6 +107,25 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("pipeline observability: null-imputation counts in one pass (observe)") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("impute_metrics")
+    val raw = Scoring.synthCustomers(spark, sf0001)
+    val observed = raw.observe(obs,
+      count(lit(1)).as("rows"),
+      sum(when(col("age").isNull, 1L).otherwise(0L)).as("null_age"),
+      sum(when(col("gender").isNull, 1L).otherwise(0L)).as("null_gender"))
+    val imputed = Scoring.impute(observed)
+    // one action drives BOTH the imputation output and the metrics
+    assert(imputed.collect().forall(r =>
+      !r.isNullAt(r.fieldIndex("age")) && !r.isNullAt(r.fieldIndex("gender"))))
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] == raw.count())
+    // the synthetic residues guarantee injected nulls exist to impute
+    assert(m("null_age").asInstanceOf[Long] > 0)
+    assert(m("null_gender").asInstanceOf[Long] > 0)
+  }
+
   test("scoreBatch is deterministic across independent runs (fixed seed)") {
     val a = Scoring.scoreBatch(spark, sf0001).collect().toSeq
     val b = Scoring.scoreBatch(spark, sf0001).collect().toSeq
