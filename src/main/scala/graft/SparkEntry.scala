@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{EventOps, Relational, Scoring, SkewOps, TextOps, VectorOps}
+import graft.ops.{EventOps, Relational, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,9 @@ object SparkEntry {
     // §2.1–2.2 scans / projections / filters
     "q_scan_project" -> (Relational.scanProject _),
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
+    "q_json_roundtrip" -> (SourceOps.jsonRoundtrip _),
+    "q_orc_roundtrip" -> (SourceOps.orcRoundtrip _),
+    "q_text_source" -> (SourceOps.textSource _),
     "q_filter_eq" -> (Relational.filterEq _),
     "q_filter_range" -> (Relational.filterRange _),
     "q_id_fallback" -> (Relational.idFallback _),
@@ -189,6 +192,14 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+    "q_text_source" ->
+      """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
     "q_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,
