@@ -101,6 +101,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getDouble(3) == 99.0)
   }
 
+  test("checkpointed parquet sink with AvailableNow drains the stream exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(1, t("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(2, t("2024-01-01 10:01:00"), "view", 2.0))
+    val q = stream.toDF().writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 2)
+    // restart with NO new data: the checkpoint prevents reprocessing
+    val q2 = stream.toDF().writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 2, "checkpoint must prevent duplicates")
+  }
+
   test("dedupEvents drops in-watermark duplicate ids on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
