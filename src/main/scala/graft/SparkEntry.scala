@@ -51,7 +51,11 @@ object SparkEntry {
     "q_pivot" -> (Relational.pivotCounts _),
     "q_join_semi" -> (Relational.joinSemi _),
     "q_join_anti" -> (Relational.joinAnti _),
+    "q_join_outer" -> (Relational.joinOuter _),
     "q_set_ops" -> (Relational.setOps _),
+    "q_union" -> (Relational.unionTagged _),
+    "q_unpivot" -> (Relational.unpivotMeans _),
+    "q_date_funcs" -> (Relational.dateFuncs _),
     "q_sketch_stats" -> (Relational.sketchStats _),
     "q_salted_agg" -> (SkewOps.saltedAgg _),
     "q_kde" -> (Relational.kde _),
@@ -302,6 +306,51 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_outer" ->
+      """WITH big AS (
+        |  SELECT o_custkey, count(*) AS n_big_orders,
+        |    round(sum(o_totalprice), 4) AS big_total
+        |  FROM orders WHERE o_totalprice > 350000.0 GROUP BY 1),
+        |rich AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |  FROM customer WHERE c_acctbal > 5000.0)
+        |SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+        |  COALESCE(n_big_orders, 0) AS n_big_orders,
+        |  COALESCE(big_total, CAST(0 AS DOUBLE)) AS big_total,
+        |  acctbal
+        |FROM big FULL OUTER JOIN rich ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_union" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0),
+        |b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |SELECT 'union_all' AS op, c_custkey
+        |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'union_distinct' AS op, c_custkey
+        |  FROM (SELECT * FROM a UNION SELECT * FROM b)
+        |ORDER BY op, c_custkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_linestatus, round(avg(l_quantity), 4) AS avg_qty,
+        |    round(avg(l_extendedprice), 4) AS avg_price,
+        |    round(avg(l_discount), 4) AS avg_discount
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus, 'avg_qty' AS metric, avg_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_linestatus, 'avg_price' AS metric, avg_price AS value FROM w
+        |UNION ALL
+        |SELECT l_linestatus, 'avg_discount' AS metric, avg_discount AS value FROM w
+        |ORDER BY l_linestatus, metric""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_set_ops" ->
       """SELECT 'intersect' AS op, c_custkey FROM (
         |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0

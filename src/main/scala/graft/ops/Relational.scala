@@ -342,6 +342,78 @@ object Relational {
       .orderBy("x")
   }
 
+  /** Full outer join with null-coalescing on both sides (SURVEY.md §2.5 ext).
+    * Both inputs are filtered so each contributes unmatched keys (every
+    * customer has orders in the fixtures): customers whose big orders have no
+    * high balance → right-null, high-balance customers with no big order →
+    * left-null. At 100 TB this is a key-partitioned shuffle join on both
+    * sides — no broadcast is possible for FULL OUTER, so the co-location
+    * story is bucketing (see the SinkSpec bucketed-join proof). */
+  def joinOuter(spark: SparkSession, sf: String): DataFrame = {
+    val big = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 350000.0)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_big_orders"), round(sum("o_totalprice"), 4).as("big_total"))
+    val rich = Tables.load(spark, sf, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+    big.join(rich, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        coalesce(col("big_total"), lit(0.0)).as("big_total"),
+        col("acctbal"))
+      .orderBy("custkey")
+  }
+
+  /** UNION ALL vs UNION DISTINCT, tagged in one output (SURVEY.md §2.8).
+    * `union` in Spark is bag semantics (SQL UNION ALL); the distinct form
+    * adds one shuffle for the dedup — at scale prefer the ALL form and
+    * dedup once downstream if needed. */
+  def unionTagged(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+    val a = c.filter(col("c_acctbal") > 8000.0).select("c_custkey")
+    val b = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    a.union(b).withColumn("op", lit("union_all"))
+      .union(a.union(b).distinct().withColumn("op", lit("union_distinct")))
+      .select("op", "c_custkey")
+      .orderBy("op", "c_custkey")
+  }
+
+  /** Unpivot (melt): wide per-group aggregates → long (group, metric, value)
+    * rows — the inverse of [[pivotCounts]]. Map-only after the aggregate:
+    * each wide row expands to 3 long rows with no extra shuffle. */
+  def unpivotMeans(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_discount"))
+      .unpivot(
+        Array(col("l_linestatus")),
+        Array(col("avg_qty"), col("avg_price"), col("avg_discount")),
+        "metric", "value")
+      .orderBy("l_linestatus", "metric")
+
+  /** Date/time scalar pack over order dates — extraction (year/month),
+    * truncation, day arithmetic, end-of-month: the temporal-function family.
+    * All codegen'd scalar expressions in the scan's projection; derived ints
+    * cast to BIGINT and dates formatted as strings for cross-engine hashing. */
+  def dateFuncs(spark: SparkSession, sf: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    Tables.load(spark, sf, "orders")
+      .select(
+        col("o_orderkey"),
+        year(d).cast("long").as("yr"),
+        month(d).cast("long").as("mo"),
+        date_format(trunc(d, "month"), "yyyy-MM-dd").as("month_start"),
+        datediff(d, lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("days_since"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("due_date"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"))
+      .orderBy("o_orderkey")
+  }
+
   /** CSV round-trip — the reference's upload path (`pd.read_csv`,
     * `app_test.py:262-263`): write a table as CSV, read it back with an
     * explicit schema (never inference, SURVEY.md §1.4), prove losslessness. */

@@ -66,4 +66,49 @@ class RelationalSpec extends SparkSpec {
       assert(if (p == 0.3) risk == "Medium" else risk == "High", s"p=$p risk=$risk")
     }
   }
+
+  test("joinOuter preserves unmatched keys from BOTH sides") {
+    val rows = Relational.joinOuter(spark, sf0001).collect()
+    // left-only: customers with a big order but acctbal <= 5000 → null acctbal
+    val leftOnly = rows.filter(_.isNullAt(3))
+    // right-only: rich customers with no big order → coalesced zero counts
+    val rightOnly = rows.filter(r => !r.isNullAt(3) && r.getLong(1) == 0L)
+    assert(leftOnly.nonEmpty, "expected left-only rows (null acctbal)")
+    assert(rightOnly.nonEmpty, "expected right-only rows (zero big orders)")
+    assert(rows.forall(!_.isNullAt(0)), "custkey must never be null after coalesce")
+  }
+
+  test("unionTagged: all-count >= distinct-count, distinct has no duplicates") {
+    val rows = Relational.unionTagged(spark, sf0001).collect()
+    val (all, dist) = rows.partition(_.getString(0) == "union_all")
+    assert(all.length >= dist.length)
+    val distKeys = dist.map(_.getLong(1))
+    assert(distKeys.distinct.length == distKeys.length, "union_distinct must dedup")
+    assert(all.map(_.getLong(1)).toSet == distKeys.toSet)
+  }
+
+  test("unpivotMeans melts 3 metric columns into rows per group") {
+    val rows = Relational.unpivotMeans(spark, sf0001).collect()
+    val byGroup = rows.groupBy(_.getString(0))
+    byGroup.foreach { case (_, rs) =>
+      assert(rs.map(_.getString(1)).sorted.toSeq ==
+        Seq("avg_discount", "avg_price", "avg_qty"))
+    }
+  }
+
+  test("dateFuncs: arithmetic consistency (due_date = date + 30, month bounds)") {
+    val rows = Relational.dateFuncs(spark, sf0001).limit(200).collect()
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    rows.foreach { r =>
+      val start = java.time.LocalDate.parse(r.getString(3), fmt)
+      val due = java.time.LocalDate.parse(r.getString(5), fmt)
+      val end = java.time.LocalDate.parse(r.getString(6), fmt)
+      assert(start.getDayOfMonth == 1)
+      assert(end == start.plusMonths(1).minusDays(1))
+      assert(start.getYear == r.getLong(1) && start.getMonthValue == r.getLong(2))
+      val date = java.time.LocalDate.of(1995, 1, 1).plusDays(r.getLong(4))
+      assert(due == date.plusDays(30), s"due $due != $date + 30d")
+    }
+  }
 }
