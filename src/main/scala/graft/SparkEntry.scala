@@ -56,6 +56,7 @@ object SparkEntry {
     "q_union" -> (Relational.unionTagged _),
     "q_unpivot" -> (Relational.unpivotMeans _),
     "q_date_funcs" -> (Relational.dateFuncs _),
+    "q_upsert" -> (Relational.upsert _),
     "q_sketch_stats" -> (Relational.sketchStats _),
     "q_salted_agg" -> (SkewOps.saltedAgg _),
     "q_kde" -> (Relational.kde _),
@@ -74,6 +75,8 @@ object SparkEntry {
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_text_tokens" -> (TextOps.textTokens _),
+    "q_ngram_top" -> (TextOps.ngramTop _),
+    "q_tfidf" -> (TextOps.tfidf _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_lang_stats" -> (TextOps.langStats _),
     "q_quality_score" -> (TextOps.qualityScore _),
@@ -92,6 +95,7 @@ object SparkEntry {
     "q_json_extract" -> (EventOps.jsonExtract _),
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),
+    "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
     "q_range_join" -> (EventOps.rangeJoin _),
@@ -387,6 +391,49 @@ object SparkEntry {
         |  concat(c_mktsegment, ':', c_name) AS segmented,
         |  CAST(length(c_name) AS BIGINT) AS name_len
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal FROM customer),
+        |updates AS (
+        |  SELECT custkey, round(acctbal + 1000.0, 2) AS acctbal
+        |  FROM base WHERE custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT custkey + 10000000, CAST(0 AS DOUBLE)
+        |  FROM base WHERE custkey % 7 = 0)
+        |SELECT custkey, acctbal, 'new' AS src FROM updates
+        |UNION ALL
+        |SELECT custkey, acctbal, 'base' AS src FROM base
+        |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.custkey = base.custkey)
+        |ORDER BY custkey""".stripMargin,
+    "q_ngram_top" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |  FROM t WHERE len(toks) >= 2)
+         |SELECT bigram, count(*) AS n FROM bg
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |        FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tok, round(tf * ln(n_docs / df), 4) AS score
+         |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, tok, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+         |  FROM scored)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_zscore" ->
+      """WITH z AS (
+        |  SELECT event_id, user_id, value,
+        |    round((value - avg(value) OVER (PARTITION BY user_id)) /
+        |          stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+        |  FROM events)
+        |SELECT event_id, user_id, value, z FROM z
+        |WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -138,4 +138,19 @@ object EventOps {
         count(lit(1)).as("n"),
         round(sum("value"), 4).as("sum_value"))
       .orderBy("hour")
+
+  /** Per-user z-score outliers (|z| > 2) — anomaly flagging via whole-
+    * partition window aggregates: one shuffle on user_id computes mean and
+    * sample stddev and scores every row in the same pass (no join back).
+    * Single-event users get NULL stddev → NULL z → dropped, both engines.
+    * z is rounded before the threshold so last-ulp accumulation differences
+    * can't flip a row across the |z| = 2 boundary. */
+  def zscoreOutliers(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val z = (col("value") - avg("value").over(w)) / stddev_samp(col("value")).over(w)
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"), round(z, 4).as("z"))
+      .filter(abs(col("z")) > 2.0)
+      .orderBy("event_id")
+  }
 }

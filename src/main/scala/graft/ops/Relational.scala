@@ -414,6 +414,26 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** SCD-1 upsert (merge): updates override matching base rows, inserts
+    * append. Without a transactional table format MERGE INTO isn't available;
+    * the engine-level equivalent is anti-join + union — both sides hash-
+    * partition once on the key, so at 100 TB the cost is one co-partitioned
+    * shuffle (or zero with bucketed layout). The updates table is derived
+    * deterministically from the fixtures: every 5th customer gets a new
+    * balance, every 7th spawns an insert under a disjoint key range. */
+  def upsert(spark: SparkSession, sf: String): DataFrame = {
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+    val updates = base.filter(col("custkey") % 5 === 0)
+      .select(col("custkey"), round(col("acctbal") + 1000.0, 2).as("acctbal"))
+      .union(base.filter(col("custkey") % 7 === 0)
+        .select((col("custkey") + 10000000L).as("custkey"), lit(0.0).as("acctbal")))
+    updates.withColumn("src", lit("new"))
+      .union(base.join(updates, Seq("custkey"), "left_anti").withColumn("src", lit("base")))
+      .select("custkey", "acctbal", "src")
+      .orderBy("custkey")
+  }
+
   /** CSV round-trip — the reference's upload path (`pd.read_csv`,
     * `app_test.py:262-263`): write a table as CSV, read it back with an
     * explicit schema (never inference, SURVEY.md §1.4), prove losslessness. */

@@ -340,4 +340,46 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("lang_hit"), lit("und")).as("lang_pred"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-wide top-20 bigrams — the n-gram frequency pass of a training-data
+    * pipeline (vocabulary building, boilerplate detection). Explode → one
+    * hash aggregate with map-side combine → TakeOrderedAndProject: shuffle
+    * volume is distinct-bigram cardinality, not token count. */
+  def ngramTop(spark: SparkSession, sf: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.load(spark, sf, "documents")
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** TF-IDF top-3 terms per document — keyword extraction. tf and df come
+    * from the same exploded token relation (two aggregates over one scan);
+    * the corpus size joins in as a broadcast 1-row frame; the per-document
+    * top-3 is a window over the rounded score so cross-engine libm-log ulp
+    * differences cannot flip the ranking. */
+  def tfidf(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTok = tf.groupBy("tok")
+      .agg(countDistinct("doc_id").cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dfTok, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "tok", "score")
+      .orderBy("doc_id", "rk")
+  }
 }

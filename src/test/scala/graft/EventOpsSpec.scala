@@ -31,6 +31,14 @@ class EventOpsSpec extends SparkSpec {
     assert(rows == Set((1L, "k", 42L), (1L, "extra", 7L), (2L, "k", 1L)))
   }
 
+  test("zscoreOutliers only flags |z| > 2 and drops degenerate users") {
+    val rows = graft.ops.EventOps.zscoreOutliers(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(3))
+      assert(math.abs(r.getDouble(3)) > 2.0, s"z=${r.getDouble(3)}")
+    }
+  }
+
   test("events loader converts nanos exactly (div, not double division)") {
     val first = graft.ops.EventOps.events(spark, sf0001)
       .orderBy("event_id").select("ts").head().getTimestamp(0)

@@ -96,6 +96,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("upsert: updates override, inserts append, untouched rows survive") {
+    val rows = Relational.upsert(spark, sf0001).collect()
+    val byKey = rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(byKey.size == rows.length, "custkey must be unique after merge")
+    val inserted = rows.filter(_.getLong(0) > 10000000L)
+    assert(inserted.nonEmpty && inserted.forall(r => r.getDouble(1) == 0.0 && r.getString(2) == "new"))
+    rows.filter(_.getLong(0) <= 10000000L).foreach { r =>
+      val expectedSrc = if (r.getLong(0) % 5 == 0) "new" else "base"
+      assert(r.getString(2) == expectedSrc, s"custkey=${r.getLong(0)}")
+    }
+  }
+
   test("dateFuncs: arithmetic consistency (due_date = date + 30, month bounds)") {
     val rows = Relational.dateFuncs(spark, sf0001).limit(200).collect()
     assert(rows.nonEmpty)

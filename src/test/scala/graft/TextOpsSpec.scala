@@ -67,6 +67,25 @@ class TextOpsSpec extends SparkSpec {
     assert(m(4L) == "und")
   }
 
+  test("ngramTop counts bigrams, ordered by count desc then bigram") {
+    val rows = TextOps.ngramTop(spark, sf0001).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    rows.foreach(r => assert(r.getString(0).split(" ").length == 2, r.getString(0)))
+  }
+
+  test("tfidf emits at most 3 ranked terms per doc with non-increasing scores") {
+    val rows = TextOps.tfidf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("dedupExact keeps min doc_id per duplicate text group") {
     val df = Seq((5L, "x"), (3L, "x"), (9L, "y")).toDF("doc_id", "text")
       .groupBy("text").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
