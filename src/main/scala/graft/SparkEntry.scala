@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> (TextOps.dedupJaccard _),
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
+    "q_dup_clusters" -> (TextOps.dupClusters _),
     "q_text_tokens" -> (TextOps.textTokens _),
     "q_ngram_top" -> (TextOps.ngramTop _),
     "q_tfidf" -> (TextOps.tfidf _),
@@ -443,6 +444,20 @@ object SparkEntry {
       |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin),
+    "q_dup_clusters" -> (jaccardBase.replaceFirst("WITH", "WITH RECURSIVE") + s""",
+      |pr AS (
+      |  SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pr
+      |  UNION SELECT id_b, id_a FROM pr),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -47,22 +47,28 @@ object EventOps {
     * to timestamp-encoding differences between engines. */
   /** As-of join — for each event, the most recent order at-or-before the
     * event time for that user (SURVEY.md custom-op family; composed per the
-    * preference ladder: equi+range join then per-event latest via window,
+    * preference ladder: equi+range join then per-event latest via MAX_BY,
     * no custom operator needed). The equi key bounds the fan-out to each
     * user's own orders; at 100 TB the range side would be bucketed by key
-    * and date so the join prunes partitions instead of scanning history. */
+    * and date so the join prunes partitions instead of scanning history.
+    *
+    * `max_by(payload, (o_orderdate, o_orderkey))` replaces the original
+    * window-rank formulation: the aggregate partially combines MAP-SIDE, so
+    * the shuffle carries one candidate row per (event, partition) instead of
+    * the full joined fan-out, and no per-event sort runs. The unique
+    * o_orderkey in the ordering struct makes the argmax deterministic. */
   def asofJoin(spark: SparkSession, sf: String): DataFrame = {
     val ev = events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
     val ord = Tables.load(spark, sf, "orders")
       .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     ev.join(ord, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"),
-        col("o_totalprice"))
+      .groupBy("event_id", "user_id")
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("user_id"), col("best.o_orderkey").as("o_orderkey"),
+        date_format(col("best.o_orderdate"), "yyyy-MM-dd").as("asof_date"),
+        col("best.o_totalprice").as("o_totalprice"))
       .orderBy("event_id")
   }
 

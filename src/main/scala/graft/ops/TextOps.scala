@@ -96,6 +96,50 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate CLUSTERS: connected components over the near-dup pair graph —
+    * the step after pair detection that a real dedup pipeline needs (pairs
+    * A~B, B~C must collapse to ONE canonical doc, not two independent drops).
+    * Min-label propagation: every vertex starts labeled with its own id and
+    * repeatedly takes the min of its neighbors' labels until fixpoint —
+    * each iteration is one distributed join + aggregate (Pregel-style), and
+    * the iteration count is the graph diameter, not the vertex count. Near-
+    * dup components are tiny cliques in practice, so this converges in 2-3
+    * rounds; the 20-round cap is a safety bound. At 100 TB the same loop
+    * runs with the edge list persisted and checkpointed per round (the
+    * alternating large-star/small-star variant cuts rounds to O(log d)).
+    * Cluster id = min doc_id of the component = the canonical doc to keep. */
+  def dupClusters(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = dedupJaccard(spark, sf).select("id_a", "id_b").persist()
+    pairs.count() // materialize: both edge directions below reuse ONE jaccard pass
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("cluster", col("v")).persist()
+    var cached = labels // the persisted frame backing labels (unpersist target)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val neighborMin = edges.join(labels, col("dst") === col("v"))
+        .groupBy("src").agg(min("cluster").as("ncluster"))
+      // carry a changed flag so convergence needs no second join against the
+      // old labels — one propagate job + one count over the cached result
+      val next = labels.select(col("v"), col("cluster"))
+        .join(neighborMin, col("v") === col("src"), "left")
+        .select(col("v"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"),
+          (least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
+            =!= col("cluster")).as("changed"))
+        .persist()
+      converged = next.filter(col("changed")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select("v", "cluster")
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("cluster")).orderBy("doc_id")
+  }
+
   /** Number of MinHash permutations and LSH banding (16 bands × 8 rows):
     * detection probability at Jaccard s is 1-(1-s^8)^16 — ≈0.99 at s=0.8,
     * ≈0.04 at s=0.3 — a sharp threshold around our 0.8 cutoff. */

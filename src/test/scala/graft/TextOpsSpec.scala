@@ -86,6 +86,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters: pairs land in one component, canonical id is the min member") {
+    val pairs = TextOps.dedupJaccard(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty, "fixture has no near-dup pairs at this sf")
+    val clusters = TextOps.dupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.foreach { case (v, c) =>
+      assert(c <= v, s"cluster id $c must be min of component (vertex $v)")
+      assert(clusters(c) == c, s"canonical doc $c must label itself")
+    }
+  }
+
   test("dedupExact keeps min doc_id per duplicate text group") {
     val df = Seq((5L, "x"), (3L, "x"), (9L, "y")).toDF("doc_id", "text")
       .groupBy("text").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
