@@ -57,6 +57,8 @@ object SparkEntry {
     "q_unpivot" -> (Relational.unpivotMeans _),
     "q_date_funcs" -> (Relational.dateFuncs _),
     "q_upsert" -> (Relational.upsert _),
+    "q_regex_extract" -> (Relational.regexExtract _),
+    "q_array_agg" -> (Relational.arrayAgg _),
     "q_sketch_stats" -> (Relational.sketchStats _),
     "q_salted_agg" -> (SkewOps.saltedAgg _),
     "q_kde" -> (Relational.kde _),
@@ -435,6 +437,17 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_id, user_id, value, z FROM z
         |WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |  regexp_extract(c_name, '^([A-Za-z]+)', 1) AS name_word
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_array_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  string_agg(lpad(CAST(o_orderkey AS VARCHAR), 10, '0'), ','
+        |             ORDER BY lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS keys_csv
+        |FROM orders WHERE o_totalprice > 400000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -414,6 +414,35 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Regex field extraction — structured parsing of semi-structured strings
+    * (log-line parsing at pipeline scale). `regexp_extract` group capture is
+    * a codegen'd scalar in the scan projection; the always-matching patterns
+    * keep no-match semantics (Spark '' vs engine NULLs) out of the oracle. */
+  def regexExtract(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        regexp_extract(col("c_name"), "^([A-Za-z]+)", 1).as("name_word"))
+      .orderBy("c_custkey")
+
+  /** Array aggregation — collect the (filtered) order keys per status into a
+    * deterministic sorted list, emitted as a CSV string so the hash-compare
+    * is engine-neutral. `collect_list` order is partition-dependent by
+    * design; `sort_array` restores determinism — zero-padded so lexical
+    * order equals numeric order. At scale collect_list per group is bounded
+    * by the pre-filter, not table size (unbounded array aggs don't scale). */
+  def arrayAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        concat_ws(",",
+          sort_array(collect_list(lpad(col("o_orderkey").cast("string"), 10, "0"))))
+          .as("keys_csv"))
+      .orderBy("o_orderstatus")
+
   /** SCD-1 upsert (merge): updates override matching base rows, inserts
     * append. Without a transactional table format MERGE INTO isn't available;
     * the engine-level equivalent is anti-join + union — both sides hash-

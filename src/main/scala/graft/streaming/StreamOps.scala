@@ -58,6 +58,47 @@ object StreamOps {
       .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Stream-static (dimension) enrichment join — the most common production
+    * streaming shape: each micro-batch of the fact stream joins a static
+    * dimension snapshot. The dim side is broadcast, so NO shuffle and no
+    * stream state at all; at 100 TB-scale streams the dim refreshes by
+    * restarting the query (or via a slowly-changing broadcast re-resolved
+    * per batch — Spark re-plans the static side each micro-batch). */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("value"), col("c_mktsegment"))
+
+  /** foreachBatch merge sink — the no-transactional-format upsert pattern:
+    * each micro-batch appends its per-key latest rows to an immutable log
+    * tagged with the batch id; [[latestState]] is the compaction view that
+    * collapses the log to one row per key. Appends are idempotent per
+    * (key, batch_id) under the view's argmax, so a replayed batch cannot
+    * change the answer — the exactly-once contract without MERGE INTO.
+    * With a transactional table format the body becomes a real MERGE. */
+  def foreachBatchMerge(events: DataFrame, logDir: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy("user_id")
+          .agg(max_by(struct(col("ts"), col("value")),
+            struct(col("ts"), col("event_id"))).as("b"))
+          .select(col("user_id"), col("b.ts").as("ts"),
+            col("b.value").as("value"), lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+
+  /** Compaction view over the [[foreachBatchMerge]] log: latest value per
+    * key by (event time, batch id) — one aggregate, map-side combinable. */
+  def latestState(spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame =
+    spark.read.parquet(logDir)
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("value")),
+        struct(col("ts"), col("batch_id"))).as("b"))
+      .select(col("user_id"), col("b.ts").as("ts"), col("b.value").as("value"))
+
   /** Stateful gap-based sessionization — the streaming twin of
     * EventOps.sessionize. Per-user state (start, last-seen, count) lives in
     * the state store; a session is EMITTED when a later event arrives more

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.{StreamOps, UserSession}
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class EvU(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -59,6 +60,47 @@ class StreamingSpec extends SparkSpec {
       assert(s.head == UserSession(1L, t("2024-01-01 10:00:00"),
         t("2024-01-01 10:10:00"), 2L))
     } finally q.stop()
+  }
+
+  test("enrichStream joins each micro-batch against a broadcast static dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "BUILDING"), (20L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[EvU]
+    stream.addData(
+      EvU(1, 10L, t("2024-01-01 10:00:00"), 1.5),
+      EvU(2, 20L, t("2024-01-01 10:01:00"), 2.5),
+      EvU(3, 99L, t("2024-01-01 10:02:00"), 3.5)) // no dim row → dropped
+    val q = StreamOps.enrichStream(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("enriched").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(rows.toSeq == Seq((1L, "BUILDING"), (2L, "MACHINERY")))
+  }
+
+  test("foreachBatchMerge: append-log upsert collapses to latest per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val stream = MemoryStream[EvU]
+    val q = StreamOps.foreachBatchMerge(stream.toDF(), s"$dir/log", s"$dir/ckpt")
+    try {
+      stream.addData(
+        EvU(1, 10L, t("2024-01-01 10:00:00"), 1.0),
+        EvU(2, 10L, t("2024-01-01 10:30:00"), 2.0), // later → wins batch 1
+        EvU(3, 20L, t("2024-01-01 10:10:00"), 5.0))
+      q.processAllAvailable()
+      // batch 2 updates user 10, leaves user 20 untouched
+      stream.addData(EvU(4, 10L, t("2024-01-01 11:00:00"), 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = StreamOps.latestState(spark, s"$dir/log")
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(state.toSeq == Seq((10L, 9.0), (20L, 5.0)))
+    // the log keeps history (one row per key per batch that saw it)
+    assert(spark.read.parquet(s"$dir/log").count() == 3)
   }
 
   test("batch sessionize splits on >1h gaps (window-lag form)") {
