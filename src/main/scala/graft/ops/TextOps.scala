@@ -395,7 +395,11 @@ object TextOps {
       transform(sequence(lit(1), size(toks) - 1), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
     Tables.load(spark, sf, "documents")
+      // single-file harness parquet = one scan task: fan raw docs out BEFORE
+      // the tokenize+bigram work (same pattern as shingleRows)
+      .repartition(parallelism, col("doc_id"))
       .select(explode(bigrams).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
@@ -411,7 +415,9 @@ object TextOps {
   def tfidf(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, sf, "documents")
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val tf = docs
+      .repartition(parallelism, col("doc_id")) // single-file scan → fan out first
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfTok = tf.groupBy("tok")
