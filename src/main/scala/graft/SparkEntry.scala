@@ -71,6 +71,7 @@ object SparkEntry {
     "q_scale_standard" -> (Scoring.scaleStandard _),
     "q_onehot" -> (Scoring.onehotQuery _),
     "q_score_batch" -> (Scoring.scoreBatch _),
+    "q_score_exact" -> (Scoring.scoreExact _),
     // §2.9–2.10 LLM-data-pipeline extensions
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_jaccard" -> (TextOps.dedupJaccard _),
@@ -79,6 +80,8 @@ object SparkEntry {
     "q_dup_clusters" -> (TextOps.dupClusters _),
     "q_text_tokens" -> (TextOps.textTokens _),
     "q_ngram_top" -> (TextOps.ngramTop _),
+    "q_decontaminate" -> (TextOps.decontaminate _),
+    "q_repetition" -> (TextOps.repetition _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_lang_stats" -> (TextOps.langStats _),
@@ -92,6 +95,7 @@ object SparkEntry {
     "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
+    "q_dedup_cosine_lsh" -> (VectorOps.dedupCosineLsh _),
     "q_knn_join" -> (VectorOps.knnJoin _),
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
@@ -150,6 +154,52 @@ object SparkEntry {
     Scoring.ModelConstants.onehotCols.map { case (out, src, v) =>
       s"CAST(CASE WHEN $src = '$v' THEN 1 ELSE 0 END AS DOUBLE) AS $out"
     }.mkString(", ")
+
+  /** DuckDB twin of Scoring.scoreExact: the 400 fitted trees mechanically
+    * unrolled to nested CASE over REAL (float32) columns — same single
+    * source of truth ([[graft.functions.XgbModel]]) as the Spark scorer, so
+    * the float32 margins agree bit-for-bit across engines. */
+  private def scoreExactSql: String = {
+    import Scoring.ModelConstants._
+    val numFeats = numericCols.zip(means.zip(scales)).map { case (c, (m, s)) =>
+      s"CAST(($c - $m) / $s AS REAL)"
+    }
+    val catFeats = onehotCols.map { case (_, src, v) =>
+      s"CAST(CASE WHEN $src = '$v' THEN 1 ELSE 0 END AS REAL)"
+    }
+    val featSelect = (numFeats ++ catFeats).zipWithIndex
+      .map { case (e, i) => s"    $e AS f$i" }.mkString(",\n")
+    val featNames = (0 until graft.functions.XgbModel.numFeatures)
+      .map(i => s"f$i").mkString(", ")
+    val chunks = graft.functions.XgbModel.oracleMarginChunks(i => s"f$i")
+    // chunked partial sums (DuckDB binder depth cap), sequential order kept
+    val chunkCtes = chunks.zipWithIndex.map { case (expr, i) =>
+      val src = if (i == 0) "feats" else s"m${i - 1}"
+      val carryCols = if (i == chunks.size - 1) "customer_id"
+        else s"customer_id, $featNames"
+      s"m$i AS (\n  SELECT $carryCols, $expr AS acc$i FROM $src\n)"
+    }
+    s"""$synthSql, feats AS (
+       |  SELECT customer_id,
+       |$featSelect
+       |  FROM imputed
+       |), ${chunkCtes.mkString(", ")}, margins AS (
+       |  SELECT customer_id,
+       |    ${graft.functions.XgbModel.oracleBaseLit} + acc${chunks.size - 1} AS margin
+       |  FROM m${chunks.size - 1}
+       |), probs AS (
+       |  SELECT customer_id, margin,
+       |    CAST(CAST(1.0 / (1.0 + exp(-CAST(margin AS DOUBLE))) AS REAL)
+       |      AS DOUBLE) AS p
+       |  FROM margins
+       |)
+       |SELECT customer_id, p AS churn_prob,
+       |  CAST(margin > 0 AS BIGINT) AS churn_pred,
+       |  CASE WHEN p < 0.3 THEN 'Low' WHEN p < 0.7 THEN 'Medium'
+       |       ELSE 'High' END AS risk,
+       |  printf('%.2f%%', round(p * 100, 2)) AS churn_pct
+       |FROM probs ORDER BY customer_id""".stripMargin
+  }
 
   /** Shared DuckDB tokenization (mirrors TextOps.tokens / shingles3). */
   private val toksSql =
@@ -375,6 +425,7 @@ object SparkEntry {
       s"$synthSql SELECT customer_id, $scaleSelect FROM imputed ORDER BY customer_id",
     "q_onehot" ->
       s"$synthSql SELECT customer_id, $onehotSelect FROM imputed ORDER BY customer_id",
+    "q_score_exact" -> scoreExactSql,
     "q_stats_pack" ->
       """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
@@ -408,6 +459,29 @@ object SparkEntry {
         |SELECT custkey, acctbal, 'base' AS src FROM base
         |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.custkey = base.custkey)
         |ORDER BY custkey""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t WHERE len(toks) >= 3
+         |), ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN ev USING (s) WHERE doc_id % 20 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |agg AS (SELECT doc_id, count(*) AS n, count(DISTINCT bg) AS d
+         |        FROM bg GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CASE WHEN n > 0 THEN round(1 - CAST(d AS DOUBLE) / n, 4)
+         |       ELSE 0.0 END AS rep_ratio
+         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q_ngram_top" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |bg AS (SELECT unnest(list_transform(range(1, len(toks)),

@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // --sql-only: refresh oracle_sql.json without re-running the queries
+    // (iterating on an oracle against already-dumped parquet results)
+    val sqlOnly = args.contains("--sql-only")
+    // --only=a,b: re-dump a subset (iterating on one query's Spark side)
+    val only = args.collectFirst { case a if a.startsWith("--only=") =>
+      a.stripPrefix("--only=").split(',').toSet }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +21,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    (if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+     else SparkEntry.queries.view.filterKeys(k => only.forall(_.contains(k))).toMap
+    ).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -119,5 +119,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("xgb_margin"),
+      new ExpressionInfo(classOf[XgbMargin].getName, "xgb_margin"),
+      (children: Seq[Expression]) => XgbMargin(children.head)))
   }
 }

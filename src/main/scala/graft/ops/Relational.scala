@@ -114,12 +114,27 @@ object Relational {
   }
 
   /** Id fallback — `df.get("CustomerID", df.index + 1)` (`app_test.py:299`):
-    * synthesize an ordinal id when the key column is absent. `row_number`
-    * over an explicit unique order is the deterministic distributed form
-    * (pandas' implicit row order does not exist on a cluster). */
+    * synthesize an ordinal id when the key column is absent, deterministically
+    * ordered by a unique column (pandas' implicit row order does not exist on
+    * a cluster).
+    *
+    * Two-phase ordinal synthesis, NOT `row_number().over(Window.orderBy(...))`
+    * — an unpartitioned window funnels the whole table through one partition.
+    * Here the sort is a parallel range-shuffle, and `zipWithIndex` then runs
+    * one light count-job per partition and broadcasts the cumulative offsets,
+    * so every partition numbers its rows locally. Each phase is cluster-wide
+    * parallel; this survives a 100× scale-up where the global window cannot. */
   def idFallback(spark: SparkSession, sf: String): DataFrame = {
-    val df = Tables.load(spark, sf, "customer").select("c_name", "c_mktsegment")
-    df.withColumn("customer_id", row_number().over(Window.orderBy("c_name")).cast("long"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = Tables.load(spark, sf, "customer")
+      .select("c_name", "c_mktsegment").orderBy("c_name")
+    val schema = StructType(StructField("customer_id", LongType, nullable = false)
+      +: sorted.schema.fields)
+    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((i + 1L) +: r.toSeq)
+    }
+    spark.createDataFrame(withId, schema)
       .select("customer_id", "c_name", "c_mktsegment")
       .orderBy("customer_id")
   }
@@ -468,8 +483,9 @@ object Relational {
     * explicit schema (never inference, SURVEY.md §1.4), prove losslessness. */
   def csvRoundtrip(spark: SparkSession, sf: String): DataFrame = {
     val region = Tables.load(spark, sf, "region")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    region.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val tmp = SourceOps.materialize(s"csv_$sf") { dir =>
+      region.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    }
     Tables.loadCsv(spark, tmp, region.schema)
       .select("r_regionkey", "r_name")
       .orderBy("r_regionkey")

@@ -198,4 +198,34 @@ object Scoring {
     val model = fitOrLoad(spark, sf, all.filter(col("customer_id") % 3 =!= 0))
     score(model, all)
   }
+
+  /** M5+M6 bit-exact: the reference's *fitted* booster (`best_model.pkl`,
+    * 400 trees) scoring via [[graft.functions.XgbModel]] — float32 margins
+    * bit-equal to xgboost's CPU predictor, so the probabilities are the
+    * numbers the reference app displays (`app_test.py:296`). Fully
+    * SQL-expressible (depth-4 CASE unroll over REAL arithmetic), hence
+    * oracle-checked end to end, unlike the capability-equivalent
+    * [[scoreBatch]]. Map-only at scale: the ~95 KB model rides inside the
+    * task binary; no shuffle, no broadcast round-trip, no per-row alloc. */
+  def scoreExact(spark: SparkSession, sf: String): DataFrame = {
+    import graft.functions.XgbFunctions.xgb_margin
+    val pre = preprocess(synthCustomers(spark, sf))
+    // Probability quantized to float32, not decimal-rounded: the margin is
+    // bit-identical across engines, but double `exp` differs in the last ulp
+    // between libms, and decimal round() on a boundary-straddling ulp flips
+    // the final digit (observed 2/1500 at sf0.01). Dropping to float32
+    // discards 29 mantissa bits — far more than the 1-ulp libm noise — so
+    // the value hash-matches DuckDB while keeping 7 significant digits,
+    // more than the reference app ever displays (`%.2f%%`).
+    val p = (lit(1.0) / (lit(1.0) + exp(-col("margin")))).cast("float").cast("double")
+    pre.select(col("customer_id"),
+        xgb_margin(array(featureCols.map(col): _*)).as("margin"))
+      .select(
+        col("customer_id"),
+        p.as("churn_prob"),
+        (col("margin") > 0.0).cast("bigint").as("churn_pred"),
+        when(p < 0.3, "Low").when(p < 0.7, "Medium").otherwise("High").as("risk"),
+        format_string("%.2f%%", round(p * 100, 2)).as("churn_pct"))
+      .orderBy("customer_id")
+  }
 }

@@ -48,16 +48,20 @@ object TextOps {
     * the SAME plan, so a shared persist serves them. */
   def shingleRows(spark: SparkSession, sf: String): DataFrame = {
     val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    Tables.load(spark, sf, "documents")
+    shingleRowsOf(Tables.load(spark, sf, "documents")
       // the harness table is one parquet file = one scan task; fan the raw
       // docs out BEFORE the expensive tokenize+shingle so it runs on every
       // core (a ~10 MB shuffle buys 32× parallelism; on a real partitioned
       // 100 TB layout the scan is already parallel and AQE elides this)
-      .repartition(parallelism, col("doc_id"))
-      .select(col("doc_id"),
+      .repartition(parallelism, col("doc_id")))
+  }
+
+  /** Same base relation from any (doc_id, text) frame — the seam the
+    * planted-near-dup property tests use (PropertySpec). */
+  def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         explode(transform(shingles3Raw(tokens(col("text"))), s => xxhash64(s))).as("s"))
       .distinct()
-  }
 
   /** Exact dedup — canonical row per distinct text (`dropDuplicates`
     * semantics made deterministic: keep the min doc_id per text).
@@ -79,8 +83,11 @@ object TextOps {
     * shingles fan out quadratically at 100 TB, so the production variant is
     * [[dedupMinhash]] (MinHash-LSH banding) with this exact form kept as the
     * verifier of candidate pairs only. */
-  def dedupJaccard(spark: SparkSession, sf: String): DataFrame = {
-    val ex = shingleRows(spark, sf).persist()
+  def dedupJaccard(spark: SparkSession, sf: String): DataFrame =
+    dedupJaccardFrom(shingleRows(spark, sf).persist())
+
+  /** Core over any pre-computed (doc_id, s) shingle relation. */
+  def dedupJaccardFrom(ex: DataFrame): DataFrame = {
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("a")
       .join(ex.as("b"),
@@ -162,9 +169,12 @@ object TextOps {
     *     shingle-hash sets (order-irrelevant for intersect/union sizes).
     *
     * Deterministic end-to-end (seeded xxhash64 everywhere, no RNG). */
-  def dedupMinhash(spark: SparkSession, sf: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, sf: String): DataFrame =
+    dedupMinhashFrom(shingleRows(spark, sf).persist())
+
+  /** Core over any pre-computed (doc_id, s) shingle relation. */
+  def dedupMinhashFrom(ex: DataFrame): DataFrame = {
     val r = MinhashSigs / MinhashBands
-    val ex = shingleRows(spark, sf).persist()
     val minCols = (0 until MinhashSigs).map(k =>
       min(xxhash64(col("s"), lit(k))).as(s"m$k"))
     val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -405,6 +415,50 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
+  }
+
+  /** Benchmark decontamination — the pre-training hygiene step: flag every
+    * training document sharing any 3-token shingle with the held-out eval
+    * set (here: doc_id % 20 == 0, a deterministic benchmark stand-in). The
+    * join runs on 64-bit shingle fingerprints, never strings; at 100 TB the
+    * eval side is millions of n-grams (a few GB of longs) → broadcast, so
+    * the corpus never shuffles. The exact-match-on-n-gram form is the
+    * standard published decontamination procedure (GPT-3 appendix C / PaLM
+    * style); near-dup contamination is covered by the MinHash family above. */
+  def decontaminate(spark: SparkSession, sf: String): DataFrame = {
+    // persist: the broadcast build (a separate job) and the probe side would
+    // otherwise each compute the shingle relation from scratch
+    val ex = shingleRows(spark, sf).persist()
+    val evalSet = ex.filter(col("doc_id") % 20 === 0).select("s").distinct()
+    ex.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalSet), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // ex is distinct per (doc, s)
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition ratio — 1 − distinct/total bigrams, the
+    * Gopher-style quality signal that catches boilerplate and generated-text
+    * loops. Distributed form (explode → count + count-distinct in one
+    * map-side-combined aggregate), not per-row array_distinct; docs with
+    * fewer than 2 tokens score 0. */
+  def repetition(spark: SparkSession, sf: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.load(spark, sf, "documents")
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      .groupBy("doc_id")
+      .agg(count(col("bg")).as("n"), countDistinct(col("bg")).as("d"))
+      .select(col("doc_id"),
+        when(col("n") > 0,
+          round(lit(1.0) - col("d").cast("double") / col("n"), 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
   }
 
   /** TF-IDF top-3 terms per document — keyword extraction. tf and df come

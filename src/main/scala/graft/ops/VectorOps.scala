@@ -110,19 +110,21 @@ object VectorOps {
 
   /** Deterministic pseudo-random hyperplanes in [-1, 1]^Dim, fixed at
     * class-load via splitmix64 — plan-time CONSTANTS, so the per-row work is
-    * just LshBits dot products (hash-deriving each component inside the
+    * just n dot products (hash-deriving each component inside the
     * expression re-ran xxhash64 per row per component and profiled 6 s). */
-  private val planes: Array[Array[Double]] = {
+  private def mkPlanes(n: Int, seedOffset: Long): Array[Array[Double]] = {
     def splitmix(seed: Long): Long = {
       var z = seed + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    Array.tabulate(LshBits, Dim) { (p, j) =>
-      (math.floorMod(splitmix(p.toLong * Dim + j), 2000001L) - 1000000L) / 1000000.0
+    Array.tabulate(n, Dim) { (p, j) =>
+      (math.floorMod(splitmix(seedOffset + p.toLong * Dim + j), 2000001L) - 1000000L) / 1000000.0
     }
   }
+
+  private val planes: Array[Array[Double]] = mkPlanes(LshBits, 0L)
 
   /** Sign-LSH bucket id: bit p = sign of ⟨v, plane_p⟩. Vectors with high
     * cosine land in the same bucket with high probability. */
@@ -130,6 +132,57 @@ object VectorOps {
     (0 until LshBits).map { p =>
       when(dot(v, typedLit(planes(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Banding shape for [[dedupCosineLsh]]: 8 bands × 2 hyperplanes =
+    * OR-amplification over AND-pairs. Per-plane agreement for cosine s is
+    * p = 1 − arccos(s)/π, so a pair collides in ≥1 band with probability
+    * 1 − (1 − p²)⁸ — ≈ 0.99 at the fixture threshold 0.45 and ≈ 1 − 4e-7 at
+    * a production 0.95. Few wide bands (e.g. 1×8 bits) would be far more
+    * selective but miss most true pairs below s ≈ 0.9; banding trades
+    * candidate volume for recall exactly like the MinHash band table
+    * (TextOps.dedupMinhash). */
+  val DedupBands = 8
+  val DedupBandBits = 2
+  private val bandPlanes: Array[Array[Double]] = mkPlanes(DedupBands * DedupBandBits, 1L << 32)
+
+  /** One bucket id per band: the sign pattern of that band's hyperplanes. */
+  def bandBuckets(v: Column): Column =
+    array((0 until DedupBands).map { b =>
+      (0 until DedupBandBits).map { r =>
+        val p = b * DedupBandBits + r
+        when(dot(v, typedLit(bandPlanes(p).toSeq)) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Cosine-threshold dedup, LSH-bucketed — the 100 TB twin of
+    * [[dedupCosine]]: candidates are generated by an equi-join on
+    * (band, bucket) instead of all pairs, then exact-verified with the same
+    * cosine ≥ 0.45 predicate, so its output is always a subset of the exact
+    * form's with ~0.99 expected recall (see [[DedupBands]]). Shuffle volume
+    * is rows × bands plus the candidate pairs — never O(n²). Precision is 1
+    * by construction (the verify step recomputes the true cosine); only
+    * recall is probabilistic, which is why this is declared no-oracle with
+    * a recall test against the oracled exact twin (VectorOpsSpec). */
+  def dedupCosineLsh(spark: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val banded = emb
+      .select(col("vec_id"), posexplode(bandBuckets(col("v"))).as(Seq("band", "bucket")))
+    // distinct candidate id-pairs first (a pair colliding in k bands must be
+    // verified once, not k times), then re-attach vectors and exact-verify
+    val cand = banded.as("a")
+      .join(banded.select(col("vec_id").as("ib"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("vec_id") < col("ib"))
+      .select(col("vec_id").as("ia"), col("ib"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("ia"), col("v").as("va")), Seq("ia"))
+      .join(emb.select(col("vec_id").as("ib"), col("v").as("vb")), Seq("ib"))
+      .select(col("ia"), col("ib"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .orderBy("ia", "ib")
+  }
 
   /** IVF-style ANN: a k-means coarse quantizer (Spark ML, fixed seed —
     * deterministic on fixed input) assigns every vector to a cell; each

@@ -101,35 +101,49 @@ object StreamOps {
 
   /** Stateful gap-based sessionization — the streaming twin of
     * EventOps.sessionize. Per-user state (start, last-seen, count) lives in
-    * the state store; a session is EMITTED when a later event arrives more
-    * than `gap` after it (the trailing open session stays in state — a
-    * production job adds an event-time timeout to flush it; kept minimal
-    * here so batch and stream semantics coincide on closed sessions).
-    * State size: O(active users), independent of stream length. */
+    * the state store; a session is EMITTED either when a later event arrives
+    * more than `gap` after it, or — for the trailing open session — when the
+    * event-time watermark passes its gap horizon (`setTimeoutTimestamp(last
+    * + gap)`), so every session eventually flushes and state is dropped.
+    * State size: O(users active within the gap), independent of stream
+    * length. `delay` is the out-of-order tolerance (watermark lag). */
   def sessionize(events: Dataset[(Long, Timestamp)],
-                 gapMs: Long = 3600 * 1000L): Dataset[UserSession] = {
+                 gapMs: Long = 3600 * 1000L,
+                 delay: String = "0 seconds"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     def close(user: Long, s: SessState) =
       UserSession(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
     events
+      .withWatermark("_2", delay)
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessState, UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, evs, state: GroupState[SessState]) =>
-          val times = evs.map(_._2.getTime).toSeq.sorted
-          var closed = List.empty[UserSession]
-          var st = state.getOption
-          times.foreach { t =>
-            st = st match {
-              case Some(s) if t - s.lastMs <= gapMs =>
-                Some(s.copy(lastMs = t, n = s.n + 1))
-              case Some(s) =>
-                closed ::= close(user, s); Some(SessState(t, t, 1))
-              case None => Some(SessState(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: the open
+            // session can never be extended — flush and free the state
+            val out = state.getOption.map(close(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            val times = evs.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[UserSession]
+            var st = state.getOption
+            times.foreach { t =>
+              st = st match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  Some(s.copy(lastMs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= close(user, s); Some(SessState(t, t, 1))
+                case None => Some(SessState(t, t, 1))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverse.iterator
           }
-          st.foreach(state.update)
-          closed.reverse.iterator
       }
   }
 }

@@ -99,6 +99,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash banding recall meets the 1-(1-s^8)^16 bound on planted near-dups") {
+    // plant pairs of known decreasing overlap: doc 2i is 40 random-ish
+    // tokens, doc 2i+1 replaces m of them — shingle Jaccard falls with m.
+    // The banding detection probability at similarity s is 1-(1-s^8)^16;
+    // summed over the ACTUAL pair similarities it predicts the expected
+    // recall, so asserting against it (with slack for the fixed hash seed)
+    // turns the no-oracle LSH twin into a quantitative guarantee.
+    val rnd = new scala.util.Random(7L)
+    val vocab = (0 until 500).map(i => s"w$i")
+    val docs = (0 until 24).flatMap { i =>
+      val base = Array.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      val m = i % 6 // 0..5 replacements
+      val dup = base.clone()
+      (0 until m).foreach(_ => dup(rnd.nextInt(dup.length)) = s"x${rnd.nextInt(1000)}")
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, dup.mkString(" ")))
+    }
+    val ex = TextOps.shingleRowsOf(docs.toDF("doc_id", "text")).persist()
+    val exact = TextOps.dedupJaccardFrom(ex).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = TextOps.dedupMinhashFrom(ex).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ex.unpersist()
+    assert(exact.size >= 8, s"planting failed: only ${exact.size} pairs >= 0.8")
+    assert(lsh.subsetOf(exact.keySet), s"spurious pairs: ${lsh.diff(exact.keySet)}")
+    val expected = exact.values.map(s => 1.0 - math.pow(1.0 - math.pow(s, 8), 16)).sum
+    val observed = lsh.size.toDouble
+    assert(observed >= 0.8 * expected,
+      s"recall $observed below banding-bound expectation $expected over ${exact.size} pairs")
+  }
+
   test("scaling is invertible: unscale(scale(x)) == x within fp tolerance") {
     import graft.ops.Scoring.ModelConstants._
     forAll(Gen.choose(-1e4, 1e4)) { x =>

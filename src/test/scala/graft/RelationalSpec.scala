@@ -67,6 +67,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("idFallback: dense 1..N ordinals in c_name order, no global Window") {
+    val df = Relational.idFallback(spark, sf0001)
+    // two-phase ordinal synthesis must not plan a single-partition Window
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "global Window found in idFallback plan")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val names = rows.map(_.getString(1))
+    assert(names.sameElements(names.sorted))
+  }
+
   test("joinOuter preserves unmatched keys from BOTH sides") {
     val rows = Relational.joinOuter(spark, sf0001).collect()
     // left-only: customers with a big order but acctbal <= 5000 → null acctbal

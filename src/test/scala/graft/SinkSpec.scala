@@ -34,6 +34,29 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("day-partitioned events layout prunes the scan to the requested day") {
+    // the 100 TB layout EventOps documents: events partitioned by day so
+    // time-bucket queries read one partition, not the history. Prove it:
+    // write sf0.001 events partitionBy(day), scan one day, assert the
+    // FileSourceScan selected exactly one partition via a PartitionFilter.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_day").toString
+    val events = graft.ops.EventOps.events(spark, sf0001)
+    events.withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val firstDay = spark.read.parquet(dir).select(min("day")).head().getDate(0)
+    val pruned = spark.read.parquet(dir).filter(col("day") === lit(firstDay))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "day predicate must become a PartitionFilter, not a data Filter")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scans.head.selectedPartitions.partitionCount}")
+    val expected = events.filter(to_date(col("ts")) === lit(firstDay)).count()
+    assert(pruned.count() == expected)
+  }
+
   test("FAILFAST CSV rejects a corrupt upload instead of nulling it (ADVICE.md)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")

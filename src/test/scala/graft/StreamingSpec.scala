@@ -62,6 +62,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize flushes the trailing open session once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_flush")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions_flush").count() == 0) // open, not flushed
+      // watermark only advances at batch boundaries: batch 2 (another user's
+      // event at 12:00) sets wm=12:00 for batch 3; batch 3's timeout check
+      // then sees user 1's horizon 10:40 < wm and flushes the open session
+      stream.addData((2L, t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      stream.addData((2L, t("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val s = spark.table("sessions_flush").as[UserSession].collect()
+      assert(s.contains(UserSession(1L, t("2024-01-01 10:00:00"),
+        t("2024-01-01 10:10:00"), 2L)), s"trailing session not flushed: ${s.toSeq}")
+    } finally q.stop()
+  }
+
   test("enrichStream joins each micro-batch against a broadcast static dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((10L, "BUILDING"), (20L, "MACHINERY"))

@@ -85,6 +85,19 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupCosineLsh pairs ⊆ exact pairs with high recall") {
+    val exact = VectorOps.dedupCosine(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs for a recall test")
+    val lsh = VectorOps.dedupCosineLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact)}")
+    // banding bound: P(collide) = 1-(1-p²)^8 ≈ 0.99 at cos 0.45; demand 0.7
+    // to keep the test robust to the small fixture
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("lshBucket is deterministic and bucket-stable for identical vectors") {
     val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(0.5f)).toDF("v")
       .select(VectorOps.lshBucket(VectorOps.asDouble(col("v"))).as("b"))
