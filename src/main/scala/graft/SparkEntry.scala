@@ -78,6 +78,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_dup_clusters" -> (TextOps.dupClusters _),
+    "q_dup_clusters_lsh" -> (TextOps.dupClustersLsh _),
     "q_text_tokens" -> (TextOps.textTokens _),
     "q_ngram_top" -> (TextOps.ngramTop _),
     "q_decontaminate" -> (TextOps.decontaminate _),

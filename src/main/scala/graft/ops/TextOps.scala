@@ -115,9 +115,19 @@ object TextOps {
     * runs with the edge list persisted and checkpointed per round (the
     * alternating large-star/small-star variant cuts rounds to O(log d)).
     * Cluster id = min doc_id of the component = the canonical doc to keep. */
-  def dupClusters(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = dedupJaccard(spark, sf).select("id_a", "id_b").persist()
-    pairs.count() // materialize: both edge directions below reuse ONE jaccard pass
+  def dupClusters(spark: SparkSession, sf: String): DataFrame =
+    dupClustersFrom(dedupJaccard(spark, sf).select("id_a", "id_b"))
+
+  /** Same clustering over the MinHash-LSH candidate pairs — the composed
+    * 100 TB path (banded candidates → exact verify → components), declared
+    * no-oracle like its pair source; TextOpsSpec asserts cluster equality
+    * with the exact form on the fixture. */
+  def dupClustersLsh(spark: SparkSession, sf: String): DataFrame =
+    dupClustersFrom(dedupMinhash(spark, sf).select("id_a", "id_b"))
+
+  private def dupClustersFrom(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.persist()
+    pairs.count() // materialize: both edge directions below reuse ONE pair pass
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()

@@ -31,6 +31,15 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dupClustersLsh (minhash pairs) equals exact-pair clustering") {
+    val exact = TextOps.dupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.dupClustersLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
   test("minhash-LSH recall holds at sf0.01 too (16x the corpus)") {
     val exact = TextOps.dedupJaccard(spark, "/root/testdata/sf0.01").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
