@@ -84,6 +84,7 @@ object SparkEntry {
     "q_decontaminate" -> (TextOps.decontaminate _),
     "q_repetition" -> (TextOps.repetition _),
     "q_tfidf" -> (TextOps.tfidf _),
+    "q_bm25" -> (TextOps.bm25 _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_lang_stats" -> (TextOps.langStats _),
     "q_quality_score" -> (TextOps.qualityScore _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_split" -> (TextOps.splitCounts _),
     "q_stratified" -> (TextOps.stratifiedSample _),
     "q_embed_norm" -> (VectorOps.embedNorm _),
+    "q_quantize" -> (VectorOps.quantizeErr _),
     "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
@@ -490,6 +492,21 @@ object SparkEntry {
          |  FROM t WHERE len(toks) >= 2)
          |SELECT bigram, count(*) AS n FROM bg
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
+         |       FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+         |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |        FROM tf GROUP BY 1)
+         |SELECT doc_id,
+         |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+         |    * (tf * (1.2 + 1))
+         |    / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
+         |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "q_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
@@ -588,6 +605,17 @@ object SparkEntry {
     "q_embed_norm" ->
       s"""SELECT vec_id, round(${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")}, 4) AS l2
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sc AS (SELECT pos, max(abs(x)) AS m FROM ex GROUP BY pos),
+        |err AS (SELECT vec_id, x - round(x / m * 127) / 127 * m AS e
+        |        FROM ex JOIN sc USING (pos))
+        |SELECT vec_id, round(max(abs(e)), 4) AS max_abs_err,
+        |  round(sqrt(avg(e * e)), 4) AS rmse
+        |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_centroid" ->
       """SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c FROM (
         |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,

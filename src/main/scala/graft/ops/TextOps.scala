@@ -471,6 +471,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 parameters (the standard Robertson defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 top-20 docs for a fixed conjunctive query — the retrieval scorer
+    * an LLM RAG/eval pipeline runs against its corpus. One exploded token
+    * relation feeds doc-lengths, per-term tf and df (all map-side-combined
+    * aggregates); df and the corpus stats broadcast (|query| and 1 rows);
+    * the only data-sized shuffles are the token explode and the doc-length
+    * join, both keyed on doc_id. Ranking is on the ROUNDED score with
+    * doc_id tie-break so libm-log ulp skew can't reorder across engines. */
+  def bm25(spark: SparkSession, sf: String): DataFrame = {
+    val queryTerms = Seq("hash", "join", "scan")
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tk = Tables.load(spark, sf, "documents")
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .persist()
+    val docLen = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("len").as("avg_len"))
+    val tf = tk.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(countDistinct("doc_id").cast("double").as("df"))
+    tf.join(broadcast(dfq), "tok")
+      .join(docLen, "doc_id")
+      .join(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("len") / col("avg_len")))).as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** TF-IDF top-3 terms per document — keyword extraction. tf and df come
     * from the same exploded token relation (two aggregates over one scan);
     * the corpus size joins in as a broadcast 1-row frame; the per-document
