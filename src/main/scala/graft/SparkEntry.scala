@@ -611,7 +611,9 @@ object SparkEntry {
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
         |sc AS (SELECT pos, max(abs(x)) AS m FROM ex GROUP BY pos),
-        |err AS (SELECT vec_id, x - round(x / m * 127) / 127 * m AS e
+        |err AS (SELECT vec_id,
+        |          CASE WHEN m = 0 THEN 0.0
+        |               ELSE x - round(x / m * 127) / 127 * m END AS e
         |        FROM ex JOIN sc USING (pos))
         |SELECT vec_id, round(max(abs(e)), 4) AS max_abs_err,
         |  round(sqrt(avg(e * e)), 4) AS rmse

@@ -462,8 +462,12 @@ object TextOps {
     Tables.load(spark, sf, "documents")
       .repartition(parallelism, col("doc_id"))
       .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      // two-phase instead of count+countDistinct in one agg: the combined
+      // form plans an Expand that doubles the exploded rows; here the first
+      // agg collapses to (doc, distinct bigram) and the second is tiny
+      .groupBy("doc_id", "bg").agg(count(col("bg")).as("c"))
       .groupBy("doc_id")
-      .agg(count(col("bg")).as("n"), countDistinct(col("bg")).as("d"))
+      .agg(sum("c").as("n"), count(col("bg")).as("d"))
       .select(col("doc_id"),
         when(col("n") > 0,
           round(lit(1.0) - col("d").cast("double") / col("n"), 4))

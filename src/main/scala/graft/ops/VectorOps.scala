@@ -119,7 +119,10 @@ object VectorOps {
     emb.join(broadcast(sc))
       .select(col("vec_id"),
         explode(zip_with(col("v"), col("scale"),
-          (x, s) => x - round(x / s * 127) / 127 * s)).as("e"))
+          // a zero scale means the whole dimension is zero -> zero error
+          // (guards the 0/0 NaN, engine-dependent)
+          (x, s) => when(s === 0.0, lit(0.0))
+            .otherwise(x - round(x / s * 127) / 127 * s))).as("e"))
       .groupBy("vec_id")
       .agg(round(max(abs(col("e"))), 4).as("max_abs_err"),
         round(sqrt(avg(col("e") * col("e"))), 4).as("rmse"))
