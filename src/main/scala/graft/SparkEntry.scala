@@ -86,6 +86,7 @@ object SparkEntry {
     "q_tfidf" -> (TextOps.tfidf _),
     "q_bm25" -> (TextOps.bm25 _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
+    "q_bpe_merges" -> (TextOps.bpeMerges _),
     "q_lang_stats" -> (TextOps.langStats _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_fingerprint" -> (TextOps.fingerprint _),
@@ -207,6 +208,38 @@ object SparkEntry {
   /** Shared DuckDB tokenization (mirrors TextOps.tokens / shingles3). */
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB twin of TextOps.bpeMerges: the [[graft.ops.TextOps.BpeRounds]]
+    * greedy merge rounds mechanically unrolled as chained CTEs — each round
+    * re-derives the argmax pair and rewrites the word table exactly like the
+    * Spark loop (same tie-break, same left-to-right non-overlapping
+    * replacement). */
+  private def bpeMergesSql: String = {
+    val rounds = graft.ops.TextOps.BpeRounds
+    val iters = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT unnest(list_transform(range(1, len(a)), j -> a[j] || ' ' || a[j+1])) AS p, n
+         |  FROM (SELECT string_split(trim(s), ' ') AS a, n FROM w${i - 1})
+         |  WHERE len(a) >= 2
+         |), t$i AS MATERIALIZED (
+         |  SELECT p, CAST(sum(n) AS BIGINT) AS cnt FROM p$i GROUP BY p
+         |  ORDER BY cnt DESC, p LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT regexp_replace(s, ' ' || (SELECT p FROM t$i) || ' ',
+         |    ' ' || replace((SELECT p FROM t$i), ' ', '') || ' ', 'g') AS s, n
+         |  FROM w${i - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, p AS pair, cnt AS weight FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+       |w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+       |       count(*) AS n FROM toks GROUP BY w),
+       |$iters
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
 
   /** DuckDB twin of TextOps.langIdOf: stopword-hit counts per language,
     * argmax with the same tie-break as Spark's greatest-of-struct (higher
@@ -492,6 +525,7 @@ object SparkEntry {
          |  FROM t WHERE len(toks) >= 2)
          |SELECT bigram, count(*) AS n FROM bg
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_bpe_merges" -> bpeMergesSql,
     "q_bm25" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),

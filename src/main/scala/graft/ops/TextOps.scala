@@ -475,6 +475,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Number of BPE merge rounds for [[bpeMerges]]. */
+  val BpeRounds = 10
+
+  /** Learn the first [[BpeRounds]] BPE merges from the corpus — tokenizer
+    * training as a distributed pipeline. State is the DISTINCT-word table
+    * with corpus counts (millions of rows at 100 TB, not the corpus), each
+    * word held as space-separated symbols. Each round: explode adjacent
+    * symbol pairs → weighted count (map-side-combined agg) → argmax pair
+    * (count desc, pair asc tie-break — a 1-row driver decision, inherent to
+    * BPE's sequential greediness, like the Pregel convergence check) →
+    * merge that pair corpus-wide with one regexp_replace projection.
+    * Left-to-right non-overlapping replacement IS the standard greedy BPE
+    * merge order. Output: the learned merge table (rank, pair, weight). */
+  def bpeMerges(spark: SparkSession, sf: String): DataFrame = {
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    bpeMergesOf(Tables.load(spark, sf, "documents")
+      .repartition(parallelism, col("doc_id")))
+  }
+
+  /** Core over any (doc_id, text) frame (golden-vector seam, TextOpsSpec). */
+  def bpeMergesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val syms = split(trim(col("s")), " ")
+      val prs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1), i =>
+          concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val top = words.select(explode(prs).as("p"), col("n"))
+        .groupBy("p").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("p")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        merges += ((r.toLong, pair, cnt))
+        val next = words.select(
+          regexp_replace(col("s"), " " + pair + " ", " " + pair.replace(" ", "") + " ").as("s"),
+          col("n")).persist()
+        next.count() // materialize before dropping the parent from cache
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "pair", "weight").orderBy("rank")
+  }
+
   /** BM25 parameters (the standard Robertson defaults). */
   val Bm25K1 = 1.2
   val Bm25B = 0.75

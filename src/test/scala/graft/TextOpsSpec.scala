@@ -31,6 +31,21 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("bpeMerges learns the classic low/lower/newest merges in order") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val got = TextOps.bpeMergesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // hand-derived greedy merges with (count desc, pair asc) tie-break:
+    // "l o" ties "o w" at 5 -> asc; then "lo w" 5; "e r" ties "low e" at 2
+    assert(got.take(4) == Seq(
+      (1L, "l o", 5L), (2L, "lo w", 5L), (3L, "e r", 2L), (4L, "low er", 2L)))
+    // the corpus fully merges after 9 rounds; round 10 finds no pair and
+    // emits nothing (the oracle's empty-argmax round behaves the same)
+    assert(got.size == 9)
+    assert(got.last == (9L, "n ewest", 1L))
+  }
+
   test("dupClustersLsh (minhash pairs) equals exact-pair clustering") {
     val exact = TextOps.dupClusters(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
