@@ -32,6 +32,43 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the runtime half of the skew story: salting (above) is the manual
+    // mitigation, AQE's OptimizeSkewedJoin is the automatic one — prove the
+    // engine's configs let it fire on a 90%-hot-key join
+    import spark.implicits._
+    val keep = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val left = spark.range(0, 300000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS plan instance: AQE finalizes per QueryExecution, so a
+      // separate write/count action would leave this one isFinalPlan=false
+      joined.queryExecution.executedPlan.executeCollect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned parquet sink lays out events by day (100 TB layout)") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.ops.EventOps.events(spark, sf0001)
