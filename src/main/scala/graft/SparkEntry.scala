@@ -198,7 +198,7 @@ object SparkEntry {
        |  FROM margins
        |)
        |SELECT customer_id, p AS churn_prob,
-       |  CAST(margin > 0 AS BIGINT) AS churn_pred,
+       |  CAST(p > 0.5 AS BIGINT) AS churn_pred,
        |  CASE WHEN p < 0.3 THEN 'Low' WHEN p < 0.7 THEN 'Medium'
        |       ELSE 'High' END AS risk,
        |  printf('%.2f%%', round(p * 100, 2)) AS churn_pct
@@ -219,14 +219,14 @@ object SparkEntry {
     val iters = (1 to rounds).map { i =>
       s"""p$i AS (
          |  SELECT unnest(list_transform(range(1, len(a)), j -> a[j] || ' ' || a[j+1])) AS p, n
-         |  FROM (SELECT string_split(trim(s), ' ') AS a, n FROM w${i - 1})
+         |  FROM (SELECT string_split(s, ' ') AS a, n FROM w${i - 1})
          |  WHERE len(a) >= 2
          |), t$i AS MATERIALIZED (
          |  SELECT p, CAST(sum(n) AS BIGINT) AS cnt FROM p$i GROUP BY p
          |  ORDER BY cnt DESC, p LIMIT 1
          |), w$i AS MATERIALIZED (
-         |  SELECT regexp_replace(s, ' ' || (SELECT p FROM t$i) || ' ',
-         |    ' ' || replace((SELECT p FROM t$i), ' ', '') || ' ', 'g') AS s, n
+         |  SELECT regexp_replace(s, '\\b' || (SELECT p FROM t$i) || '\\b',
+         |    replace((SELECT p FROM t$i), ' ', ''), 'g') AS s, n
          |  FROM w${i - 1}
          |)""".stripMargin
     }.mkString(", ")
@@ -234,7 +234,7 @@ object SparkEntry {
       s"SELECT CAST($i AS BIGINT) AS rank, p AS pair, cnt AS weight FROM t$i")
       .mkString("\nUNION ALL ")
     s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
-       |w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+       |w0 AS MATERIALIZED (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
        |       count(*) AS n FROM toks GROUP BY w),
        |$iters
        |$unions

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.take(2)
+    // flags never fill positional slots: `Verify <sf> --sql-only` must not
+    // silently use "--sql-only" as the output directory
+    val positional = args.filterNot(_.startsWith("--"))
+    require(positional.length >= 2, s"usage: Verify <sfDir> <outDir> [--sql-only] [--only=a,b]; got ${args.mkString(" ")}")
+    val Array(sfDir, outDir) = positional.take(2)
     // --sql-only: refresh oracle_sql.json without re-running the queries
     // (iterating on an oracle against already-dumped parquet results)
     val sqlOnly = args.contains("--sql-only")

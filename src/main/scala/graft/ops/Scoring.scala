@@ -223,7 +223,11 @@ object Scoring {
       .select(
         col("customer_id"),
         p.as("churn_prob"),
-        (col("margin") > 0.0).cast("bigint").as("churn_pred"),
+        // threshold the QUANTIZED prob, not the raw margin: xgboost's own
+        // binary:logistic predict thresholds the float32 probability, and
+        // it keeps (churn_prob, churn_pred, risk) self-consistent at the
+        // margin≈0 boundary where float32 sigmoid rounds to exactly 0.5
+        (p > 0.5).cast("bigint").as("churn_pred"),
         when(p < 0.3, "Low").when(p < 0.7, "Medium").otherwise("High").as("risk"),
         format_string("%.2f%%", round(p * 100, 2)).as("churn_pct"))
       .orderBy("customer_id")

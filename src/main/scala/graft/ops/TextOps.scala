@@ -486,8 +486,14 @@ object TextOps {
     * (count desc, pair asc tie-break — a 1-row driver decision, inherent to
     * BPE's sequential greediness, like the Pregel convergence check) →
     * merge that pair corpus-wide with one regexp_replace projection.
-    * Left-to-right non-overlapping replacement IS the standard greedy BPE
-    * merge order. Output: the learned merge table (rank, pair, weight). */
+    * Words are space-joined symbols ("l o w") and the merge pattern is
+    * `\ba b\b` — symbols are [a-z0-9]+ (all word chars), so the word
+    * boundaries delimit whole symbols without consuming the separator,
+    * and left-to-right non-overlapping matching merges a run of identical
+    * symbols exactly like the standard greedy BPE scan ("a a a a" →
+    * "aa aa", never "aa a a"). `\b` is supported by both Java regex and
+    * RE2, so the DuckDB twin applies the identical rewrite. Output: the
+    * learned merge table (rank, pair, weight). */
   def bpeMerges(spark: SparkSession, sf: String): DataFrame = {
     val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
     bpeMergesOf(Tables.load(spark, sf, "documents")
@@ -501,11 +507,11 @@ object TextOps {
     var words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to BpeRounds) {
-      val syms = split(trim(col("s")), " ")
+      val syms = split(col("s"), " ")
       val prs = when(size(syms) >= 2,
         transform(sequence(lit(1), size(syms) - 1), i =>
           concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
@@ -517,7 +523,7 @@ object TextOps {
         val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
         merges += ((r.toLong, pair, cnt))
         val next = words.select(
-          regexp_replace(col("s"), " " + pair + " ", " " + pair.replace(" ", "") + " ").as("s"),
+          regexp_replace(col("s"), "\\b" + pair + "\\b", pair.replace(" ", "")).as("s"),
           col("n")).persist()
         next.count() // materialize before dropping the parent from cache
         words.unpersist()

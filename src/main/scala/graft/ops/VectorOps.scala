@@ -191,10 +191,16 @@ object VectorOps {
     * recall is probabilistic, which is why this is declared no-oracle with
     * a recall test against the oracled exact twin (VectorOpsSpec). */
   def dedupCosineLsh(spark: SparkSession, sf: String): DataFrame = {
+    // persist both shared shapes: emb feeds the banding plus BOTH verify
+    // re-attach joins, banded feeds both sides of the candidate self-join —
+    // without the cache each reference re-scans and re-evaluates the 16
+    // hyperplane dot products per row (same discipline as dedupJaccard)
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
     val banded = emb
       .select(col("vec_id"), posexplode(bandBuckets(col("v"))).as(Seq("band", "bucket")))
+      .persist()
     // distinct candidate id-pairs first (a pair colliding in k bands must be
     // verified once, not k times), then re-attach vectors and exact-verify
     val cand = banded.as("a")

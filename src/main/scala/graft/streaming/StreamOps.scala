@@ -106,10 +106,15 @@ object StreamOps {
     * event-time watermark passes its gap horizon (`setTimeoutTimestamp(last
     * + gap)`), so every session eventually flushes and state is dropped.
     * State size: O(users active within the gap), independent of stream
-    * length. `delay` is the out-of-order tolerance (watermark lag). */
+    * length. `delay` is the out-of-order tolerance (watermark lag): rows
+    * later than it are DROPPED by the state operator, so the default is a
+    * full hour — tight delays flush sooner but lose more stragglers, a
+    * trade the caller owns. A late row within the tolerance that sorts
+    * before the session's current end MERGES into the session (min start /
+    * max end), never rewinding the end or the timeout horizon. */
   def sessionize(events: Dataset[(Long, Timestamp)],
                  gapMs: Long = 3600 * 1000L,
-                 delay: String = "0 seconds"): Dataset[UserSession] = {
+                 delay: String = "1 hour"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     def close(user: Long, s: SessState) =
       UserSession(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
@@ -132,7 +137,9 @@ object StreamOps {
             times.foreach { t =>
               st = st match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  Some(s.copy(lastMs = t, n = s.n + 1))
+                  // covers t <= lastMs too (late within watermark): absorb
+                  // without shrinking the session or its timeout horizon
+                  Some(SessState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
                 case Some(s) =>
                   closed ::= close(user, s); Some(SessState(t, t, 1))
                 case None => Some(SessState(t, t, 1))

@@ -46,6 +46,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got.last == (9L, "n ewest", 1L))
   }
 
+  test("bpeMerges handles identical-symbol runs like the standard greedy scan") {
+    import spark.implicits._
+    // 'aaaa' must merge to [aa, aa] in round 1 (space-consuming replacement
+    // would leave [aa, a, a] and wrongly re-learn 'a a' in round 2)
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMergesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a a", 9L), (2L, "aa aa", 3L)))
+  }
+
   test("dupClustersLsh (minhash pairs) equals exact-pair clustering") {
     val exact = TextOps.dupClusters(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
