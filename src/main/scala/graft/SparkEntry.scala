@@ -103,6 +103,7 @@ object SparkEntry {
     "q_knn_join" -> (VectorOps.knnJoin _),
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
+    "q_partition_prune" -> (SourceOps.partitionPrune _),
     "q_json_extract" -> (EventOps.jsonExtract _),
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),
@@ -682,6 +683,10 @@ object SparkEntry {
       |  FROM sims)
       |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
       |FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin),
+    "q_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k

@@ -31,6 +31,25 @@ object SourceOps {
       tmp
     })
 
+  /** Partition-pruned day scan — the 100 TB `events` layout as a DECLARED
+    * query, not just a plan test: stage the table day-partitioned (one-time,
+    * memoized), then aggregate a single day. The day predicate binds as a
+    * PartitionFilter, so the scan touches one directory of thirty — the
+    * difference between reading 3 TB and 100 TB every morning. SinkSpec
+    * asserts the pruned-partition count on the same layout. */
+  def partitionPrune(spark: SparkSession, sf: String): DataFrame = {
+    val dir = materialize(s"events_day_$sf") { d =>
+      EventOps.events(spark, sf)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(d)
+    }
+    spark.read.parquet(dir)
+      .filter(col("day") === lit("2024-01-03").cast("date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** JSON-lines round-trip: the interchange format of most LLM-data-pipeline
     * corpora. Jackson prints doubles in shortest round-trip form, so the
     * re-read values are bit-identical and the aggregate hash-matches. */
