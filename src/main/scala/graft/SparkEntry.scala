@@ -57,6 +57,7 @@ object SparkEntry {
     "q_unpivot" -> (Relational.unpivotMeans _),
     "q_date_funcs" -> (Relational.dateFuncs _),
     "q_upsert" -> (Relational.upsert _),
+    "q_cdc_apply" -> (Relational.cdcApply _),
     "q_regex_extract" -> (Relational.regexExtract _),
     "q_array_agg" -> (Relational.arrayAgg _),
     "q_sketch_stats" -> (Relational.sketchStats _),
@@ -482,6 +483,20 @@ object SparkEntry {
         |  concat(c_mktsegment, ':', c_name) AS segmented,
         |  CAST(length(c_name) AS BIGINT) AS name_len
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH changes AS (
+        |  SELECT o_custkey AS custkey,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal, o_orderkey AS seq
+        |  FROM orders),
+        |latest AS (
+        |  SELECT custkey, arg_max(op, seq) AS op, arg_max(new_bal, seq) AS new_bal
+        |  FROM changes GROUP BY custkey)
+        |SELECT c.c_custkey AS custkey,
+        |  round(CASE WHEN l.op = 'U' THEN l.new_bal ELSE c.c_acctbal END, 2) AS bal
+        |FROM customer c LEFT JOIN latest l ON c.c_custkey = l.custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY custkey""".stripMargin,
     "q_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal FROM customer),

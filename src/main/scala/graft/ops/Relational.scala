@@ -478,6 +478,33 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** CDC apply — compact a change stream (op ∈ U/D, ordered by a unique
+    * sequence) onto a base snapshot: per key keep only the LATEST change
+    * (map-side-combinable argmax, shuffle = key cardinality), then one
+    * co-partitioned left join applies it — U overrides the balance, D
+    * tombstones the row. Complements [[upsert]] (SCD-1, no deletes) with
+    * the delete semantics a real CDC feed carries; with a transactional
+    * format this is the MERGE ... WHEN MATCHED DELETE form. The change
+    * stream derives deterministically from `orders` (seq = o_orderkey;
+    * every 17th order is a delete). */
+  def cdcApply(spark: SparkSession, sf: String): DataFrame = {
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal"))
+    val changes = Tables.load(spark, sf, "orders").select(
+      col("o_custkey").as("custkey"),
+      when(col("o_orderkey") % 17 === 0, "D").otherwise("U").as("op"),
+      col("o_totalprice").as("new_bal"),
+      col("o_orderkey").as("seq"))
+    val latest = changes.groupBy("custkey")
+      .agg(max_by(struct(col("op"), col("new_bal")), col("seq")).as("c"))
+      .select(col("custkey"), col("c.op").as("op"), col("c.new_bal").as("new_bal"))
+    base.join(latest, Seq("custkey"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("custkey"),
+        round(when(col("op") === "U", col("new_bal")).otherwise(col("bal")), 2).as("bal"))
+      .orderBy("custkey")
+  }
+
   /** CSV round-trip — the reference's upload path (`pd.read_csv`,
     * `app_test.py:262-263`): write a table as CSV, read it back with an
     * explicit schema (never inference, SURVEY.md §1.4), prove losslessness. */
