@@ -27,7 +27,7 @@ object Bench {
     // the timed region measures the engine's read→agg, not coalesce(1) file
     // IO setup (VERDICT r2 §perf)
     Seq("q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
-        "q_partition_prune")
+        "q_partition_prune", "q_schema_merge")
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
         catch { case e: Throwable => System.err.println(s"[bench] stage $name failed: ${e.getMessage}") }

@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
+    "q_schema_merge" -> (SourceOps.schemaMerge _),
     "q_json_extract" -> (EventOps.jsonExtract _),
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),
@@ -698,6 +699,11 @@ object SparkEntry {
       |  FROM sims)
       |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
       |FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin),
+    "q_schema_merge" ->
+      """SELECT n_nationkey, n_name, FALSE AS has_region FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, TRUE FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "q_partition_prune" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'

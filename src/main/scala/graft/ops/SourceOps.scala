@@ -50,6 +50,29 @@ object SourceOps {
       .orderBy("event_type")
   }
 
+  /** Schema-evolution read — the evolving-table reality of any long-lived
+    * pipeline: an old snapshot (nation: key, name) and a new snapshot with
+    * an added column (+ regionkey) coexist in one dataset; `mergeSchema`
+    * reconciles them at read time, old rows null-filling the new column.
+    * At 100 TB schema merging is a FOOTER-only operation (one task per
+    * file footer, no data read), so evolution costs nothing until the new
+    * column is actually scanned. Staged once (memoized), like the other
+    * source-format demos. */
+  def schemaMerge(spark: SparkSession, sf: String): DataFrame = {
+    val dir = materialize(s"schema_merge_$sf") { d =>
+      val nation = Tables.load(spark, sf, "nation")
+      nation.select(col("n_nationkey"), col("n_name"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/v1")
+      nation.select(col("n_nationkey") + 100, col("n_name"), col("n_regionkey"))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/v2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey").isNotNull.as("has_region"))
+      .orderBy("n_nationkey")
+  }
+
   /** JSON-lines round-trip: the interchange format of most LLM-data-pipeline
     * corpora. Jackson prints doubles in shortest round-trip form, so the
     * re-read values are bit-identical and the aggregate hash-matches. */
