@@ -42,6 +42,7 @@ object SparkEntry {
     // §2.5–2.7 joins / windows / top-k
     "q_join_broadcast" -> (Relational.joinBroadcast _),
     "q_join_multiway" -> (Relational.joinMultiway _),
+    "q_brand_revenue" -> (Relational.brandRevenue _),
     "q_window_rank" -> (Relational.windowRank _),
     "q_topk_custom" -> (Relational.topkCustom _),
     "q_topk" -> (Relational.topk _),
@@ -352,6 +353,15 @@ object SparkEntry {
     "q_join_broadcast" ->
       """SELECT c_custkey, c_name, n_name FROM customer
         |JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin,
+    "q_brand_revenue" ->
+      """SELECT p_brand, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin,
     "q_join_multiway" ->
       """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
         |FROM customer

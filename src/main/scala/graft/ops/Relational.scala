@@ -179,6 +179,27 @@ object Relational {
       .orderBy("r_name")
   }
 
+  /** Star-join revenue rollup (TPC-H Q9 family): the fact table joins THREE
+    * broadcast dimensions (part, supplier, nation) and aggregates discounted
+    * revenue by brand × nation. The fact side never shuffles until the final
+    * group agg (partial map-side, shuffle = group cardinality) — the
+    * canonical warehouse shape a 100 TB star schema runs all day. Also the
+    * only declared consumers of the `part` and `supplier` fixtures. */
+  def brandRevenue(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.load(spark, sf, "lineitem")
+    li.join(broadcast(Tables.load(spark, sf, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.load(spark, sf, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, sf, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("p_brand", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand", "n_name")
+  }
+
   /** Distinct aggregation (SURVEY.md §2.3 ext). Exact `count(DISTINCT)` so the
     * DuckDB oracle is hash-comparable; the approximate HLL form
     * (`approx_count_distinct`) is exercised in unit tests + bench, where
