@@ -136,9 +136,17 @@ object StreamOps {
             var st = state.getOption
             times.foreach { t =>
               st = st match {
+                case Some(s) if t < s.startMs - gapMs =>
+                  // straggler from BEFORE the open session's window: merging
+                  // would stitch a hole wider than the gap into one session.
+                  // Emit it as its own closed session (approximation: multiple
+                  // such stragglers fragment rather than re-group — the
+                  // no-internal-hole-over-gap invariant is what we keep)
+                  closed ::= close(user, SessState(t, t, 1)); Some(s)
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  // covers t <= lastMs too (late within watermark): absorb
-                  // without shrinking the session or its timeout horizon
+                  // covers start-gap <= t <= lastMs too (late within
+                  // watermark): absorb without shrinking the session or its
+                  // timeout horizon
                   Some(SessState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
                 case Some(s) =>
                   closed ::= close(user, s); Some(SessState(t, t, 1))

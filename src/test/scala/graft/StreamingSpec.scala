@@ -62,6 +62,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize emits a too-late straggler as its own session, never stitching") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_straggler")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // 9:05 is within the 1h watermark tolerance but > gap before the open
+      // session's start: absorbing it would make one session spanning a
+      // 55-minute hole (> gap). It must close as a singleton instead.
+      stream.addData((1L, t("2024-01-01 09:05:00")))
+      q.processAllAvailable()
+      val s = spark.table("sessions_straggler").as[UserSession].collect()
+      assert(s.toSeq == Seq(UserSession(1L, t("2024-01-01 09:05:00"),
+        t("2024-01-01 09:05:00"), 1L)), s.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("sessionize flushes the trailing open session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
