@@ -129,6 +129,46 @@ class PropertySpec extends SparkSpec {
       s"recall $observed below banding-bound expectation $expected over ${exact.size} pairs")
   }
 
+  test("cdcApply equals a sequential replay of the change stream") {
+    import graft.sources.Tables
+    val base = Tables.load(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val changes = Tables.load(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2) // replay in sequence order
+    val state = scala.collection.mutable.Map.empty[Long, Option[Double]]
+    changes.foreach { case (k, seq, price) =>
+      state(k) = if (seq % 17 == 0) None else Some(price)
+    }
+    val expected = base.flatMap { case (k, bal) =>
+      state.get(k) match {
+        case Some(None) => None // deleted
+        case Some(Some(nb)) => Some(k -> BigDecimal(nb).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        case None => Some(k -> BigDecimal(bal).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }
+    }
+    val got = graft.ops.Relational.cdcApply(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
+    assert(got == expected.toMap)
+  }
+
+  test("quantize reconstruction error is bounded by half a quantization step") {
+    import graft.sources.Tables
+    val maxAbsPerDim = Tables.load(spark, sf0001, "embeddings")
+      .select(posexplode(graft.ops.VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("pos").agg(max(abs(col("x"))).as("m"))
+      .collect().map(_.getDouble(1))
+    val bound = maxAbsPerDim.max / 254.0 + 1e-4 // half step + round(,4) slack
+    val rows = graft.ops.VectorOps.quantizeErr(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= bound, s"vec ${r.getLong(0)}: ${r.getDouble(1)} > $bound")
+      assert(r.getDouble(2) <= r.getDouble(1) + 1e-4) // rmse <= max abs err
+    }
+  }
+
   test("scaling is invertible: unscale(scale(x)) == x within fp tolerance") {
     import graft.ops.Scoring.ModelConstants._
     forAll(Gen.choose(-1e4, 1e4)) { x =>
