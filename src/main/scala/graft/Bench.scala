@@ -26,8 +26,7 @@ object Bench {
     // pre-materialize round-trip staging writes (memoized in SourceOps) so
     // the timed region measures the engine's read→agg, not coalesce(1) file
     // IO setup (VERDICT r2 §perf)
-    Seq("q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
-        "q_partition_prune", "q_schema_merge")
+    graft.ops.SourceOps.stagedQueries
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
         catch { case e: Throwable => System.err.println(s"[bench] stage $name failed: ${e.getMessage}") }
@@ -57,6 +56,9 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          // a failed query may have persisted frames before dying — clear
+          // them too, or they pressure the pinned heap for every later timing
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
           name -> -1.0
       }
     }

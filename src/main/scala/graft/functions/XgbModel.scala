@@ -52,11 +52,21 @@ object XgbModel {
   }
 
   /** Float32 margin for one row; features as the 15-element array<double>
-    * in ColumnTransformer order (7 z-scaled numerics, 8 one-hots). */
+    * in ColumnTransformer order (7 z-scaled numerics, 8 one-hots).
+    * Validates shape and nulls: xgb_margin is SQL-registered, so arbitrary
+    * arrays can reach here — a null slot must fail loudly (ANSI style), not
+    * silently score as 0.0 via UnsafeArrayData's null-slot representation. */
   def margin(a: ArrayData): Float = {
+    if (a.numElements() != numFeatures)
+      throw new IllegalArgumentException(
+        s"xgb_margin: expected $numFeatures features, got ${a.numElements()}")
     val f = tlBuf.get()
     var i = 0
-    while (i < numFeatures) { f(i) = a.getDouble(i).toFloat; i += 1 }
+    while (i < numFeatures) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"xgb_margin: feature $i is NULL")
+      f(i) = a.getDouble(i).toFloat; i += 1
+    }
     marginF(f)
   }
 

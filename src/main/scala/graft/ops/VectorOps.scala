@@ -110,8 +110,10 @@ object VectorOps {
     * round-trip — the numbers a quantization rollout is judged by. At 100 TB
     * the calibration agg runs on a sample instead of the full corpus. */
   def quantizeErr(spark: SparkSession, sf: String): DataFrame = {
+    // persist: the calibration agg and the quantize pass share this scan
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
     val sc = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("pos").agg(max(abs(col("x"))).as("m"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),

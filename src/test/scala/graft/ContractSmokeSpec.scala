@@ -21,4 +21,9 @@ class ContractSmokeSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"orphan oracles: $orphans")
   }
+
+  test("every staged query name is a declared query") {
+    val unknown = graft.ops.SourceOps.stagedQueries.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"stagedQueries not in registry: $unknown")
+  }
 }

@@ -92,6 +92,20 @@ class XgbModelSpec extends SparkSpec {
     assert(Scoring.scoreExact(spark, "/root/testdata/sf0.001").collect().sameElements(rows))
   }
 
+  test("xgb_margin rejects null elements and wrong-arity arrays loudly") {
+    def rootChain(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val nulled = Seq(1).toDF("i").select(XgbFunctions.xgb_margin(
+      array(lit(null).cast("double") +: (1 until XgbModel.numFeatures)
+        .map(_ => lit(0.0)): _*)).as("m"))
+    val e1 = intercept[Exception](nulled.collect())
+    assert(rootChain(e1).contains("NULL"), rootChain(e1))
+    val short = Seq(1).toDF("i")
+      .select(XgbFunctions.xgb_margin(array(lit(1.0), lit(2.0))).as("m"))
+    val e2 = intercept[Exception](short.collect())
+    assert(rootChain(e2).contains("expected"), rootChain(e2))
+  }
+
   test("oracle SQL generator: one + between trees, sequential carry, base last") {
     val chunks = XgbModel.oracleMarginChunks(i => s"f$i")
     assert(chunks.size == 5) // 400 trees / 80 per chunk
