@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dup_clusters" -> (TextOps.dupClusters _),
     "q_dup_clusters_lsh" -> (TextOps.dupClustersLsh _),
     "q_text_tokens" -> (TextOps.textTokens _),
+    "q_corpus_stats" -> (TextOps.corpusStats _),
     "q_ngram_top" -> (TextOps.ngramTop _),
     "q_decontaminate" -> (TextOps.decontaminate _),
     "q_repetition" -> (TextOps.repetition _),
@@ -552,6 +553,14 @@ object SparkEntry {
          |  FROM t WHERE len(toks) >= 2)
          |SELECT bigram, count(*) AS n FROM bg
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_corpus_stats" ->
+      s"""WITH d AS (SELECT text, CAST(len($toksSql) AS BIGINT) AS tl FROM documents),
+         |per AS (SELECT text, count(*) AS n, sum(tl) AS t FROM d GROUP BY text)
+         |SELECT CAST(sum(n) AS BIGINT) AS docs, count(*) AS distinct_texts,
+         |  CAST(sum(t) AS BIGINT) AS tokens,
+         |  round(CAST(sum(t) AS DOUBLE) / sum(n), 4) AS avg_tokens,
+         |  round(1 - CAST(count(*) AS DOUBLE) / sum(n), 4) AS dup_rate
+         |FROM per""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bm25" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

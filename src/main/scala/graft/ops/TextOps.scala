@@ -475,6 +475,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** One-pass corpus health report — the dashboard-style rollup a data
+    * curator reads first: volume (docs, tokens, avg length) and exact
+    * duplication rate. One scan → per-text aggregate (the dedup grain) →
+    * one global aggregate; at 100 TB the per-text grain would group on a
+    * fingerprint ([[fingerprint]]) so text never rides the shuffle. */
+  def corpusStats(spark: SparkSession, sf: String): DataFrame = {
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val per = Tables.load(spark, sf, "documents")
+      .repartition(parallelism, col("doc_id"))
+      .select(col("text"), size(tokens(col("text"))).cast("long").as("tl"))
+      .groupBy("text").agg(count(lit(1)).as("n"), sum("tl").as("t"))
+    per.agg(sum("n").as("docs"), count(lit(1)).as("distinct_texts"),
+        sum("t").as("tokens"))
+      .select(col("docs"), col("distinct_texts"), col("tokens"),
+        round(col("tokens").cast("double") / col("docs"), 4).as("avg_tokens"),
+        round(lit(1.0) - col("distinct_texts").cast("double") / col("docs"), 4)
+          .as("dup_rate"))
+  }
+
   /** Number of BPE merge rounds for [[bpeMerges]]. */
   val BpeRounds = 10
 
