@@ -46,15 +46,8 @@ object TextOps {
     * shuffle at 100 TB. Deduped with a distributed `distinct()` (hash
     * shuffle), not per-row array_distinct; both Jaccard and MinHash consume
     * the SAME plan, so a shared persist serves them. */
-  def shingleRows(spark: SparkSession, sf: String): DataFrame = {
-    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    shingleRowsOf(Tables.load(spark, sf, "documents")
-      // the harness table is one parquet file = one scan task; fan the raw
-      // docs out BEFORE the expensive tokenize+shingle so it runs on every
-      // core (a ~10 MB shuffle buys 32× parallelism; on a real partitioned
-      // 100 TB layout the scan is already parallel and AQE elides this)
-      .repartition(parallelism, col("doc_id")))
-  }
+  def shingleRows(spark: SparkSession, sf: String): DataFrame =
+    shingleRowsOf(fannedDocs(spark, sf))
 
   /** Same base relation from any (doc_id, text) frame — the seam the
     * planted-near-dup property tests use (PropertySpec). */
@@ -405,22 +398,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Adjacent word bigrams of a token array (empty when < 2 tokens). */
+  private def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The documents table fanned out across every core: the single-file
+    * harness parquet is ONE scan task, so repartition the cheap raw rows
+    * BEFORE expensive per-row work (same pattern as shingleRows; on a real
+    * partitioned layout the scan is already parallel and AQE elides this). */
+  private def fannedDocs(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+
   /** Corpus-wide top-20 bigrams — the n-gram frequency pass of a training-data
     * pipeline (vocabulary building, boilerplate detection). Explode → one
     * hash aggregate with map-side combine → TakeOrderedAndProject: shuffle
     * volume is distinct-bigram cardinality, not token count. */
   def ngramTop(spark: SparkSession, sf: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    Tables.load(spark, sf, "documents")
-      // single-file harness parquet = one scan task: fan raw docs out BEFORE
-      // the tokenize+bigram work (same pattern as shingleRows)
-      .repartition(parallelism, col("doc_id"))
-      .select(explode(bigrams).as("bigram"))
+    fannedDocs(spark, sf)
+      .select(explode(bigramsOf(tokens(col("text")))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -449,19 +448,12 @@ object TextOps {
 
   /** Intra-document repetition ratio — 1 − distinct/total bigrams, the
     * Gopher-style quality signal that catches boilerplate and generated-text
-    * loops. Distributed form (explode → count + count-distinct in one
-    * map-side-combined aggregate), not per-row array_distinct; docs with
-    * fewer than 2 tokens score 0. */
+    * loops. Distributed two-phase form (explode → per-(doc, bigram) count →
+    * per-doc rollup), not per-row array_distinct; docs with fewer than 2
+    * tokens score 0. */
   def repetition(spark: SparkSession, sf: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    Tables.load(spark, sf, "documents")
-      .repartition(parallelism, col("doc_id"))
-      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+    fannedDocs(spark, sf)
+      .select(col("doc_id"), explode_outer(bigramsOf(tokens(col("text")))).as("bg"))
       // two-phase instead of count+countDistinct in one agg: the combined
       // form plans an Expand that doubles the exploded rows; here the first
       // agg collapses to (doc, distinct bigram) and the second is tiny
@@ -481,9 +473,7 @@ object TextOps {
     * one global aggregate; at 100 TB the per-text grain would group on a
     * fingerprint ([[fingerprint]]) so text never rides the shuffle. */
   def corpusStats(spark: SparkSession, sf: String): DataFrame = {
-    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val per = Tables.load(spark, sf, "documents")
-      .repartition(parallelism, col("doc_id"))
+    val per = fannedDocs(spark, sf)
       .select(col("text"), size(tokens(col("text"))).cast("long").as("tl"))
       .groupBy("text").agg(count(lit(1)).as("n"), sum("tl").as("t"))
     per.agg(sum("n").as("docs"), count(lit(1)).as("distinct_texts"),
@@ -513,11 +503,8 @@ object TextOps {
     * "aa aa", never "aa a a"). `\b` is supported by both Java regex and
     * RE2, so the DuckDB twin applies the identical rewrite. Output: the
     * learned merge table (rank, pair, weight). */
-  def bpeMerges(spark: SparkSession, sf: String): DataFrame = {
-    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    bpeMergesOf(Tables.load(spark, sf, "documents")
-      .repartition(parallelism, col("doc_id")))
-  }
+  def bpeMerges(spark: SparkSession, sf: String): DataFrame =
+    bpeMergesOf(fannedDocs(spark, sf))
 
   /** Core over any (doc_id, text) frame (golden-vector seam, TextOpsSpec). */
   def bpeMergesOf(docs: DataFrame): DataFrame = {
@@ -566,9 +553,7 @@ object TextOps {
     * doc_id tie-break so libm-log ulp skew can't reorder across engines. */
   def bm25(spark: SparkSession, sf: String): DataFrame = {
     val queryTerms = Seq("hash", "join", "scan")
-    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val tk = Tables.load(spark, sf, "documents")
-      .repartition(parallelism, col("doc_id"))
+    val tk = fannedDocs(spark, sf)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .persist()
     val docLen = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
@@ -597,15 +582,13 @@ object TextOps {
     * differences cannot flip the ranking. */
   def tfidf(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, sf, "documents")
-    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val tf = docs
-      .repartition(parallelism, col("doc_id")) // single-file scan → fan out first
+    val tf = fannedDocs(spark, sf)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfTok = tf.groupBy("tok")
       .agg(countDistinct("doc_id").cast("double").as("df"))
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val nDocs = Tables.load(spark, sf, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
     tf.join(dfTok, "tok")
       .crossJoin(broadcast(nDocs))
