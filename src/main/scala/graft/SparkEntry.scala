@@ -86,6 +86,7 @@ object SparkEntry {
     "q_ngram_top" -> (TextOps.ngramTop _),
     "q_decontaminate" -> (TextOps.decontaminate _),
     "q_repetition" -> (TextOps.repetition _),
+    "q_quality_filter" -> (TextOps.qualityFilter _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_bm25" -> (TextOps.bm25 _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
@@ -249,6 +250,21 @@ object SparkEntry {
   /** DuckDB twin of TextOps.langIdOf: stopword-hit counts per language,
     * argmax with the same tie-break as Spark's greatest-of-struct (higher
     * hits wins; equal hits -> lexicographically larger language code). */
+  /** DuckDB twin of TextOps.repetition; also embedded as a CTE by the
+    * q_quality_filter composition. */
+  private val repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM t WHERE len(toks) >= 2),
+       |agg AS (SELECT doc_id, count(*) AS n, count(DISTINCT bg) AS d
+       |        FROM bg GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CASE WHEN n > 0 THEN round(1 - CAST(d AS DOUBLE) / n, 4)
+       |       ELSE 0.0 END AS rep_ratio
+       |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   private val langIdSql: String = {
     val langs = TextOps.langStopwords.toSeq.sortBy(_._1) // de, en, es, fr
     val hitCols = langs.map { case (lang, sw) =>
@@ -534,18 +550,18 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_shared
          |FROM sh JOIN ev USING (s) WHERE doc_id % 20 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_repetition" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-         |    i -> toks[i] || ' ' || toks[i+1])) AS bg
-         |  FROM t WHERE len(toks) >= 2),
-         |agg AS (SELECT doc_id, count(*) AS n, count(DISTINCT bg) AS d
-         |        FROM bg GROUP BY 1)
-         |SELECT t.doc_id,
-         |  CASE WHEN n > 0 THEN round(1 - CAST(d AS DOUBLE) / n, 4)
-         |       ELSE 0.0 END AS rep_ratio
-         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+    "q_repetition" -> repetitionSql,
+    "q_quality_filter" ->
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |ntok AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |rep AS ($repetitionSql),
+         |lang AS ($langIdSql)
+         |SELECT doc_id, n_tokens, rep_ratio
+         |FROM canon JOIN ntok USING (doc_id) JOIN rep USING (doc_id)
+         |  JOIN lang USING (doc_id)
+         |WHERE lang_pred = 'en' AND n_tokens >= 20 AND rep_ratio < 0.05
+         |ORDER BY doc_id""".stripMargin,
     "q_ngram_top" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |bg AS (SELECT unnest(list_transform(range(1, len(toks)),

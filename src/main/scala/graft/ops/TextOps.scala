@@ -398,6 +398,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation decision — the query a corpus pipeline actually
+    * runs, not just its ingredients: keep a document iff it is the
+    * exact-dedup canonical copy AND identified English AND long enough AND
+    * not repetition-heavy. Composes [[dedupExact]]'s keep-min grain,
+    * [[langId]] and [[repetition]] with three doc_id-co-partitioned joins;
+    * every input query is itself oracle-checked, and so is the composition.
+    * At 100 TB each signal is one scan+agg and the joins share one hash
+    * partitioning on doc_id. */
+  def qualityFilter(spark: SparkSession, sf: String): DataFrame = {
+    val canonical = Tables.load(spark, sf, "documents")
+      .groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val nTok = fannedDocs(spark, sf)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    canonical.join(nTok, "doc_id")
+      .join(repetition(spark, sf), "doc_id")
+      .join(langId(spark, sf), "doc_id")
+      .filter(col("lang_pred") === "en" && col("n_tokens") >= 20 &&
+        col("rep_ratio") < 0.05)
+      .select("doc_id", "n_tokens", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
   /** Adjacent word bigrams of a token array (empty when < 2 tokens). */
   private def bigramsOf(toks: Column): Column =
     when(size(toks) >= 2,
