@@ -45,6 +45,7 @@ object Bench {
       ex.unpersist()
       spark.catalog.clearCache()
     } catch { case e: Throwable => System.err.println(s"[bench] shingle warmup failed: ${e.getMessage}") }
+    val stagedBefore = graft.ops.SourceOps.stagedKeyCount
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -62,6 +63,9 @@ object Bench {
           name -> -1.0
       }
     }
+    if (graft.ops.SourceOps.stagedKeyCount > stagedBefore)
+      System.err.println("[bench] WARNING: a materialize() staging write ran " +
+        "inside the timed region — add the query to SourceOps.stagedQueries")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)

@@ -247,9 +247,6 @@ object SparkEntry {
        |ORDER BY rank""".stripMargin
   }
 
-  /** DuckDB twin of TextOps.langIdOf: stopword-hit counts per language,
-    * argmax with the same tie-break as Spark's greatest-of-struct (higher
-    * hits wins; equal hits -> lexicographically larger language code). */
   /** DuckDB twin of TextOps.repetition; also embedded as a CTE by the
     * q_quality_filter composition. */
   private val repetitionSql: String =
@@ -265,6 +262,9 @@ object SparkEntry {
        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** DuckDB twin of TextOps.langIdOf: stopword-hit counts per language,
+    * argmax with the same tie-break as Spark's greatest-of-struct (higher
+    * hits wins; equal hits -> lexicographically larger language code). */
   private val langIdSql: String = {
     val langs = TextOps.langStopwords.toSeq.sortBy(_._1) // de, en, es, fr
     val hitCols = langs.map { case (lang, sw) =>

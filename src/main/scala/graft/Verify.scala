@@ -42,8 +42,8 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // some queries persist() small frames; don't accumulate 88 queries'
-        // cache in one session
+        // some queries persist() small frames; don't accumulate the whole
+        // registry's cache in one session
         spark.catalog.clearCache()
       }
       spark.stop()

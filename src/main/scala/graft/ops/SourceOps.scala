@@ -24,6 +24,11 @@ object SourceOps {
     * so correctness coverage of the write path is unchanged. */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Number of staging dirs materialized so far — Bench snapshots this
+    * around its timed loop to detect a materialize user missing from
+    * [[stagedQueries]] (a staging write inside a timed region). */
+  def stagedKeyCount: Int = staged.size()
+
   /** Declared queries whose construction stages a one-time [[materialize]]
     * write. Owned HERE, next to materialize, so adding a new staging user
     * and registering it for Bench's untimed pre-staging is one edit in one

@@ -380,19 +380,24 @@ object TextOps {
     * ([[langIdOf]], kept as the expression-level API). Tie-break identical:
     * max(struct) prefers higher hits then the lexicographically larger
     * language code; zero-hit docs fall out of the join → coalesce "und". */
-  def langId(spark: SparkSession, sf: String): DataFrame = {
+  def langId(spark: SparkSession, sf: String): DataFrame =
+    langIdFrom(Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** Core over any (doc_id, toks) frame (seam shared with qualityFilter). */
+  def langIdFrom(docToks: DataFrame): DataFrame = {
+    val spark = docToks.sparkSession
     import spark.implicits._
-    val docs = Tables.load(spark, sf, "documents")
     val sw = langStopwords.toSeq
       .flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("lang", "tok")
-    val hits = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val hits = docToks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(broadcast(sw), "tok")
       .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
     val best = hits.groupBy("doc_id")
       .agg(max(struct(col("hits"), col("lang"))).as("b"))
       .select(col("doc_id"), col("b.lang").as("lang_hit"))
-    docs.select("doc_id")
+    docToks.select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lang_hit"), lit("und")).as("lang_pred"))
       .orderBy("doc_id")
@@ -407,13 +412,18 @@ object TextOps {
     * At 100 TB each signal is one scan+agg and the joins share one hash
     * partitioning on doc_id. */
   def qualityFilter(spark: SparkSession, sf: String): DataFrame = {
-    val canonical = Tables.load(spark, sf, "documents")
-      .groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
-    val nTok = fannedDocs(spark, sf)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // ONE scan + tokenize, persisted: canonical grain (same keep-min rule
+    // as dedupExact), token counts, repetition and lang-id all read it
+    val base = fannedDocs(spark, sf)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .persist()
+    val docToks = base.select("doc_id", "toks")
+    val canonical = base.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nTok = base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
     canonical.join(nTok, "doc_id")
-      .join(repetition(spark, sf), "doc_id")
-      .join(langId(spark, sf), "doc_id")
+      .join(repetitionFrom(docToks), "doc_id")
+      .join(langIdFrom(docToks), "doc_id")
       .filter(col("lang_pred") === "en" && col("n_tokens") >= 20 &&
         col("rep_ratio") < 0.05)
       .select("doc_id", "n_tokens", "rep_ratio")
@@ -473,9 +483,14 @@ object TextOps {
     * loops. Distributed two-phase form (explode → per-(doc, bigram) count →
     * per-doc rollup), not per-row array_distinct; docs with fewer than 2
     * tokens score 0. */
-  def repetition(spark: SparkSession, sf: String): DataFrame = {
-    fannedDocs(spark, sf)
-      .select(col("doc_id"), explode_outer(bigramsOf(tokens(col("text")))).as("bg"))
+  def repetition(spark: SparkSession, sf: String): DataFrame =
+    repetitionFrom(fannedDocs(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** Core over any (doc_id, toks) frame (seam shared with qualityFilter). */
+  def repetitionFrom(docToks: DataFrame): DataFrame = {
+    docToks
+      .select(col("doc_id"), explode_outer(bigramsOf(col("toks"))).as("bg"))
       // two-phase instead of count+countDistinct in one agg: the combined
       // form plans an Expand that doubles the exploded rows; here the first
       // agg collapses to (doc, distinct bigram) and the second is tiny
