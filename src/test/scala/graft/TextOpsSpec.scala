@@ -101,6 +101,17 @@ class TextOpsSpec extends SparkSpec {
     assert(m(4L) == "und")
   }
 
+  test("langIdOf expression form equals the join-form langId query corpus-wide") {
+    // two implementations of one semantic (per-row lambda argmax vs
+    // explode+broadcast-join argmax) must never drift
+    val exprForm = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), TextOps.langIdOf(TextOps.tokens(col("text"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val joinForm = TextOps.langId(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exprForm == joinForm)
+  }
+
   test("ngramTop counts bigrams, ordered by count desc then bigram") {
     val rows = TextOps.ngramTop(spark, sf0001).collect()
     assert(rows.length <= 20 && rows.nonEmpty)
