@@ -109,6 +109,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
     "q_schema_merge" -> (SourceOps.schemaMerge _),
+    "q_binary_files" -> (SourceOps.binaryFiles _),
     "q_json_extract" -> (EventOps.jsonExtract _),
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),
@@ -734,6 +735,9 @@ object SparkEntry {
       |  FROM sims)
       |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
       |FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin),
+    "q_binary_files" ->
+      """SELECT r_regionkey, CAST(octet_length(encode(r_name)) AS BIGINT) AS n_bytes
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "q_schema_merge" ->
       """SELECT n_nationkey, n_name, FALSE AS has_region FROM nation
         |UNION ALL

@@ -36,7 +36,7 @@ object SourceOps {
     * silently stale. */
   val stagedQueries: Seq[String] = Seq(
     "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
-    "q_partition_prune", "q_schema_merge")
+    "q_partition_prune", "q_schema_merge", "q_binary_files")
 
   private[ops] def materialize(key: String)(write: String => Unit): String =
     staged.computeIfAbsent(key, _ => {
@@ -86,6 +86,29 @@ object SourceOps {
       .select(col("n_nationkey"), col("n_name"),
         col("n_regionkey").isNotNull.as("has_region"))
       .orderBy("n_nationkey")
+  }
+
+  /** binaryFile source — how an on-disk image/audio corpus enters Spark:
+    * one row per file with (path, modificationTime, length, content), the
+    * front door to the multimodal ops (MultimodalOps decodes the `content`
+    * bytes map-side). Staged once: one tiny file per region row whose bytes
+    * are the region name, so length is oracle-derivable from the table. At
+    * 100 TB the same reader runs with `pathGlobFilter`/`recursiveFileLookup`
+    * over the object store and partition-parallel file listing. */
+  def binaryFiles(spark: SparkSession, sf: String): DataFrame = {
+    val dir = materialize(s"binfiles_$sf") { d =>
+      // staging only: region is 5 rows — driver-side file writes are the
+      // fixture generator here, not a query-path pattern
+      Tables.load(spark, sf, "region").collect().foreach { r =>
+        Files.write(java.nio.file.Paths.get(d, s"r${r.getInt(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "r(\\d+)\\.bin$", 1).cast("int").as("r_regionkey"),
+        col("length").cast("long").as("n_bytes"))
+      .orderBy("r_regionkey")
   }
 
   /** JSON-lines round-trip: the interchange format of most LLM-data-pipeline
