@@ -45,12 +45,17 @@ object Bench {
       ex.unpersist()
       spark.catalog.clearCache()
     } catch { case e: Throwable => System.err.println(s"[bench] shingle warmup failed: ${e.getMessage}") }
-    val stagedBefore = graft.ops.SourceOps.stagedKeyCount
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val stagedBefore = graft.ops.SourceOps.stagedKeyCount
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        if (graft.ops.SourceOps.stagedKeyCount > stagedBefore)
+          System.err.println(s"[bench] WARNING: $name ran a materialize() " +
+            "staging write inside its timed region (missing from " +
+            "SourceOps.stagedQueries, or its pre-stage failed above) — " +
+            "its timing includes one-time staging IO")
         System.err.println(f"[bench] $name%-20s ${dt}%8.2f s")
         spark.catalog.clearCache() // queries persist() small frames; don't
         name -> dt                 // let cache residue leak across timings
@@ -63,9 +68,6 @@ object Bench {
           name -> -1.0
       }
     }
-    if (graft.ops.SourceOps.stagedKeyCount > stagedBefore)
-      System.err.println("[bench] WARNING: a materialize() staging write ran " +
-        "inside the timed region — add the query to SourceOps.stagedQueries")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)

@@ -25,7 +25,7 @@ object SourceOps {
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Number of staging dirs materialized so far — Bench snapshots this
-    * around its timed loop to detect a materialize user missing from
+    * around each timed query to detect a materialize user missing from
     * [[stagedQueries]] (a staging write inside a timed region). */
   def stagedKeyCount: Int = staged.size()
 

@@ -10,6 +10,10 @@ class ContractSmokeSpec extends SparkSpec {
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
       assert(df.count() > 0, s"$name returned zero rows")
+      // several query builders persist() shared frames and rely on the
+      // caller-side cache contract (Bench/Verify clearCache per query) —
+      // honor it here too, or the suite accumulates one cache per query
+      spark.catalog.clearCache()
     }
   }
 
