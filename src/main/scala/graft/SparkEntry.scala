@@ -117,7 +117,8 @@ object SparkEntry {
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
     "q_range_join" -> (EventOps.rangeJoin _),
-    "q_media_meta" -> (MultimodalOps.mediaMeta _))
+    "q_media_meta" -> (MultimodalOps.mediaMeta _),
+    "q_media_dedup" -> (MultimodalOps.mediaDedup _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -220,7 +221,9 @@ object SparkEntry {
     * greedy merge rounds mechanically unrolled as chained CTEs — each round
     * re-derives the argmax pair and rewrites the word table exactly like the
     * Spark loop (same tie-break, same left-to-right non-overlapping
-    * replacement). */
+    * replacement). A round past vocabulary exhaustion (empty t_i) passes
+    * rows through unchanged — without the CASE guard, the NULL scalar
+    * subquery would NULL every row of all later CTEs via regexp_replace. */
   private def bpeMergesSql: String = {
     val rounds = graft.ops.TextOps.BpeRounds
     val iters = (1 to rounds).map { i =>
@@ -232,8 +235,9 @@ object SparkEntry {
          |  SELECT p, CAST(sum(n) AS BIGINT) AS cnt FROM p$i GROUP BY p
          |  ORDER BY cnt DESC, p LIMIT 1
          |), w$i AS MATERIALIZED (
-         |  SELECT regexp_replace(s, '\\b' || (SELECT p FROM t$i) || '\\b',
-         |    replace((SELECT p FROM t$i), ' ', ''), 'g') AS s, n
+         |  SELECT CASE WHEN (SELECT count(*) FROM t$i) = 0 THEN s
+         |    ELSE regexp_replace(s, '\\b' || (SELECT p FROM t$i) || '\\b',
+         |      replace((SELECT p FROM t$i), ' ', ''), 'g') END AS s, n
          |  FROM w${i - 1}
          |)""".stripMargin
     }.mkString(", ")
@@ -373,7 +377,7 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin,
     "q_brand_revenue" ->
       """SELECT p_brand, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -760,6 +764,27 @@ object SparkEntry {
         |            ELSE 'video' END AS kind,
         |  count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    // mediaDedup twin: 64-bin byte histogram per asset (documents.text IS
+    // ASCII, so ascii(char) == the payload byte), cosine over INTEGER counts
+    // — every sum exact in double, so the value matches the Spark expression
+    // dot/(sqrt(na)*sqrt(nb)) bit-for-bit in any summation order.
+    "q_media_dedup" ->
+      s"""WITH b AS (
+        |  SELECT doc_id AS media_id, (ascii(c) // 4) AS bin
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |), h AS (
+        |  SELECT media_id, bin, CAST(count(*) AS DOUBLE) AS cnt FROM b GROUP BY 1, 2
+        |), dots AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b, sum(a.cnt * b.cnt) AS dot
+        |  FROM h a JOIN h b ON a.bin = b.bin AND a.media_id < b.media_id
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT media_id, sqrt(sum(cnt * cnt)) AS nrm FROM h GROUP BY 1)
+        |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+        |FROM dots
+        |JOIN norms na ON id_a = na.media_id
+        |JOIN norms nb ON id_b = nb.media_id
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= ${MultimodalOps.MediaDupCos}
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_close_pairs
         |FROM events a JOIN events b

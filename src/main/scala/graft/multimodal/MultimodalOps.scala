@@ -63,6 +63,27 @@ object MultimodalOps {
       }
   }
 
+  /** Raw 64-bin byte histogram per asset (integer counts) — the un-normalized
+    * core of [[extractFeatures]], and the form [[mediaDedup]] computes cosine
+    * over: cosine is scale-invariant, and with INTEGER counts every dot
+    * product and squared norm is an exact integer in double arithmetic, so
+    * the similarity is bit-identical regardless of engine or summation
+    * order (what makes the composed query DuckDB-oracle-able). */
+  def byteHistogram(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sf).select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          val hist = new Array[Long](64)
+          var i = 0
+          while (i < content.length) { hist((content(i) & 0xFF) >> 2) += 1L; i += 1 }
+          (id, hist)
+        }
+      }
+      .toDF("media_id", "hist")
+  }
+
   /** Feature extraction: 64-bin byte histogram, L1-normalized — the stub for
     * "embed this image". Output is the same `Array[Float]` shape the
     * embeddings table carries, so VectorOps (cosine/ANN) compose directly. */
@@ -114,5 +135,45 @@ object MultimodalOps {
         count(lit(1)).as("n"),
         sum("n_bytes").as("total_bytes"))
       .orderBy("kind")
+  }
+
+  /** Near-duplicate threshold for [[mediaDedup]]. Byte histograms of same-
+    * alphabet text are ALL similar (fixture median pair cosine ≈ 0.985), so
+    * the dup cut sits far into the tail — 0.9995 isolates the genuinely
+    * near-identical payloads. */
+  val MediaDupCos = 0.9995
+
+  /** Declared composed query (multimodal → similarity search): embed every
+    * media asset with the stub featurizer ([[byteHistogram]], the integer
+    * form of [[extractFeatures]]) and report near-duplicate ASSET pairs by
+    * exact cosine ≥ [[MediaDupCos]] — the end-to-end "find duplicate
+    * images/videos in the corpus" pipeline. Exact all-pairs over the
+    * broadcast-sized media catalog is the oracle-checkable baseline; at
+    * 100 TB the same feature column feeds the banded LSH candidate path
+    * (VectorOps.dedupCosineLsh / annLsh) — MultimodalSpec asserts that
+    * composition recovers the exact pairs. Cosine runs over integer counts
+    * (scale-invariant, bit-deterministic — see [[byteHistogram]]) in the
+    * native codegen'd expression. */
+  def mediaDedup(spark: SparkSession, sf: String): DataFrame = {
+    val raw = graft.ops.VectorOps.cosine(col("v"), col("vb"))
+    val feats = byteHistogram(spark, sf)
+      .select(col("media_id"), transform(col("hist"), _.cast("double")).as("v"))
+      // the catalog parquet scan yields 1-2 partitions at bench scale, which
+      // would serialize the O(n²) compare loop on 2 cores — spread the
+      // stream side so the broadcast NLJ uses the whole machine
+      .repartition(col("media_id"))
+      .persist() // one featurize pass feeds both join sides
+    feats.as("a")
+      .join(broadcast(feats.select(col("media_id").as("ib"), col("v").as("vb"))),
+        col("media_id") < col("ib"))
+      // prefilter on the RAW cosine (pure codegen'd arithmetic) so the
+      // BigDecimal-allocating round() runs on the handful of survivors, not
+      // every candidate pair; a full 1e-4 of slack (2x the rounding step)
+      // keeps every x that could still satisfy round(x,4) >= threshold
+      .filter(raw >= MediaDupCos - 1e-4)
+      .select(col("media_id").as("id_a"), col("ib").as("id_b"),
+        round(raw, 4).as("cos"))
+      .filter(col("cos") >= MediaDupCos)
+      .orderBy("id_a", "id_b")
   }
 }

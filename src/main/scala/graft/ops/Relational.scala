@@ -184,7 +184,12 @@ object Relational {
     * revenue by brand × nation. The fact side never shuffles until the final
     * group agg (partial map-side, shuffle = group cardinality) — the
     * canonical warehouse shape a 100 TB star schema runs all day. Also the
-    * only declared consumers of the `part` and `supplier` fixtures. */
+    * only declared consumers of the `part` and `supplier` fixtures.
+    * Revenue rounds to 4 decimals: each product has exactly 4 decimal
+    * digits, so group sums are representable at 4 places and the round is
+    * exact regardless of summation order — rounding to 2 would sit on the
+    * .xx50 half-cent boundary where a 1-ulp order difference vs the oracle
+    * flips the cent. */
   def brandRevenue(spark: SparkSession, sf: String): DataFrame = {
     val li = Tables.load(spark, sf, "lineitem")
     li.join(broadcast(Tables.load(spark, sf, "part")),
@@ -195,7 +200,7 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .groupBy("p_brand", "n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy("p_brand", "n_name")
   }

@@ -27,6 +27,12 @@ import graft.sources.Tables
   */
 object Scoring {
 
+  /** Churn decision at probability `p` — strict `>`, matching xgboost's
+    * binary:logistic predict: exactly 0.5 is NOT churn. The ONE threshold
+    * both scoring paths ([[score]] and [[scoreExact]]) share, so they cannot
+    * disagree at the boundary (asserted in ScoringSpec). */
+  def churnPred(p: Column): Column = p > lit(0.5)
+
   /** Fitted constants from the reference pickle (FIXTURES.md §B). Column
     * order everywhere = the ColumnTransformer's: 7 numerics then 3 cats. */
   object ModelConstants {
@@ -138,7 +144,8 @@ object Scoring {
   }
 
   /** M5+M6+P5+P7: score any customer-shaped frame with a fitted model:
-    * probability → 0/1 prediction (threshold 0.5, `app_test.py:236`) → strict
+    * probability → 0/1 prediction (strict > 0.5, matching xgboost's
+    * binary:logistic predict and `scoreExact`, `app_test.py:236`) → strict
     * `<` risk bucket (`app_test.py:238`) → percent string (`app_test.py:300`).
     * Map-only: the model rides to executors as a broadcast task binary. */
   def score(model: GBTClassificationModel, df: DataFrame): DataFrame = {
@@ -147,7 +154,7 @@ object Scoring {
       .select(
         col("customer_id"),
         round(p1, 4).as("prob"),
-        (p1 >= 0.5).cast("int").as("churn_pred"),
+        churnPred(p1).cast("int").as("churn_pred"),
         when(p1 < 0.3, "Low").when(p1 < 0.7, "Medium").otherwise("High").as("risk"),
         format_string("%.2f%%", round(p1, 4) * 100).as("churn_pct"))
       .orderBy("customer_id")
@@ -227,7 +234,7 @@ object Scoring {
         // binary:logistic predict thresholds the float32 probability, and
         // it keeps (churn_prob, churn_pred, risk) self-consistent at the
         // margin≈0 boundary where float32 sigmoid rounds to exactly 0.5
-        (p > 0.5).cast("bigint").as("churn_pred"),
+        churnPred(p).cast("bigint").as("churn_pred"),
         when(p < 0.3, "Low").when(p < 0.7, "Medium").otherwise("High").as("risk"),
         format_string("%.2f%%", round(p * 100, 2)).as("churn_pct"))
       .orderBy("customer_id")

@@ -68,32 +68,78 @@ object TextOps {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
-  /** Near-dup pairs by exact 3-shingle Jaccard ≥ 0.8, via an inverted-index
-    * self-join (explode shingles → join on shingle → count common → Jaccard)
-    * — never the O(n²) all-pairs crossJoin.
+  /** Hot-shingle document-frequency cap for [[dedupJaccardFrom]] candidate
+    * generation. A shingle present in >cap documents contributes cap² rows
+    * to the inverted-index self-join yet carries almost no near-dup signal
+    * (boilerplate phrases); dropping it from CANDIDATE generation (never
+    * from verification) bounds the join fan-out at Σ min(df,cap)² —
+    * standard LSH practice. Not binding on the test fixtures (asserted in
+    * TextOpsSpec), so oracle output is unchanged there. */
+  val JaccardDfCap = 1000
+
+  /** Near-dup pairs by exact 3-shingle Jaccard ≥ 0.8, candidate-then-verify:
+    * an inverted-index self-join on shingles with df ≤ [[JaccardDfCap]]
+    * proposes pairs; exact Jaccard over the FULL shingle sets verifies them
+    * — never the O(n²) all-pairs crossJoin, and never an unbounded Σdf²
+    * fan-out on hot shingles.
     *
-    * Scale path: this exact form shuffles one row per (doc, shingle); hot
-    * shingles fan out quadratically at 100 TB, so the production variant is
-    * [[dedupMinhash]] (MinHash-LSH banding) with this exact form kept as the
-    * verifier of candidate pairs only. */
+    * Scale path: this exact form still shuffles one row per (doc, shingle);
+    * the production variant is [[dedupMinhash]] (MinHash-LSH banding, fixed
+    * rows × bands shuffle) with this form kept as its equality baseline. */
   def dedupJaccard(spark: SparkSession, sf: String): DataFrame =
     dedupJaccardFrom(shingleRows(spark, sf).persist())
 
-  /** Core over any pre-computed (doc_id, s) shingle relation. */
-  def dedupJaccardFrom(ex: DataFrame): DataFrame = {
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = ex.as("a")
-      .join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy("id_a", "id_b")
+  /** Core over any pre-computed (doc_id, s) shingle relation. `dfCap`
+    * bounds candidate generation only; verification always uses the full
+    * sets, so a reported jaccard value is exact. A pair whose common
+    * shingles are ALL above the cap is missed by design (it cannot be a
+    * near-dup of mostly-rare-shingle documents; property-tested).
+    *
+    * The cap is checked first with one small aggregate: when no shingle
+    * exceeds it (every fixture; most clean corpora), the capped plan's
+    * output provably equals the direct inverted-index form, so the cheaper
+    * single-pass plan runs — an AQE-style data-dependent plan choice. Only
+    * a corpus with genuinely hot shingles pays for candidate+verify. */
+  def dedupJaccardFrom(ex: DataFrame, dfCap: Int = JaccardDfCap): DataFrame = {
+    val maxDf = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head().getLong(0)
+    if (maxDf <= dfCap) {
+      // cap not binding: direct form, one self-join pass counts common
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = ex.as("a")
+        .join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    } else {
+      // hot shingles present: candidates from capped shingles only, then
+      // exact verify over the full sets (`ex` is distinct, so |intersect|
+      // equals the common-shingle count)
+      val dfs = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val rare = ex.join(dfs.filter(col("df") <= dfCap).select("s"), "s")
+        .select("doc_id", "s")
+      val cands = rare.as("a")
+        .join(rare.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sets = ex.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+      cands
+        .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+            size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    }
   }
 
   /** Duplicate CLUSTERS: connected components over the near-dup pair graph —
@@ -104,9 +150,11 @@ object TextOps {
     * each iteration is one distributed join + aggregate (Pregel-style), and
     * the iteration count is the graph diameter, not the vertex count. Near-
     * dup components are tiny cliques in practice, so this converges in 2-3
-    * rounds; the 20-round cap is a safety bound. At 100 TB the same loop
-    * runs with the edge list persisted and checkpointed per round (the
-    * alternating large-star/small-star variant cuts rounds to O(log d)).
+    * rounds; the 20-round cap is a safety bound. The edge list is persisted
+    * once and the labels are `localCheckpoint`ed every
+    * [[ClusterCheckpointEvery]] rounds so lineage stays bounded on a
+    * high-diameter graph (the alternating large-star/small-star variant
+    * would further cut rounds to O(log d)).
     * Cluster id = min doc_id of the component = the canonical doc to keep. */
   def dupClusters(spark: SparkSession, sf: String): DataFrame =
     dupClustersFrom(dedupJaccard(spark, sf).select("id_a", "id_b"))
@@ -118,7 +166,14 @@ object TextOps {
   def dupClustersLsh(spark: SparkSession, sf: String): DataFrame =
     dupClustersFrom(dedupMinhash(spark, sf).select("id_a", "id_b"))
 
-  private def dupClustersFrom(rawPairs: DataFrame): DataFrame = {
+  /** Truncate label lineage every this many propagation rounds: each round's
+    * plan nests the previous one, so on a high-diameter graph the logical
+    * plan (and failure-recovery recomputation) would otherwise grow linearly
+    * with rounds. `localCheckpoint` materializes the labels and cuts the
+    * chain — the per-round cost is one extra cache write, bounded and flat. */
+  private[graft] val ClusterCheckpointEvery = 5
+
+  private[graft] def dupClustersFrom(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs.persist()
     pairs.count() // materialize: both edge directions below reuse ONE pair pass
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -143,9 +198,16 @@ object TextOps {
         .persist()
       converged = next.filter(col("changed")).isEmpty
       cached.unpersist()
-      cached = next
-      labels = next.select("v", "cluster")
       iter += 1
+      if (!converged && iter % ClusterCheckpointEvery == 0) {
+        val snap = next.select("v", "cluster").localCheckpoint() // eager; cuts lineage
+        next.unpersist()
+        cached = snap
+        labels = snap
+      } else {
+        cached = next
+        labels = next.select("v", "cluster")
+      }
     }
     labels.select(col("v").as("doc_id"), col("cluster")).orderBy("doc_id")
   }

@@ -43,6 +43,51 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("byteHistogram is the integer core of extractFeatures") {
+    val hist = MultimodalOps.byteHistogram(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val feats = MultimodalOps.extractFeatures(spark, sf0001).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val h = hist(f.media_id)
+      val n = math.max(1L, h.sum).toFloat
+      (0 until 64).foreach(j => assert(f.features(j) == h(j) / n))
+    }
+  }
+
+  test("mediaDedup pairs near-identical payloads, above threshold, deterministically") {
+    val rows = MultimodalOps.mediaDedup(spark, sf0001).collect()
+    assert(rows.nonEmpty) // the fixture plants near-dup documents
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= MultimodalOps.MediaDupCos)
+    }
+    val again = MultimodalOps.mediaDedup(spark, sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("mediaDedup pairs are recovered by the LSH-banded candidate path") {
+    import graft.ops.VectorOps
+    // the 100 TB composition: stub features -> sign-LSH banding -> candidate
+    // equi-join; the exact all-pairs result must be (nearly) a subset
+    val exact = MultimodalOps.mediaDedup(spark, sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val feats = MultimodalOps.byteHistogram(spark, sf0001)
+      .select(col("media_id"), transform(col("hist"), _.cast("double")).as("v"))
+    val banded = feats.select(col("media_id"),
+      posexplode(VectorOps.bandBuckets(col("v"))).as(Seq("band", "bucket")))
+    val cands = banded.as("a")
+      .join(banded.select(col("media_id").as("ib"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("media_id") < col("ib"))
+      .select("media_id", "ib").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(cands).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH candidate recall $recall over ${exact.size} exact pairs")
+  }
+
   test("media features compose with VectorOps cosine") {
     import graft.ops.VectorOps
     val two = MultimodalOps.extractFeatures(spark, sf0001).limit(2).toDF()

@@ -129,6 +129,30 @@ class PropertySpec extends SparkSpec {
       s"recall $observed below banding-bound expectation $expected over ${exact.size} pairs")
   }
 
+  test("planted near-dups still pair under a BINDING hot-shingle df-cap") {
+    // 6 near-dup pairs of mostly-unique tokens, plus one boilerplate phrase
+    // planted in EVERY doc — its shingles have df = 12, far above cap = 3.
+    // Capped candidate generation must still propose every true pair (they
+    // share plenty of rare shingles) and verification runs on the FULL sets,
+    // so the reported jaccard must equal the uncapped form's exactly.
+    val rnd = new scala.util.Random(11L)
+    val docs = (0 until 6).flatMap { i =>
+      val base = Array.fill(30)(s"u${i}_${rnd.nextInt(100000)}")
+      val dup = base.clone(); dup(rnd.nextInt(dup.length)) = s"x${rnd.nextInt(100000)}"
+      val boiler = "subscribe to our newsletter for updates today"
+      Seq((2L * i, boiler + " " + base.mkString(" ")),
+        (2L * i + 1, boiler + " " + dup.mkString(" ")))
+    }
+    val ex = TextOps.shingleRowsOf(docs.toDF("doc_id", "text")).persist()
+    val uncapped = TextOps.dedupJaccardFrom(ex, dfCap = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = TextOps.dedupJaccardFrom(ex, dfCap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ex.unpersist()
+    assert(uncapped.size >= 6, s"planting failed: ${uncapped.size} pairs")
+    assert(capped == uncapped)
+  }
+
   test("cdcApply equals a sequential replay of the change stream") {
     import graft.sources.Tables
     val base = Tables.load(spark, sf0001, "customer")

@@ -134,4 +134,42 @@ class RelationalSpec extends SparkSpec {
       assert(due == date.plusDays(30), s"due $due != $date + 30d")
     }
   }
+
+  test("brandRevenue 4-decimal revenue equals the exact decimal sum (order-independent)") {
+    // Each term price*(1-disc) has exactly 4 decimal digits, so the TRUE
+    // group sum sits on the 4-decimal grid and rounding the double sum to 4
+    // is stable under any summation order. Replaying the aggregation with
+    // exact BigDecimal arithmetic on the driver and matching every group
+    // proves it (the old 2-decimal round sat on the half-cent boundary,
+    // where partial-agg order could flip the cent vs the oracle).
+    import graft.sources.Tables
+    val got = Relational.brandRevenue(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    def longAt(r: org.apache.spark.sql.Row, i: Int) = r.getAs[Number](i).longValue
+    val brand = Tables.load(spark, sf0001, "part").select("p_partkey", "p_brand")
+      .collect().map(r => longAt(r, 0) -> r.getString(1)).toMap
+    val suppNat = Tables.load(spark, sf0001, "supplier").select("s_suppkey", "s_nationkey")
+      .collect().map(r => longAt(r, 0) -> longAt(r, 1)).toMap
+    val natName = Tables.load(spark, sf0001, "nation").select("n_nationkey", "n_name")
+      .collect().map(r => longAt(r, 0) -> r.getString(1)).toMap
+    val exact = scala.collection.mutable.Map[(String, String), (BigDecimal, Long)]()
+    Tables.load(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect().foreach { r =>
+        val key = (brand(longAt(r, 0)), natName(suppNat(longAt(r, 1))))
+        // recover the exact 2-decimal values the doubles encode
+        val price = BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val disc = BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val (s, n) = exact.getOrElse(key, (BigDecimal(0), 0L))
+        exact(key) = (s + price * (1 - disc), n + 1)
+      }
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (key, (s, n)) =>
+      val (rev, cnt) = got(key)
+      assert(cnt == n, s"$key count")
+      assert(rev == s.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$key: query $rev != exact $s")
+    }
+  }
 }

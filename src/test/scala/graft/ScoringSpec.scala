@@ -144,4 +144,16 @@ class ScoringSpec extends SparkSpec {
     val z = Scoring.scale(Scoring.impute(doubled)).select(round(col("z_age"), 5)).head()
     assert(math.abs(z.getDouble(0) - -0.37045) < 1e-9)
   }
+
+  test("churn threshold is strict > 0.5 (exactly 0.5 is NOT churn, both paths)") {
+    // both score() and scoreExact() thread this ONE predicate, so asserting
+    // the boundary here covers the batch and the bit-exact path alike
+    import spark.implicits._
+    val got = Seq(0.0, 0.4999, 0.5, 0.5001, 1.0).toDF("p")
+      .select(col("p"), Scoring.churnPred(col("p")).cast("int").as("pred"))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(got(0.5) == 0, "p = 0.5 must not be churn (xgboost strict > semantics)")
+    assert(got(0.4999) == 0 && got(0.0) == 0)
+    assert(got(0.5001) == 1 && got(1.0) == 1)
+  }
 }

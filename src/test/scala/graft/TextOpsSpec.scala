@@ -153,4 +153,42 @@ class TextOpsSpec extends SparkSpec {
     assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((3L, 2L), (9L, 1L)))
   }
+
+  test("dedupJaccard df-cap is not binding on the fixtures (oracle output unchanged)") {
+    // the hot-shingle cap only drops candidate-generation rows when some
+    // shingle appears in > JaccardDfCap docs; assert the fixtures are far
+    // below it, so the capped form's CORRECTNESS output is identical
+    Seq(sf0001, sf001).foreach { sf =>
+      val maxDf = TextOps.shingleRows(spark, sf)
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head().getLong(0)
+      assert(maxDf < TextOps.JaccardDfCap, s"$sf max shingle df $maxDf")
+    }
+  }
+
+  test("dedupMinhash plan: banded equi-join candidates, never all-pairs") {
+    val df = TextOps.dedupMinhash(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the candidate self-join must key on (band, bucket)
+    assert("(?s)(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,200}band.{0,80}bucket".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+  }
+
+  test("dupClusters checkpoint bounds lineage on a high-diameter chain") {
+    // a 14-vertex path needs ~13 propagation rounds (min label walks one hop
+    // per round) — crossing ClusterCheckpointEvery twice. All vertices must
+    // still collapse to cluster 0, and the returned plan must reflect only
+    // the rounds SINCE the last checkpoint, not all of them.
+    val chain = (0L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = TextOps.dupClustersFrom(chain)
+    val rows = out.collect()
+    assert(rows.length == 14)
+    assert(rows.forall(_.getLong(1) == 0L), rows.mkString(","))
+    val planNodes = out.queryExecution.optimizedPlan.collect { case p => p }.size
+    // each un-checkpointed round adds a join+agg layer (~6 nodes); 13 rounds
+    // un-checkpointed exceeds 80 — checkpointing every 5 keeps it small
+    assert(planNodes < 40, s"lineage not truncated: $planNodes plan nodes")
+  }
 }
