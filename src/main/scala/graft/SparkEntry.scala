@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{EventOps, Relational, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
+import graft.ops.{BucketOps, EventOps, Relational, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -118,7 +118,13 @@ object SparkEntry {
     "q_asof_join" -> (EventOps.asofJoin _),
     "q_range_join" -> (EventOps.rangeJoin _),
     "q_media_meta" -> (MultimodalOps.mediaMeta _),
-    "q_media_dedup" -> (MultimodalOps.mediaDedup _))
+    "q_media_dedup" -> (MultimodalOps.mediaDedup _),
+    "q_dedup_ngram" -> (TextOps.dedupNgram _),
+    "q_dedup_canonical" -> (TextOps.dedupCanonical _),
+    "q_corpus_mix" -> (TextOps.corpusMix _),
+    "q_length_dist" -> (TextOps.lengthDist _),
+    "q_doc_shards" -> (TextOps.docShards _),
+    "q_bucket_join" -> (BucketOps.bucketJoin _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -299,6 +305,23 @@ object SparkEntry {
     |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
     |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
     |)""".stripMargin
+
+  /** Shared recursive connected-components chain over the near-dup pair
+    * graph — consumed by both q_dup_clusters (cluster labels) and
+    * q_dedup_canonical (labels + keep/drop decision). */
+  private val clusterChainSql =
+    jaccardBase.replaceFirst("WITH", "WITH RECURSIVE") + """,
+      |pr AS (
+      |  SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pr
+      |  UNION SELECT id_b, id_a FROM pr),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
   private val embSql =
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
@@ -640,18 +663,7 @@ object SparkEntry {
       |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin),
-    "q_dup_clusters" -> (jaccardBase.replaceFirst("WITH", "WITH RECURSIVE") + s""",
-      |pr AS (
-      |  SELECT id_a, id_b
-      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.8),
-      |edges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM pr
-      |  UNION SELECT id_b, id_a FROM pr),
-      |reach AS (
-      |  SELECT src, dst FROM edges
-      |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    "q_dup_clusters" -> (clusterChainSql + """
       |SELECT src AS doc_id, least(src, min(dst)) AS cluster
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
     "q_text_tokens" ->
@@ -832,5 +844,55 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_no
-        |ORDER BY user_id, session_no""".stripMargin)
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q_dedup_ngram" -> {
+      val k = TextOps.NgramK
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${k - 1}], ' ') AS g
+         |      FROM t, UNNEST(range(1, len(toks) - ${k - 2})) AS r(i)
+         |      WHERE len(toks) >= $k)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q_dedup_canonical" -> (clusterChainSql + """,
+      |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      |       FROM reach GROUP BY src),
+      |mem AS (
+      |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster, d.n_chars
+      |  FROM documents d LEFT JOIN cl USING (doc_id))
+      |SELECT doc_id, cluster,
+      |  (row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) = 1)
+      |    AS keep,
+      |  count(*) OVER (PARTITION BY cluster) AS n_members
+      |FROM mem ORDER BY doc_id""".stripMargin),
+    "q_corpus_mix" ->
+      s"""WITH lang AS ($langIdSql),
+         |nt AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |j AS (SELECT source, lang_pred, n_tokens FROM nt JOIN lang USING (doc_id)),
+         |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM j)
+         |SELECT lang_pred, source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / tot, 4) AS token_share
+         |FROM j CROSS JOIN tot
+         |GROUP BY lang_pred, source, tot
+         |ORDER BY lang_pred, source""".stripMargin,
+    "q_length_dist" ->
+      """SELECT CAST(length(bin(n_chars)) AS BIGINT) AS log2_bucket,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+    "q_doc_shards" ->
+      """WITH s AS (
+        |  SELECT CAST(CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END AS BIGINT)
+        |      AS shard, n_chars
+        |  FROM (SELECT ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a,
+        |          n_chars FROM documents))
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

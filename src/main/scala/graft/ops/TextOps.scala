@@ -639,6 +639,154 @@ object TextOps {
     merges.toSeq.toDF("rank", "pair", "weight").orderBy("rank")
   }
 
+  /** Token-k-gram length for [[dedupNgram]]: 13 tokens — long enough that a
+    * shared gram is essentially never coincidental on natural text (the
+    * published substring-dedup procedure uses 50-token windows on web-scale
+    * corpora; 13 fits the fixture's short documents while still separating
+    * the planted near-dups from chance 5-gram collisions, measured at
+    * sf0.01: K=5 → 37 pairs, K=13 → 24, K=20 → 24). */
+  val NgramK = 13
+
+  /** Distinct (doc_id, k-gram fingerprint) rows — the base relation of
+    * [[dedupNgram]]. Grams are fingerprinted to 64-bit longs immediately
+    * (same rationale as [[shingleRowsOf]]: longs shuffle, the 13-token
+    * strings would BE the shuffle at 100 TB). */
+  private[graft] def kgramRowsOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+        explode(when(size(toks) >= NgramK,
+          transform(sequence(lit(1), size(toks) - (NgramK - 1)), i =>
+            xxhash64(concat_ws(" ", slice(toks, i, lit(NgramK))))))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
+      .distinct()
+  }
+
+  /** Exact long-n-gram overlap dedup — doc pairs sharing any contiguous
+    * [[NgramK]]-token run, with the count of distinct shared grams. This is
+    * the token-gram form of substring deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): it
+    * catches CONTAINMENT — a long document quoting 13+ tokens of another —
+    * that set-similarity ([[dedupJaccard]]) scores below threshold when the
+    * rest of the documents differ. Same candidate-shape discipline as the
+    * Jaccard family: inverted-index equi-join on gram fingerprints with the
+    * hot-gram df-cap, never all-pairs. */
+  def dedupNgram(spark: SparkSession, sf: String): DataFrame =
+    dedupNgramFrom(kgramRowsOf(fannedDocs(spark, sf)).persist())
+
+  /** Core over any distinct (doc_id, g) gram relation. Fast path when the
+    * df-cap is not binding (one aggregate decides, as in
+    * [[dedupJaccardFrom]]); capped path drops grams with df > cap from
+    * CANDIDATE generation only — a gram shared by thousands of documents is
+    * boilerplate, and the pair's true shared-gram count still comes from the
+    * full sets at verify time. */
+  private[graft] def dedupNgramFrom(ex: DataFrame, dfCap: Int = JaccardDfCap): DataFrame = {
+    val maxDf = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head().getLong(0)
+    if (maxDf <= dfCap) {
+      ex.as("a")
+        .join(ex.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("id_a", "id_b")
+    } else {
+      val dfs = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val rare = ex.join(dfs.filter(col("df") <= dfCap).select("g"), "g")
+        .select("doc_id", "g")
+      val cands = rare.as("a")
+        .join(rare.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sets = ex.groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
+      cands
+        .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("long").as("n_shared"))
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  /** Canonical-document selection — the decision step that turns the
+    * cluster analysis ([[dupClusters]]) into an actual dedup action: every
+    * document gets a cluster (singletons are their own), and within each
+    * cluster exactly one member is kept — the longest text, ties to the
+    * smallest doc_id (a deterministic "best copy" policy; real pipelines
+    * swap in quality score or recency). Output is the full keep/drop
+    * decision table a curation run materializes before the filtered
+    * rewrite. One window over the cluster key after the cluster join; at
+    * 100 TB the clusters frame is tiny relative to the corpus (only
+    * near-dup members), so the left join broadcasts. */
+  def dedupCanonical(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "n_chars")
+    val clusters = dupClusters(spark, sf)
+    val member = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"), col("n_chars"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    member
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .select(col("doc_id"), col("cluster"), (col("rk") === 1).as("keep"),
+        col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus composition report — the mix dashboard a pre-training run is
+    * steered by: docs, tokens and global token share per (predicted
+    * language × source). Composes [[langIdFrom]] with the token counts off
+    * ONE persisted tokenized scan; the global total joins in as a broadcast
+    * 1-row frame (never a driver-side collect). Both inputs are themselves
+    * oracle-checked queries, and so is the composition. */
+  def corpusMix(spark: SparkSession, sf: String): DataFrame = {
+    val base = fannedDocs(spark, sf)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .persist()
+    val lang = langIdFrom(base.select("doc_id", "toks"))
+    val joined = base
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .join(lang, "doc_id")
+    val total = joined.agg(sum("n_tokens").as("tot"))
+    joined.groupBy("lang_pred", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("lang_pred"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot"), 4).as("token_share"))
+      .orderBy("lang_pred", "source")
+  }
+
+  /** Log2 document-length histogram — the power-of-two length profile every
+    * corpus report starts with. The bucket is the BIT LENGTH of n_chars
+    * (`length(bin(x))` = floor(log2 x)+1), computed integer-exactly in both
+    * engines — floating log2 near a power-of-two boundary could flip the
+    * floor by one ulp across libm implementations. */
+  def lengthDist(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .groupBy(length(bin(col("n_chars"))).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("log2_bucket")
+
+  /** Deterministic content-hash sharding report — how a 100 TB corpus is
+    * split into a fixed number of balanced output shards for downstream
+    * consumers (tokenizer workers, training-data loaders): shard = first
+    * hex digit of md5(key) mod 16, a pure function both engines compute
+    * identically (unlike xxhash64/rand). The production write is
+    * `.repartition(shard).write.partitionBy("shard")`; this query is the
+    * balance audit over it. */
+  def docShards(spark: SparkSession, sf: String): DataFrame = {
+    val a = ascii(substring(md5(col("doc_id").cast("string")), 1, 1))
+    Tables.load(spark, sf, "documents")
+      .groupBy(when(a >= 97, a - 87).otherwise(a - 48).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("shard")
+  }
+
   /** BM25 parameters (the standard Robertson defaults). */
   val Bm25K1 = 1.2
   val Bm25B = 0.75

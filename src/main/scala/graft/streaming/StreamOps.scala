@@ -99,6 +99,23 @@ object StreamOps {
         struct(col("ts"), col("batch_id"))).as("b"))
       .select(col("user_id"), col("b.ts").as("ts"), col("b.value").as("value"))
 
+  /** Gap-based sessionization via the NATIVE `session_window` aggregate —
+    * the built-in counterpart of the custom [[sessionize]] below (which
+    * exists for per-session state richer than an aggregate). Spark merges
+    * overlapping event-time windows per key as rows arrive; a session
+    * closes — and its state drops — once the watermark passes its end + gap.
+    * In batch the same expression computes the full gap-split directly, so
+    * one definition serves both runtimes (asserted in StreamingSpec). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Stateful gap-based sessionization — the streaming twin of
     * EventOps.sessionize. Per-user state (start, last-seen, count) lives in
     * the state store; a session is EMITTED either when a later event arrives

@@ -34,6 +34,28 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("q_bucket_join: staged bucketed tables co-locate the declared join") {
+    import graft.ops.BucketOps
+    // the declared-query form: hinted SortMergeJoin over the staged
+    // bucketed external tables — no Exchange on either join input
+    // (pre-AQE sparkPlan: deterministic regardless of runtime re-planning)
+    val frame = BucketOps.bucketJoinFrame(spark, sf0001)
+    val plan = frame.queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" + plan)
+    // and the full query agrees with the same aggregate off a plain join
+    val got = BucketOps.bucketJoin(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Tables.load(spark, sf0001, "orders")
+      .join(Tables.load(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"))
+      .orderBy("c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
   test("day-partitioned events layout prunes the scan to the requested day") {
     // the 100 TB layout EventOps documents: events partitioned by day so
     // time-bucket queries read one partition, not the history. Prove it:

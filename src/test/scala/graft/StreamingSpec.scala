@@ -39,6 +39,50 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 12:00:00.0", "click", 1L, 4.0)))
   }
 
+  test("sessionWindowCounts merges gap-windows on a stream and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two events 10 min apart (one session), then one 2h later
+    // (second session); user 2: a single event. The 13:30 event advances
+    // the watermark past 10:00-session-end + 1h so both early sessions emit.
+    val data = Seq(
+      EvU(1, 1L, t("2024-01-01 09:00:00"), 1.0),
+      EvU(2, 1L, t("2024-01-01 09:10:00"), 1.0),
+      EvU(3, 2L, t("2024-01-01 09:05:00"), 1.0),
+      EvU(4, 1L, t("2024-01-01 11:30:00"), 1.0),
+      EvU(5, 1L, t("2024-01-01 13:30:00"), 1.0))
+    val stream = MemoryStream[EvU]
+    val q = StreamOps.sessionWindowCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try {
+      stream.addData(data.take(3): _*)
+      q.processAllAvailable()
+      stream.addData(data.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sesswin")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3))).toSeq
+    // append mode emits only watermark-closed sessions: the 13:30 event
+    // moves the watermark to 12:30, closing both 09:xx sessions AND the
+    // 11:30 one (its end = 11:30 + 1h gap = 12:30, right at the watermark);
+    // only the 13:30 session stays open
+    assert(streamed == Seq(
+      (1L, "2024-01-01 09:00:00.0", 2L),
+      (1L, "2024-01-01 11:30:00.0", 1L),
+      (2L, "2024-01-01 09:05:00.0", 1L)), streamed.mkString(","))
+    // the SAME expression in batch computes the full gap-split
+    val batch = StreamOps.sessionWindowCounts(data.toDF())
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3))).toSeq
+    assert(batch == Seq(
+      (1L, "2024-01-01 09:00:00.0", 2L),
+      (1L, "2024-01-01 11:30:00.0", 1L),
+      (1L, "2024-01-01 13:30:00.0", 1L),
+      (2L, "2024-01-01 09:05:00.0", 1L)), batch.mkString(","))
+  }
+
   test("sessionize closes sessions across micro-batches with persisted state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -191,4 +191,104 @@ class TextOpsSpec extends SparkSpec {
     // un-checkpointed exceeds 80 — checkpointing every 5 keeps it small
     assert(planNodes < 40, s"lineage not truncated: $planNodes plan nodes")
   }
+
+  test("dedupNgram finds a shared 13-token run and counts its grams") {
+    // doc 1 and 2 share a 14-token contiguous run -> two distinct 13-grams;
+    // doc 3 overlaps only 12 tokens of it -> below K, no pair
+    val run = (1 to 14).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run"),
+      (2L, s"$run gamma delta"),
+      (3L, (1 to 12).map(i => s"w$i").mkString(" ") + " other tail words here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupNgramFrom(TextOps.kgramRowsOf(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 2L)), got.mkString(","))
+  }
+
+  test("dedupNgram binding df-cap still reports the full shared-gram count") {
+    // with dfCap = 1 every gram shared by the pair is "hot" EXCEPT none —
+    // use cap 1 on a 3-doc corpus where one gram appears in all 3 docs
+    // (df 3 > cap, dropped from candidates) and one gram only in docs 1+2
+    // (df 2 > cap too) -> craft cap 2: the df-3 gram is dropped but the
+    // df-2 gram proposes the pair, and verify still counts BOTH grams
+    val run = (1 to 14).map(i => s"c$i").mkString(" ")   // grams A (c1..c13), B (c2..c14)
+    val docs = Seq(
+      (1L, run),                        // has A and B
+      (2L, run + " tail"),              // has A and B
+      (3L, (1 to 13).map(i => s"c$i").mkString(" "))) // has A only -> df(A)=3
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupNgramFrom(TextOps.kgramRowsOf(docs), dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // pair (1,2) proposed via B (df 2 <= cap); n_shared = 2 (A and B, from
+    // the FULL sets at verify time). Pairs (1,3)/(2,3) share only A (df 3 >
+    // cap) — dropped from candidates by design.
+    assert(got == Seq((1L, 2L, 2L)), got.mkString(","))
+  }
+
+  test("dedupNgram fixture pairs are a near-dup signal consistent with jaccard") {
+    val ngramPairs = TextOps.dedupNgram(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacPairs = TextOps.dedupJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngramPairs.nonEmpty, "fixture should contain long-run near-dups")
+    // long-shared-run pairs overwhelmingly coincide with the planted
+    // near-dups; containment-only pairs may add a few, never hundreds
+    assert((ngramPairs -- jacPairs).size <= ngramPairs.size / 2,
+      s"ngram=${ngramPairs.size} jaccardOverlap=${(ngramPairs & jacPairs).size}")
+  }
+
+  test("dedupCanonical keeps exactly one member per cluster, the longest") {
+    val out = TextOps.dedupCanonical(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val total = graft.sources.Tables.load(spark, sf0001, "documents").count()
+    assert(out.length == total)
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cl, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cl keeps != 1")
+      assert(members.forall(_._4 == members.length), s"cluster $cl n_members")
+    }
+    // at least one real multi-member cluster on the fixture
+    assert(byCluster.exists(_._2.length > 1))
+    // the kept member maximizes n_chars (ties -> min doc_id)
+    val chars = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.values.filter(_.length > 1).foreach { members =>
+      val kept = members.find(_._3).get
+      val best = members.map(m => (chars(m._1), m._1)).sortBy(t => (-t._1, t._2)).head
+      assert(kept._1 == best._2, s"kept ${kept._1}, expected ${best._2}")
+    }
+  }
+
+  test("corpusMix token shares sum to 1 and cover every document") {
+    val rows = TextOps.corpusMix(spark, sf0001).collect()
+    val total = graft.sources.Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total) // n_docs covers the corpus
+    val share = rows.map(_.getDouble(4)).sum
+    assert(math.abs(share - 1.0) < 0.01, s"shares sum to $share")
+  }
+
+  test("lengthDist buckets are exact bit-lengths and cover every document") {
+    val rows = TextOps.lengthDist(spark, sf0001).collect()
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("n_chars").collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(1)).sum == docs.length)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(64 - java.lang.Long.numberOfLeadingZeros(lo) == b)
+      assert(64 - java.lang.Long.numberOfLeadingZeros(hi) == b)
+    }
+  }
+
+  test("docShards covers all 16 hash shards with no empty or dominant shard") {
+    val rows = TextOps.docShards(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = graft.sources.Tables.load(spark, sf001, "documents").count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.forall { case (s, _) => s >= 0 && s < 16 })
+    assert(rows.length == 16, s"only ${rows.length} shards hit at sf0.01")
+    // md5 is uniform: no shard should hold more than 4x its fair share
+    assert(rows.map(_._2).max <= 4 * total / 16, rows.mkString(","))
+  }
 }
