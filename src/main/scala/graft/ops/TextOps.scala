@@ -772,19 +772,113 @@ object TextOps {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("log2_bucket")
 
+  /** First hex digit of md5(doc_id) as 0..15 — the content-hash shard key
+    * both engines (and any future writer) compute byte-identically
+    * (unlike xxhash64/rand). */
+  private def shardOf: Column = {
+    val a = ascii(substring(md5(col("doc_id").cast("string")), 1, 1))
+    when(a >= 97, a - 87).otherwise(a - 48).cast("long")
+  }
+
   /** Deterministic content-hash sharding report — how a 100 TB corpus is
     * split into a fixed number of balanced output shards for downstream
-    * consumers (tokenizer workers, training-data loaders): shard = first
-    * hex digit of md5(key) mod 16, a pure function both engines compute
-    * identically (unlike xxhash64/rand). The production write is
-    * `.repartition(shard).write.partitionBy("shard")`; this query is the
-    * balance audit over it. */
-  def docShards(spark: SparkSession, sf: String): DataFrame = {
-    val a = ascii(substring(md5(col("doc_id").cast("string")), 1, 1))
+    * consumers (tokenizer workers, training-data loaders). The production
+    * write is `.repartition(shard).write.partitionBy("shard")`; this query
+    * is the balance audit over it. */
+  def docShards(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "documents")
-      .groupBy(when(a >= 97, a - 87).otherwise(a - 48).cast("long").as("shard"))
+      .groupBy(shardOf.as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("shard")
+
+  /** Training-context length for [[seqPack]] (tokens per packed context). */
+  val PackContextLen = 512
+
+  /** Sequence packing — assign documents to fixed-length training contexts
+    * (concatenate in deterministic order, split every [[PackContextLen]]
+    * tokens), the step that turns a curated corpus into model inputs. A
+    * single global running sum would serialize the corpus through one
+    * partition, so packing runs PER SHARD ([[shardOf]]): each shard packs
+    * its own document stream independently — embarrassingly parallel, the
+    * way production packers actually shard. The window's running sum is
+    * per-shard state, so partition memory is bounded by shard size.
+    * Output: per (shard, context_id) — documents starting there, their
+    * token mass, and the fill estimate vs the context length. */
+  def seqPack(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), shardOf.as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .groupBy(col("shard"),
+        floor(col("start_off") / PackContextLen).as("context_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        round(sum("n_tokens").cast("double") / PackContextLen, 4).as("fill_est"))
+      .orderBy("shard", "context_id")
+  }
+
+  /** Sampling temperature for [[mixWeights]]: share^(1/T) flattening with
+    * T = 2 — the standard multi-source rebalancing that upsamples small
+    * sources (e.g. low-resource languages) relative to proportional
+    * sampling. */
+  val MixTemperature = 2.0
+
+  /** Temperature-reweighted source-mix table — for each source: its token
+    * share and its T=2 sampling weight RELATIVE TO THE LARGEST source
+    * (sqrt(tokens)/sqrt(max tokens)). Both scalars that cross rows (total,
+    * max) are exact integer aggregates broadcast back as 1-row frames, and
+    * sqrt is IEEE-correctly-rounded in every engine — so the output is
+    * bit-deterministic, with no cross-partition float-summation order to
+    * disturb the oracle hash (a normalized Σ-weights denominator would
+    * reintroduce one). */
+  def mixWeights(spark: SparkSession, sf: String): DataFrame = {
+    val per = fannedDocs(spark, sf)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .persist()
+    val scalars = per.agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+    per.crossJoin(broadcast(scalars))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot"), 4).as("token_share"),
+        round(sqrt(col("n_tokens").cast("double")) / sqrt(col("mx").cast("double")), 4)
+          .as("sample_weight"))
+      .orderBy("source")
+  }
+
+  /** Incremental dedup — the recurring production job: a NEW batch of
+    * documents (here the deterministic stand-in doc_id % 10 == 0) arrives
+    * and must be checked against the EXISTING corpus, never corpus × corpus
+    * again. Same inverted-index candidate generation as [[dedupJaccard]]
+    * but the join is batch-side × corpus-side only, so the work scales with
+    * the batch, not the corpus². For each new document: its best corpus
+    * match at Jaccard ≥ 0.8 (highest jaccard, ties to the smallest corpus
+    * id) — the drop/keep decision an ingest pipeline applies. At 100 TB the
+    * corpus side of the shingle join is the pre-built inverted index a
+    * store maintains incrementally; only batch shingles stream through it. */
+  def dedupIncremental(spark: SparkSession, sf: String): DataFrame = {
+    val ex = shingleRows(spark, sf).persist()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val batch = ex.filter(col("doc_id") % 10 === 0)
+    val corpus = ex.filter(col("doc_id") % 10 =!= 0)
+    val pairs = batch.as("a")
+      .join(corpus.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .agg(count(lit(1)).as("common"))
+    val scored = pairs
+      .join(sizes.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("old_id") === col("sb.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    scored.groupBy("new_id")
+      .agg(max(struct(col("jaccard"), (-col("old_id")).as("neg"))).as("b"))
+      .select(col("new_id"), (-col("b.neg")).as("dup_of"),
+        col("b.jaccard").as("jaccard"))
+      .orderBy("new_id")
   }
 
   /** BM25 parameters (the standard Robertson defaults). */
