@@ -170,8 +170,11 @@ object TextOps {
     * plan nests the previous one, so on a high-diameter graph the logical
     * plan (and failure-recovery recomputation) would otherwise grow linearly
     * with rounds. `localCheckpoint` materializes the labels and cuts the
-    * chain — the per-round cost is one extra cache write, bounded and flat. */
-  private[graft] val ClusterCheckpointEvery = 5
+    * chain — the per-round cost is one extra cache write, bounded and flat.
+    * Env-overridable (GRAFT_CLUSTER_CKPT_EVERY) so a profile run can A/B the
+    * checkpoint path without a rebuild. */
+  private[graft] val ClusterCheckpointEvery =
+    sys.env.getOrElse("GRAFT_CLUSTER_CKPT_EVERY", "5").toInt
 
   private[graft] def dupClustersFrom(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs.persist()
@@ -209,6 +212,7 @@ object TextOps {
         labels = next.select("v", "cluster")
       }
     }
+    System.err.println(s"[clusters] min-label propagation converged in $iter rounds")
     labels.select(col("v").as("doc_id"), col("cluster")).orderBy("doc_id")
   }
 
