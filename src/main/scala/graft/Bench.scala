@@ -73,12 +73,20 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // self-reporting artifact: both recorded rounds show "parsed": null —
-    // the driver's sbt-log scraping is fragile, so also land the JSON on
-    // disk where it can't be interleaved with log noise
+    // full-precision artifact with every query — the machine-readable record
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()
+    // The driver scrapes only the LAST ~2000 chars of the sbt log, so the
+    // full 98-query line arrives head-truncated and never parses ("parsed":
+    // null in every recorded round). The stdout line must therefore be
+    // compact: total + the slowest 20 queries (3 decimals) + failures +
+    // a pointer to the full artifact — ~800 chars, safely inside the tail
+    // even with sbt's closing "[success]" line after it. Printed after
+    // spark.stop() so no shutdown logging can interleave behind it.
+    val slow = ok.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + f"\":${v}%.3f" }.mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed,"queries":$slow,"queries_note":"slowest 20; all ${results.size} in target/bench.json","sf":"$sfDir"}""")
   }
 }

@@ -63,6 +63,7 @@ object SparkEntry {
     "q_array_agg" -> (Relational.arrayAgg _),
     "q_sketch_stats" -> (Relational.sketchStats _),
     "q_salted_agg" -> (SkewOps.saltedAgg _),
+    "q_salted_join" -> (SkewOps.saltedJoinQuery _),
     "q_kde" -> (Relational.kde _),
     "q_stats_pack" -> (Relational.statsPack _),
     "q_percentile" -> (Relational.percentileExact _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "q_json_extract" -> (EventOps.jsonExtract _),
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),
+    "q_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
@@ -379,6 +381,10 @@ object SparkEntry {
     "q_salted_agg" -> // the salted two-phase plan must REPRODUCE the direct answer
       """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_join" -> // the salted join must REPRODUCE the plain join
+      """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_kde" -> {
       val h = Relational.KdeBandwidth
       val norm = h * math.sqrt(2 * math.Pi)
@@ -845,6 +851,31 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+    // session_window twin of q_sessionize: same gap-split grouping, but the
+    // native operator's session END is last event time + gap (half-open
+    // [first, last + gap) range), so the oracle shifts the end by 1 hour.
+    "q_session_window" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) > CAST(3600 AS BIGINT) * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM w
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_dedup_ngram" -> {
       val k = TextOps.NgramK
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

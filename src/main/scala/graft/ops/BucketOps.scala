@@ -32,26 +32,46 @@ object BucketOps {
   private def tableName(sf: String, base: String): String =
     s"graft_b_${base}_$sf".replaceAll("[^A-Za-z0-9_]", "_")
 
-  /** One-time bucketed write of orders + customer, memoized per sf. */
+  /** One-time bucketed write of orders + customer, memoized per sf. The
+    * memo caches the DIRECTORY (filesystem, JVM-global) but saveAsTable's
+    * catalog entry is SESSION-scoped: a later SparkSession in the same JVM
+    * would hit the memo, skip the write, and find no table — so the catalog
+    * registration is re-applied idempotently from the memoized files on
+    * every call (a metadata-only DDL when the files already exist). */
   private def stage(spark: SparkSession, sf: String): (String, String) = {
     val o = tableName(sf, "orders")
     val c = tableName(sf, "customer")
-    SourceOps.materialize(s"bucket_join_$sf") { dir =>
+    val dir = SourceOps.materialize(s"bucket_join_$sf") { d =>
       Tables.load(spark, sf, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .repartition(BucketCount, col("o_custkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$dir/orders").saveAsTable(o)
+        .option("path", s"$d/orders").saveAsTable(o)
       Tables.load(spark, sf, "customer")
         .select("c_custkey", "c_mktsegment")
         .repartition(BucketCount, col("c_custkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$dir/customer").saveAsTable(c)
+        .option("path", s"$d/customer").saveAsTable(c)
     }
+    ensureRegistered(spark, o, s"$dir/orders", "o_custkey")
+    ensureRegistered(spark, c, s"$dir/customer", "c_custkey")
     (o, c)
   }
+
+  /** Register an external bucketed table over already-written bucket files
+    * (no-op when the catalog entry exists). The DDL's bucket spec must match
+    * the writer's ([[BucketCount]], same key, same sort) — the catalog is
+    * what makes the scan report HashPartitioning at read time. */
+  private def ensureRegistered(spark: SparkSession, name: String,
+                               path: String, key: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val schema = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $BucketCount BUCKETS " +
+        s"LOCATION '$path'")
+    }
 
   /** The joined frame BEFORE aggregation — the plan-shape seam: both scans
     * report bucketed HashPartitioning(custkey, [[BucketCount]]), so the

@@ -42,6 +42,25 @@ object SkewOps {
       .select(col("k").as("l_returnflag"), round(col("avg_v"), 4).as("avg_discount"))
       .orderBy("l_returnflag")
 
+  /** Salted-join declared query: orders ⋈ customer on custkey computed
+    * through the salted plan. The oracle is the PLAIN join — like
+    * [[saltedAgg]], the salted rewrite must reproduce the direct answer
+    * row-for-row, never approximate it. The scenario it models at 100 TB: a
+    * handful of mega-customers own most order rows, the dim side is too big
+    * (or too wide) to broadcast, and AQE's skew splitting doesn't apply
+    * (e.g. the skewed side arrives pre-sorted from a bucketed layout) — the
+    * salt spreads each hot key over 16 reducers at the cost of replicating
+    * the right side 16×. */
+  def saltedJoinQuery(spark: SparkSession, sf: String): DataFrame =
+    saltedJoin(
+      Tables.load(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Tables.load(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+      col("o_custkey"), col("c_custkey"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
   /** Salted join for a skewed key against a non-broadcastable right side:
     * left rows get salt = hash(probe col) % salts; the right side is
     * replicated `salts` times (explode) so every (key, salt) pair finds its

@@ -105,16 +105,38 @@ object StreamOps {
     * overlapping event-time windows per key as rows arrive; a session
     * closes — and its state drops — once the watermark passes its end + gap.
     * In batch the same expression computes the full gap-split directly, so
-    * one definition serves both runtimes (asserted in StreamingSpec). */
-  def sessionWindowCounts(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    * one definition serves both runtimes (asserted in StreamingSpec).
+    * The watermark delay defaults to the GAP (not a fixed constant): a
+    * delay shorter than the gap would drop in-gap-but-late events in
+    * streaming that the batch run keeps, silently breaking the agreement
+    * this docstring promises. Callers who want a tighter out-of-order
+    * tolerance pass `delay` explicitly and own that trade. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "1 hour",
+                          delay: Option[String] = None): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", delay.getOrElse(gap))
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Declared BATCH form of [[sessionWindowCounts]] over the harness events
+    * table — puts the BUILT-IN `session_window` operator under the DuckDB
+    * hash check, not just the hand-rolled twin (EventOps.sessionize).
+    * Semantics note the oracle mirrors: a session's END is the last event
+    * time PLUS the gap (the half-open [first, last + gap) range Spark
+    * assigns), where the lag-based sessionize reports last event time —
+    * same grouping, shifted end. Sessions of one user are disjoint, so
+    * (user_id, session_start) is a unique deterministic order key. */
+  def sessionWindowBatch(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame =
+    sessionWindowCounts(graft.ops.EventOps.events(spark, sf))
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
 
   /** Stateful gap-based sessionization — the streaming twin of
     * EventOps.sessionize. Per-user state (start, last-seen, count) lives in

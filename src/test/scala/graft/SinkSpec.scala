@@ -56,6 +56,23 @@ class SinkSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucket tables re-register from memoized files after a catalog drop") {
+    import graft.ops.BucketOps
+    // simulate a fresh session hitting the JVM-global staging memo: the
+    // catalog entries are gone but the bucketed files remain — stage() must
+    // re-create the external tables (metadata-only DDL) instead of throwing
+    val before = BucketOps.bucketJoin(spark, sf0001).collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders_" + sf0001.replaceAll("[^A-Za-z0-9_]", "_"))
+    spark.sql("DROP TABLE IF EXISTS graft_b_customer_" + sf0001.replaceAll("[^A-Za-z0-9_]", "_"))
+    val frame = BucketOps.bucketJoinFrame(spark, sf0001)
+    val plan = frame.queryExecution.sparkPlan.toString
+    // the re-registered tables must still report the bucket spec — the
+    // co-located (Exchange-free) join is the point of the layout
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), "re-registered bucket join must not shuffle:\n" + plan)
+    assert(BucketOps.bucketJoin(spark, sf0001).collect().toSeq == before)
+  }
+
   test("day-partitioned events layout prunes the scan to the requested day") {
     // the 100 TB layout EventOps documents: events partitioned by day so
     // time-bucket queries read one partition, not the history. Prove it:

@@ -32,6 +32,16 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("q_salted_join reproduces the plain orders-customer join") {
+    val plain = Tables.load(spark, sf0001, "orders")
+      .join(Tables.load(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey").collect()
+    val salted = SkewOps.saltedJoinQuery(spark, sf0001).collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     // the runtime half of the skew story: salting (above) is the manual
     // mitigation, AQE's OptimizeSkewedJoin is the automatic one — prove the

@@ -83,6 +83,23 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 09:05:00.0", 1L)), batch.mkString(","))
   }
 
+  test("sessionWindowCounts watermark delay defaults to the gap (ADVICE)") {
+    // a 3h gap with the old fixed 1h watermark would drop in-gap events
+    // older than 1h in streaming while batch keeps them — the delay must
+    // track the gap unless the caller overrides it explicitly
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EvU]
+    def delayMicros(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.analyzed.collectFirst {
+        case e: EventTimeWatermark => e.delay.microseconds
+      }.get
+    assert(delayMicros(StreamOps.sessionWindowCounts(stream.toDF(), gap = "3 hours"))
+      == 3L * 3600 * 1000000)
+    assert(delayMicros(StreamOps.sessionWindowCounts(stream.toDF(), gap = "3 hours",
+      delay = Some("30 minutes"))) == 30L * 60 * 1000000)
+  }
+
   test("sessionize closes sessions across micro-batches with persisted state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
