@@ -121,6 +121,7 @@ object SparkEntry {
     "q_range_join" -> (EventOps.rangeJoin _),
     "q_media_meta" -> (MultimodalOps.mediaMeta _),
     "q_media_dedup" -> (MultimodalOps.mediaDedup _),
+    "q_media_dedup_lsh" -> (MultimodalOps.mediaDedupLsh _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_dedup_canonical" -> (TextOps.dedupCanonical _),
     "q_corpus_mix" -> (TextOps.corpusMix _),

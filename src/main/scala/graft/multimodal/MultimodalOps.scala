@@ -154,6 +154,50 @@ object MultimodalOps {
     * composition recovers the exact pairs. Cosine runs over integer counts
     * (scale-invariant, bit-deterministic — see [[byteHistogram]]) in the
     * native codegen'd expression. */
+  /** The declared 100 TB path for [[mediaDedup]]: the SAME stub features,
+    * but candidates come from a sign-LSH band equi-join (VectorOps.
+    * bandBuckets — 8 bands × 2 hyperplanes) instead of all pairs, then the
+    * survivors are exact-verified with the identical cosine ≥
+    * [[MediaDupCos]] predicate. Precision is 1 by construction (verify
+    * recomputes the true cosine), so the output is always a subset of
+    * [[mediaDedup]]'s with ~0.99+ expected recall at this threshold —
+    * declared no-oracle with a subset + recall test against the oracled
+    * exact twin (MultimodalSpec), the same contract as
+    * VectorOps.dedupCosineLsh. Honest scale note: byte histograms of
+    * same-alphabet text are ALL similar (fixture median pair cosine ≈
+    * 0.985), so banding prunes little HERE — the pruning factor is a
+    * property of corpus diversity (real mixed-media features spread over
+    * the sphere), while the plan shape (rows × bands shuffle + candidate
+    * equi-join, never O(n²)) is what this query pins down. */
+  def mediaDedupLsh(spark: SparkSession, sf: String): DataFrame = {
+    import graft.ops.VectorOps
+    val raw = VectorOps.cosine(col("va"), col("vb"))
+    val feats = byteHistogram(spark, sf)
+      .select(col("media_id"), transform(col("hist"), _.cast("double")).as("v"))
+      .repartition(col("media_id"))
+      .persist() // feeds the banding and BOTH verify re-attach joins
+    val banded = feats
+      .select(col("media_id"),
+        posexplode(VectorOps.bandBuckets(col("v"))).as(Seq("band", "bucket")))
+      .persist() // both sides of the candidate self-join
+    val cands = banded.as("a")
+      .join(banded.select(col("media_id").as("ib"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("media_id") < col("ib"))
+      .select(col("media_id").as("id_a"), col("ib").as("id_b"))
+      .distinct()
+    cands
+      .join(feats.select(col("media_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(feats.select(col("media_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      // same rounded-threshold discipline as mediaDedup: prefilter on the
+      // raw codegen'd cosine with a full rounding step of slack, round only
+      // the survivors
+      .filter(raw >= MediaDupCos - 1e-4)
+      .select(col("id_a"), col("id_b"), round(raw, 4).as("cos"))
+      .filter(col("cos") >= MediaDupCos)
+      .orderBy("id_a", "id_b")
+  }
+
   def mediaDedup(spark: SparkSession, sf: String): DataFrame = {
     val raw = graft.ops.VectorOps.cosine(col("v"), col("vb"))
     val feats = byteHistogram(spark, sf)

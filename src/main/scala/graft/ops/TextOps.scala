@@ -77,6 +77,19 @@ object TextOps {
     * TextOpsSpec), so oracle output is unchanged there. */
   val JaccardDfCap = 1000
 
+  /** Session conf: when `true`, [[dedupJaccardFrom]] / [[dedupNgramFrom]]
+    * skip the driver-side max-df probe (one extra 1-row aggregate job per
+    * call) and go straight to the capped candidate+verify plan. A production
+    * caller that KNOWS its corpus has hot shingles (any web-scale one does)
+    * sets this and saves two scheduler round-trips per dedup query; the
+    * capped plan's output equals the direct plan's whenever the cap is not
+    * binding, so the flag never changes results on clean corpora
+    * (equality-tested in TextOpsSpec). */
+  val ForceCappedPlanKey = "spark.graft.dedup.forceCappedPlan"
+
+  private def forceCapped(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(ForceCappedPlanKey).exists(_.toBoolean)
+
   /** Near-dup pairs by exact 3-shingle Jaccard ≥ 0.8, candidate-then-verify:
     * an inverted-index self-join on shingles with df ≤ [[JaccardDfCap]]
     * proposes pairs; exact Jaccard over the FULL shingle sets verifies them
@@ -101,9 +114,11 @@ object TextOps {
     * single-pass plan runs — an AQE-style data-dependent plan choice. Only
     * a corpus with genuinely hot shingles pays for candidate+verify. */
   def dedupJaccardFrom(ex: DataFrame, dfCap: Int = JaccardDfCap): DataFrame = {
-    val maxDf = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .agg(max("df")).head().getLong(0)
-    if (maxDf <= dfCap) {
+    val capped = forceCapped(ex) || {
+      ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head().getLong(0) > dfCap
+    }
+    if (!capped) {
       // cap not binding: direct form, one self-join pass counts common
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = ex.as("a")
@@ -684,9 +699,11 @@ object TextOps {
     * boilerplate, and the pair's true shared-gram count still comes from the
     * full sets at verify time. */
   private[graft] def dedupNgramFrom(ex: DataFrame, dfCap: Int = JaccardDfCap): DataFrame = {
-    val maxDf = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .agg(max("df")).head().getLong(0)
-    if (maxDf <= dfCap) {
+    val capped = forceCapped(ex) || {
+      ex.groupBy("g").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head().getLong(0) > dfCap
+    }
+    if (!capped) {
       ex.as("a")
         .join(ex.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -66,26 +66,19 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
-  test("mediaDedup pairs are recovered by the LSH-banded candidate path") {
-    import graft.ops.VectorOps
-    // the 100 TB composition: stub features -> sign-LSH banding -> candidate
-    // equi-join; the exact all-pairs result must be (nearly) a subset
-    val exact = MultimodalOps.mediaDedup(spark, sf0001)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("q_media_dedup_lsh is a subset of the exact form with high recall") {
+    // the declared 100 TB composition: stub features -> sign-LSH banding ->
+    // candidate equi-join -> exact verify. Precision 1 by construction
+    // (same threshold on the recomputed cosine), recall probabilistic
+    val exact = MultimodalOps.mediaDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(exact.nonEmpty)
-    val feats = MultimodalOps.byteHistogram(spark, sf0001)
-      .select(col("media_id"), transform(col("hist"), _.cast("double")).as("v"))
-    val banded = feats.select(col("media_id"),
-      posexplode(VectorOps.bandBuckets(col("v"))).as(Seq("band", "bucket")))
-    val cands = banded.as("a")
-      .join(banded.select(col("media_id").as("ib"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("media_id") < col("ib"))
-      .select("media_id", "ib").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = exact.count(cands).toDouble / exact.size
-    assert(recall >= 0.9, s"LSH candidate recall $recall over ${exact.size} exact pairs")
+    val lsh = MultimodalOps.mediaDedupLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.toSet.subsetOf(exact.toSet),
+      s"LSH output must be a subset of exact: extra = ${lsh.toSet -- exact.toSet}")
+    val recall = exact.count(lsh.toSet).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
   test("media features compose with VectorOps cosine") {

@@ -166,6 +166,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("forced capped plan skips the max-df probe and equals the probed plan") {
+    // spark.graft.dedup.forceCappedPlan=true routes straight to the
+    // candidate+verify plan (no 1-row probe job); on a corpus where the cap
+    // is not binding the output must be identical to the probed/direct path
+    val ex = TextOps.shingleRows(spark, sf0001).persist()
+    val gx = TextOps.kgramRowsOf(
+      graft.sources.Tables.load(spark, sf0001, "documents")).persist()
+    try {
+      val probedJ = TextOps.dedupJaccardFrom(ex).collect().map(_.toSeq).toSeq
+      val probedN = TextOps.dedupNgramFrom(gx).collect().map(_.toSeq).toSeq
+      spark.conf.set(TextOps.ForceCappedPlanKey, "true")
+      val forcedJ = TextOps.dedupJaccardFrom(ex).collect().map(_.toSeq).toSeq
+      val forcedN = TextOps.dedupNgramFrom(gx).collect().map(_.toSeq).toSeq
+      assert(forcedJ == probedJ)
+      assert(forcedN == probedN)
+    } finally {
+      spark.conf.unset(TextOps.ForceCappedPlanKey)
+      ex.unpersist(); gx.unpersist()
+    }
+  }
+
   test("dedupMinhash plan: banded equi-join candidates, never all-pairs") {
     val df = TextOps.dedupMinhash(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
