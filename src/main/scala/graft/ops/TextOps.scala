@@ -160,16 +160,20 @@ object TextOps {
   /** Duplicate CLUSTERS: connected components over the near-dup pair graph —
     * the step after pair detection that a real dedup pipeline needs (pairs
     * A~B, B~C must collapse to ONE canonical doc, not two independent drops).
-    * Min-label propagation: every vertex starts labeled with its own id and
-    * repeatedly takes the min of its neighbors' labels until fixpoint —
-    * each iteration is one distributed join + aggregate (Pregel-style), and
-    * the iteration count is the graph diameter, not the vertex count. Near-
-    * dup components are tiny cliques in practice, so this converges in 2-3
-    * rounds; the 20-round cap is a safety bound. The edge list is persisted
-    * once and the labels are `localCheckpoint`ed every
-    * [[ClusterCheckpointEvery]] rounds so lineage stays bounded on a
-    * high-diameter graph (the alternating large-star/small-star variant
-    * would further cut rounds to O(log d)).
+    * Min-label propagation WITH POINTER JUMPING: every vertex starts labeled
+    * with its own id; each round takes the min of its neighbors' labels and
+    * then SHORTCUTS to its label's label (the Shiloach–Vishkin jump) — so a
+    * label's reach roughly doubles per round and convergence is O(log d) in
+    * the component diameter d, not O(d). This is the same round bound the
+    * alternating large-star/small-star algorithm achieves, bought with one
+    * extra join per round on the (small: near-dup members only) LABEL table
+    * instead of rewriting the (larger) edge set every round — the better
+    * trade on Spark, where each materialized intermediate is a shuffle.
+    * Near-dup components are tiny cliques in practice, so this converges in
+    * 2 rounds; the 20-round cap is a safety bound that now covers diameters
+    * up to ~2^20. The edge list is persisted once and the labels are
+    * `localCheckpoint`ed every [[ClusterCheckpointEvery]] rounds so lineage
+    * stays bounded on a high-diameter graph.
     * Cluster id = min doc_id of the component = the canonical doc to keep. */
   def dupClusters(spark: SparkSession, sf: String): DataFrame =
     dupClustersFrom(dedupJaccard(spark, sf).select("id_a", "id_b"))
@@ -181,22 +185,33 @@ object TextOps {
   def dupClustersLsh(spark: SparkSession, sf: String): DataFrame =
     dupClustersFrom(dedupMinhash(spark, sf).select("id_a", "id_b"))
 
-  /** Truncate label lineage every this many propagation rounds: each round's
-    * plan nests the previous one, so on a high-diameter graph the logical
-    * plan (and failure-recovery recomputation) would otherwise grow linearly
-    * with rounds. `localCheckpoint` materializes the labels and cuts the
-    * chain — the per-round cost is one extra cache write, bounded and flat.
-    * Env-overridable (GRAFT_CLUSTER_CKPT_EVERY) so a profile run can A/B the
-    * checkpoint path without a rebuild. */
+  /** Truncate label lineage every this many propagation rounds (default:
+    * every round). With the pointer jump, each un-checkpointed round
+    * QUADRUPLES the logical plan (the jump self-join references prop twice,
+    * and prop references labels twice) — profiled as pure driver-side
+    * analysis time, ~13 s at sf0.1 when left to grow. `localCheckpoint`
+    * materializes the labels (a tiny table: near-dup members only) and cuts
+    * the chain; measured cost of checkpointing every round: none (the r7
+    * A/B in PLANS.md). Env-overridable (GRAFT_CLUSTER_CKPT_EVERY) so a
+    * profile run can A/B the checkpoint path without a rebuild. */
   private[graft] val ClusterCheckpointEvery =
-    sys.env.getOrElse("GRAFT_CLUSTER_CKPT_EVERY", "5").toInt
+    sys.env.getOrElse("GRAFT_CLUSTER_CKPT_EVERY", "1").toInt
+
+  /** Rounds the last [[dupClustersFrom]] call took (diagnostics + the
+    * round-count assertion in TextOpsSpec's chain test). */
+  private[graft] val lastPropagationRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[graft] def dupClustersFrom(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs.persist()
     pairs.count() // materialize: both edge directions below reuse ONE pair pass
+    // localCheckpoint, not persist: the edge list's LOGICAL plan is the whole
+    // upstream pair-detection tree (shingles, self-join, verify) and would be
+    // re-analyzed inside every round's plan; the checkpoint replaces it with
+    // a flat scan, so each round plans over ~constant-size trees
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint() // eager; reads the pairs cache once
+    pairs.unpersist()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("cluster", col("v")).persist()
     var cached = labels // the persisted frame backing labels (unpersist target)
@@ -205,16 +220,34 @@ object TextOps {
     while (!converged && iter < 20) {
       val neighborMin = edges.join(labels, col("dst") === col("v"))
         .groupBy("src").agg(min("cluster").as("ncluster"))
-      // carry a changed flag so convergence needs no second join against the
-      // old labels — one propagate job + one count over the cached result
-      val next = labels.select(col("v"), col("cluster"))
+      // step 1 — propagate: take the min over the closed neighborhood.
+      // Persisted because the jump self-join below reads it twice.
+      val prop = labels.select(col("v"), col("cluster").as("c0"))
         .join(neighborMin, col("v") === col("src"), "left")
-        .select(col("v"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"),
-          (least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-            =!= col("cluster")).as("changed"))
+        .select(col("v"), col("c0"),
+          least(col("c0"), coalesce(col("ncluster"), col("c0"))).as("c1"))
         .persist()
-      converged = next.filter(col("changed")).isEmpty
+      // step 2 — pointer-jump: shortcut each label to its label's label.
+      // Every cluster value is a vertex id that exists in the label table
+      // (labels start as own-ids and only ever take other labels' values),
+      // so the lookup join always matches; left+coalesce is belt-and-braces.
+      // carry a changed flag so convergence needs no second join against the
+      // old labels — one count over the cached result
+      val next = prop
+        .join(prop.select(col("v").as("pv"), col("c1").as("pc")),
+          col("c1") === col("pv"), "left")
+        .select(col("v"),
+          least(col("c1"), coalesce(col("pc"), col("c1"))).as("cluster"),
+          (least(col("c1"), coalesce(col("pc"), col("c1"))) =!= col("c0")).as("changed"))
+        .persist()
+      // count(), NOT isEmpty: isEmpty short-circuits after one found row,
+      // leaving next only PARTIALLY cached — the un-materialized partitions
+      // would then recompute through the (unpersisted below) prop/labels
+      // chain on every later action, doubling the recompute tree per round.
+      // The full count materializes every partition of next first, so the
+      // unpersists are safe and each round's work is done exactly once.
+      converged = next.filter(col("changed")).count() == 0
+      prop.unpersist()
       cached.unpersist()
       iter += 1
       if (!converged && iter % ClusterCheckpointEvery == 0) {
@@ -227,7 +260,8 @@ object TextOps {
         labels = next.select("v", "cluster")
       }
     }
-    System.err.println(s"[clusters] min-label propagation converged in $iter rounds")
+    lastPropagationRounds.set(iter)
+    System.err.println(s"[clusters] label propagation + jump converged in $iter rounds")
     labels.select(col("v").as("doc_id"), col("cluster")).orderBy("doc_id")
   }
 

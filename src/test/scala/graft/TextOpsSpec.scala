@@ -197,20 +197,37 @@ class TextOpsSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan.take(2000))
   }
 
-  test("dupClusters checkpoint bounds lineage on a high-diameter chain") {
-    // a 14-vertex path needs ~13 propagation rounds (min label walks one hop
-    // per round) — crossing ClusterCheckpointEvery twice. All vertices must
-    // still collapse to cluster 0, and the returned plan must reflect only
-    // the rounds SINCE the last checkpoint, not all of them.
+  test("dupClusters pointer jumping converges in O(log d) rounds on a chain") {
+    // plain min-label walks ONE hop per round: a 14-vertex path would need
+    // ~13 rounds. The pointer jump roughly doubles a label's reach per
+    // round, so the same path must finish in ~log2(13) + overhead.
     val chain = (0L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = TextOps.dupClustersFrom(chain)
-    val rows = out.collect()
+    val rows = TextOps.dupClustersFrom(chain).collect()
     assert(rows.length == 14)
     assert(rows.forall(_.getLong(1) == 0L), rows.mkString(","))
+    val rounds = TextOps.lastPropagationRounds.get()
+    assert(rounds <= 6, s"expected O(log d) convergence, took $rounds rounds")
+  }
+
+  test("dupClusters checkpoint bounds lineage on a high-diameter chain") {
+    // a 129-vertex path (diameter 128): plain propagation would blow the
+    // 20-round cap; with jumping it converges in ~8 rounds, crossing
+    // ClusterCheckpointEvery — all vertices must still collapse to cluster
+    // 0, and the returned plan must reflect only the rounds SINCE the last
+    // checkpoint, not all of them.
+    val chain = (0L until 128L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = TextOps.dupClustersFrom(chain)
+    val rows = out.collect()
+    assert(rows.length == 129)
+    assert(rows.forall(_.getLong(1) == 0L), rows.mkString(","))
+    val rounds = TextOps.lastPropagationRounds.get()
+    assert(rounds >= TextOps.ClusterCheckpointEvery && rounds <= 10,
+      s"expected ~8 rounds on diameter 128, took $rounds")
     val planNodes = out.queryExecution.optimizedPlan.collect { case p => p }.size
-    // each un-checkpointed round adds a join+agg layer (~6 nodes); 13 rounds
-    // un-checkpointed exceeds 80 — checkpointing every 5 keeps it small
-    assert(planNodes < 40, s"lineage not truncated: $planNodes plan nodes")
+    // each un-checkpointed round adds join+agg layers; 8 jump rounds
+    // un-checkpointed exceed 100 nodes — checkpointing every 5 keeps the
+    // final plan to the rounds after the last snapshot
+    assert(planNodes < 60, s"lineage not truncated: $planNodes plan nodes")
   }
 
   test("dedupNgram finds a shared 13-token run and counts its grams") {
