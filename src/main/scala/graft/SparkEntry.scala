@@ -125,6 +125,9 @@ object SparkEntry {
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_dedup_canonical" -> (TextOps.dedupCanonical _),
     "q_corpus_mix" -> (TextOps.corpusMix _),
+    "q_seq_pack" -> (TextOps.seqPack _),
+    "q_mix_weights" -> (TextOps.mixWeights _),
+    "q_dedup_incremental" -> (TextOps.dedupIncremental _),
     "q_length_dist" -> (TextOps.lengthDist _),
     "q_doc_shards" -> (TextOps.docShards _),
     "q_bucket_join" -> (BucketOps.bucketJoin _))
@@ -910,6 +913,74 @@ object SparkEntry {
          |FROM j CROSS JOIN tot
          |GROUP BY lang_pred, source, tot
          |ORDER BY lang_pred, source""".stripMargin,
+    // seqPack twin: same per-shard running offsets, same span explode (a doc
+    // crossing a context boundary contributes its overlap to EACH context)
+    "q_seq_pack" -> {
+      val len = TextOps.PackContextLen
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END AS BIGINT) AS shard,
+         |    n_tokens
+         |  FROM (SELECT doc_id, ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a,
+         |          CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |        FROM documents)),
+         |off AS (
+         |  SELECT shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM base),
+         |sp AS (SELECT shard, end_off - n_tokens AS start_off, end_off
+         |       FROM off WHERE n_tokens > 0),
+         |ex AS (SELECT shard, start_off, end_off,
+         |         unnest(range(start_off // $len, (end_off - 1) // $len + 1)) AS context_id
+         |       FROM sp)
+         |SELECT shard, context_id, count(*) AS n_docs,
+         |  CAST(sum(least(end_off, (context_id + 1) * $len) -
+         |           greatest(start_off, context_id * $len)) AS BIGINT) AS n_tokens,
+         |  round(sum(least(end_off, (context_id + 1) * $len) -
+         |            greatest(start_off, context_id * $len)) / ${len}.0, 4) AS fill_est
+         |FROM ex GROUP BY shard, context_id
+         |ORDER BY shard, context_id""".stripMargin
+    },
+    "q_mix_weights" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |sc AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         |              CAST(max(n_tokens) AS DOUBLE) AS mx FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / tot, 4) AS token_share,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(mx), 4) AS sample_weight
+         |FROM per CROSS JOIN sc ORDER BY source""".stripMargin,
+    // incremental dedup twin: batch (doc_id % 10 = 0) probes the corpus-side
+    // inverted index; best corpus match per new doc (jaccard desc, id asc)
+    "q_dedup_incremental" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t WHERE len(toks) >= 3
+         |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT new_id, old_id,
+         |    round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+         |  FROM pairs JOIN sizes sa ON sa.doc_id = new_id
+         |              JOIN sizes sb ON sb.doc_id = old_id
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.8),
+         |best AS (
+         |  SELECT new_id, old_id, jaccard,
+         |    row_number() OVER (PARTITION BY new_id
+         |                       ORDER BY jaccard DESC, old_id) AS rk
+         |  FROM scored)
+         |SELECT new_id, old_id AS dup_of, jaccard
+         |FROM best WHERE rk = 1 ORDER BY new_id""".stripMargin,
     "q_length_dist" ->
       """SELECT CAST(length(bin(n_chars)) AS BIGINT) AS log2_bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars

@@ -857,20 +857,35 @@ object TextOps {
     * its own document stream independently — embarrassingly parallel, the
     * way production packers actually shard. The window's running sum is
     * per-shard state, so partition memory is bounded by shard size.
-    * Output: per (shard, context_id) — documents starting there, their
-    * token mass, and the fill estimate vs the context length. */
+    *
+    * A document occupies the half-open token range [start, start+n) of its
+    * shard's stream, which may SPAN several contexts — each overlapping
+    * context gets exactly the token mass that lands in it (the explode over
+    * the doc's context span), so per-context fill is ≤ 1 by construction,
+    * every context in 0..ceil(shard total / len)-1 appears, and token mass
+    * is conserved. Output per (shard, context_id): documents contributing
+    * tokens to it, the token mass, and fill = mass / context length (< 1
+    * only for each shard's final partial context). */
   def seqPack(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val len = PackContextLen
     Tables.load(spark, sf, "documents")
       .select(col("doc_id"), shardOf.as("shard"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
-      .groupBy(col("shard"),
-        floor(col("start_off") / PackContextLen).as("context_id"))
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
-        round(sum("n_tokens").cast("double") / PackContextLen, 4).as("fill_est"))
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .filter(col("n_tokens") > 0) // zero-token docs occupy no context
+      .select(col("shard"), col("start_off"), col("end_off"),
+        explode(expr(s"sequence(start_off div $len, (end_off - 1) div $len)"))
+          .as("context_id"))
+      .withColumn("tok_in_ctx",
+        least(col("end_off"), (col("context_id") + 1) * len) -
+          greatest(col("start_off"), col("context_id") * len))
+      .groupBy("shard", "context_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_in_ctx").as("n_tokens"),
+        round(sum("tok_in_ctx").cast("double") / len, 4).as("fill_est"))
       .orderBy("shard", "context_id")
   }
 

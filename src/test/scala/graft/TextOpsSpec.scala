@@ -187,6 +187,59 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("seqPack conserves token mass, fills every context, never overfills") {
+    val out = TextOps.seqPack(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // fill <= 1 always; every context but each shard's LAST is exactly full
+    out.foreach { case (_, _, _, tok, fill) =>
+      assert(tok <= TextOps.PackContextLen && fill <= 1.0, s"overfilled: $tok")
+    }
+    out.groupBy(_._1).foreach { case (shard, ctxs) =>
+      val sorted = ctxs.sortBy(_._2)
+      // contexts are contiguous from 0 (documents span boundaries, so no gap)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+        s"shard $shard context ids not contiguous")
+      sorted.init.foreach { case (_, ctx, _, tok, _) =>
+        assert(tok == TextOps.PackContextLen, s"shard $shard ctx $ctx not full: $tok")
+      }
+    }
+    // token conservation: context masses sum to the corpus token count
+    val total = TextOps.textTokens(spark, sf001)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(out.map(_._4).sum == total)
+  }
+
+  test("mixWeights: largest source gets weight 1, shares sum to 1") {
+    val rows = TextOps.mixWeights(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 1)
+    val maxTok = rows.map(_._2).max
+    rows.foreach { case (_, tok, share, wt) =>
+      assert(wt <= 1.0 && wt > 0.0 && share > 0.0)
+      if (tok == maxTok) assert(wt == 1.0)
+      // temperature flattening: small sources get MORE than their share
+      // relative to the largest (sqrt ratio >= linear ratio)
+      assert(wt >= tok.toDouble / maxTok - 1e-4)
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.01) // shares ~sum to 1 (rounding)
+  }
+
+  test("dedupIncremental picks each new doc's best corpus match, consistent with dedupJaccard") {
+    val inc = TextOps.dedupIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.nonEmpty, "fixture plants near-dups straddling the %10 split")
+    val jac = TextOps.dedupJaccard(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(inc.map(_._1).distinct.length == inc.length, "one row per new doc")
+    inc.foreach { case (newId, dupOf, j) =>
+      assert(newId % 10 == 0 && dupOf % 10 != 0 && j >= 0.8)
+      // the reported jaccard must be the same number the batch dedup computes
+      val key = (math.min(newId, dupOf), math.max(newId, dupOf))
+      assert(jac.get(key).contains(j), s"pair $key: incremental $j vs batch ${jac.get(key)}")
+    }
+  }
+
   test("dedupMinhash plan: banded equi-join candidates, never all-pairs") {
     val df = TextOps.dedupMinhash(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
