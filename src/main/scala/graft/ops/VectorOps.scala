@@ -176,10 +176,22 @@ object VectorOps {
 
   /** One bucket id per band: the sign pattern of that band's hyperplanes. */
   def bandBuckets(v: Column): Column =
-    array((0 until DedupBands).map { b =>
-      (0 until DedupBandBits).map { r =>
-        val p = b * DedupBandBits + r
-        when(dot(v, typedLit(bandPlanes(p).toSeq)) > 0, lit(1L << r)).otherwise(lit(0L))
+    bandBucketsOf(v, DedupBands, DedupBandBits, bandPlanes)
+
+  /** Generalized banding — `bits` is the LOG-SCALE knob a production dedup
+    * raises with corpus size: candidate volume in a band is Σ(bucket²) ≈
+    * n²/2^bits for background pairs, so holding bits fixed while n grows 10×
+    * grows candidates 100× — bits must track log₂(n) to keep the candidate
+    * join linear, while `bands` independently sets recall via
+    * OR-amplification (1 − (1 − p^bits)^bands). The declared q_dedup_
+    * cosine_lsh keeps the fixture shape (8×2 at threshold 0.45); the
+    * scale-smoke measures a production shape (8×8 at 0.95) — see PLANS.md. */
+  def bandBucketsOf(v: Column, bands: Int, bits: Int,
+                    planes: Array[Array[Double]]): Column =
+    array((0 until bands).map { b =>
+      (0 until bits).map { r =>
+        val p = b * bits + r
+        when(dot(v, typedLit(planes(p).toSeq)) > 0, lit(1L << r)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
 
@@ -192,16 +204,35 @@ object VectorOps {
     * by construction (the verify step recomputes the true cosine); only
     * recall is probabilistic, which is why this is declared no-oracle with
     * a recall test against the oracled exact twin (VectorOpsSpec). */
-  def dedupCosineLsh(spark: SparkSession, sf: String): DataFrame = {
+  def dedupCosineLsh(spark: SparkSession, sf: String): DataFrame =
+    dedupCosineLshFrom(Tables.load(spark, sf, "embeddings"),
+      0.45, DedupBands, DedupBandBits)
+
+  /** Production-shaped variant for the scale smoke (not a declared query —
+    * the harness fixtures have no pairs at a production threshold): real
+    * near-identical embedding dedup runs at ~0.95, where per-plane agreement
+    * p ≈ 0.90 supports NARROW-angle 8-bit bands (recall 1−(1−p⁸)⁸ ≈ 0.99)
+    * that background pairs (p ≈ 0.5, p⁸ ≈ 0.004) almost never collide in —
+    * the selectivity that keeps candidate volume near-linear as n grows. */
+  def dedupCosineLshProd(spark: SparkSession, sf: String): DataFrame =
+    dedupCosineLshFrom(Tables.load(spark, sf, "embeddings"), 0.95, 8, 8)
+
+  private[graft] def dedupCosineLshFrom(embSrc: DataFrame, threshold: Double,
+                                        bands: Int, bits: Int): DataFrame = {
+    // same seed offset for every shape: at (8, 2) the planes array equals
+    // the declared bandPlanes, keeping q_dedup_cosine_lsh's output stable
+    val planes = if (bands == DedupBands && bits == DedupBandBits) bandPlanes
+      else mkPlanes(bands * bits, 1L << 32)
     // persist both shared shapes: emb feeds the banding plus BOTH verify
     // re-attach joins, banded feeds both sides of the candidate self-join —
-    // without the cache each reference re-scans and re-evaluates the 16
+    // without the cache each reference re-scans and re-evaluates the
     // hyperplane dot products per row (same discipline as dedupJaccard)
-    val emb = Tables.load(spark, sf, "embeddings")
+    val emb = embSrc
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist()
     val banded = emb
-      .select(col("vec_id"), posexplode(bandBuckets(col("v"))).as(Seq("band", "bucket")))
+      .select(col("vec_id"),
+        posexplode(bandBucketsOf(col("v"), bands, bits, planes)).as(Seq("band", "bucket")))
       .persist()
     // distinct candidate id-pairs first (a pair colliding in k bands must be
     // verified once, not k times), then re-attach vectors and exact-verify
@@ -215,7 +246,7 @@ object VectorOps {
       .join(emb.select(col("vec_id").as("ia"), col("v").as("va")), Seq("ia"))
       .join(emb.select(col("vec_id").as("ib"), col("v").as("vb")), Seq("ib"))
       .select(col("ia"), col("ib"), round(cosine(col("va"), col("vb")), 4).as("cos"))
-      .filter(col("cos") >= 0.45)
+      .filter(col("cos") >= threshold)
       .orderBy("ia", "ib")
   }
 
