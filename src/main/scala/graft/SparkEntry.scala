@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{BucketOps, EventOps, Relational, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
+import graft.ops.{BucketOps, CurationOps, EventOps, Relational, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,8 @@ object SparkEntry {
     "q_date_funcs" -> (Relational.dateFuncs _),
     "q_upsert" -> (Relational.upsert _),
     "q_cdc_apply" -> (Relational.cdcApply _),
+    "q_grouping_sets" -> (Relational.groupingSetsAgg _),
+    "q_scd2" -> (Relational.scd2 _),
     "q_regex_extract" -> (Relational.regexExtract _),
     "q_array_agg" -> (Relational.arrayAgg _),
     "q_sketch_stats" -> (Relational.sketchStats _),
@@ -116,6 +118,8 @@ object SparkEntry {
     "q_sessionize" -> (EventOps.sessionize _),
     "q_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
+    "q_funnel" -> (EventOps.funnel _),
+    "q_cohort_retention" -> (EventOps.cohortRetention _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
     "q_range_join" -> (EventOps.rangeJoin _),
@@ -128,6 +132,8 @@ object SparkEntry {
     "q_seq_pack" -> (TextOps.seqPack _),
     "q_mix_weights" -> (TextOps.mixWeights _),
     "q_dedup_incremental" -> (TextOps.dedupIncremental _),
+    "q_pii_redact" -> (CurationOps.piiRedact _),
+    "q_fuzzy_join" -> (CurationOps.fuzzyJoin _),
     "q_length_dist" -> (TextOps.lengthDist _),
     "q_doc_shards" -> (TextOps.docShards _),
     "q_bucket_join" -> (BucketOps.bucketJoin _))
@@ -577,6 +583,98 @@ object SparkEntry {
         |SELECT custkey, acctbal, 'base' AS src FROM base
         |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.custkey = base.custkey)
         |ORDER BY custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q_scd2" ->
+      """SELECT o_custkey AS custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+        |  round(o_totalprice, 2) AS price,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, version""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t1
+        |    AND epoch_us(e.ts) - epoch_us(v.t1) <= CAST(86400 AS BIGINT) * 1000000
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+        |    AND epoch_us(e.ts) - epoch_us(c.t2) <= CAST(86400 AS BIGINT) * 1000000
+        |  GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+        |    AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN first f ON e.user_id = f.user_id
+        |WHERE e.ts >= f.cohort_day
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', doc_id, '@mail.example.com from 10.',
+        |           doc_id % 200, '.0.', doc_id % 250, ' ref=', doc_id * 7919) AS raw
+        |  FROM documents
+        |), red AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                       '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\d{4,}', '<NUM>', 'g') AS redacted,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        |  FROM aug)
+        |SELECT doc_id, n_emails, n_ips,
+        |  CAST(length(redacted) AS BIGINT) AS red_len,
+        |  right(redacted, 60) AS red_tail
+        |FROM red ORDER BY doc_id""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH dirty AS (
+        |  SELECT n_nationkey AS dirty_key,
+        |    concat(substr(n_name, 1, CAST(n_nationkey % length(n_name) AS INT)),
+        |           substr(n_name, CAST(n_nationkey % length(n_name) AS INT) + 2, 100))
+        |      AS dirty_name
+        |  FROM nation
+        |), variants AS (
+        |  SELECT DISTINCT n_name,
+        |    concat(substr(n_name, 1, CAST(i AS INT) - 1),
+        |           substr(n_name, CAST(i AS INT) + 1, 100)) AS variant
+        |  FROM nation, unnest(range(1, length(n_name) + 2)) AS t(i)
+        |), cand AS (
+        |  SELECT d.dirty_key, d.dirty_name, v.n_name AS matched_name,
+        |    levenshtein(d.dirty_name, v.n_name) AS dist
+        |  FROM dirty d JOIN variants v ON d.dirty_name = v.variant)
+        |SELECT dirty_key, dirty_name,
+        |  min_by(matched_name, concat(dist, '|', matched_name)) AS matched_name,
+        |  CAST(min(dist) AS BIGINT) AS dist
+        |FROM cand GROUP BY 1, 2 ORDER BY dirty_key""".stripMargin,
     "q_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

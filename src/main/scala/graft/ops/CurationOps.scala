@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-curation operators a training-data pipeline needs beyond dedup and
+  * similarity: PII redaction over raw text and fuzzy (edit-distance) entity
+  * resolution. Both are pure column-expression plans — no UDFs — so they
+  * stay inside whole-stage codegen and scale as plain scans.
+  */
+object CurationOps {
+
+  /** Email / IPv4 / long-number redaction over document text — the
+    * compliance pass every web-scale corpus runs before training. The
+    * fixture text is synthetic and PII-free, so deterministic PII is
+    * INJECTED first (an email, an IP and a numeric id derived from doc_id)
+    * and then redacted; match counts and the redacted tail prove every
+    * pattern fired. All three patterns use the regex subset Java and RE2
+    * agree on (char classes, bounded repetition, `\b`, `\d` — no
+    * backrefs/lookaround), which is also what keeps the plan
+    * codegen-friendly: `regexp_replace`/`regexp_count` are built-in
+    * expressions, applied innermost-first so a replaced `<EMAIL>` token
+    * can't partially re-match the IP or number patterns. At 100 TB this is
+    * a map-only scan — no shuffle at all — and the ORDER BY exists only for
+    * the oracle hash. */
+  def piiRedact(spark: SparkSession, sf: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val longNum = "\\d{4,}"
+    val raw = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0."), (col("doc_id") % 250).cast("string"),
+      lit(" ref="), (col("doc_id") * 7919).cast("string"))
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(ipv4)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), email, "<EMAIL>"),
+            ipv4, "<IP>"),
+          longNum, "<NUM>").as("redacted"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_ips"),
+        length(col("redacted")).cast("long").as("red_len"),
+        expr("right(redacted, 60)").as("red_tail"))
+      .orderBy("doc_id")
+  }
+
+  /** Fuzzy entity resolution via SymSpell-style deletion blocking: dirty
+    * strings (each nation name with one character deterministically
+    * deleted at position key % length) are matched back to the clean
+    * dimension WITHOUT an all-pairs levenshtein scan. The clean side
+    * pre-expands into its single-deletion variants (L+1 rows per name,
+    * including the identity), candidates come from an exact equi-join on
+    * the variant string, and levenshtein runs only on candidates to rank
+    * them; `min_by` on a (distance, name) lexicographic key picks a
+    * deterministic best match per dirty string. This is the LSH-banding
+    * idea transplanted to edit distance: blocking bounds candidates, exact
+    * verify ranks them. At 100 TB the variant index of a dimension stays
+    * dimension-sized (× avg length) and broadcasts, so the dirty side
+    * streams map-only through a hash lookup; deeper edit radii expand
+    * deletion-k variants on both sides (SymSpell), still equi-join shaped.
+    */
+  def fuzzyJoin(spark: SparkSession, sf: String): DataFrame = {
+    val nation = Tables.load(spark, sf, "nation").select("n_nationkey", "n_name")
+    val dirty = nation.select(
+      col("n_nationkey").as("dirty_key"),
+      expr("""concat(substring(n_name, 1, CAST(n_nationkey % length(n_name) AS INT)),
+                     substring(n_name, CAST(n_nationkey % length(n_name) AS INT) + 2, 100))""")
+        .as("dirty_name"))
+    val variants = nation.select(
+      col("n_name"),
+      explode(expr(
+        """transform(sequence(1, length(n_name) + 1),
+                     i -> concat(substring(n_name, 1, i - 1), substring(n_name, i + 1, 100)))"""))
+        .as("variant"))
+      .distinct()
+    val dist = levenshtein(col("dirty_name"), col("n_name"))
+    dirty.join(broadcast(variants), col("dirty_name") === col("variant"))
+      .select(col("dirty_key"), col("dirty_name"), col("n_name"), dist.as("dist"))
+      .groupBy("dirty_key", "dirty_name")
+      .agg(
+        min_by(col("n_name"), concat(col("dist").cast("string"), lit("|"), col("n_name")))
+          .as("matched_name"),
+        min(col("dist")).cast("long").as("dist"))
+      .orderBy("dirty_key")
+  }
+}

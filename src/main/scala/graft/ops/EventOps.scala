@@ -159,4 +159,56 @@ object EventOps {
       .filter(abs(col("z")) > 2.0)
       .orderBy("event_id")
   }
+
+  /** Conversion funnel — view → click → purchase, each step a per-user
+    * first-qualifying-event aggregate with a 24 h conversion window (the
+    * reference's analytics page reports single-stage rates,
+    * `app_test.py:99`; a funnel is the multi-stage generalization every
+    * product-analytics store ships). Three scan→filter→agg passes over the
+    * one events table; every stage aggregates and joins on the SAME key
+    * (user_id) so one hash partitioning serves the whole chain, and stage
+    * frames shrink monotonically (150 → 60 → 25 on the sf0.01 fixture) so
+    * later joins fall under the broadcast threshold. At 100 TB the
+    * event-type filters prune first (partition/row-group level), and the
+    * per-stage state is one (user, min-ts) row — map-side combinable. */
+  def funnel(spark: SparkSession, sf: String): DataFrame = {
+    val winUs = 86400L * 1000000L // 24 h conversion window per stage
+    val ev = events(spark, sf).select(col("user_id"), col("event_type"), col("ts"))
+    def stage(from: DataFrame, prevTs: String, evType: String, outTs: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(from, "user_id")
+        .filter(col("ts") >= col(prevTs) &&
+          unix_micros(col("ts")) - unix_micros(col(prevTs)) <= winUs)
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = stage(v, "t1", "click", "t2")
+    val p = stage(c, "t2", "purchase", "t3")
+    def counted(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    counted(v, "1_view").unionAll(counted(c, "2_click")).unionAll(counted(p, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention — users cohorted by first-signup day, then counted
+    * distinct per (cohort day, day offset) over their subsequent activity.
+    * One agg builds the cohort map (per-user min-day — tiny, one row per
+    * user), one join on user_id tags every event, one distinct-agg counts.
+    * At 100 TB the cohort map is orders of magnitude smaller than the event
+    * log (users ≪ events) and broadcasts; the distinct-count shuffles on
+    * (cohort, offset) with partial-HLL if approximate is acceptable — kept
+    * exact here for the oracle. */
+  def cohortRetention(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .filter(col("ts") >= col("cohort_day"))
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(to_date(date_trunc("day", col("ts"))), to_date(col("cohort_day")))
+          .cast("long").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

@@ -232,6 +232,51 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize: an
+    * arbitrary subset of grouping combinations in ONE pass (one Expand +
+    * one shuffle, vs one scan per set if unioned by hand). `grouping()`
+    * flags disambiguate a real NULL key from a subtotal row; group keys are
+    * coalesced to 'ALL' so the output needs no NULL-ordering contract. */
+  def groupingSetsAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+
+  /** SCD Type-2 history build — turn a per-key change log (each order is a
+    * new "version" of the customer's state) into validity intervals:
+    * `valid_from` = this version's date, `valid_to` = the next version's
+    * (9999-12-31 open horizon on the latest), `is_current` flags the live
+    * row. One window over (key, date) computes version number and interval
+    * end in a single shuffle — the standard warehouse dimension-history
+    * shape, complementing [[upsert]] (SCD-1 overwrite) and [[cdcApply]]
+    * (latest-wins compaction). At 100 TB the window partitions by key, so
+    * skew follows key cardinality, not history length; o_orderkey breaks
+    * same-day ties deterministically. */
+  def scd2(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val nextDate = lead(col("o_orderdate"), 1).over(w)
+    Tables.load(spark, sf, "orders")
+      .select(
+        col("o_custkey").as("custkey"),
+        row_number().over(w).cast("long").as("version"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(nextDate, "yyyy-MM-dd"), lit("9999-12-31")).as("valid_to"),
+        round(col("o_totalprice"), 2).as("price"),
+        nextDate.isNull.as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
   /** Pure-SQL surface: the engine's other front door. A correlated-free
     * scalar subquery (above-average filter) through `spark.sql` over a temp
     * view — proves a reference user can bring plain SQL, not just the

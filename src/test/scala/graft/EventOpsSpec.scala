@@ -46,4 +46,28 @@ class EventOpsSpec extends SparkSpec {
     assert(first.toString.startsWith("2024-01-01"))
     assert(graft.ops.EventOps.events(spark, sf0001).schema("ts").dataType.typeName == "timestamp")
   }
+
+  test("funnel stages are ordered and monotonically non-increasing") {
+    val rows = graft.ops.EventOps.funnel(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_._2)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel not monotone: ${counts.mkString(",")}")
+    assert(counts(0) > 0)
+  }
+
+  test("cohort retention: day-0 count equals cohort size, offsets non-negative") {
+    val rows = graft.ops.EventOps.cohortRetention(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n) => assert(off >= 0 && n > 0) }
+    // every user has activity on their cohort day (the signup itself),
+    // so within a cohort day-0 is the maximum
+    rows.groupBy(_._1).foreach { case (day, rs) =>
+      val byOff = rs.map(r => r._2 -> r._3).toMap
+      assert(byOff.contains(0L), s"cohort $day missing day-0")
+      assert(byOff.values.max == byOff(0L), s"cohort $day day-0 not max")
+    }
+  }
 }

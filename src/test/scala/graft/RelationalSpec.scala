@@ -172,4 +172,35 @@ class RelationalSpec extends SparkSpec {
         s"$key: query $rev != exact $s")
     }
   }
+
+  test("scd2: versions contiguous, exactly one current row per key, intervals chain") {
+    val rows = graft.ops.Relational.scd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (key, hist) =>
+      val sorted = hist.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to hist.length).toSeq, s"key $key versions")
+      assert(hist.count(_._5) == 1, s"key $key current-row count")
+      assert(sorted.last._5 && sorted.last._4 == "9999-12-31", s"key $key horizon")
+      // each version's valid_to is the next version's valid_from
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._4 == w(1)._3, s"key $key interval chain")
+      }
+    }
+  }
+
+  test("grouping sets: subtotal and grand-total rows reconcile with the detail rows") {
+    val rows = graft.ops.Relational.groupingSetsAgg(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val detail = rows.filter(r => r._3 == 0 && r._4 == 0)
+    val byFlag = rows.filter(r => r._3 == 0 && r._4 == 1)
+    val grand = rows.filter(r => r._3 == 1 && r._4 == 1)
+    assert(grand.length == 1 && grand.head._1 == "ALL" && grand.head._2 == "ALL")
+    assert(grand.head._5 == detail.map(_._5).sum)
+    byFlag.foreach { case (rf, ls, _, _, n) =>
+      assert(ls == "ALL")
+      assert(n == detail.filter(_._1 == rf).map(_._5).sum, s"subtotal $rf")
+    }
+    // no cube-only rows: (ALL, linestatus) must not appear
+    assert(!rows.exists(r => r._3 == 1 && r._4 == 0))
+  }
 }
