@@ -171,9 +171,14 @@ object EventOps {
     * later joins fall under the broadcast threshold. At 100 TB the
     * event-type filters prune first (partition/row-group level), and the
     * per-stage state is one (user, min-ts) row — map-side combinable. */
-  def funnel(spark: SparkSession, sf: String): DataFrame = {
-    val winUs = 86400L * 1000000L // 24 h conversion window per stage
-    val ev = events(spark, sf).select(col("user_id"), col("event_type"), col("ts"))
+  def funnel(spark: SparkSession, sf: String): DataFrame =
+    funnelFrom(events(spark, sf))
+
+  /** Funnel over any frame with (user_id, event_type, ts) — the form the
+    * streaming twin (StreamOps.funnelAdvances) is tested against. */
+  def funnelFrom(eventsDf: DataFrame): DataFrame = {
+    val winUs = FunnelWindowSec * 1000000L
+    val ev = eventsDf.select(col("user_id"), col("event_type"), col("ts"))
     def stage(from: DataFrame, prevTs: String, evType: String, outTs: String): DataFrame =
       ev.filter(col("event_type") === evType)
         .join(from, "user_id")
@@ -189,6 +194,9 @@ object EventOps {
     counted(v, "1_view").unionAll(counted(c, "2_click")).unionAll(counted(p, "3_purchase"))
       .orderBy("stage")
   }
+
+  /** 24 h conversion window per funnel stage, shared with the streaming twin. */
+  val FunnelWindowSec: Long = 86400L
 
   /** Cohort retention — users cohorted by first-signup day, then counted
     * distinct per (cohort day, day offset) over their subsequent activity.

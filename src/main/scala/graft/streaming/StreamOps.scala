@@ -12,6 +12,12 @@ case class SessState(startMs: Long, lastMs: Long, n: Long)
 case class UserSession(user_id: Long, session_start: Timestamp,
                        session_end: Timestamp, n_events: Long)
 
+/** Per-user funnel progress: furthest stage (1-based) and when it was hit. */
+case class FunnelState(stage: Int, stageTsMs: Long)
+
+/** One funnel advancement (user reached `stage` at `ts`), emitted append-mode. */
+case class FunnelAdvance(user_id: Long, stage: String, ts: Timestamp)
+
 /** Structured Streaming forms of the batch event operators (SURVEY.md §2.10).
   *
   * The reference has no stream processing — its only "incremental" behavior is
@@ -197,6 +203,63 @@ object StreamOps {
               state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
             closed.reverse.iterator
+          }
+      }
+  }
+
+  /** Stateful streaming funnel — the incremental twin of EventOps.funnelFrom
+    * (same stages, same 24 h advancement window). Per-user state is ONE
+    * (stage, stage-ts) pair; an Append-mode row is emitted the moment a user
+    * ADVANCES a stage, so downstream stage counts are a plain aggregate over
+    * the advancement log. State is dropped as soon as it is provably final:
+    * on reaching the last stage, or via event-time timeout once the
+    * watermark passes the advancement deadline (stage-ts + window) — so
+    * state size is O(users currently inside a conversion window),
+    * independent of stream length. In-order contract: like the batch form,
+    * t1 is the FIRST view; an out-of-order view arriving after a later view
+    * has already set t1 cannot rewind it (batch min() would) — events
+    * within a micro-batch are sorted, so the twins agree on any stream
+    * whose disorder stays within one batch. */
+  def funnelAdvances(events: Dataset[(Long, String, Timestamp)],
+                     windowMs: Long = graft.ops.EventOps.FunnelWindowSec * 1000L,
+                     delay: String = "1 hour"): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val stages = Seq("view", "click", "purchase")
+    events
+      .withWatermark("_3", delay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, evs, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed stage-ts + window: no event can advance this
+            // user any more — the funnel outcome is final, free the state
+            state.remove()
+            Iterator.empty
+          } else {
+            var out = List.empty[FunnelAdvance]
+            var st = state.getOption
+            evs.toSeq.sortBy(e => (e._3.getTime, stages.indexOf(e._2))).foreach { e =>
+              val (stage, t) = (st.map(_.stage).getOrElse(0), e._3.getTime)
+              val advances = stage < stages.length &&
+                e._2 == stages(stage) &&
+                (stage == 0 || (t >= st.get.stageTsMs && t - st.get.stageTsMs <= windowMs))
+              if (advances) {
+                st = Some(FunnelState(stage + 1, t))
+                out ::= FunnelAdvance(user, s"${stage + 1}_${stages(stage)}", e._3)
+              }
+            }
+            st match {
+              case Some(s) if s.stage >= stages.length => state.remove() // converted: final
+              case Some(s) =>
+                state.update(s)
+                // deadline for the NEXT advancement; must stay ahead of the
+                // current watermark or Spark rejects the timestamp
+                state.setTimeoutTimestamp(
+                  math.max(s.stageTsMs + windowMs, state.getCurrentWatermarkMs() + 1))
+              case None => // user never viewed: nothing to track
+            }
+            out.reverse.iterator
           }
       }
   }

@@ -40,4 +40,12 @@ class CurationOpsSpec extends SparkSpec {
     val r7 = rows.find(_._1 == 7L).get
     assert(r7._2 == "NATION_" && r7._3 == "NATION_0" && r7._4 == 1L)
   }
+
+  test("fuzzyJoin plan: equi-join on the variant key, never an all-pairs scan") {
+    val plan = CurationOps.fuzzyJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degraded to all-pairs:\n$plan")
+  }
 }

@@ -287,4 +287,45 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("funnelAdvances emits per-stage advancements and agrees with the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 converts fully; user 2 clicks but purchases OUTSIDE the 24 h
+    // window (no stage 3); user 3 clicks BEFORE viewing (click ignored,
+    // still reaches stage 1 only); user 4 never views (purchase ignored)
+    val data = Seq(
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 11:00:00")),
+      (2L, "view", t("2024-01-01 10:00:00")),
+      (3L, "click", t("2024-01-01 09:00:00")),
+      (3L, "view", t("2024-01-01 10:30:00")),
+      (4L, "purchase", t("2024-01-01 10:00:00")),
+      (2L, "click", t("2024-01-01 12:00:00")),
+      (1L, "purchase", t("2024-01-01 12:30:00")),
+      (2L, "purchase", t("2024-01-03 13:00:00"))) // > 24 h after the click
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.funnelAdvances(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode("append").start()
+    try {
+      stream.addData(data.take(5): _*)
+      q.processAllAvailable()
+      stream.addData(data.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val adv = spark.table("funnel_adv")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(adv == Set(
+      (1L, "1_view"), (1L, "2_click"), (1L, "3_purchase"),
+      (2L, "1_view"), (2L, "2_click"),
+      (3L, "1_view")))
+    // stage counts over the advancement log == the batch funnel on the same rows
+    val streamCounts = spark.table("funnel_adv")
+      .groupBy("stage").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchCounts = graft.ops.EventOps.funnelFrom(
+        data.toDF("user_id", "event_type", "ts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamCounts == batchCounts)
+  }
 }
