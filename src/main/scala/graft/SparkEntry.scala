@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{BucketOps, CurationOps, EventOps, Relational, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
+import graft.ops.{BucketOps, CurationOps, EventOps, GraphOps, Relational, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -134,6 +134,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (TextOps.dedupIncremental _),
     "q_pii_redact" -> (CurationOps.piiRedact _),
     "q_fuzzy_join" -> (CurationOps.fuzzyJoin _),
+    "q_market_basket" -> (GraphOps.marketBasket _),
+    "q_graph_metrics" -> (GraphOps.graphMetrics _),
     "q_length_dist" -> (TextOps.lengthDist _),
     "q_doc_shards" -> (TextOps.docShards _),
     "q_bucket_join" -> (BucketOps.bucketJoin _))
@@ -675,6 +677,28 @@ object SparkEntry {
         |  min_by(matched_name, concat(dist, '|', matched_name)) AS matched_name,
         |  CAST(min(dist) AS BIGINT) AS dist
         |FROM cand GROUP BY 1, 2 ORDER BY dirty_key""".stripMargin,
+    "q_market_basket" ->
+      """SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |  count(DISTINCT a.l_orderkey) AS n_orders
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, u, v LIMIT 20""".stripMargin,
+    "q_graph_metrics" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  (SELECT count(*) FROM edges e1
+        |     JOIN edges e2 ON e1.v = e2.u
+        |     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+        |  (SELECT max(deg) FROM deg) AS max_degree,
+        |  (SELECT round(avg(deg), 4) FROM deg) AS avg_degree""".stripMargin,
     "q_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

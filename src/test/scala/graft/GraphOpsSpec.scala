@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("degree-oriented triangle count equals the key-oriented formulation") {
+    val metrics = GraphOps.graphMetrics(spark, sf0001).collect().head
+    val oriented = metrics.getLong(2)
+    val keyed = GraphOps.trianglesKeyOriented(spark, sf0001)
+    assert(oriented == keyed, s"degree-oriented $oriented != key-oriented $keyed")
+    assert(oriented > 0) // fixture graph has triangles
+  }
+
+  test("graph metrics are internally consistent") {
+    val m = GraphOps.graphMetrics(spark, sf0001).collect().head
+    val (nodes, edges, maxDeg, avgDeg) =
+      (m.getLong(0), m.getLong(1), m.getLong(3), m.getDouble(4))
+    // handshake: sum of degrees = 2 * edges, so avg = 2e/n
+    assert(math.abs(avgDeg - 2.0 * edges / nodes) < 1e-3)
+    assert(maxDeg < nodes) // simple graph: no self-loops or multi-edges
+  }
+
+  test("triangle counters agree on a hand-built graph with a hub") {
+    import spark.implicits._
+    // K4 on parts 1-4 via one 4-item order, plus a hub part 99 sharing an
+    // order with each of 10 otherwise-isolated parts (wedges but no new
+    // triangles): K4 has exactly 4 triangles
+    val k4 = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))
+    val hub = (0 until 10).flatMap(i => Seq((200L + i, 99L), (200L + i, 50L + i)))
+    val li = (k4 ++ hub).toDF("l_orderkey", "l_partkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_graph_fixture"
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val m = GraphOps.graphMetrics(spark, dir).collect().head
+    assert(m.getLong(2) == 4L, s"expected 4 triangles, got ${m.getLong(2)}")
+    assert(GraphOps.trianglesKeyOriented(spark, dir) == 4L)
+    assert(m.getLong(3) == 10L) // the hub's degree
+  }
+
+  test("marketBasket is deterministically ordered and bounded") {
+    val rows = GraphOps.marketBasket(spark, sf0001).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    assert(rows.length == 20)
+    // (n desc, u, v) total order
+    rows.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a._1 > b._1 || (a._1 == b._1 && (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3))))
+    }
+  }
+}
