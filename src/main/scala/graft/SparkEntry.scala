@@ -136,6 +136,7 @@ object SparkEntry {
     "q_fuzzy_join" -> (CurationOps.fuzzyJoin _),
     "q_market_basket" -> (GraphOps.marketBasket _),
     "q_graph_metrics" -> (GraphOps.graphMetrics _),
+    "q_pagerank" -> (GraphOps.pageRank _),
     "q_length_dist" -> (TextOps.lengthDist _),
     "q_doc_shards" -> (TextOps.docShards _),
     "q_bucket_join" -> (BucketOps.bucketJoin _))
@@ -699,6 +700,30 @@ object SparkEntry {
         |     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
         |  (SELECT max(deg) FROM deg) AS max_degree,
         |  (SELECT round(avg(deg), 4) FROM deg) AS avg_degree""".stripMargin,
+    // PageRank as a recursive CTE: iter counts rounds; the aggregate step
+    // GROUPs BY (destination, iter) so each recursion level advances every
+    // node one iteration in lockstep. No dangling mass (undirected graph).
+    "q_pagerank" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), und AS (
+        |  SELECT u AS s, v AS d FROM edges UNION ALL SELECT v, u FROM edges
+        |), deg AS (SELECT s AS n, count(*) AS outdeg FROM und GROUP BY 1),
+        |nn AS (SELECT count(*) AS cnt FROM deg),
+        |pr(iter, n, r) AS (
+        |  SELECT 0, n, 1.0 / (SELECT cnt FROM nn) FROM deg
+        |  UNION ALL
+        |  SELECT p.iter + 1, e.d,
+        |    (0.15 / (SELECT cnt FROM nn)) + 0.85 * sum(p.r / dg.outdeg)
+        |  FROM pr p JOIN und e ON p.n = e.s JOIN deg dg ON p.n = dg.n
+        |  WHERE p.iter < 10
+        |  GROUP BY e.d, p.iter
+        |)
+        |SELECT n, round(r * (SELECT cnt FROM nn), 4) AS rank_scaled
+        |FROM pr WHERE iter = 10
+        |ORDER BY rank_scaled DESC, n LIMIT 20""".stripMargin,
     "q_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

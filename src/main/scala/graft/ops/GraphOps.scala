@@ -106,6 +106,48 @@ object GraphOps {
       .select("n_nodes", "n_edges", "n_triangles", "max_degree", "avg_degree")
   }
 
+  /** PageRank (damping 0.85, 10 fixed iterations) over the undirected
+    * co-purchase graph, reported as the top-20 parts by rank scaled to
+    * mean 1 (`r × n`, rounded to 4 decimals — ~1e-12 cross-engine float
+    * noise after 10 iterations never reaches the 4th decimal of an O(1)
+    * value). Each iteration is one join of the rank table (node-sized)
+    * against the out-degree-annotated edge list plus one map-side-combined
+    * sum per destination; ranks `localCheckpoint` every round so the
+    * logical plan stays one-iteration deep instead of growing 10 joins
+    * tall (the lineage lesson from the dup-clusters loop, PLANS.md). At
+    * 100 TB the edge list is the big side: bucket it by source so the
+    * per-iteration join co-locates with the shuffled rank table, and the
+    * rank state stays node-sized. Undirected ⇒ no dangling nodes, so the
+    * teleport term conserves rank mass exactly (asserted in the spec). */
+  def pageRank(spark: SparkSession, sf: String): DataFrame = {
+    val e = edges(spark, sf)
+    val und = e.select(col("u").as("s"), col("v").as("d"))
+      .unionAll(e.select(col("v").as("s"), col("u").as("d")))
+    val deg = und.groupBy("s").agg(count(lit(1)).as("outdeg"))
+    val undDeg = und.join(deg, "s").persist()
+    val n = undDeg.select(count_distinct(col("s"))).head().getLong(0)
+    var ranks = undDeg.select(col("s").as("n")).distinct()
+      .withColumn("r", lit(1.0 / n))
+    (1 to 10).foreach { _ =>
+      // the rank table is node-sized: BROADCAST it so the persisted edge
+      // list is never re-shuffled — each iteration is a map-side hash join
+      // plus one map-side-combined sum (the only shuffle, node-sized after
+      // partial agg). Profiled 10.6 -> 7.6 s warm at sf0.1 vs shuffling
+      // the edges every round; the floor is the 10 sequential passes over
+      // the 2.4M-row edge list.
+      ranks = undDeg.join(broadcast(ranks), undDeg("s") === ranks("n"))
+        .groupBy(col("d"))
+        .agg(sum(col("r") / col("outdeg")).as("inflow"))
+        .select(col("d").as("n"), (lit(0.15 / n) + lit(0.85) * col("inflow")).as("r"))
+        .localCheckpoint()
+    }
+    undDeg.unpersist()
+    ranks
+      .select(col("n"), round(col("r") * n, 4).as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("n"))
+      .limit(20)
+  }
+
   /** Key-oriented triangle count — the textbook u<v formulation the DuckDB
     * oracle uses; spec asserts it equals [[graphMetrics]]'s degree-oriented
     * count. Kept private to the test via this accessor: its wedge volume is

@@ -37,6 +37,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(m.getLong(3) == 10L) // the hub's degree
   }
 
+  test("pageRank matches a hand-run power iteration on a star graph") {
+    import spark.implicits._
+    // star: hub 1 co-purchased with leaves 2, 3, 4 via three 2-item orders
+    val li = Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 3L), (300L, 1L), (300L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_star_fixture"
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.GraphOps.pageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference power iteration: hub degree 3, leaves degree 1
+    var (h, l) = (0.25, 0.25)
+    (1 to 10).foreach { _ =>
+      val nh = 0.15 / 4 + 0.85 * 3 * l   // hub receives all three leaves
+      val nl = 0.15 / 4 + 0.85 * h / 3   // each leaf receives a third of the hub
+      h = nh; l = nl
+    }
+    def scaled(x: Double) = math.round(x * 4 * 1e4) / 1e4
+    assert(got(1L) == scaled(h), s"hub ${got(1L)} != ${scaled(h)}")
+    Seq(2L, 3L, 4L).foreach(k => assert(got(k) == scaled(l), s"leaf $k"))
+  }
+
+  test("pageRank conserves rank mass on the fixture graph") {
+    val m = graft.ops.GraphOps.graphMetrics(spark, sf0001).collect().head
+    val nodes = m.getLong(0)
+    val ranks = graft.ops.GraphOps.pageRank(spark, sf0001).collect()
+    // top-20 of a mean-1 scaled distribution: all positive, none below mean/10
+    assert(ranks.length == 20)
+    ranks.foreach(r => assert(r.getDouble(1) > 0.1))
+    // descending order with deterministic tie-break
+    ranks.sliding(2).foreach { w =>
+      assert(w(0).getDouble(1) > w(1).getDouble(1) ||
+        (w(0).getDouble(1) == w(1).getDouble(1) && w(0).getLong(0) < w(1).getLong(0)))
+    }
+    assert(nodes > 20)
+  }
+
   test("marketBasket is deterministically ordered and bounded") {
     val rows = GraphOps.marketBasket(spark, sf0001).collect()
       .map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
