@@ -137,6 +137,7 @@ object SparkEntry {
     "q_market_basket" -> (GraphOps.marketBasket _),
     "q_graph_metrics" -> (GraphOps.graphMetrics _),
     "q_pagerank" -> (GraphOps.pageRank _),
+    "q_skyline" -> (CurationOps.skyline _),
     "q_length_dist" -> (TextOps.lengthDist _),
     "q_doc_shards" -> (TextOps.docShards _),
     "q_bucket_join" -> (BucketOps.bucketJoin _))
@@ -724,6 +725,18 @@ object SparkEntry {
         |SELECT n, round(r * (SELECT cnt FROM nn), 4) AS rank_scaled
         |FROM pr WHERE iter = 10
         |ORDER BY rank_scaled DESC, n LIMIT 20""".stripMargin,
+    "q_skyline" ->
+      """WITH w AS (
+        |  SELECT p_partkey, p_size, round(p_retailprice, 2) AS price,
+        |    max(round(p_retailprice, 2)) OVER
+        |      (ORDER BY p_size RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_smaller,
+        |    max(round(p_retailprice, 2)) OVER (PARTITION BY p_size) AS best_same
+        |  FROM part)
+        |SELECT p_partkey, p_size, price
+        |FROM w
+        |WHERE (best_smaller IS NULL OR best_smaller < price) AND price = best_same
+        |ORDER BY p_partkey""".stripMargin,
     "q_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

@@ -66,6 +66,32 @@ object CurationOps {
     * streams map-only through a hash lookup; deeper edit radii expand
     * deletion-k variants on both sides (SymSpell), still equi-join shaped.
     */
+  /** 2-D skyline (Pareto frontier): parts no other part dominates on
+    * (smaller-or-equal size, higher-or-equal price, one strict) — the
+    * frontier-extraction op a curation pipeline runs on quality-vs-cost
+    * trade-offs. NOT the naive all-pairs anti-join: the dominance test
+    * reduces to per-size maxima (a map-side-combinable aggregate, ≤
+    * |distinct sizes| rows) + one window over that tiny frame for the
+    * best-price-at-any-smaller-size, + a broadcast join back to tag
+    * frontier rows. The global window therefore runs on dimension-sized
+    * data no matter how many parts exist — the general distributed-skyline
+    * identity (skyline of locals = skyline) specialized to a
+    * low-cardinality axis. */
+  def skyline(spark: SparkSession, sf: String): DataFrame = {
+    val part = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_size"), round(col("p_retailprice"), 2).as("price"))
+    val bySize = part.groupBy("p_size").agg(max(col("price")).as("best_same"))
+    val wSmaller = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_size")).rangeBetween(Long.MinValue, -1)
+    val frontierSizes = bySize
+      .withColumn("best_smaller", max(col("best_same")).over(wSmaller))
+      .filter(col("best_smaller").isNull || col("best_smaller") < col("best_same"))
+    part.join(broadcast(frontierSizes), Seq("p_size"))
+      .filter(col("price") === col("best_same"))
+      .select(col("p_partkey"), col("p_size"), col("price"))
+      .orderBy("p_partkey")
+  }
+
   def fuzzyJoin(spark: SparkSession, sf: String): DataFrame = {
     val nation = Tables.load(spark, sf, "nation").select("n_nationkey", "n_name")
     val dirty = nation.select(

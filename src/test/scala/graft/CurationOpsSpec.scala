@@ -41,6 +41,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(r7._2 == "NATION_" && r7._3 == "NATION_0" && r7._4 == 1L)
   }
 
+  test("skyline rows are mutually non-dominating and complete vs brute force") {
+    val parts = graft.sources.Tables.load(spark, sf0001, "part")
+      .selectExpr("p_partkey", "p_size", "round(p_retailprice, 2) AS price")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2)))
+    def dominates(a: (Long, Long, Double), b: (Long, Long, Double)) =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val brute = parts.filter(p => !parts.exists(q => dominates(q, p))).map(_._1).toSet
+    val got = CurationOps.skyline(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"skyline mismatch: extra=${got -- brute} missing=${brute -- got}")
+    assert(got.nonEmpty)
+  }
+
   test("fuzzyJoin plan: equi-join on the variant key, never an all-pairs scan") {
     val plan = CurationOps.fuzzyJoin(spark, sf0001)
       .queryExecution.executedPlan.toString
