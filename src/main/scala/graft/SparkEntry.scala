@@ -138,6 +138,7 @@ object SparkEntry {
     "q_graph_metrics" -> (GraphOps.graphMetrics _),
     "q_pagerank" -> (GraphOps.pageRank _),
     "q_skyline" -> (CurationOps.skyline _),
+    "q_data_quality" -> (CurationOps.dataQuality _),
     "q_length_dist" -> (TextOps.lengthDist _),
     "q_doc_shards" -> (TextOps.docShards _),
     "q_bucket_join" -> (BucketOps.bucketJoin _))
@@ -737,6 +738,23 @@ object SparkEntry {
         |FROM w
         |WHERE (best_smaller IS NULL OR best_smaller < price) AND price = best_same
         |ORDER BY p_partkey""".stripMargin,
+    "q_data_quality" ->
+      """SELECT 'fk_lineitem_order' AS check_name, (
+        |  SELECT count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |) AS violations
+        |UNION ALL SELECT 'unique_custkey',
+        |  (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        |UNION ALL SELECT 'qty_positive',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+        |UNION ALL SELECT 'discount_in_unit_range',
+        |  (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+        |UNION ALL SELECT 'mktsegment_not_null',
+        |  (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL)
+        |UNION ALL SELECT 'ship_after_order',
+        |  (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |   WHERE l.l_shipdate < o.o_orderdate)
+        |ORDER BY check_name""".stripMargin,
     "q_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

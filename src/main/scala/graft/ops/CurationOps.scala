@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Data-curation operators a training-data pipeline needs beyond dedup and
-  * similarity: PII redaction over raw text and fuzzy (edit-distance) entity
-  * resolution. Both are pure column-expression plans — no UDFs — so they
-  * stay inside whole-stage codegen and scale as plain scans.
+  * similarity: PII redaction over raw text, a Deequ-style data-quality
+  * audit, 2-D skyline extraction, and fuzzy (edit-distance) entity
+  * resolution. All pure column-expression plans — no UDFs — so they stay
+  * inside whole-stage codegen.
   */
 object CurationOps {
 
@@ -51,21 +52,47 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
-  /** Fuzzy entity resolution via SymSpell-style deletion blocking: dirty
-    * strings (each nation name with one character deterministically
-    * deleted at position key % length) are matched back to the clean
-    * dimension WITHOUT an all-pairs levenshtein scan. The clean side
-    * pre-expands into its single-deletion variants (L+1 rows per name,
-    * including the identity), candidates come from an exact equi-join on
-    * the variant string, and levenshtein runs only on candidates to rank
-    * them; `min_by` on a (distance, name) lexicographic key picks a
-    * deterministic best match per dirty string. This is the LSH-banding
-    * idea transplanted to edit distance: blocking bounds candidates, exact
-    * verify ranks them. At 100 TB the variant index of a dimension stays
-    * dimension-sized (× avg length) and broadcasts, so the dirty side
-    * streams map-only through a hash lookup; deeper edit radii expand
-    * deletion-k variants on both sides (SymSpell), still equi-join shaped.
-    */
+  /** Data-quality audit (the Deequ/expectations pattern): a fixed suite of
+    * constraint checks, each one violation COUNT so a pipeline can gate on
+    * `violations == 0` per check. Checks chosen to exercise the distinct
+    * check *shapes*, not just columns: referential integrity (anti-join),
+    * key uniqueness (count vs distinct), domain bounds, null rate, and
+    * cross-column consistency. Every check is a scan→agg (or anti-join→agg)
+    * over ONE table with map-side partial aggregation; the union of 1-row
+    * frames is driver-free. At 100 TB each check shuffles at most its
+    * group-by key (the FK anti-join co-partitions on the key it validates);
+    * checks over the same table could share one scan via a single
+    * multi-aggregate pass — kept separate here so each check names its own
+    * plan, the way an expectations suite composes incrementally. */
+  def dataQuality(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.load(spark, sf, "lineitem")
+    val orders = Tables.load(spark, sf, "orders")
+    val cust = Tables.load(spark, sf, "customer")
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"), col("violations"))
+    val orphanLineitem = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val dupCustkey = cust.agg(
+      (count(lit(1)) - count_distinct(col("c_custkey"))).as("violations"))
+    val negQty = li.filter(col("l_quantity") <= 0).agg(count(lit(1)).as("violations"))
+    val badDiscount = li.filter(col("l_discount") < 0 || col("l_discount") > 1)
+      .agg(count(lit(1)).as("violations"))
+    val nullSegment = cust.filter(col("c_mktsegment").isNull)
+      .agg(count(lit(1)).as("violations"))
+    val shipBeforeOrder = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+      .agg(count(lit(1)).as("violations"))
+    check("fk_lineitem_order", orphanLineitem)
+      .unionAll(check("unique_custkey", dupCustkey))
+      .unionAll(check("qty_positive", negQty))
+      .unionAll(check("discount_in_unit_range", badDiscount))
+      .unionAll(check("mktsegment_not_null", nullSegment))
+      .unionAll(check("ship_after_order", shipBeforeOrder))
+      .orderBy("check_name")
+  }
+
   /** 2-D skyline (Pareto frontier): parts no other part dominates on
     * (smaller-or-equal size, higher-or-equal price, one strict) — the
     * frontier-extraction op a curation pipeline runs on quality-vs-cost
@@ -92,6 +119,21 @@ object CurationOps {
       .orderBy("p_partkey")
   }
 
+  /** Fuzzy entity resolution via SymSpell-style deletion blocking: dirty
+    * strings (each nation name with one character deterministically
+    * deleted at position key % length) are matched back to the clean
+    * dimension WITHOUT an all-pairs levenshtein scan. The clean side
+    * pre-expands into its single-deletion variants (L+1 rows per name,
+    * including the identity), candidates come from an exact equi-join on
+    * the variant string, and levenshtein runs only on candidates to rank
+    * them; `min_by` on a (distance, name) lexicographic key picks a
+    * deterministic best match per dirty string. This is the LSH-banding
+    * idea transplanted to edit distance: blocking bounds candidates, exact
+    * verify ranks them. At 100 TB the variant index of a dimension stays
+    * dimension-sized (× avg length) and broadcasts, so the dirty side
+    * streams map-only through a hash lookup; deeper edit radii expand
+    * deletion-k variants on both sides (SymSpell), still equi-join shaped.
+    */
   def fuzzyJoin(spark: SparkSession, sf: String): DataFrame = {
     val nation = Tables.load(spark, sf, "nation").select("n_nationkey", "n_name")
     val dirty = nation.select(

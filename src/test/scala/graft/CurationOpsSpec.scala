@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.CurationOps
+import org.apache.spark.sql.functions._
 
 class CurationOpsSpec extends SparkSpec {
 
@@ -51,6 +52,52 @@ class CurationOpsSpec extends SparkSpec {
     val got = CurationOps.skyline(spark, sf0001).collect().map(_.getLong(0)).toSet
     assert(got == brute, s"skyline mismatch: extra=${got -- brute} missing=${brute -- got}")
     assert(got.nonEmpty)
+  }
+
+  test("dataQuality counts exactly the planted violations on a corrupted fixture") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dq_fixture"
+    // one violation of each kind, one clean row each
+    Seq(
+      // (orderkey, partkey, suppkey, linenumber, qty, extprice, discount, tax, rf, ls, shipdate)
+      (1L, 1L, 1L, 1L, 5.0, 100.0, 0.1, 0.0, "N", "O", "1996-01-10"),
+      (99L, 1L, 1L, 1L, 5.0, 100.0, 0.1, 0.0, "N", "O", "1996-01-10"), // orphan order 99
+      (1L, 2L, 1L, 2L, -3.0, 100.0, 0.1, 0.0, "N", "O", "1996-01-10"), // negative qty
+      (1L, 3L, 1L, 3L, 5.0, 100.0, 1.5, 0.0, "N", "O", "1996-01-10"),  // discount > 1
+      (1L, 4L, 1L, 4L, 5.0, 100.0, 0.1, 0.0, "N", "O", "1995-12-01"))  // ships before order
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("l_shipdate", to_date($"l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, "O", 200.0, "1996-01-01", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", to_date($"o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "a", 1L, 10.0, Some("BUILDING")),
+        (1L, "b", 1L, 10.0, Some("BUILDING")), // duplicate custkey
+        (2L, "c", 1L, 10.0, None))             // null segment
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = CurationOps.dataQuality(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "fk_lineitem_order" -> 1L, "unique_custkey" -> 1L, "qty_positive" -> 1L,
+      "discount_in_unit_range" -> 1L, "mktsegment_not_null" -> 1L,
+      "ship_after_order" -> 1L), s"got $got")
+  }
+
+  test("dataQuality on the harness fixture: intact where expected, and it catches the real inconsistency") {
+    val got = CurationOps.dataQuality(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 6)
+    // referentially intact and in-domain...
+    Seq("fk_lineitem_order", "unique_custkey", "qty_positive",
+      "discount_in_unit_range", "mktsegment_not_null")
+      .foreach(name => assert(got(name) == 0L, s"$name: ${got(name)} violations"))
+    // ...but the synthetic generator draws shipdate independently of the
+    // order date, and the audit catches it — a real finding, not a bug
+    assert(got("ship_after_order") > 0L)
   }
 
   test("fuzzyJoin plan: equi-join on the variant key, never an all-pairs scan") {
