@@ -120,6 +120,8 @@ object SparkEntry {
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_funnel" -> (EventOps.funnel _),
     "q_cohort_retention" -> (EventOps.cohortRetention _),
+    "q_rolling_dau" -> (EventOps.rollingDau _),
+    "q_gap_fill" -> (EventOps.gapFill _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
     "q_range_join" -> (EventOps.rangeJoin _),
@@ -637,6 +639,33 @@ object SparkEntry {
         |FROM events e JOIN first f ON e.user_id = f.user_id
         |WHERE e.ts >= f.cohort_day
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day_d FROM du)
+        |SELECT strftime(days.day_d, '%Y-%m-%d') AS day,
+        |  count(DISTINCT du.user_id) AS dau7
+        |FROM days JOIN du ON du.d <= days.day_d AND du.d > days.day_d - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id <= 3),
+        |bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM ev),
+        |spine AS (
+        |  SELECT u.user_id, gs.h
+        |  FROM (SELECT DISTINCT user_id FROM ev) u,
+        |  LATERAL (SELECT unnest(generate_series(
+        |    (SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 1 HOUR)) AS h) gs),
+        |agg AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 4) AS v
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT s.user_id, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(a.v, 0.0) AS v,
+        |  coalesce(round(last_value(a.v IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4), 0.0) AS v_ffill
+        |FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.h = a.h
+        |ORDER BY s.user_id, s.h""".stripMargin,
     "q_pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -198,6 +198,57 @@ object EventOps {
   /** 24 h conversion window per funnel stage, shared with the streaming twin. */
   val FunnelWindowSec: Long = 86400L
 
+  /** 7-day rolling distinct active users per day. COUNT(DISTINCT) over a
+    * sliding frame has no window form, so the standard decomposition: one
+    * distinct pass collapses events to (day, user) pairs — the ONLY scan
+    * of the big table — then the tiny day spine (time axis: thousands of
+    * rows at any scale) range-joins the pair table and a distinct-agg
+    * counts per day. The range join broadcasts the day spine, so the pair
+    * table is never shuffled for it; each pair lands in ≤ 7 day-groups. */
+  def rollingDau(spark: SparkSession, sf: String): DataFrame = {
+    val du = events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id")).distinct()
+    val days = du.select(col("d").as("day_d")).distinct()
+    du.join(broadcast(days),
+        col("d") <= col("day_d") && col("d") > col("day_d") - expr("INTERVAL 7 DAY"))
+      .groupBy(date_format(col("day_d"), "yyyy-MM-dd").as("day"))
+      .agg(count_distinct(col("user_id")).as("dau7"))
+      .orderBy("day")
+  }
+
+  /** Hourly gap-fill + forward-fill for a small user cohort — the
+    * time-series regularization every downstream model expects: a complete
+    * hourly spine per user (`sequence` over the observed bounds, exploded),
+    * left-joined against the hourly sums, missing hours as 0 plus a
+    * last-observation-carried-forward column via `last(ignoreNulls)` over
+    * an unbounded-preceding frame. One shuffle for the hourly agg, one for
+    * the per-user window; the spine explode is map-side. At 100 TB the
+    * spine is (users × hours) — generate it per user-partition (as here)
+    * and the window never sees more than one user's timeline. */
+  def gapFill(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf).filter(col("user_id") <= 3)
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum("value"), 4).as("v"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("v"), lit(0.0)).as("v"),
+        coalesce(round(last(col("v"), ignoreNulls = true).over(w), 4), lit(0.0))
+          .as("v_ffill"))
+      .orderBy("user_id", "hour")
+  }
+
   /** Cohort retention — users cohorted by first-signup day, then counted
     * distinct per (cohort day, day offset) over their subsequent activity.
     * One agg builds the cohort map (per-user min-day — tiny, one row per

@@ -57,6 +57,36 @@ class EventOpsSpec extends SparkSpec {
     assert(counts(0) > 0)
   }
 
+  test("rollingDau: 7-day window is a superset of any single day's actives") {
+    val ev = graft.ops.EventOps.events(spark, sf0001)
+    val daily = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .groupBy("d").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val rolling = graft.ops.EventOps.rollingDau(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolling.keySet == daily.keySet)
+    rolling.foreach { case (day, dau7) =>
+      assert(dau7 >= daily(day), s"$day: rolling $dau7 < daily ${daily(day)}")
+    }
+  }
+
+  test("gapFill: spine is complete and forward-fill carries the last observation") {
+    val rows = graft.ops.EventOps.gapFill(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    val spineSizes = byUser.values.map(_.length).toSet
+    assert(spineSizes.size == 1, s"unequal spines: $spineSizes") // same bounds for all
+    byUser.values.foreach { timeline =>
+      val sorted = timeline.sortBy(_._2)
+      var lastObs = 0.0
+      sorted.foreach { case (_, hour, v, ffill) =>
+        if (v != 0.0) lastObs = v
+        assert(ffill == lastObs, s"$hour: ffill $ffill != carried $lastObs")
+      }
+    }
+  }
+
   test("cohort retention: day-0 count equals cohort size, offsets non-negative") {
     val rows = graft.ops.EventOps.cohortRetention(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
