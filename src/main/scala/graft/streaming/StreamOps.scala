@@ -39,6 +39,20 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed approximate-distinct users — the streaming twin of the batch
+    * sketch family (q_approx_distinct / q_sketch_stats): HLL++ partials
+    * merge associatively, so the same aggregate runs incrementally under a
+    * watermark with state = one sketch per open window (KB-sized,
+    * cardinality-independent) instead of the per-user set an exact distinct
+    * would hoard. The batch run of this SAME function computes the full
+    * answer (watermark is a no-op in batch) — asserted in StreamingSpec. */
+  def hourlyApproxUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("hour"), col("approx_users"))
+
   /** Exact dedup on a stream: state-bounded via the watermark (an event id
     * must recur within 1 hour to be caught — the streaming contract for the
     * batch TextOps.dedupExact capability). */

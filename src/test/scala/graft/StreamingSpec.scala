@@ -288,6 +288,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("hourlyApproxUsers: streamed HLL merge equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 40).map { i =>
+      EvU(i.toLong, (i % 7).toLong, t(f"2024-01-01 ${10 + i / 20}%02d:${i % 20}%02d:00"), 1.0)
+    }
+    val stream = MemoryStream[EvU]
+    val q = StreamOps.hourlyApproxUsers(stream.toDF())
+      .writeStream.format("memory").queryName("approx_users")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data.take(25): _*)
+      q.processAllAvailable()
+      stream.addData(data.drop(25): _*)  // second batch merges into open windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("approx_users").orderBy("hour")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1))
+    val batch = StreamOps.hourlyApproxUsers(data.toDF()).orderBy("hour")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1))
+    assert(streamed.toSeq == batch.toSeq)
+    // 7 distinct users is far below HLL error range: the estimate is exact
+    streamed.foreach { case (_, n) => assert(n == 7L) }
+  }
+
   test("funnelAdvances emits per-stage advancements and agrees with the batch funnel") {
     implicit val sqlCtx = spark.sqlContext
     // user 1 converts fully; user 2 clicks but purchases OUTSIDE the 24 h
