@@ -101,7 +101,12 @@ object Bench {
     // even with sbt's closing "[success]" line after it. Printed after
     // spark.stop() so no shutdown logging can interleave behind it.
     val slow = ok.sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + f"\":${v}%.3f" }.mkString("{", ",", "}")
+      // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+      // and a comma-decimal locale would make this "scrape-proof" line
+      // invalid JSON — the exact failure it exists to prevent
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+      .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed,"queries":$slow,"queries_note":"slowest 20; all ${results.size} in target/bench.json","sf":"$sfDir"}""")
   }

@@ -74,7 +74,11 @@ object GraphOps {
         when(fwd, col("v")).otherwise(col("u")).as("d"),
         when(fwd, col("dv")).otherwise(col("du")).as("rdeg"))
       // three consumers (both wedge sides + the closing join): materialize
-      // once or the deg-join subtree runs three times
+      // once or the deg-join subtree runs three times. Both this cache and
+      // `e`'s live until the caller's action completes, so cleanup is the
+      // caller's (Bench/Verify clearCache per query — the repo convention
+      // for lazily-returned plans; an eager unpersist here would run before
+      // the returned frame ever executes and defeat the cache)
       .persist()
     // wedges: ordered pairs of out-neighbors of one source, (a, b) with
     // rank(a) < rank(b). The triangle's three nodes are totally ordered by

@@ -195,7 +195,12 @@ object TextOps {
     * A/B in PLANS.md). Env-overridable (GRAFT_CLUSTER_CKPT_EVERY) so a
     * profile run can A/B the checkpoint path without a rebuild. */
   private[graft] val ClusterCheckpointEvery =
-    sys.env.getOrElse("GRAFT_CLUSTER_CKPT_EVERY", "1").toInt
+    // clamp + swallow malformed values: an unguarded toInt here runs in the
+    // object initializer, so a typo'd profiling knob would poison EVERY
+    // TextOps query with ExceptionInInitializerError, and 0 would divide
+    // by zero inside the cluster loop
+    scala.util.Try(sys.env.getOrElse("GRAFT_CLUSTER_CKPT_EVERY", "1").toInt)
+      .toOption.filter(_ >= 1).getOrElse(1)
 
   /** Rounds the last [[dupClustersFrom]] call took (diagnostics + the
     * round-count assertion in TextOpsSpec's chain test). */

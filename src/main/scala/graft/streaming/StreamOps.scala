@@ -225,11 +225,13 @@ object StreamOps {
     * (same stages, same 24 h advancement window). Per-user state is ONE
     * (stage, stage-ts) pair; an Append-mode row is emitted the moment a user
     * ADVANCES a stage, so downstream stage counts are a plain aggregate over
-    * the advancement log. State is dropped as soon as it is provably final:
-    * on reaching the last stage, or via event-time timeout once the
-    * watermark passes the advancement deadline (stage-ts + window) — so
-    * state size is O(users currently inside a conversion window),
-    * independent of stream length. In-order contract: like the batch form,
+    * the advancement log. State — including a converted user's terminal
+    * stage, kept so a later view can't re-enter stage 1 and double-count
+    * the user in the log — is dropped via event-time timeout once the
+    * watermark passes the advancement deadline (stage-ts + window), so
+    * state size is O(users active within one window), independent of
+    * stream length; a user re-appearing after that forgetting horizon
+    * starts a fresh funnel pass. In-order contract: like the batch form,
     * t1 is the FIRST view; an out-of-order view arriving after a later view
     * has already set t1 cannot rewind it (batch min() would) — events
     * within a micro-batch are sorted, so the twins agree on any stream
@@ -263,15 +265,21 @@ object StreamOps {
                 out ::= FunnelAdvance(user, s"${stage + 1}_${stages(stage)}", e._3)
               }
             }
-            st match {
-              case Some(s) if s.stage >= stages.length => state.remove() // converted: final
-              case Some(s) =>
-                state.update(s)
-                // deadline for the NEXT advancement; must stay ahead of the
-                // current watermark or Spark rejects the timestamp
-                state.setTimeoutTimestamp(
-                  math.max(s.stageTsMs + windowMs, state.getCurrentWatermarkMs() + 1))
-              case None => // user never viewed: nothing to track
+            st.foreach { s =>
+              // keep CONVERTED users' state too (stage == stages.length is
+              // terminal — nothing advances past it): dropping it on
+              // conversion would let a later view of the same user re-enter
+              // stage 1 and re-emit, double-counting the user in any
+              // aggregate over the advancement log. State is freed only by
+              // the event-time timeout, which is the documented forgetting
+              // horizon: a user re-appearing AFTER it re-enters the funnel
+              // (bounded state has to forget; the batch twin over the same
+              // retention window agrees).
+              state.update(s)
+              // deadline for the NEXT advancement; must stay ahead of the
+              // current watermark or Spark rejects the timestamp
+              state.setTimeoutTimestamp(
+                math.max(s.stageTsMs + windowMs, state.getCurrentWatermarkMs() + 1))
             }
             out.reverse.iterator
           }

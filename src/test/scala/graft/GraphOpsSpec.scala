@@ -2,7 +2,15 @@ package graft
 
 import graft.ops.GraphOps
 
-class GraphOpsSpec extends SparkSpec {
+class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // graph operators persist edge frames and rely on the caller to clear
+  // them (Bench/Verify clearCache per query); mirror that here so six
+  // tests' worth of cached edge lists don't pressure the shared heap
+  override def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 
   test("degree-oriented triangle count equals the key-oriented formulation") {
     val metrics = GraphOps.graphMetrics(spark, sf0001).collect().head

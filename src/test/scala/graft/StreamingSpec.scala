@@ -352,4 +352,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamCounts == batchCounts)
   }
+
+  test("funnelAdvances: a view after conversion does not re-enter the funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.funnelAdvances(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_noreenter")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "view", t("2024-01-01 10:00:00")),
+        (1L, "click", t("2024-01-01 10:30:00")),
+        (1L, "purchase", t("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // converted user views again within the retention horizon: state is
+      // terminal, so NO new 1_view row may appear (double-count guard)
+      stream.addData((1L, "view", t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val adv = spark.table("funnel_noreenter")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(adv.length == 3, s"re-emission detected: ${adv.mkString(",")}")
+    assert(adv.count(_._2 == "1_view") == 1)
+  }
 }
