@@ -104,9 +104,13 @@ object CurationOps {
     * data no matter how many parts exist — the general distributed-skyline
     * identity (skyline of locals = skyline) specialized to a
     * low-cardinality axis. */
-  def skyline(spark: SparkSession, sf: String): DataFrame = {
-    val part = Tables.load(spark, sf, "part")
-      .select(col("p_partkey"), col("p_size"), round(col("p_retailprice"), 2).as("price"))
+  def skyline(spark: SparkSession, sf: String): DataFrame =
+    skylineFrom(Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_size"), round(col("p_retailprice"), 2).as("price")))
+
+  /** Skyline over any (p_partkey, p_size, price) frame — the form the
+    * property test drives with generated inputs. */
+  def skylineFrom(part: DataFrame): DataFrame = {
     val bySize = part.groupBy("p_size").agg(max(col("price")).as("best_same"))
     val wSmaller = org.apache.spark.sql.expressions.Window
       .orderBy(col("p_size")).rangeBetween(Long.MinValue, -1)
@@ -141,7 +145,14 @@ object CurationOps {
       expr("""concat(substring(n_name, 1, CAST(n_nationkey % length(n_name) AS INT)),
                      substring(n_name, CAST(n_nationkey % length(n_name) AS INT) + 2, 100))""")
         .as("dirty_name"))
-    val variants = nation.select(
+    fuzzyResolve(nation.select(col("n_name")), dirty)
+  }
+
+  /** Resolve a (dirty_key, dirty_name) frame against a clean (n_name)
+    * dimension via the deletion-variant index — the form the property test
+    * drives with generated corruptions. */
+  def fuzzyResolve(clean: DataFrame, dirty: DataFrame): DataFrame = {
+    val variants = clean.select(
       col("n_name"),
       explode(expr(
         """transform(sequence(1, length(n_name) + 1),

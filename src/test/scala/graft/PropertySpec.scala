@@ -201,4 +201,44 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(z * s + m - x) < 1e-9)
     }
   }
+
+  private val partsGen = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 8L), Gen.choose(1, 50)))
+
+  test("skyline equals brute-force dominance for generated (size, price) sets") {
+    // 5 seeded samples (each runs a full Spark job; 30 would drag the suite)
+    (0 until 5).foreach { i =>
+      partsGen.apply(Gen.Parameters.default, Seed(7L + i)).foreach { sample =>
+        val rows = sample.zipWithIndex.map { case ((size, price), k) =>
+          (k.toLong, size, price.toDouble)
+        }
+        val df = rows.toDF("p_partkey", "p_size", "price")
+        val got = graft.ops.CurationOps.skylineFrom(df)
+          .collect().map(_.getLong(0)).toSet
+        def dom(a: (Long, Long, Double), b: (Long, Long, Double)) =
+          a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+        val brute = rows.filter(p => !rows.exists(q => dom(q, p))).map(_._1).toSet
+        assert(got == brute, s"sample $i: got $got brute $brute")
+      }
+    }
+  }
+
+  test("fuzzyResolve recovers every single-character deletion at distance <= 1") {
+    val wordGen = Gen.listOfN(8, Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString))
+    (0 until 5).foreach { i =>
+      wordGen.apply(Gen.Parameters.default, Seed(11L + i)).foreach { ws =>
+        val words = ws.distinct
+        val clean = words.toDF("n_name")
+        // delete position (k % len) from word k — every dirty string is a
+        // true single-deletion corruption of some clean word
+        val dirty = words.zipWithIndex.map { case (w, k) =>
+          val pos = k % w.length
+          (k.toLong, w.substring(0, pos) + w.substring(pos + 1))
+        }.toDF("dirty_key", "dirty_name")
+        val got = graft.ops.CurationOps.fuzzyResolve(clean, dirty).collect()
+          .map(r => (r.getLong(0), r.getLong(3)))
+        assert(got.length == words.length, s"sample $i: unresolved corruptions")
+        got.foreach { case (k, d) => assert(d <= 1L, s"sample $i key $k dist $d") }
+      }
+    }
+  }
 }
