@@ -61,6 +61,7 @@ object SparkEntry {
     "q_cdc_apply" -> (Relational.cdcApply _),
     "q_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q_scd2" -> (Relational.scd2 _),
+    "q_snapshot_diff" -> (Relational.snapshotDiff _),
     "q_regex_extract" -> (Relational.regexExtract _),
     "q_array_agg" -> (Relational.arrayAgg _),
     "q_sketch_stats" -> (Relational.sketchStats _),
@@ -590,6 +591,25 @@ object SparkEntry {
         |SELECT custkey, acctbal, 'base' AS src FROM base
         |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.custkey = base.custkey)
         |ORDER BY custkey""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT c_custkey AS key, round(c_acctbal, 2) AS bal FROM customer),
+        |neu AS (
+        |  SELECT key,
+        |    CASE WHEN key % 5 = 0 THEN round(bal + 100.0, 2) ELSE bal END AS bal
+        |  FROM old WHERE key % 13 <> 0
+        |  UNION ALL
+        |  SELECT key + 20000000, 1.0 FROM old WHERE key % 7 = 0)
+        |SELECT coalesce(o.key, n.key) AS key,
+        |  CASE WHEN o.key IS NULL THEN 'I'
+        |       WHEN n.key IS NULL THEN 'D'
+        |       WHEN o.bal <> n.bal THEN 'U' END AS op,
+        |  coalesce(n.bal, o.bal) AS bal
+        |FROM old o FULL OUTER JOIN neu n ON o.key = n.key
+        |WHERE (CASE WHEN o.key IS NULL THEN 'I'
+        |            WHEN n.key IS NULL THEN 'D'
+        |            WHEN o.bal <> n.bal THEN 'U' END) IS NOT NULL
+        |ORDER BY key""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,

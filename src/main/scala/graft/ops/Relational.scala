@@ -576,6 +576,38 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** Snapshot diff — the PRODUCER dual of [[cdcApply]]: given two table
+    * snapshots, emit the change feed (I/U/D rows) that transforms old into
+    * new. One full-outer join co-partitioned on the key classifies every
+    * row: right-only → insert, left-only → delete, both-but-changed →
+    * update (unchanged rows drop out — the feed is minimal). The "new"
+    * snapshot derives deterministically from the fixtures with all three
+    * change kinds: every 5th customer's balance moves, every 13th is
+    * dropped, and a disjoint key range is inserted. At 100 TB both sides
+    * hash-partition once on the key (or zero shuffles with bucketed
+    * layout), and the diff is the standard backfill-free way to generate
+    * incremental feeds from full dumps. */
+  def snapshotDiff(spark: SparkSession, sf: String): DataFrame = {
+    val old = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("key"), round(col("c_acctbal"), 2).as("bal"))
+    val neu = old.filter(col("key") % 13 =!= 0)
+      .select(col("key"),
+        when(col("key") % 5 === 0, round(col("bal") + 100.0, 2)).otherwise(col("bal"))
+          .as("bal"))
+      .union(old.filter(col("key") % 7 === 0)
+        .select((col("key") + 20000000L).as("key"), lit(1.0).as("bal")))
+    old.select(col("key"), col("bal").as("old_bal"))
+      .join(neu.select(col("key"), col("bal").as("new_bal")), Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("old_bal").isNull, "I")
+          .when(col("new_bal").isNull, "D")
+          .when(col("old_bal") =!= col("new_bal"), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("key"), col("op"),
+        coalesce(col("new_bal"), col("old_bal")).as("bal"))
+      .orderBy("key")
+  }
+
   /** CSV round-trip — the reference's upload path (`pd.read_csv`,
     * `app_test.py:262-263`): write a table as CSV, read it back with an
     * explicit schema (never inference, SURVEY.md §1.4), prove losslessness. */

@@ -188,6 +188,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: applying the feed to the old snapshot yields the new one") {
+    val old = graft.sources.Tables.load(spark, sf0001, "customer")
+      .selectExpr("c_custkey AS key", "round(c_acctbal, 2) AS bal")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val feed = graft.ops.Relational.snapshotDiff(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // replay: start from old, apply I/U/D
+    val replayed = scala.collection.mutable.Map(old.toSeq: _*)
+    feed.foreach {
+      case (k, "I", b) => assert(!replayed.contains(k)); replayed(k) = b
+      case (k, "U", b) => assert(replayed.contains(k)); replayed(k) = b
+      case (k, "D", _) => assert(replayed.remove(k).isDefined)
+      case other => fail(s"unexpected op $other")
+    }
+    // reconstruct the expected new snapshot independently
+    val expected = old.collect {
+      case (k, b) if k % 13 != 0 => k -> (if (k % 5 == 0) math.round((b + 100.0) * 100) / 100.0 else b)
+    } ++ old.collect { case (k, _) if k % 7 == 0 => (k + 20000000L) -> 1.0 }
+    assert(replayed.toMap == expected.toMap)
+    // minimality: no no-op rows in the feed
+    feed.foreach { case (k, op, b) =>
+      if (op == "U") assert(old(k) != b, s"no-op update for $k")
+    }
+  }
+
   test("grouping sets: subtotal and grand-total rows reconcile with the detail rows") {
     val rows = graft.ops.Relational.groupingSetsAgg(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
