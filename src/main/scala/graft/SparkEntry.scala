@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{BucketOps, CurationOps, EventOps, GraphOps, Relational, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
+import graft.ops.{BucketOps, CurationOps, EventOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -144,7 +144,13 @@ object SparkEntry {
     "q_data_quality" -> (CurationOps.dataQuality _),
     "q_length_dist" -> (TextOps.lengthDist _),
     "q_doc_shards" -> (TextOps.docShards _),
-    "q_bucket_join" -> (BucketOps.bucketJoin _))
+    "q_bucket_join" -> (BucketOps.bucketJoin _),
+    "q_bloom_join" -> (RuntimeFilterOps.bloomJoin _),
+    "q_regression" -> (Relational.regression _),
+    "q_histogram_eqdepth" -> (Relational.histogramEqDepth _),
+    "q_inverted_index" -> (TextOps.invertedIndex _),
+    "q_weighted_sample" -> (TextOps.weightedSample _),
+    "q_zorder" -> (LayoutOps.zorderAudit _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1224,5 +1230,67 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  round(sum(o_totalprice), 4) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q_bloom_join's oracle is deliberately the PLAIN join: the bloom-pruned
+    // plan must reproduce it exactly (false positives die in the exact join).
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment,
+        |  round(o_totalprice, 4) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""".stripMargin,
+    "q_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram_eqdepth" ->
+      """SELECT decile, count(*) AS n, round(min(o_totalprice), 4) AS lo,
+        |  round(max(o_totalprice), 4) AS hi
+        |FROM (SELECT o_totalprice,
+        |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+        |             AS BIGINT) AS decile
+        |      FROM orders)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT t.tok AS term, doc_id
+         |  FROM documents, unnest($toksSql) AS t(tok)),
+         |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+         |ranked AS (SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+         |  FROM pairs)
+         |SELECT term, df,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |FROM ranked JOIN df USING (term) WHERE rk <= ${TextOps.PostingHeadK}
+         |GROUP BY term, df ORDER BY term""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id, n_chars,
+         |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        + 0.5) / 4294967296.0) / n_chars AS key
+         |  FROM documents)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY key DESC, doc_id) AS rk FROM k)
+         |WHERE rk <= ${TextOps.WeightedSampleK} ORDER BY source, rk""".stripMargin,
+    "q_zorder" ->
+      s"""WITH d AS (
+         |  SELECT (o_custkey & ${(1L << LayoutOps.ZBits) - 1}) AS xk,
+         |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         |     & ${(1L << LayoutOps.ZBits) - 1}) AS yk
+         |  FROM orders),
+         |z AS (SELECT xk, yk, (($zInterleaveSql) >> 14) AS zbucket FROM d)
+         |SELECT zbucket, count(*) AS n, min(xk) AS lo_cust, max(xk) AS hi_cust,
+         |  min(yk) AS lo_day, max(yk) AS hi_day
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)
+
+  /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
+    * Morton interleave, generated from the same loop so the bit layout
+    * cannot drift between engines. */
+  private def zInterleaveSql: String =
+    (0 until LayoutOps.ZBits).map { i =>
+      s"((((xk >> $i) & 1) << ${2 * i}) | (((yk >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" | ")
 }

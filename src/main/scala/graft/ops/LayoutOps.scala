@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-layout operators: multi-dimensional clustering keys for
+  * file-skipping at 100 TB.
+  *
+  * Min/max zone-map pruning ([[SourceOps.partitionPrune]],
+  * `q_partition_prune`) only skips files when the data is CLUSTERED on the
+  * filter column — and sorting on one column destroys locality on every
+  * other. A Z-order (Morton) key interleaves the bits of two (or more)
+  * dimensions so that sorting by the single z value keeps BOTH dimensions
+  * locally dense: any z-contiguous run of rows covers a small rectangle in
+  * (x, y) space, so per-file min/max ranges stay narrow on both columns and
+  * a predicate on EITHER dimension skips most files. This is the layout
+  * strategy behind lakehouse `OPTIMIZE ZORDER BY` — recomputed here as a
+  * pure-expression key (bit ops only, fully codegen'd, no shuffle beyond
+  * the final range sort that any layout rewrite pays).
+  */
+object LayoutOps {
+
+  /** Bits kept per dimension (20-bit z value total). */
+  val ZBits = 10
+
+  /** Morton-interleave the low [[ZBits]] bits of x (even positions) and y
+    * (odd positions). Pure integer bit arithmetic — identical in any
+    * engine, which is what makes the layout audit oracle-checkable. */
+  def zValue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Declared query — the layout AUDIT for z-ordering orders on
+    * (custkey, order day): bucket rows by their z-value prefix (the
+    * file-assignment a z-sorted writer would make) and report each
+    * bucket's row count and min/max extent in BOTH dimensions. Narrow
+    * per-bucket ranges on both axes are precisely the property that makes
+    * zone-map skipping effective for predicates on either column; the
+    * audit materializes what `OPTIMIZE ZORDER` buys before committing a
+    * 100 TB rewrite to it. Integer-only output → bit-exact oracle. */
+  def zorderAudit(spark: SparkSession, sf: String): DataFrame = {
+    val x = col("o_custkey").bitwiseAND(lit((1L << ZBits) - 1))
+    val y = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      .cast("long").bitwiseAND(lit((1L << ZBits) - 1))
+    Tables.load(spark, sf, "orders")
+      .select(x.as("xk"), y.as("yk"))
+      .withColumn("zbucket", shiftright(zValue(col("xk"), col("yk")), 14))
+      .groupBy("zbucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min("xk").as("lo_cust"), max("xk").as("hi_cust"),
+        min("yk").as("lo_day"), max("yk").as("hi_day"))
+      .orderBy("zbucket")
+  }
+}

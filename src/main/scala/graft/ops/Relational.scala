@@ -620,4 +620,46 @@ object Relational {
       .select("r_regionkey", "r_name")
       .orderBy("r_regionkey")
   }
+
+  /** Per-group simple linear regression — slope/intercept/R²/count of
+    * extendedprice on quantity, one per return flag. All four are
+    * single-pass ALGEBRAIC aggregates (sums of x, y, x², y², xy compose
+    * associatively → map-side combine, no sort, no second pass), which is
+    * why per-group OLS is free at 100 TB while an iterative fit is not.
+    * Definitions match DuckDB's `regr_*` family exactly (population
+    * covariance over population variance). The reference's analytics page
+    * eyeballs this relationship as a scatter plot (`app_test.py:104-110`);
+    * the regression line is its closed form. */
+  def regression(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Equi-DEPTH histogram (deciles) of order totalprice — the complement of
+    * [[histogram]]'s equi-width bins: every bucket holds the same row
+    * count, bucket BOUNDARIES carry the information. `ntile` over a total
+    * order is the exact form (one global sort — acceptable because the
+    * output is 10 rows); at 100 TB the sort is a range-partitioned
+    * TakeOrdered-style pass, or the approx_percentile sketch in
+    * [[sketchStats]] replaces it outright. Tie-break on o_orderkey makes
+    * bucket assignment total and both engines agree bit-for-bit
+    * (ntile's remainder-to-early-buckets rule is shared). */
+  def histogramEqDepth(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("o_totalprice"), 4).as("lo"),
+        round(max("o_totalprice"), 4).as("hi"))
+      .orderBy("decile")
+  }
 }

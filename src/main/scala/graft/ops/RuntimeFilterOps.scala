@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.BinaryType
+import graft.sources.Tables
+
+/** Runtime (semi-join) filtering: prune a huge fact table with a Bloom
+  * filter built from the dim side's join keys BEFORE the join's shuffle.
+  *
+  * This is the explicit, declared form of what Spark's own
+  * `InjectRuntimeFilter` rule does opportunistically
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`): at 100 TB, a
+  * selective dim predicate (here: one market segment ≈ 1/5 of customers)
+  * means ~4/5 of fact rows can never find a join partner — filtering them
+  * at the scan with an O(KB..MB) broadcast-sized sketch removes them from
+  * the shuffle entirely, which is where a shuffle-sized join spends its
+  * time. False positives (fpp ≈ 3%) pass the filter but are eliminated by
+  * the exact join that follows, so the result is IDENTICAL to the plain
+  * join — which is exactly what makes the query oracle-checkable against
+  * the unfiltered join SQL.
+  *
+  * Reference capability mapped: the churn dashboard's segment drill-down
+  * (`app_test.py:99-131` filters the frame to a segment before
+  * aggregating) — re-expressed as the join-pruning pattern that survives
+  * when "the frame" is 100 TB and the filter column lives on the dim.
+  */
+object RuntimeFilterOps {
+
+  /** False-positive probability for the probe sketch; 3% matches Spark's
+    * own runtime-filter default ballpark — small enough to kill most
+    * non-matching rows, large enough to keep the sketch broadcast-sized. */
+  val BloomFpp = 0.03
+
+  /** Build a Bloom filter over `dim`'s `dimKey` (distributed treeAggregate
+    * via the public `stat.bloomFilter`), embed it as a binary literal, and
+    * return `fact` filtered by the codegen'd `might_contain` probe on
+    * `factKey`. The sketch travels to executors with the task closure —
+    * operationally a broadcast. The probe is Catalyst's own
+    * [[BloomFilterMightContain]] (the expression `InjectRuntimeFilter`
+    * plants), so the filter participates in whole-stage codegen; the only
+    * non-public surface crossed is the Column⇄Expression bridge.
+    *
+    * `expectedItems` sizes the sketch; it is a capacity bound, not a count
+    * probe — no extra job runs. Oversizing costs bits (n·~7.3 bits at 3%),
+    * undersizing costs fpp, never correctness. */
+  def bloomSemiFilter(fact: DataFrame, dim: DataFrame, factKey: Column,
+                      dimKey: Column, expectedItems: Long = 1L << 20): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, BloomFpp)
+    val bytes = {
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = Bridge.column(BloomFilterMightContain(
+      Literal.create(bytes, BinaryType),
+      Bridge.expression(factKey.cast("long"))))
+    fact.filter(probe)
+  }
+
+  /** Declared query: orders of 'BUILDING'-segment customers, computed as
+    * bloom-prune-then-exact-join. The oracle is the PLAIN join — the pruned
+    * plan must reproduce it row-for-row. At fixture scale the exact join is
+    * a broadcast; at 100 TB it is a shuffle join over the ~20% survivor
+    * set instead of the full fact table. */
+  def bloomJoin(spark: SparkSession, sf: String): DataFrame = {
+    val dim = Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_mktsegment")
+    val fact = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    bloomSemiFilter(fact, dim, col("o_custkey"), col("c_custkey"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+}

@@ -1014,4 +1014,66 @@ object TextOps {
       .select("doc_id", "rk", "tok", "score")
       .orderBy("doc_id", "rk")
   }
+
+  /** Posting-list entries materialized per term (the head; full df is kept
+    * as a count). Bounds every term's list — the hot-term guard. */
+  val PostingHeadK = 20
+
+  /** Inverted index build — per-term document frequency plus the first
+    * [[PostingHeadK]] doc ids of the sorted posting list. Everything
+    * derives from ONE distinct (term, doc) relation: df is a count per
+    * term; the postings head is a rank-and-filter BEFORE any list is
+    * collected, so no reducer ever materializes a stop-word's full corpus
+    * list — the 100 TB failure mode of naive index builds (a hot term's
+    * complete postings belong to the sharded layout, [[docShards]], not a
+    * single array cell). The rank-filter is the window form here; at scale
+    * it is exactly the bounded-heap shape
+    * [[org.apache.spark.sql.graft.TopKPerKey]] executes without sorting
+    * whole partitions. The retrieval twin of [[bm25]]: this materializes
+    * the index that query-time scoring probes. */
+  def invertedIndex(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = fannedDocs(spark, sf)
+      .select(explode(tokens(col("text"))).as("term"), col("doc_id"))
+      .distinct()
+    val dfPerTerm = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val head = pairs
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("term").orderBy("doc_id")))
+      .filter(col("rk") <= PostingHeadK)
+    head.join(dfPerTerm, "term")
+      .groupBy("term", "df")
+      .agg(array_join(transform(sort_array(collect_list("doc_id")),
+        d => d.cast("string")), ",").as("postings"))
+      .orderBy("term")
+  }
+
+  /** Strata size for [[weightedSample]] (docs kept per source). */
+  val WeightedSampleK = 5
+
+  /** Weighted sampling without replacement, Efraimidis–Spirakis A-ES: each
+    * doc draws u ∈ (0,1) from a hash of its id and ranks by ln(u)/weight —
+    * the top-k per stratum is exactly a weight-proportional sample without
+    * replacement. One pass, no global state: the per-stratum top-k is a
+    * bounded window (or [[org.apache.spark.sql.graft.TopKPerKey]] at
+    * scale), and u derives from md5, never `rand()`, so the sample is
+    * reproducible across engines and retries — the property that makes
+    * training-data subsampling auditable. Weight = n_chars: longer docs
+    * proportionally likelier, the standard token-budget-aware curation
+    * draw. u maps the first 8 md5 hex digits into (0,1) identically in
+    * both engines (+0.5 keeps it strictly positive). */
+  def weightedSample(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / lit(4294967296.0)
+    val w = Window.partitionBy("source")
+      .orderBy(col("key").desc, col("doc_id"))
+    Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("key", log(u) / col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= WeightedSampleK)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
 }
