@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{BucketOps, CurationOps, EventOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, TextOps, VectorOps}
+import graft.ops.{BucketOps, CurationOps, EventOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, TextOps, TpchOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -150,7 +150,10 @@ object SparkEntry {
     "q_histogram_eqdepth" -> (Relational.histogramEqDepth _),
     "q_inverted_index" -> (TextOps.invertedIndex _),
     "q_weighted_sample" -> (TextOps.weightedSample _),
-    "q_zorder" -> (LayoutOps.zorderAudit _))
+    "q_zorder" -> (LayoutOps.zorderAudit _),
+    "q_tpch_q3" -> (TpchOps.shippingPriority _),
+    "q_tpch_q5" -> (TpchOps.localSupplierVolume _),
+    "q_null_semantics" -> (Relational.nullSemantics _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1284,7 +1287,44 @@ object SparkEntry {
          |z AS (SELECT xk, yk, (($zInterleaveSql) >> 14) AS zbucket FROM d)
          |SELECT zbucket, count(*) AS n, min(xk) AS lo_cust, max(xk) AS hi_cust,
          |  min(yk) AS lo_day, max(yk) AS hi_day
-         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '${TpchOps.Q3Cutoff} 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '${TpchOps.Q3Cutoff} 00:00:00'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_null_semantics" ->
+      """SELECT o_orderpriority, count(*) AS n_total,
+        |  count(x) AS n_x,
+        |  CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_x_null,
+        |  round(avg(x), 4) AS avg_x,
+        |  round(avg(coalesce(x, 0.0)), 4) AS avg_x0,
+        |  CAST(sum(CASE WHEN x IS NOT DISTINCT FROM y THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_nullsafe_eq
+        |FROM (SELECT o_orderpriority,
+        |        CASE WHEN o_orderstatus <> 'O' THEN o_totalprice END AS x,
+        |        CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END AS y
+        |      FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
     * Morton interleave, generated from the same loop so the bit layout

@@ -621,6 +621,28 @@ object Relational {
       .orderBy("r_regionkey")
   }
 
+  /** Three-valued-logic semantics pack: NULL-skipping aggregates, COALESCE
+    * defaulting, and null-safe equality (`<=>` ≡ IS NOT DISTINCT FROM) on
+    * two derived nullable columns. ANSI NULL discipline is load-bearing in
+    * a 100 TB pipeline — count(col) vs count(*) drift or a `=` that
+    * silently drops NULL=NULL pairs corrupts every downstream join/dedup;
+    * this query pins the exact semantics against the oracle. */
+  def nullSemantics(spark: SparkSession, sf: String): DataFrame = {
+    val x = when(col("o_orderstatus") =!= "O", col("o_totalprice"))
+    val y = when(col("o_orderstatus") =!= "F", col("o_totalprice"))
+    Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), x.as("x"), y.as("y"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("x")).as("n_x"),
+        sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_x_null"),
+        round(avg(col("x")), 4).as("avg_x"),
+        round(avg(coalesce(col("x"), lit(0.0))), 4).as("avg_x0"),
+        sum(when(col("x") <=> col("y"), 1L).otherwise(0L)).as("n_nullsafe_eq"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Per-group simple linear regression — slope/intercept/R²/count of
     * extendedprice on quantity, one per return flag. All four are
     * single-pass ALGEBRAIC aggregates (sums of x, y, x², y², xy compose
