@@ -153,7 +153,9 @@ object SparkEntry {
     "q_zorder" -> (LayoutOps.zorderAudit _),
     "q_tpch_q3" -> (TpchOps.shippingPriority _),
     "q_tpch_q5" -> (TpchOps.localSupplierVolume _),
-    "q_null_semantics" -> (Relational.nullSemantics _))
+    "q_null_semantics" -> (Relational.nullSemantics _),
+    "q_mv_refresh" -> (Relational.mvRefresh _),
+    "q_theta_sets" -> (EventOps.thetaSets _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1324,7 +1326,33 @@ object SparkEntry {
         |        CASE WHEN o_orderstatus <> 'O' THEN o_totalprice END AS x,
         |        CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END AS y
         |      FROM orders)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // full recompute over the new snapshot — the incremental path must match
+    "q_mv_refresh" ->
+      """WITH old AS (
+        |  SELECT c_custkey AS key, round(c_acctbal, 2) AS bal FROM customer),
+        |neu AS (
+        |  SELECT key,
+        |    CASE WHEN key % 5 = 0 THEN round(bal + 100.0, 2) ELSE bal END AS bal
+        |  FROM old WHERE key % 13 <> 0
+        |  UNION ALL
+        |  SELECT key + 20000000, 1.0 FROM old WHERE key % 7 = 0)
+        |SELECT key % 20 AS bucket, count(*) AS n, round(sum(bal), 2) AS sum_bal
+        |FROM neu GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // exact COUNT DISTINCT algebra — the theta sketches are in their exact
+    // regime below lgK=12 saturation, so the estimates must hash-match
+    "q_theta_sets" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase' AND value > 150),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'view' AND value > 150)
+        |SELECT (SELECT count(*) FROM a) AS n_buy,
+        |  (SELECT count(*) FROM b) AS n_view,
+        |  (SELECT count(*) FROM a JOIN b USING (user_id)) AS n_both,
+        |  (SELECT count(*) FROM a WHERE user_id NOT IN
+        |     (SELECT user_id FROM b)) AS n_buy_only,
+        |  (SELECT count(*) FROM (SELECT user_id FROM a UNION
+        |     SELECT user_id FROM b)) AS n_either""".stripMargin)
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
     * Morton interleave, generated from the same loop so the bit layout

@@ -270,4 +270,38 @@ object EventOps {
       .agg(count_distinct(col("user_id")).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Audience set algebra with theta sketches (DataSketches, built into
+    * Spark 4): distinct-user counts for two behavioral segments — big-ticket
+    * purchasers and big-ticket viewers — plus their intersection,
+    * difference, and union, all computed from TWO mergeable sketches built
+    * in ONE scan. This is the operation HLL cannot do (HLL unions but never
+    * intersects) and the exact form cannot afford at 100 TB: every pairwise
+    * audience overlap as a self-join of distinct-user sets is a shuffle per
+    * pair, while theta sketches are O(k) state, partial-aggregate friendly,
+    * and compose set-algebraically AFTER aggregation — segment sketches can
+    * be stored per day/partition and overlapped later without touching raw
+    * events. Below saturation (lgK=12 → 4096 retained hashes, far above the
+    * fixture's 1.5 k users) the estimate IS the exact count, which is what
+    * lets the declared query hash-match an exact COUNT DISTINCT oracle; the
+    * docstring contract degrades to ±~2% beyond that, with the exact twin
+    * (`q_funnel`-style joins) remaining the audit path. */
+  def thetaSets(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val big = col("value") > 150
+    val sk = ev.agg(
+      theta_sketch_agg(when(col("event_type") === "purchase" && big,
+        col("user_id"))).as("sa"),
+      theta_sketch_agg(when(col("event_type") === "view" && big,
+        col("user_id"))).as("sb"))
+    sk.select(
+      theta_sketch_estimate(col("sa")).cast("long").as("n_buy"),
+      theta_sketch_estimate(col("sb")).cast("long").as("n_view"),
+      theta_sketch_estimate(theta_intersection(col("sa"), col("sb")))
+        .cast("long").as("n_both"),
+      theta_sketch_estimate(theta_difference(col("sa"), col("sb")))
+        .cast("long").as("n_buy_only"),
+      theta_sketch_estimate(theta_union(col("sa"), col("sb")))
+        .cast("long").as("n_either"))
+  }
 }

@@ -588,14 +588,34 @@ object Relational {
     * layout), and the diff is the standard backfill-free way to generate
     * incremental feeds from full dumps. */
   def snapshotDiff(spark: SparkSession, sf: String): DataFrame = {
-    val old = Tables.load(spark, sf, "customer")
+    val old = oldSnapshot(spark, sf)
+    changeFeed(old, newSnapshot(old))
+      .select(col("key"), col("op"),
+        coalesce(col("new_bal"), col("old_bal")).as("bal"))
+      .orderBy("key")
+  }
+
+  /** The diff fixtures' "old" snapshot: customer keys + 2-dp balances. */
+  private def oldSnapshot(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer")
       .select(col("c_custkey").as("key"), round(col("c_acctbal"), 2).as("bal"))
-    val neu = old.filter(col("key") % 13 =!= 0)
+
+  /** Deterministic "new" snapshot with all three change kinds: every 13th
+    * key dropped, every 5th balance moved, a disjoint key range inserted. */
+  private def newSnapshot(old: DataFrame): DataFrame =
+    old.filter(col("key") % 13 =!= 0)
       .select(col("key"),
         when(col("key") % 5 === 0, round(col("bal") + 100.0, 2)).otherwise(col("bal"))
           .as("bal"))
       .union(old.filter(col("key") % 7 === 0)
         .select((col("key") + 20000000L).as("key"), lit(1.0).as("bal")))
+
+  /** Minimal change feed WITH before/after images (the Debezium row shape):
+    * one co-partitioned full-outer join classifies every key; unchanged
+    * rows drop out. Carrying old_bal AND new_bal is what lets a consumer
+    * maintain aggregates incrementally ([[mvRefresh]]) — a feed with only
+    * the after-image forces a re-read of the base table for every U/D. */
+  private def changeFeed(old: DataFrame, neu: DataFrame): DataFrame =
     old.select(col("key"), col("bal").as("old_bal"))
       .join(neu.select(col("key"), col("bal").as("new_bal")), Seq("key"), "full_outer")
       .withColumn("op",
@@ -603,9 +623,37 @@ object Relational {
           .when(col("new_bal").isNull, "D")
           .when(col("old_bal") =!= col("new_bal"), "U"))
       .filter(col("op").isNotNull)
-      .select(col("key"), col("op"),
-        coalesce(col("new_bal"), col("old_bal")).as("bal"))
-      .orderBy("key")
+
+  /** Incremental materialized-view refresh — the CONSUMER of
+    * [[changeFeed]], closing the producer/consumer loop that
+    * [[snapshotDiff]] and [[EventOps.cdcApply]] open. The standing MV
+    * (per-bucket count + sum over the old snapshot) is merged with
+    * per-bucket DELTAS aggregated from the feed alone: I → (+1, +new),
+    * D → (−1, −old), U → (0, new−old). Count and sum are self-maintainable
+    * aggregates, so refresh cost is O(|feed|) + one co-partitioned merge
+    * join with the stored MV — it never rescans the 100 TB base table,
+    * which is the entire economics of incremental ETL. The oracle is the
+    * full recompute over the new snapshot: the incremental path must land
+    * on identical rows (empty buckets retired, n = 0 rows dropped). */
+  def mvRefresh(spark: SparkSession, sf: String): DataFrame = {
+    val old = oldSnapshot(spark, sf)
+    val feed = changeFeed(old, newSnapshot(old))
+    val mv = old.groupBy((col("key") % 20).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("bal").as("s"))
+    val deltas = feed.groupBy((col("key") % 20).as("bucket"))
+      .agg(
+        sum(when(col("op") === "I", 1L).when(col("op") === "D", -1L)
+          .otherwise(0L)).as("dn"),
+        sum(when(col("op") === "I", col("new_bal"))
+          .when(col("op") === "D", -col("old_bal"))
+          .otherwise(col("new_bal") - col("old_bal"))).as("ds"))
+    mv.join(deltas, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        round(coalesce(col("s"), lit(0.0)) + coalesce(col("ds"), lit(0.0)), 2)
+          .as("sum_bal"))
+      .filter(col("n") > 0)
+      .orderBy("bucket")
   }
 
   /** CSV round-trip — the reference's upload path (`pd.read_csv`,

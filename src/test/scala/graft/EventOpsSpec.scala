@@ -100,4 +100,23 @@ class EventOpsSpec extends SparkSpec {
       assert(byOff.values.max == byOff(0L), s"cohort $day day-0 not max")
     }
   }
+
+  test("theta sets: exact below saturation, inclusion-exclusion holds") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.EventOps.thetaSets(spark, sf0001).head()
+    val (nBuy, nView, nBoth, nBuyOnly, nEither) = (r.getAs[Long]("n_buy"),
+      r.getAs[Long]("n_view"), r.getAs[Long]("n_both"),
+      r.getAs[Long]("n_buy_only"), r.getAs[Long]("n_either"))
+    assert(nEither == nBuy + nView - nBoth) // inclusion-exclusion
+    assert(nBuyOnly == nBuy - nBoth)
+    // below lgK saturation the sketch estimates are exact — check against
+    // a direct distinct-set recompute
+    val ev = graft.ops.EventOps.events(spark, sf0001)
+    val a = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val b = ev.filter(col("event_type") === "view" && col("value") > 150)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(nBuy == a.size && nView == b.size)
+    assert(nBoth == (a & b).size && nEither == (a | b).size)
+  }
 }

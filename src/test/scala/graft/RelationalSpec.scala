@@ -228,4 +228,22 @@ class RelationalSpec extends SparkSpec {
     // no cube-only rows: (ALL, linestatus) must not appear
     assert(!rows.exists(r => r._3 == 1 && r._4 == 0))
   }
+
+  test("mvRefresh: incremental delta-merge equals full recompute of the new snapshot") {
+    import org.apache.spark.sql.functions._
+    val old = graft.sources.Tables.load(spark, sf0001, "customer")
+      .select(col("c_custkey").as("key"), round(col("c_acctbal"), 2).as("bal"))
+    // direct recompute of the new snapshot (the fixture rules, re-derived)
+    val neu = old.filter(col("key") % 13 =!= 0)
+      .select(col("key"),
+        when(col("key") % 5 === 0, round(col("bal") + 100.0, 2))
+          .otherwise(col("bal")).as("bal"))
+      .union(old.filter(col("key") % 7 === 0)
+        .select((col("key") + 20000000L).as("key"), lit(1.0).as("bal")))
+    val direct = neu.groupBy((col("key") % 20).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("sum_bal"))
+      .orderBy("bucket").collect()
+    val incremental = graft.ops.Relational.mvRefresh(spark, sf0001).collect()
+    assert(incremental.toSeq == direct.toSeq)
+  }
 }
