@@ -615,7 +615,7 @@ object Relational {
     * rows drop out. Carrying old_bal AND new_bal is what lets a consumer
     * maintain aggregates incrementally ([[mvRefresh]]) — a feed with only
     * the after-image forces a re-read of the base table for every U/D. */
-  private def changeFeed(old: DataFrame, neu: DataFrame): DataFrame =
+  private[graft] def changeFeed(old: DataFrame, neu: DataFrame): DataFrame =
     old.select(col("key"), col("bal").as("old_bal"))
       .join(neu.select(col("key"), col("bal").as("new_bal")), Seq("key"), "full_outer")
       .withColumn("op",
@@ -637,7 +637,13 @@ object Relational {
     * on identical rows (empty buckets retired, n = 0 rows dropped). */
   def mvRefresh(spark: SparkSession, sf: String): DataFrame = {
     val old = oldSnapshot(spark, sf)
-    val feed = changeFeed(old, newSnapshot(old))
+    mvRefreshFrom(old, changeFeed(old, newSnapshot(old)))
+  }
+
+  /** The delta-merge core of [[mvRefresh]], over any (key, bal) snapshot and
+    * (key, op, old_bal, new_bal) feed — split out so the algebra is
+    * property-testable on generated inputs. */
+  private[graft] def mvRefreshFrom(old: DataFrame, feed: DataFrame): DataFrame = {
     val mv = old.groupBy((col("key") % 20).as("bucket"))
       .agg(count(lit(1)).as("n"), sum("bal").as("s"))
     val deltas = feed.groupBy((col("key") % 20).as("bucket"))

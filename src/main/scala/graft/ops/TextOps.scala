@@ -1062,17 +1062,23 @@ object TextOps {
     * proportionally likelier, the standard token-budget-aware curation
     * draw. u maps the first 8 md5 hex digits into (0,1) identically in
     * both engines (+0.5 keeps it strictly positive). */
-  def weightedSample(spark: SparkSession, sf: String): DataFrame = {
+  def weightedSample(spark: SparkSession, sf: String): DataFrame =
+    weightedSampleFrom(
+      Tables.load(spark, sf, "documents").select("source", "doc_id", "n_chars"),
+      WeightedSampleK)
+
+  /** The A-ES core over any (source, doc_id, n_chars) frame — split out so
+    * the sampling algebra is property-testable on generated inputs. */
+  private[graft] def weightedSampleFrom(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / lit(4294967296.0)
     val w = Window.partitionBy("source")
       .orderBy(col("key").desc, col("doc_id"))
-    Tables.load(spark, sf, "documents")
-      .select(col("source"), col("doc_id"), col("n_chars"))
+    docs
       .withColumn("key", log(u) / col("n_chars"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= WeightedSampleK)
+      .filter(col("rk") <= k)
       .select("source", "rk", "doc_id", "n_chars")
       .orderBy("source", "rk")
   }

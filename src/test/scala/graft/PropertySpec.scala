@@ -241,4 +241,96 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("mv delta-merge equals direct recompute for generated snapshots and feeds") {
+    import graft.ops.Relational
+    val snapGen = for {
+      n <- Gen.choose(5, 40)
+      keys <- Gen.pick(n, 1L to 200L)
+      bals <- Gen.listOfN(n, Gen.choose(1, 99999).map(_ / 100.0))
+      // independent random mutation mask: each key may be dropped, moved, or kept
+      ops <- Gen.listOfN(n, Gen.oneOf("keep", "drop", "move"))
+      ins <- Gen.choose(0, 10)
+    } yield (keys.toSeq.zip(bals), ops, ins)
+    var i = 0
+    forAll(snapGen) { case (oldRows, ops, ins) =>
+      i += 1
+      val old = oldRows.toDF("key", "bal")
+      val neuRows = oldRows.zip(ops).collect {
+        case ((k, b), "keep") => (k, b)
+        case ((k, b), "move") => (k, math.rint(b * 150) / 100.0)
+      } ++ (1 to ins).map(j => (1000L + j, j / 100.0))
+      val neu = neuRows.toDF("key", "bal")
+      val incremental = Relational.mvRefreshFrom(old, Relational.changeFeed(old, neu))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val direct = neu.groupBy((col("key") % 20).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("sum_bal"))
+        .orderBy("bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(incremental.toSeq == direct.toSeq, s"sample $i")
+    }
+  }
+
+  test("zValue matches a local interleave and preserves prefix locality for random points") {
+    import graft.ops.LayoutOps
+    def ref(x: Long, y: Long): Long =
+      (0 until LayoutOps.ZBits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val ptsGen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 1023L), Gen.choose(0L, 1023L)))
+    forAll(ptsGen) { pts =>
+      val got = pts.toDF("x", "y")
+        .select(col("x"), col("y"), LayoutOps.zValue(col("x"), col("y")).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.foreach { case (x, y, z) =>
+        assert(z == ref(x, y))
+        // same 14-bit-prefix bucket ⇒ coordinates within a 128-cell box
+        // (checked pairwise inside the sample)
+      }
+      got.groupBy(_._3 >> 14).values.foreach { cell =>
+        val xs = cell.map(_._1); val ys = cell.map(_._2)
+        assert(xs.max - xs.min <= 127 && ys.max - ys.min <= 127)
+      }
+    }
+  }
+
+  test("A-ES weighted sample selects the same rows as a local recompute on random weights") {
+    import java.security.MessageDigest
+    import graft.ops.TextOps
+    def key(docId: Long, w: Long): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (math.log((java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0)) / w
+    }
+    val rowsGen = for {
+      n <- Gen.choose(4, 50)
+      ids <- Gen.pick(n, 1L to 5000L)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 10000L))
+    } yield ids.toSeq.zip(ws)
+    forAll(rowsGen) { rows =>
+      val df = rows.map { case (id, w) => ("s", id, w) }.toDF("source", "doc_id", "n_chars")
+      val got = TextOps.weightedSampleFrom(df, 3)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      val want = rows.map { case (id, w) => (id, key(id, w)) }
+        .sortBy { case (id, k) => (-k, id) }.take(3).map(_._1)
+      assert(got == want)
+    }
+  }
+
+  test("bloom semi-filter never drops a matching key (no false negatives)") {
+    import graft.ops.RuntimeFilterOps
+    val genSets = for {
+      dimKeys <- Gen.listOfN(30, Gen.choose(1L, 500L))
+      factKeys <- Gen.listOfN(120, Gen.choose(1L, 1000L))
+    } yield (dimKeys.distinct, factKeys)
+    forAll(genSets) { case (dimKeys, factKeys) =>
+      val dim = dimKeys.toDF("k")
+      val fact = factKeys.toDF("fk")
+      val survivors = RuntimeFilterOps.bloomSemiFilter(
+        fact, dim, col("fk"), col("k"), expectedItems = 1L << 12)
+        .collect().map(_.getLong(0)).toSet
+      val matching = factKeys.filter(dimKeys.toSet).toSet
+      assert(matching.subsetOf(survivors))
+    }
+  }
 }
