@@ -643,16 +643,31 @@ object Relational {
   /** The delta-merge core of [[mvRefresh]], over any (key, bal) snapshot and
     * (key, op, old_bal, new_bal) feed — split out so the algebra is
     * property-testable on generated inputs. */
-  private[graft] def mvRefreshFrom(old: DataFrame, feed: DataFrame): DataFrame = {
-    val mv = old.groupBy((col("key") % 20).as("bucket"))
+  private[graft] def mvRefreshFrom(old: DataFrame, feed: DataFrame): DataFrame =
+    mvMerge(mvOf(old), feedDeltas(feed))
+
+  /** The standing MV: per-bucket count + sum of a (key, bal) snapshot. */
+  private[graft] def mvOf(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy((col("key") % 20).as("bucket"))
       .agg(count(lit(1)).as("n"), sum("bal").as("s"))
-    val deltas = feed.groupBy((col("key") % 20).as("bucket"))
+
+  /** Per-bucket (Δcount, Δsum) of a change feed — the partial an
+    * incremental maintainer aggregates per batch (count/sum deltas are
+    * associative+commutative, so batch partials sum to the total delta —
+    * which is what makes the streaming form, [[graft.streaming.StreamOps]]
+    * `mvDeltaSink`, a pure append of per-batch partials). */
+  private[graft] def feedDeltas(feed: DataFrame): DataFrame =
+    feed.groupBy((col("key") % 20).as("bucket"))
       .agg(
         sum(when(col("op") === "I", 1L).when(col("op") === "D", -1L)
           .otherwise(0L)).as("dn"),
         sum(when(col("op") === "I", col("new_bal"))
           .when(col("op") === "D", -col("old_bal"))
           .otherwise(col("new_bal") - col("old_bal"))).as("ds"))
+
+  /** Merge accumulated (dn, ds) deltas into the standing MV; buckets whose
+    * count hits zero are retired. */
+  private[graft] def mvMerge(mv: DataFrame, deltas: DataFrame): DataFrame =
     mv.join(deltas, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
@@ -660,7 +675,6 @@ object Relational {
           .as("sum_bal"))
       .filter(col("n") > 0)
       .orderBy("bucket")
-  }
 
   /** CSV round-trip — the reference's upload path (`pd.read_csv`,
     * `app_test.py:262-263`): write a table as CSV, read it back with an

@@ -110,6 +110,40 @@ object StreamOps {
       }
       .start()
 
+  /** foreachBatch incremental-MV sink — the streaming twin of
+    * `Relational.mvRefresh`: each micro-batch of the (key, op, old_bal,
+    * new_bal) change feed is reduced to per-bucket (Δcount, Δsum) PARTIALS
+    * and appended to an immutable delta log tagged with the batch id.
+    * Because count/sum deltas are associative and commutative, the sum of
+    * the log IS the total delta — no read-modify-write of MV state inside
+    * the stream, so the sink is a pure append (the cheapest possible
+    * foreachBatch body) and a replayed batch is neutralized at read time
+    * by the (bucket, batch_id) dedup in [[mvState]], the same
+    * idempotence-at-compaction contract as [[foreachBatchMerge]]. */
+  def mvDeltaSink(feed: DataFrame, logDir: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Relational.feedDeltas(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+
+  /** The refreshed MV: base aggregate ⊕ the summed delta log. Replay-safe:
+    * duplicate (bucket, batch_id) rows — a batch re-run after a crash
+    * between write and commit — collapse to one before summing. */
+  def mvState(spark: org.apache.spark.sql.SparkSession, baseMv: DataFrame,
+              logDir: String): DataFrame = {
+    val deltas = spark.read.parquet(logDir)
+      .dropDuplicates("bucket", "batch_id")
+      .groupBy("bucket")
+      .agg(sum("dn").as("dn"), sum("ds").as("ds"))
+    graft.ops.Relational.mvMerge(baseMv, deltas)
+  }
+
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per
     * key by (event time, batch id) — one aggregate, map-side combinable. */
   def latestState(spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame =

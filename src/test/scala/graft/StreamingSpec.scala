@@ -7,6 +7,7 @@ import graft.streaming.{StreamOps, UserSession}
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class EvU(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+case class FeedRow(key: Long, op: String, old_bal: Option[Double], new_bal: Option[Double])
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -207,6 +208,43 @@ class StreamingSpec extends SparkSpec {
     assert(state.toSeq == Seq((10L, 9.0), (20L, 5.0)))
     // the log keeps history (one row per key per batch that saw it)
     assert(spark.read.parquet(s"$dir/log").count() == 3)
+  }
+
+  test("mvDeltaSink: streamed delta log refreshes the MV to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    // old snapshot: keys 1..6, bal = key * 10; buckets = key % 20
+    val oldRows = (1L to 6L).map(k => (k, k * 10.0))
+    val old = oldRows.toDF("key", "bal")
+    val stream = MemoryStream[FeedRow]
+    val q = graft.streaming.StreamOps.mvDeltaSink(
+      stream.toDF(), s"$dir/log", s"$dir/ckpt")
+    try {
+      // batch 1: update key 2 (20 -> 25), delete key 3
+      stream.addData(
+        FeedRow(2L, "U", Some(20.0), Some(25.0)),
+        FeedRow(3L, "D", Some(30.0), None))
+      q.processAllAvailable()
+      // batch 2: insert key 7, update key 2 again (25 -> 28)
+      stream.addData(
+        FeedRow(7L, "I", None, Some(70.0)),
+        FeedRow(2L, "U", Some(25.0), Some(28.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.streaming.StreamOps.mvState(
+      spark, graft.ops.Relational.mvOf(old), s"$dir/log")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the final state the feed describes: keys 1,2(28),4,5,6,7(70)
+    val finalRows = Seq((1L, 10.0), (2L, 28.0), (4L, 40.0), (5L, 50.0),
+      (6L, 60.0), (7L, 70.0))
+    val want = finalRows.toDF("key", "bal")
+      .groupBy((col("key") % 20).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("sum_bal"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    // delta log is append-only partials: one row per touched bucket per batch
+    assert(spark.read.parquet(s"$dir/log").count() == 4)
   }
 
   test("batch sessionize splits on >1h gaps (window-lag form)") {
