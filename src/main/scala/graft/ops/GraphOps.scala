@@ -56,8 +56,36 @@ object GraphOps {
     * makes quadratic). That bound is what survives a 100× scale-up; the
     * key-oriented formulation (the DuckDB oracle, and the spec's equality
     * twin) counts identically but wedge-explodes on hubs. */
+  /** Above this edge count the directed edge list stops being broadcast in
+    * [[graphMetrics]] and the wedge joins become shuffle joins. ~4M edges ≈
+    * 100 MB broadcast — comfortably under executor memory; past it the
+    * broadcast's driver collect + per-executor network copy grows without
+    * bound (the 100 TB OOM cliff), while the shuffle path's cost stays ∝
+    * wedge volume, which the degree orientation already bounds at m^1.5.
+    * Measured at the 10× graph decade (PLANS.md): on local[32] — where a
+    * broadcast pays no network — the broadcast plan is still ~1.3× faster
+    * at 8.8M edges (46 s vs 63 s warm), so a single fat node can raise
+    * [[GraphBroadcastMaxEdgesKey]]; on a real cluster the default stands. */
+  val GraphBroadcastMaxEdges = 4000000L
+
+  /** Conf override for the broadcast/shuffle switchover (same pattern as
+    * `TextOps.ForceCappedPlanKey`): production callers size it to executor
+    * memory × network fan-out instead of the conservative default. */
+  val GraphBroadcastMaxEdgesKey = "spark.graft.graph.broadcastMaxEdges"
+
+  private def broadcastMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption(GraphBroadcastMaxEdgesKey).map(_.toLong)
+      .getOrElse(GraphBroadcastMaxEdges)
+
   def graphMetrics(spark: SparkSession, sf: String): DataFrame = {
     val e = edges(spark, sf).persist()
+    // one count materializes the persisted edges, reuses as the n_edges
+    // stat below, AND picks the wedge-join strategy (broadcast vs shuffle)
+    // — the same 1-row data-dependent plan choice as dedupJaccard's df
+    // probe (driver-side-action ledger, PLANS.md)
+    val m = e.count()
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (m <= broadcastMaxEdges(spark)) broadcast else identity
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // direct each edge from the (deg, key)-smaller endpoint to the larger
@@ -93,20 +121,22 @@ object GraphOps {
     // both become shuffle joins whose volume the orientation already
     // bounds; the wedge intermediate still never hits disk (it's consumed
     // by the count's partial aggregate in the same stage).
-    val wedges = dir.as("e1").join(broadcast(dir).as("e2"),
+    val wedges = dir.as("e1").join(maybeBroadcast(dir).as("e2"),
         col("e1.s") === col("e2.s") &&
           (col("e1.rdeg") < col("e2.rdeg") ||
             (col("e1.rdeg") === col("e2.rdeg") && col("e1.d") < col("e2.d"))))
       .select(col("e1.d").as("a"), col("e2.d").as("b"))
     val triCount = wedges
-      .join(broadcast(dir.select(col("s").as("a"), col("d").as("b"))), Seq("a", "b"))
+      .join(maybeBroadcast(dir.select(col("s").as("a"), col("d").as("b"))),
+        Seq("a", "b"))
       .agg(count(lit(1)).as("n_triangles"))
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       max("deg").as("max_degree"),
       round(avg("deg"), 4).as("avg_degree"))
-    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
-    degStats.crossJoin(edgeCount).crossJoin(triCount)
+    degStats
+      .withColumn("n_edges", lit(m))
+      .crossJoin(triCount)
       .select("n_nodes", "n_edges", "n_triangles", "max_degree", "avg_degree")
   }
 

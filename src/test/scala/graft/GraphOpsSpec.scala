@@ -91,4 +91,14 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       assert(a._1 > b._1 || (a._1 == b._1 && (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3))))
     }
   }
+
+  test("graphMetrics: forced shuffle-join path equals the broadcast path") {
+    import graft.ops.GraphOps
+    val viaBroadcast = GraphOps.graphMetrics(spark, sf0001).collect().toSeq
+    spark.conf.set(GraphOps.GraphBroadcastMaxEdgesKey, "1") // force shuffle
+    try {
+      val viaShuffle = GraphOps.graphMetrics(spark, sf0001).collect().toSeq
+      assert(viaShuffle == viaBroadcast)
+    } finally spark.conf.unset(GraphOps.GraphBroadcastMaxEdgesKey)
+  }
 }
