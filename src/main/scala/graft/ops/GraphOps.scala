@@ -70,7 +70,10 @@ object GraphOps {
 
   /** Conf override for the broadcast/shuffle switchover (same pattern as
     * `TextOps.ForceCappedPlanKey`): production callers size it to executor
-    * memory × network fan-out instead of the conservative default. */
+    * memory × network fan-out instead of the conservative default. The cap
+    * is a broadcast-side ROW bound for the whole graph family — the
+    * directed edge list in [[graphMetrics]], the rank table in
+    * [[pageRank]] (both ~24-byte rows). */
   val GraphBroadcastMaxEdgesKey = "spark.graft.graph.broadcastMaxEdges"
 
   private def broadcastMaxEdges(spark: SparkSession): Long =
@@ -160,16 +163,22 @@ object GraphOps {
     val deg = und.groupBy("s").agg(count(lit(1)).as("outdeg"))
     val undDeg = und.join(deg, "s").persist()
     val n = undDeg.select(count_distinct(col("s"))).head().getLong(0)
+    // node-sized rank state broadcasts only while it FITS (same guarded
+    // choice as graphMetrics' wedge joins; node threshold via the shared
+    // conf key): profiled 10.6 -> 7.6 s warm at sf0.1 vs re-shuffling the
+    // edges every round. Past the threshold — a billion-node graph — the
+    // join degrades to shuffle, where bucketing undDeg by source
+    // co-locates it with the shuffled rank table; a hard hint there would
+    // OOM every executor instead.
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (n <= broadcastMaxEdges(spark)) broadcast else identity
     var ranks = undDeg.select(col("s").as("n")).distinct()
       .withColumn("r", lit(1.0 / n))
     (1 to 10).foreach { _ =>
-      // the rank table is node-sized: BROADCAST it so the persisted edge
-      // list is never re-shuffled — each iteration is a map-side hash join
-      // plus one map-side-combined sum (the only shuffle, node-sized after
-      // partial agg). Profiled 10.6 -> 7.6 s warm at sf0.1 vs shuffling
-      // the edges every round; the floor is the 10 sequential passes over
-      // the 2.4M-row edge list.
-      ranks = undDeg.join(broadcast(ranks), undDeg("s") === ranks("n"))
+      // each iteration: one (map-side when broadcast) hash join plus one
+      // map-side-combined sum (the only shuffle, node-sized after partial
+      // agg); the floor is the 10 sequential passes over the edge list.
+      ranks = undDeg.join(maybeBroadcast(ranks), undDeg("s") === ranks("n"))
         .groupBy(col("d"))
         .agg(sum(col("r") / col("outdeg")).as("inflow"))
         .select(col("d").as("n"), (lit(0.15 / n) + lit(0.85) * col("inflow")).as("r"))

@@ -191,10 +191,16 @@ object Relational {
     * .xx50 half-cent boundary where a 1-ulp order difference vs the oracle
     * flips the cent. */
   def brandRevenue(spark: SparkSession, sf: String): DataFrame = {
+    // part/supplier get NO broadcast hint: they scale with the data (a
+    // 100 TB star's part dim is billions of rows) and a hard hint would
+    // force an OOM there, while at any SF where they DO fit the
+    // autoBroadcastJoinThreshold + AQE picks broadcast unaided (plan
+    // asserted in RelationalSpec). nation stays hinted — a constant
+    // 25-row domain is broadcast-sized by definition.
     val li = Tables.load(spark, sf, "lineitem")
-    li.join(broadcast(Tables.load(spark, sf, "part")),
+    li.join(Tables.load(spark, sf, "part"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.load(spark, sf, "supplier")),
+      .join(Tables.load(spark, sf, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.load(spark, sf, "nation")),
         col("s_nationkey") === col("n_nationkey"))

@@ -92,13 +92,14 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
-  test("graphMetrics: forced shuffle-join path equals the broadcast path") {
+  test("graphMetrics and pageRank: forced shuffle paths equal the broadcast paths") {
     import graft.ops.GraphOps
-    val viaBroadcast = GraphOps.graphMetrics(spark, sf0001).collect().toSeq
+    val metricsB = GraphOps.graphMetrics(spark, sf0001).collect().toSeq
+    val ranksB = GraphOps.pageRank(spark, sf0001).collect().toSeq
     spark.conf.set(GraphOps.GraphBroadcastMaxEdgesKey, "1") // force shuffle
     try {
-      val viaShuffle = GraphOps.graphMetrics(spark, sf0001).collect().toSeq
-      assert(viaShuffle == viaBroadcast)
+      assert(GraphOps.graphMetrics(spark, sf0001).collect().toSeq == metricsB)
+      assert(GraphOps.pageRank(spark, sf0001).collect().toSeq == ranksB)
     } finally spark.conf.unset(GraphOps.GraphBroadcastMaxEdgesKey)
   }
 }

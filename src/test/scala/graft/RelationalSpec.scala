@@ -229,6 +229,15 @@ class RelationalSpec extends SparkSpec {
     assert(!rows.exists(r => r._3 == 1 && r._4 == 0))
   }
 
+  test("brandRevenue's unhinted dims still auto-broadcast at fixture scale") {
+    val plan = graft.ops.Relational.brandRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // part/supplier carry no hint (they scale with the data); Spark's
+    // autoBroadcastJoinThreshold must still pick broadcast for them here
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("mvRefresh: incremental delta-merge equals full recompute of the new snapshot") {
     import org.apache.spark.sql.functions._
     val old = graft.sources.Tables.load(spark, sf0001, "customer")
