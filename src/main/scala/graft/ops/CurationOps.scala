@@ -169,4 +169,24 @@ object CurationOps {
         min(col("dist")).cast("long").as("dist"))
       .orderBy("dirty_key")
   }
+
+  /** Zero-extra-pass pipeline health metrics via the Observation API: row
+    * count, null count and an HLL distinct estimate for a key column ride
+    * the SAME physical pass as whatever the caller computes downstream —
+    * `observe` plants a CollectMetrics node whose accumulators the action
+    * fills as a side effect. At 100 TB this is the difference between
+    * monitored and unmonitored pipelines: the [[dataQuality]] audit is a
+    * standalone (re-)scan you schedule, while these counters are free on
+    * every production job that already runs. Returns the instrumented
+    * frame plus the Observation handle; metrics are available after the
+    * first action on the frame. */
+  def withHealthMetrics(df: DataFrame, keyCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_key_null"),
+      approx_count_distinct(col(keyCol)).as("n_key_approx_distinct"))
+    (observed, obs)
+  }
 }

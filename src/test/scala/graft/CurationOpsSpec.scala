@@ -107,4 +107,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join degraded to all-pairs:\n$plan")
   }
+
+  test("withHealthMetrics: observed counters match direct aggregates, same pass") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.load(spark, sf0001, "orders")
+    val (observed, obs) = CurationOps.withHealthMetrics(orders, "o_custkey")
+    // the downstream "real" job: an aggregate the pipeline already runs
+    val revenue = observed.agg(sum("o_totalprice")).head().getDouble(0)
+    assert(revenue > 0)
+    val m = obs.get
+    assert(m("n_rows") == orders.count())
+    assert(m("n_key_null") == 0L)
+    val exact = orders.select(count_distinct(col("o_custkey"))).head().getLong(0)
+    val approx = m("n_key_approx_distinct").asInstanceOf[Long]
+    // HLL default rsd 5%: generous 15% band keeps this deterministic-safe
+    assert(math.abs(approx - exact) <= exact * 0.15, s"approx $approx exact $exact")
+  }
 }
