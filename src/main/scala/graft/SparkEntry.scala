@@ -155,7 +155,9 @@ object SparkEntry {
     "q_tpch_q5" -> (TpchOps.localSupplierVolume _),
     "q_null_semantics" -> (Relational.nullSemantics _),
     "q_mv_refresh" -> (Relational.mvRefresh _),
-    "q_theta_sets" -> (EventOps.thetaSets _))
+    "q_theta_sets" -> (EventOps.thetaSets _),
+    "q_tpch_q1" -> (TpchOps.pricingSummary _),
+    "q_tpch_q18" -> (TpchOps.largeOrders _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1352,7 +1354,31 @@ object SparkEntry {
         |  (SELECT count(*) FROM a WHERE user_id NOT IN
         |     (SELECT user_id FROM b)) AS n_buy_only,
         |  (SELECT count(*) FROM (SELECT user_id FROM a UNION
-        |     SELECT user_id FROM b)) AS n_either""".stripMargin)
+        |     SELECT user_id FROM b)) AS n_either""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum(l_quantity) > ${TpchOps.Q18MinQty})
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate,
+         |  round(total_qty, 4) AS total_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_qty DESC, o_orderkey
+         |LIMIT 20""".stripMargin)
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
     * Morton interleave, generated from the same loop so the bit layout

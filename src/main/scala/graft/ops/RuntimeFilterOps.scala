@@ -50,6 +50,11 @@ object RuntimeFilterOps {
     * undersizing costs fpp, never correctness. */
   def bloomSemiFilter(fact: DataFrame, dim: DataFrame, factKey: Column,
                       dimKey: Column, expectedItems: Long = 1L << 20): DataFrame = {
+    // empty dim ⇒ no fact row can ever join — and `stat.bloomFilter` NPEs
+    // on zero rows (its aggregate returns null bytes), so the guard is both
+    // a correctness shortcut and a crash guard. The limit-1 probe is noise
+    // next to the full dim scan the bloom build pays anyway.
+    if (dim.isEmpty) return fact.where(lit(false))
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, BloomFpp)
     val bytes = {
       val bos = new ByteArrayOutputStream()

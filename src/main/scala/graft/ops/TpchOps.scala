@@ -49,6 +49,53 @@ object TpchOps {
          |LIMIT 10""".stripMargin)
   }
 
+  /** Q1 (pricing summary, adapted): the canonical wide-aggregate scan —
+    * one pass, eight aggregates, tiny group domain (flag × status), all
+    * map-side combinable; at 100 TB the shuffle carries ~6 partial rows
+    * per task. The tax-charge term of textbook Q1 is deliberately absent:
+    * its products carry SIX decimal digits, and a 6-dp-exact sum under
+    * cross-engine summation-order noise (~1e-6 at this row count) cannot
+    * round stably at any coarser granularity without a half-boundary
+    * hazard — the q_brand_revenue lesson. The discount term (4-dp-exact,
+    * noise ≪ half-granularity) carries the same plan shape and stays. */
+  def pricingSummary(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q18 (large-volume orders, adapted): the agg-then-join shape — the
+    * HAVING filter runs on the lineitem aggregate FIRST, so only the ~0.1%
+    * qualifying orders enter the joins (order matters at 100 TB: join-
+    * then-agg would shuffle the full fact twice). Per-order quantity sums
+    * are exact integers in doubles — no rounding hazard. */
+  val Q18MinQty = 250.0
+
+  def largeOrders(spark: SparkSession, sf: String): DataFrame = {
+    val big = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > Q18MinQty)
+    big
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        round(col("total_qty"), 4).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Q5 (local supplier volume, adapted): revenue from lineitems where the
     * supplier and customer share a nation, for one region and one year.
     * The classic star-with-a-twist: region→nation prune the supplier side

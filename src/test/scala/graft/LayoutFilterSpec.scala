@@ -47,6 +47,15 @@ class LayoutFilterSpec extends SparkSpec {
       plan.take(300))
   }
 
+  test("bloom semi-filter with an EMPTY dim prunes everything (empty-frame guard)") {
+    import spark.implicits._
+    val fact = Seq(1L, 2L, 3L).toDF("fk")
+    val dim = Seq.empty[Long].toDF("k")
+    val survivors = RuntimeFilterOps.bloomSemiFilter(
+      fact, dim, col("fk"), col("k"), expectedItems = 16)
+    assert(survivors.count() == 0)
+  }
+
   // --- q_regression -------------------------------------------------------
 
   test("per-group regression matches the closed form from raw sums") {

@@ -46,6 +46,42 @@ class TpchSpec extends SparkSpec {
     out.foreach(r => assert(asiaNations.contains(r.getAs[String]("n_name"))))
   }
 
+  test("q1 aggregate identities: sum = avg * n per group, discount never raises price") {
+    val rows = TpchOps.pricingSummary(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      assert(math.abs(r.getAs[Double]("sum_qty") - r.getAs[Double]("avg_qty") * n) < 1.0)
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+    }
+  }
+
+  test("q18: the agg-then-join plan aggregates lineitem before any join") {
+    val df = TpchOps.largeOrders(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // monotone by total_qty desc
+    val qtys = rows.map(_.getAs[Double]("total_qty"))
+    assert(qtys.sameElements(qtys.sorted(Ordering[Double].reverse)))
+    // every reported order really exceeds the threshold when recomputed
+    val recheck = Tables.load(spark, sf0001, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r =>
+      assert(recheck(r.getAs[Long]("o_orderkey")) > TpchOps.Q18MinQty))
+  }
+
+  test("mvRefreshFrom with an empty feed returns the base MV unchanged") {
+    import spark.implicits._
+    import graft.ops.Relational
+    val old = Seq((1L, 10.0), (2L, 20.0), (21L, 30.0)).toDF("key", "bal")
+    val feed = Seq.empty[(Long, String, Option[Double], Option[Double])]
+      .toDF("key", "op", "old_bal", "new_bal")
+    val got = Relational.mvRefreshFrom(old, feed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 40.0), (2L, 1L, 20.0)))
+  }
+
   test("null semantics: counts reconcile and null-safe equality is total") {
     val rows = Relational.nullSemantics(spark, sf0001).collect()
     assert(rows.nonEmpty)
