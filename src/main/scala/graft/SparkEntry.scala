@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{BucketOps, CurationOps, EventOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, TextOps, TpchOps, VectorOps}
+import graft.ops.{BucketOps, CurationOps, EventOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, TextOps, TpchOps, TypedOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -157,7 +157,8 @@ object SparkEntry {
     "q_mv_refresh" -> (Relational.mvRefresh _),
     "q_theta_sets" -> (EventOps.thetaSets _),
     "q_tpch_q1" -> (TpchOps.pricingSummary _),
-    "q_tpch_q18" -> (TpchOps.largeOrders _))
+    "q_tpch_q18" -> (TpchOps.largeOrders _),
+    "q_typed_agg" -> (TypedOps.typedAvg _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1378,7 +1379,11 @@ object SparkEntry {
          |FROM big JOIN orders ON l_orderkey = o_orderkey
          |  JOIN customer ON o_custkey = c_custkey
          |ORDER BY total_qty DESC, o_orderkey
-         |LIMIT 20""".stripMargin)
+         |LIMIT 20""".stripMargin,
+    // the typed path must land on the plain-AVG answer
+    "q_typed_agg" ->
+      """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
     * Morton interleave, generated from the same loop so the bit layout

@@ -286,8 +286,12 @@ object EventOps {
     * lets the declared query hash-match an exact COUNT DISTINCT oracle; the
     * docstring contract degrades to ±~2% beyond that, with the exact twin
     * (`q_funnel`-style joins) remaining the audit path. */
-  def thetaSets(spark: SparkSession, sf: String): DataFrame = {
-    val ev = events(spark, sf)
+  def thetaSets(spark: SparkSession, sf: String): DataFrame =
+    thetaSetsFrom(events(spark, sf))
+
+  /** The sketch algebra over any (event_type, value, user_id) frame —
+    * split out so empty/degenerate inputs are testable. */
+  private[graft] def thetaSetsFrom(ev: DataFrame): DataFrame = {
     val big = col("value") > 150
     val sk = ev.agg(
       theta_sketch_agg(when(col("event_type") === "purchase" && big,

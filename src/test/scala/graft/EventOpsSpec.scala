@@ -119,4 +119,19 @@ class EventOpsSpec extends SparkSpec {
     assert(nBuy == a.size && nView == b.size)
     assert(nBoth == (a & b).size && nEither == (a | b).size)
   }
+
+  test("theta sets: empty and one-sided inputs yield zero counts, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double, Long)]
+      .toDF("event_type", "value", "user_id")
+    val e = graft.ops.EventOps.thetaSetsFrom(empty).head()
+    assert((0 until 5).forall(i => e.getLong(i) == 0L))
+    // purchases only: view-side sketch is empty, algebra must still hold
+    val oneSided = Seq(("purchase", 200.0, 1L), ("purchase", 300.0, 2L))
+      .toDF("event_type", "value", "user_id")
+    val r = graft.ops.EventOps.thetaSetsFrom(oneSided).head()
+    assert(r.getAs[Long]("n_buy") == 2L && r.getAs[Long]("n_view") == 0L)
+    assert(r.getAs[Long]("n_both") == 0L && r.getAs[Long]("n_buy_only") == 2L)
+    assert(r.getAs[Long]("n_either") == 2L)
+  }
 }
