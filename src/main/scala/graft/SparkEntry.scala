@@ -158,7 +158,8 @@ object SparkEntry {
     "q_theta_sets" -> (EventOps.thetaSets _),
     "q_tpch_q1" -> (TpchOps.pricingSummary _),
     "q_tpch_q18" -> (TpchOps.largeOrders _),
-    "q_typed_agg" -> (TypedOps.typedAvg _))
+    "q_typed_agg" -> (TypedOps.typedAvg _),
+    "q_variant_extract" -> (EventOps.variantExtract _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1383,7 +1384,12 @@ object SparkEntry {
     // the typed path must land on the plain-AVG answer
     "q_typed_agg" ->
       """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the Variant access path must land on the string-JSON answer
+    "q_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
     * Morton interleave, generated from the same loop so the bit layout

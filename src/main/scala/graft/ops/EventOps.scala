@@ -40,6 +40,27 @@ object EventOps {
         round(avg("k"), 4).as("avg_k"))
       .orderBy("event_type")
 
+  /** VARIANT twin of [[jsonExtract]]: `parse_json` decodes the props string
+    * ONCE into Spark 4's binary Variant encoding, then `variant_get`
+    * navigates it as typed O(1) field access. Same answer (and oracle) as
+    * the `get_json_object` form by construction — the difference is the
+    * cost model at 100 TB: get_json_object re-parses the JSON text on
+    * every field access (k accesses = k parses), while Variant pays one
+    * parse and then binary offsets, which is why it is the lakehouse
+    * answer to semi-structured columns. In production the Variant column
+    * would be materialized at ingest (shredded into the file format), not
+    * re-parsed per query — this query shows the access path. */
+  def variantExtract(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .select(
+        col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
   /** Time bucketing — tumbling 1-hour window as a batch aggregate
     * (SURVEY.md §2.10): `date_trunc('hour', ts)` ≡ `window($"ts","1 hour")`,
     * the same physical agg Structured Streaming runs incrementally. The

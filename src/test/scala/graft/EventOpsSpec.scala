@@ -120,6 +120,23 @@ class EventOpsSpec extends SparkSpec {
     assert(nBoth == (a & b).size && nEither == (a | b).size)
   }
 
+  test("variant access path equals the get_json_object path row-for-row") {
+    val viaJson = graft.ops.EventOps.jsonExtract(spark, sf0001).collect().toSeq
+    val viaVariant = graft.ops.EventOps.variantExtract(spark, sf0001).collect().toSeq
+    assert(viaVariant == viaJson)
+  }
+
+  test("variant_get on a missing path yields null, not an error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = Seq("""{"k": 7}""").toDF("props")
+      .select(
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"),
+        variant_get(parse_json(col("props")), "$.absent", "long").as("absent"))
+      .head()
+    assert(r.getLong(0) == 7L && r.isNullAt(1))
+  }
+
   test("theta sets: empty and one-sided inputs yield zero counts, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double, Long)]
