@@ -1290,7 +1290,7 @@ object SparkEntry {
          |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
          |     & ${(1L << LayoutOps.ZBits) - 1}) AS yk
          |  FROM orders),
-         |z AS (SELECT xk, yk, (($zInterleaveSql) >> 14) AS zbucket FROM d)
+         |z AS (SELECT xk, yk, (($zInterleaveSql) >> ${LayoutOps.ZBucketShift}) AS zbucket FROM d)
          |SELECT zbucket, count(*) AS n, min(xk) AS lo_cust, max(xk) AS hi_cust,
          |  min(yk) AS lo_day, max(yk) AS hi_day
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,

@@ -28,12 +28,16 @@ object EventOps {
 
   /** JSON field extraction — `get_json_object` over the `props` JSON column,
     * aggregated per event type. Models semi-structured payload analytics the
-    * reference's flat Mongo projection sidesteps (`app_test.py:38-52`). */
+    * reference's flat Mongo projection sidesteps (`app_test.py:38-52`).
+    * `try_cast`, not `cast`: under ANSI mode a non-numeric field would
+    * fail the whole query instead of null-skipping the row — dirty payload
+    * rows must degrade, not abort (and [[variantExtract]]'s `try_` forms
+    * mirror exactly this behavior). */
   def jsonExtract(spark: SparkSession, sf: String): DataFrame =
     events(spark, sf)
       .select(
         col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -49,12 +53,15 @@ object EventOps {
     * parse and then binary offsets, which is why it is the lakehouse
     * answer to semi-structured columns. In production the Variant column
     * would be materialized at ingest (shredded into the file format), not
-    * re-parsed per query — this query shows the access path. */
+    * re-parsed per query — this query shows the access path. The `try_`
+    * forms keep the twin contract on dirty data: malformed JSON or a
+    * non-numeric field nulls the row exactly like the string path's
+    * `cast("long")`, instead of erroring where the twin succeeds. */
   def variantExtract(spark: SparkSession, sf: String): DataFrame =
     events(spark, sf)
       .select(
         col("event_type"),
-        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        try_variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),

@@ -24,6 +24,17 @@ object LayoutOps {
   /** Bits kept per dimension (20-bit z value total). */
   val ZBits = 10
 
+  /** Bucket = the z value's top 3 bits per dimension (64 buckets), i.e.
+    * shift away the low `2·(ZBits−3)` interleaved bits. Derived, not
+    * hardcoded, so the audit, its oracle, and the locality tests stay
+    * consistent if ZBits moves. */
+  val ZBucketPrefixBits = 3
+  val ZBucketShift: Int = 2 * (ZBits - ZBucketPrefixBits)
+
+  /** Max per-dimension extent of one bucket's rectangle (127 at ZBits=10):
+    * the low `ZBits − prefix` bits are free within a bucket. */
+  val ZBucketMaxExtent: Long = (1L << (ZBits - ZBucketPrefixBits)) - 1
+
   /** Morton-interleave the low [[ZBits]] bits of x (even positions) and y
     * (odd positions). Pure integer bit arithmetic — identical in any
     * engine, which is what makes the layout audit oracle-checkable. */
@@ -47,7 +58,7 @@ object LayoutOps {
       .cast("long").bitwiseAND(lit((1L << ZBits) - 1))
     Tables.load(spark, sf, "orders")
       .select(x.as("xk"), y.as("yk"))
-      .withColumn("zbucket", shiftright(zValue(col("xk"), col("yk")), 14))
+      .withColumn("zbucket", shiftright(zValue(col("xk"), col("yk")), ZBucketShift))
       .groupBy("zbucket")
       .agg(
         count(lit(1)).as("n"),

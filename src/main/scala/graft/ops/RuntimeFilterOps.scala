@@ -45,6 +45,13 @@ object RuntimeFilterOps {
     * plants), so the filter participates in whole-stage codegen; the only
     * non-public surface crossed is the Column⇄Expression bridge.
     *
+    * Both sides go through `xxhash64(key)` — the same normalization
+    * `InjectRuntimeFilter` applies — so build and probe hash IDENTICAL
+    * longs for any key type (string, numeric, …), never relying on the
+    * sketch's per-type insertion path lining up with the probe's
+    * long-only path. The no-false-negative contract is property-tested on
+    * both long and string keys.
+    *
     * `expectedItems` sizes the sketch; it is a capacity bound, not a count
     * probe — no extra job runs. Oversizing costs bits (n·~7.3 bits at 3%),
     * undersizing costs fpp, never correctness. */
@@ -55,7 +62,8 @@ object RuntimeFilterOps {
     // a correctness shortcut and a crash guard. The limit-1 probe is noise
     // next to the full dim scan the bloom build pays anyway.
     if (dim.isEmpty) return fact.where(lit(false))
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, BloomFpp)
+    val bf = dim.select(xxhash64(dimKey).as("h")).stat
+      .bloomFilter(col("h"), expectedItems, BloomFpp)
     val bytes = {
       val bos = new ByteArrayOutputStream()
       bf.writeTo(bos)
@@ -63,7 +71,7 @@ object RuntimeFilterOps {
     }
     val probe = Bridge.column(BloomFilterMightContain(
       Literal.create(bytes, BinaryType),
-      Bridge.expression(factKey.cast("long"))))
+      Bridge.expression(xxhash64(factKey))))
     fact.filter(probe)
   }
 

@@ -1033,15 +1033,17 @@ object TextOps {
     * the index that query-time scoring probes. */
   def invertedIndex(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = fannedDocs(spark, sf)
+    // df and the head rank come from the SAME window pass over one
+    // distinct (term, doc) relation — count over the whole partition,
+    // row_number over its sorted frame — so the relation is scanned once,
+    // with no second aggregate and no join back
+    val byTerm = Window.partitionBy("term")
+    val ranked = fannedDocs(spark, sf)
       .select(explode(tokens(col("text"))).as("term"), col("doc_id"))
       .distinct()
-    val dfPerTerm = pairs.groupBy("term").agg(count(lit(1)).as("df"))
-    val head = pairs
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("term").orderBy("doc_id")))
-      .filter(col("rk") <= PostingHeadK)
-    head.join(dfPerTerm, "term")
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rk", row_number().over(byTerm.orderBy("doc_id")))
+    ranked.filter(col("rk") <= PostingHeadK)
       .groupBy("term", "df")
       .agg(array_join(transform(sort_array(collect_list("doc_id")),
         d => d.cast("string")), ",").as("postings"))

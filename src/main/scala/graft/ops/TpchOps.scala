@@ -32,21 +32,29 @@ object TpchOps {
   val Q3Cutoff = "1998-06-01"
 
   def shippingPriority(spark: SparkSession, sf: String): DataFrame = {
+    // catalog hygiene: register under graft_-prefixed names and drop them
+    // once the plan is ANALYZED (spark.sql resolves views eagerly, so the
+    // returned frame no longer needs them) — a caller's own temp views
+    // named customer/orders/lineitem are never clobbered, and nothing
+    // sf-specific lingers in the shared session catalog afterwards
     Seq("customer", "orders", "lineitem").foreach { t =>
-      Tables.load(spark, sf, t).createOrReplaceTempView(t)
+      Tables.load(spark, sf, t).createOrReplaceTempView(s"graft_tpch_$t")
     }
-    spark.sql(
+    try spark.sql(
       s"""SELECT l_orderkey,
          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
          |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
-         |FROM customer JOIN orders ON c_custkey = o_custkey
-         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |FROM graft_tpch_customer JOIN graft_tpch_orders ON c_custkey = o_custkey
+         |  JOIN graft_tpch_lineitem ON l_orderkey = o_orderkey
          |WHERE c_mktsegment = 'BUILDING'
          |  AND o_orderdate < TIMESTAMP '$Q3Cutoff 00:00:00'
          |  AND l_shipdate > TIMESTAMP '$Q3Cutoff 00:00:00'
          |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin)
+    finally Seq("customer", "orders", "lineitem").foreach { t =>
+      spark.catalog.dropTempView(s"graft_tpch_$t")
+    }
   }
 
   /** Q1 (pricing summary, adapted): the canonical wide-aggregate scan —

@@ -137,6 +137,13 @@ object StreamOps {
     * between write and commit — collapse to one before summing. */
   def mvState(spark: org.apache.spark.sql.SparkSession, baseMv: DataFrame,
               logDir: String): DataFrame = {
+    // a freshly started pipeline has no log yet (and a feed that produced
+    // zero change rows never writes one): the zero-delta refresh IS the
+    // base MV, projected through mvMerge's output contract
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(logDir)))
+      return baseMv.select(col("bucket"), col("n"),
+          round(col("s"), 2).as("sum_bal"))
+        .filter(col("n") > 0).orderBy("bucket")
     val deltas = spark.read.parquet(logDir)
       .dropDuplicates("bucket", "batch_id")
       .groupBy("bucket")

@@ -137,6 +137,23 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getLong(0) == 7L && r.isNullAt(1))
   }
 
+  test("variant path nulls dirty rows exactly like the string-JSON path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // malformed JSON and a non-numeric field: get_json_object + cast yields
+    // null; the try_ variant forms must match, not error
+    val dirty = Seq("""{"k": 7}""", """{"k": "abc"}""", """not json""")
+      .toDF("props")
+    val rows = dirty.select(
+      get_json_object(col("props"), "$.k").try_cast("long").as("via_json"),
+      try_variant_get(try_parse_json(col("props")), "$.k", "long").as("via_variant"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
   test("theta sets: empty and one-sided inputs yield zero counts, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double, Long)]

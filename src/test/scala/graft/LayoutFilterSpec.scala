@@ -186,8 +186,8 @@ class LayoutFilterSpec extends SparkSpec {
     val rows = LayoutOps.zorderAudit(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Long]("hi_cust") - r.getAs[Long]("lo_cust") <= 127)
-      assert(r.getAs[Long]("hi_day") - r.getAs[Long]("lo_day") <= 127)
+      assert(r.getAs[Long]("hi_cust") - r.getAs[Long]("lo_cust") <= LayoutOps.ZBucketMaxExtent)
+      assert(r.getAs[Long]("hi_day") - r.getAs[Long]("lo_day") <= LayoutOps.ZBucketMaxExtent)
     }
   }
 }

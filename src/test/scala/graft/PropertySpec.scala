@@ -286,9 +286,10 @@ class PropertySpec extends SparkSpec {
         // same 14-bit-prefix bucket ⇒ coordinates within a 128-cell box
         // (checked pairwise inside the sample)
       }
-      got.groupBy(_._3 >> 14).values.foreach { cell =>
+      got.groupBy(_._3 >> LayoutOps.ZBucketShift).values.foreach { cell =>
         val xs = cell.map(_._1); val ys = cell.map(_._2)
-        assert(xs.max - xs.min <= 127 && ys.max - ys.min <= 127)
+        assert(xs.max - xs.min <= LayoutOps.ZBucketMaxExtent &&
+          ys.max - ys.min <= LayoutOps.ZBucketMaxExtent)
       }
     }
   }
@@ -331,6 +332,15 @@ class PropertySpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       val matching = factKeys.filter(dimKeys.toSet).toSet
       assert(matching.subsetOf(survivors))
+      // and on STRING keys: build and probe must hash identically for
+      // non-integral types too (both sides go through xxhash64)
+      val sdim = dimKeys.map(k => s"key_$k").toDF("k")
+      val sfact = factKeys.map(k => s"key_$k").toDF("fk")
+      val ssurvivors = RuntimeFilterOps.bloomSemiFilter(
+        sfact, sdim, col("fk"), col("k"), expectedItems = 1L << 12)
+        .collect().map(_.getString(0)).toSet
+      val smatching = factKeys.filter(dimKeys.toSet).map(k => s"key_$k").toSet
+      assert(smatching.subsetOf(ssurvivors))
     }
   }
 }

@@ -245,6 +245,17 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
     // delta log is append-only partials: one row per touched bucket per batch
     assert(spark.read.parquet(s"$dir/log").count() == 4)
+    // zero-delta refresh: a log dir that was never written returns the base
+    // MV through the same output contract, not an AnalysisException
+    val fresh = graft.streaming.StreamOps.mvState(
+      spark, graft.ops.Relational.mvOf(old), s"$dir/never_written")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val base = oldRows.toDF("key", "bal")
+      .groupBy((col("key") % 20).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("sum_bal"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fresh.toSeq == base.toSeq)
   }
 
   test("batch sessionize splits on >1h gaps (window-lag form)") {
