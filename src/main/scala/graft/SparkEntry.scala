@@ -159,7 +159,8 @@ object SparkEntry {
     "q_tpch_q1" -> (TpchOps.pricingSummary _),
     "q_tpch_q18" -> (TpchOps.largeOrders _),
     "q_typed_agg" -> (TypedOps.typedAvg _),
-    "q_variant_extract" -> (EventOps.variantExtract _))
+    "q_variant_extract" -> (EventOps.variantExtract _),
+    "q_span_corrupt" -> (TextOps.spanCorrupt _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1389,7 +1390,24 @@ object SparkEntry {
     "q_variant_extract" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_span_corrupt" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, generate_subscripts(toks, 1) AS p
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |m AS (SELECT doc_id, p,
+         |        (('0x' || substr(md5(doc_id || ':' || p), 1, 1))::BIGINT
+         |         < ${TextOps.SpanMaskHexLt}) AS m
+         |      FROM t),
+         |r AS (SELECT doc_id, p, m,
+         |        CASE WHEN m THEN row_number() OVER (
+         |          PARTITION BY doc_id, m ORDER BY p) END AS rk
+         |      FROM m)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  coalesce(string_agg(CASE WHEN m AND rk <= 10
+         |    THEN CAST(p AS VARCHAR) END, ',' ORDER BY p), '') AS mask_head
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
     * Morton interleave, generated from the same loop so the bit layout

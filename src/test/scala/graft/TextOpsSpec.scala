@@ -382,4 +382,26 @@ class TextOpsSpec extends SparkSpec {
     // md5 is uniform: no shard should hold more than 4x its fair share
     assert(rows.map(_._2).max <= 4 * total / 16, rows.mkString(","))
   }
+
+  test("span corruption: ~3/16 mask rate, bounded audit head, fully deterministic") {
+    val rows = graft.ops.TextOps.spanCorrupt(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val nMask = rows.map(_.getAs[Long]("n_masked")).sum.toDouble
+    // md5 digit < 3 of 16 → 18.75% expected; generous band for corpus size
+    assert(nMask / nTok > 0.14 && nMask / nTok < 0.24, s"rate ${nMask / nTok}")
+    rows.foreach { r =>
+      val head = r.getAs[String]("mask_head")
+      val entries = if (head.isEmpty) Array.empty[String] else head.split(',')
+      assert(entries.length <= 10)
+      assert(entries.length <= r.getAs[Long]("n_masked"))
+      // positions ascending, within the doc's token range
+      val ps = entries.map(_.toLong)
+      assert(ps.sameElements(ps.sorted))
+      ps.foreach(p => assert(p >= 1 && p <= r.getAs[Long]("n_tokens")))
+    }
+    // hash-seeded, not rand(): a second run is bit-identical
+    val again = graft.ops.TextOps.spanCorrupt(spark, sf0001).collect()
+    assert(again.toSeq == rows.toSeq)
+  }
 }
