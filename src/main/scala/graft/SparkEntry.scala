@@ -160,7 +160,7 @@ object SparkEntry {
     "q_tpch_q18" -> (TpchOps.largeOrders _),
     "q_typed_agg" -> (TypedOps.typedAvg _),
     "q_variant_extract" -> (EventOps.variantExtract _),
-    "q_span_corrupt" -> (TextOps.spanCorrupt _))
+    "q_token_mask" -> (TextOps.tokenMask _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1391,13 +1391,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q_span_corrupt" ->
+    "q_token_mask" ->
       s"""WITH t AS (
          |  SELECT doc_id, generate_subscripts(toks, 1) AS p
          |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
          |m AS (SELECT doc_id, p,
          |        (('0x' || substr(md5(doc_id || ':' || p), 1, 1))::BIGINT
-         |         < ${TextOps.SpanMaskHexLt}) AS m
+         |         < ${TextOps.MaskHexLt}) AS m
          |      FROM t),
          |r AS (SELECT doc_id, p, m,
          |        CASE WHEN m THEN row_number() OVER (
@@ -1405,7 +1405,7 @@ object SparkEntry {
          |      FROM m)
          |SELECT doc_id, count(*) AS n_tokens,
          |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
-         |  coalesce(string_agg(CASE WHEN m AND rk <= 10
+         |  coalesce(string_agg(CASE WHEN m AND rk <= ${TextOps.MaskHeadK}
          |    THEN CAST(p AS VARCHAR) END, ',' ORDER BY p), '') AS mask_head
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 

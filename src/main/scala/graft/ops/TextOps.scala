@@ -1050,38 +1050,39 @@ object TextOps {
       .orderBy("term")
   }
 
-  /** Mask threshold for [[spanCorrupt]]: first md5 hex digit of
-    * (doc_id:pos) < 3 → masked, i.e. 3/16 ≈ 19% corruption rate. */
-  val SpanMaskHexLt = 3
+  /** Mask threshold for [[tokenMask]]: first md5 hex digit of
+    * (doc_id:pos) < 3 → masked, i.e. 3/16 ≈ 19% masking rate. */
+  val MaskHexLt = 3
 
-  /** Deterministic span corruption — the preprocessing step that turns a
-    * curated corpus into denoising-objective training pairs (T5/BERT
-    * masking): each token position is masked iff a hash of (doc_id, pos)
-    * falls under [[SpanMaskHexLt]]/16. Hash-seeded, not `rand()`-seeded,
-    * for the same reason as [[weightedSample]]: the mask is reproducible
+  /** Masked positions reported per doc in [[tokenMask]]'s audit column. */
+  val MaskHeadK = 10
+
+  /** Deterministic i.i.d. token masking (the BERT-style masked-LM
+    * objective; a span-merging T5 variant would build on the same mask
+    * column): each token position is masked iff a hash of (doc_id, pos)
+    * falls under [[MaskHexLt]]/16. Hash-seeded, not `rand()`-seeded, for
+    * the same reason as [[weightedSample]]: the mask is reproducible
     * across engines, retries, and re-partitioning — an audit can recompute
     * exactly which positions were corrupted years later. One exploded-
-    * token pass (map-only until the per-doc agg); the report carries the
-    * mask rate numerator/denominator and the first 10 masked positions as
-    * the auditable sample. */
-  def spanCorrupt(spark: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * token pass and ONE shuffle (the per-doc agg; the masked positions are
+    * collected per doc — bounded by document length — and sliced to the
+    * head inside the aggregate, no window pass). The report carries the
+    * mask-rate numerator/denominator and the first [[MaskHeadK]] masked
+    * positions as the auditable sample. */
+  def tokenMask(spark: SparkSession, sf: String): DataFrame = {
     val pos1 = col("pos") + 1 // 1-based, matching generate_subscripts
     val masked = conv(substring(
       md5(concat_ws(":", col("doc_id"), pos1)), 1, 1), 16, 10)
-      .cast("long") < SpanMaskHexLt
-    val toks = Tables.load(spark, sf, "documents")
+      .cast("long") < MaskHexLt
+    Tables.load(spark, sf, "documents")
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), pos1.as("p"), masked.as("m"))
-    toks
-      .withColumn("rk", when(col("m"), row_number().over(
-        Window.partitionBy("doc_id", "m").orderBy("p"))))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
-        array_join(transform(sort_array(collect_list(
-          when(col("m") && col("rk") <= 10, col("p")))),
+        array_join(transform(
+          slice(sort_array(collect_list(when(col("m"), col("p")))), 1, MaskHeadK),
           p => p.cast("string")), ",").as("mask_head"))
       .orderBy("doc_id")
   }

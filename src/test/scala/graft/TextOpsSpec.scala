@@ -383,8 +383,8 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_._2).max <= 4 * total / 16, rows.mkString(","))
   }
 
-  test("span corruption: ~3/16 mask rate, bounded audit head, fully deterministic") {
-    val rows = graft.ops.TextOps.spanCorrupt(spark, sf0001).collect()
+  test("token masking: ~3/16 mask rate, bounded audit head, fully deterministic") {
+    val rows = graft.ops.TextOps.tokenMask(spark, sf0001).collect()
     assert(rows.nonEmpty)
     val nTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
     val nMask = rows.map(_.getAs[Long]("n_masked")).sum.toDouble
@@ -393,7 +393,7 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val head = r.getAs[String]("mask_head")
       val entries = if (head.isEmpty) Array.empty[String] else head.split(',')
-      assert(entries.length <= 10)
+      assert(entries.length <= graft.ops.TextOps.MaskHeadK)
       assert(entries.length <= r.getAs[Long]("n_masked"))
       // positions ascending, within the doc's token range
       val ps = entries.map(_.toLong)
@@ -401,7 +401,7 @@ class TextOpsSpec extends SparkSpec {
       ps.foreach(p => assert(p >= 1 && p <= r.getAs[Long]("n_tokens")))
     }
     // hash-seeded, not rand(): a second run is bit-identical
-    val again = graft.ops.TextOps.spanCorrupt(spark, sf0001).collect()
+    val again = graft.ops.TextOps.tokenMask(spark, sf0001).collect()
     assert(again.toSeq == rows.toSeq)
   }
 }
