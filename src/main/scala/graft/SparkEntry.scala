@@ -160,7 +160,8 @@ object SparkEntry {
     "q_tpch_q18" -> (TpchOps.largeOrders _),
     "q_typed_agg" -> (TypedOps.typedAvg _),
     "q_variant_extract" -> (EventOps.variantExtract _),
-    "q_token_mask" -> (TextOps.tokenMask _))
+    "q_token_mask" -> (TextOps.tokenMask _),
+    "q_winsorize" -> (Relational.winsorize _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1407,7 +1408,23 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
          |  coalesce(string_agg(CASE WHEN m AND rk <= ${TextOps.MaskHeadK}
          |    THEN CAST(p AS VARCHAR) END, ',' ORDER BY p), '') AS mask_head
-         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clipped_hi,
+        |  round(avg(l_extendedprice), 4) AS mean_raw,
+        |  round(avg(greatest(lo, least(hi, l_extendedprice))), 4)
+        |    AS mean_winsor
+        |FROM lineitem JOIN b USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
     * Morton interleave, generated from the same loop so the bit layout

@@ -717,6 +717,37 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Per-group winsorization — clip a value column to its group's
+    * [p05, p95] band and report how many rows each tail clipped plus the
+    * before/after means: the standard outlier-robustification pass a
+    * feature pipeline runs before scaling (a single corrupt sensor read
+    * otherwise owns the group's mean and the fitted scaler with it). Two
+    * passes by necessity (quantiles, then clip) but ONE shuffle each: the
+    * exact per-group percentiles are a sort-based aggregate (3 group
+    * rows), broadcast-joined back onto the scan; at 100 TB the exact
+    * percentile swaps for `approx_percentile` — same shape, sketch
+    * accuracy, one pass ([[sketchStats]] is that form). Interpolated
+    * `percentile` matches DuckDB's `quantile_cont` bit-for-bit
+    * (the parity [[percentileExact]] pins). */
+  def winsorize(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val bands = li.groupBy("l_returnflag")
+      .agg(
+        percentile(col("x"), lit(0.05)).as("lo"),
+        percentile(col("x"), lit(0.95)).as("hi"))
+    li.join(broadcast(bands), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        round(avg(col("x")), 4).as("mean_raw"),
+        round(avg(greatest(col("lo"), least(col("hi"), col("x")))), 4)
+          .as("mean_winsor"))
+      .orderBy("l_returnflag")
+  }
+
   /** Per-group simple linear regression — slope/intercept/R²/count of
     * extendedprice on quantity, one per return flag. All four are
     * single-pass ALGEBRAIC aggregates (sums of x, y, x², y², xy compose

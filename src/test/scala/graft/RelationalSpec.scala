@@ -238,6 +238,24 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("winsorize: each tail clips ~5%, winsorized mean stays inside the band") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Relational.winsorize(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val lo = r.getAs[Long]("n_clipped_lo").toDouble
+      val hi = r.getAs[Long]("n_clipped_hi").toDouble
+      // strictly-outside-[p05,p95] counts: at most the tail mass, near it
+      // for a continuous-ish value column
+      assert(lo <= 0.055 * n + 1 && hi <= 0.055 * n + 1, s"clip counts $lo/$hi of $n")
+      assert(lo >= 0.03 * n && hi >= 0.03 * n, s"clip counts $lo/$hi of $n")
+      // clipping pulls tails inward: winsorized mean within the raw band
+      assert(math.abs(r.getAs[Double]("mean_winsor") - r.getAs[Double]("mean_raw"))
+        < 0.2 * r.getAs[Double]("mean_raw"))
+    }
+  }
+
   test("mvRefresh: incremental delta-merge equals full recompute of the new snapshot") {
     import org.apache.spark.sql.functions._
     val old = graft.sources.Tables.load(spark, sf0001, "customer")
