@@ -158,6 +158,11 @@ object SparkEntry {
     "q_theta_sets" -> (EventOps.thetaSets _),
     "q_tpch_q1" -> (TpchOps.pricingSummary _),
     "q_tpch_q18" -> (TpchOps.largeOrders _),
+    "q_tpch_q6" -> (TpchOps.forecastRevenue _),
+    "q_tpch_q14" -> (TpchOps.promoRevenue _),
+    "q_tpch_q19" -> (TpchOps.disjunctiveRevenue _),
+    "q_tpch_q4" -> (TpchOps.priorityCount _),
+    "q_tpch_q22" -> (TpchOps.salesOpportunity _),
     "q_typed_agg" -> (TypedOps.typedAvg _),
     "q_variant_extract" -> (EventOps.variantExtract _),
     "q_token_mask" -> (TextOps.tokenMask _),
@@ -1383,6 +1388,50 @@ object SparkEntry {
          |  JOIN customer ON o_custkey = c_custkey
          |ORDER BY total_qty DESC, o_orderkey
          |LIMIT 20""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q22" ->
+      s"""SELECT c_nationkey, count(*) AS numcust,
+         |  round(sum(c_acctbal), 4) AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+         |                   WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |    AND o_orderdate >= TIMESTAMP '${TpchOps.Q22IdleSince}')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // the typed path must land on the plain-AVG answer
     "q_typed_agg" ->
       """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount

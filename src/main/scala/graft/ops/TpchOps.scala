@@ -113,6 +113,133 @@ object TpchOps {
     * shuffle. The c_nationkey = s_nationkey equality is the twist that
     * makes it non-hierarchical — it rides the supplier join as a second
     * key, not an extra shuffle. */
+  /** Q6 (forecast revenue change, adapted): the pure-pushdown benchmark —
+    * three range predicates, zero joins, one global sum. The entire query
+    * should collapse to a parquet scan with every predicate in
+    * `PushedFilters` (row groups whose min/max miss the date band are
+    * never read) plus a map-side-combined single-row aggregate; at 100 TB
+    * the shuffle carries one partial row per task. The revenue term
+    * (price × discount) is a 4-dp-exact product, so `round(_, 4)` is
+    * stable under cross-engine summation order (the [[pricingSummary]]
+    * analysis). Plan shape (no Exchange except the final single-row
+    * combine, predicates in the scan node) asserted in TpchSpec. */
+  def forecastRevenue(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Q14 (promo revenue share, adapted): one month of shipments joined to
+    * part, with a conditional-sum ratio — the shape that punishes engines
+    * that evaluate the CASE after a second pass. The date band prunes
+    * lineitem AT THE SCAN (only ~1/80 of the fact survives into the join
+    * shuffle); part gets NO broadcast hint because a real star's part dim
+    * scales with the data (the [[Relational.brandRevenue]] rule) — at SFs
+    * where it fits, AQE picks broadcast unaided. Fixture `p_type` is the
+    * bare promo class (`'PROMO'`), so equality replaces textbook
+    * `LIKE 'PROMO%'` — same conditional-aggregate shape. */
+  def promoRevenue(spark: SparkSession, sf: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.load(spark, sf, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) /
+          sum(disc), 4).as("promo_pct"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q19 (disjunctive predicate revenue, adapted): an OR of three
+    * conjunct bundles that each mix part-side and lineitem-side columns —
+    * the canonical test that an optimizer (a) keeps the equi-join key out
+    * of the disjunction, (b) pushes the per-side implied predicates
+    * (`p_size <= 15`, `l_quantity <= 30` are common to all branches'
+    * hulls) toward the scans, and (c) evaluates the residual OR once
+    * post-join inside codegen rather than unioning three query copies.
+    * Container/shipmode conditions of textbook Q19 have no fixture
+    * columns; brand × size × quantity keeps the cross-table disjunction
+    * structure intact. */
+  def disjunctiveRevenue(spark: SparkSession, sf: String): DataFrame = {
+    val b1 = col("p_brand") === "Brand#11" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val b2 = col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val b3 = col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q4 (order priority checking, adapted): EXISTS-correlated-subquery →
+    * LEFT SEMI join — each order in the quarter counts once if ANY of its
+    * lineitems matches, which a semi join gives for free (no distinct, no
+    * duplicate inflation from multi-match orders). The lineitem predicate
+    * (`l_returnflag = 'R'`, standing in for textbook commit<receipt which
+    * the fixture lacks) filters BEFORE the join so the semi probe side
+    * carries only matching lines. At 100 TB this is one shuffle pair on
+    * orderkey; the priority agg upstream is 5 groups, map-side combined. */
+  def priorityCount(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.load(spark, sf, "orders")
+      .filter(
+        col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+    val returned = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q22 (global sales opportunity, adapted): the scalar-subquery + NOT
+    * EXISTS shape — customers whose balance beats the global
+    * positive-balance average AND who have never ordered, counted per
+    * nation. The scalar average is a one-row aggregate cross-joined back
+    * as a broadcast (exactly the plan Catalyst builds for a scalar
+    * subquery — no driver round-trip, stays declarative); the "never
+    * ordered" test is a LEFT ANTI join on custkey. Two fixture
+    * adaptations: phone-prefix grouping has no fixture column (nationkey
+    * carries the role), and the fixture generator gives EVERY customer at
+    * least one order, so "never ordered" is vacuous — "no order since
+    * [[Q22IdleSince]]" keeps the anti-join shape selective (5+ rows at
+    * every SF) and is the more realistic churn question anyway. The date
+    * predicate filters the anti build side BEFORE the join, so the
+    * shuffle carries only recent orders. `c_acctbal` is 2-dp exact, so
+    * the 4-dp rounded sum is stable. */
+  val Q22IdleSince = "2000-01-01"
+
+  def salesOpportunity(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+    val posAvg = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    val recent = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit(Q22IdleSince).cast("timestamp"))
+      .select("o_custkey")
+    c.join(broadcast(posAvg))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("numcust"),
+        round(sum("c_acctbal"), 4).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   def localSupplierVolume(spark: SparkSession, sf: String): DataFrame = {
     val cutLo = lit("1997-01-01").cast("timestamp")
     val cutHi = lit("1998-01-01").cast("timestamp")

@@ -71,6 +71,91 @@ class TpchSpec extends SparkSpec {
       assert(recheck(r.getAs[Long]("o_orderkey")) > TpchOps.Q18MinQty))
   }
 
+  test("q6: every predicate reaches the parquet scan, no join in the plan") {
+    val df = TpchOps.forecastRevenue(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(500))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_shipdate") && plan.contains("l_quantity"),
+      plan.take(1500))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") > 0 && r.getAs[Double]("revenue") > 0.0)
+    // revenue ≤ 0.07 × total price of the qualifying rows (discount cap)
+    val qualTotal = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum("l_extendedprice")).collect().head.getDouble(0)
+    assert(r.getAs[Double]("revenue") <= 0.07 * qualTotal + 1e-6)
+  }
+
+  test("q14: promo share is a percentage and matches a two-query recompute") {
+    val r = TpchOps.promoRevenue(spark, sf0001).collect().head
+    val pct = r.getAs[Double]("promo_pct")
+    assert(pct >= 0.0 && pct <= 100.0)
+    val month = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.load(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("d", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val promo = month.filter(col("p_type") === "PROMO")
+      .agg(sum("d")).collect().head.getDouble(0)
+    val total = month.agg(sum("d")).collect().head.getDouble(0)
+    // query output is rounded to 4 dp → grid granularity 5e-5
+    assert(math.abs(pct - 100.0 * promo / total) < 1e-4)
+  }
+
+  test("q19: disjunction equals the union of its three branches, join stays equi") {
+    val df = TpchOps.disjunctiveRevenue(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    val r = df.collect().head
+    val joined = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+    def branch(brand: String, szHi: Int, qLo: Int, qHi: Int): Long =
+      joined.filter(col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)).count()
+    // branches are disjoint (distinct brands) so counts add exactly
+    val expected = branch("Brand#11", 5, 1, 11) +
+      branch("Brand#12", 10, 10, 20) + branch("Brand#13", 15, 20, 30)
+    assert(r.getAs[Long]("n") == expected)
+  }
+
+  test("q4: semi join counts each order once however many lines match") {
+    val rows = TpchOps.priorityCount(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("order_count")).sum
+    // distinct-orders recompute through the inner-join + distinct route
+    val distinctOrders = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.load(spark, sf0001, "lineitem")
+        .filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey").distinct().count()
+    assert(total == distinctOrders)
+  }
+
+  test("q22: reported customers beat the positive-balance average and went idle") {
+    val rows = TpchOps.salesOpportunity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val c = Tables.load(spark, sf0001, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal")).collect().head.getDouble(0)
+    val recent = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderdate") >=
+        lit(TpchOps.Q22IdleSince).cast("timestamp"))
+      .select("o_custkey")
+    val expected = c.filter(col("c_acctbal") > avgBal)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(expected > 0 && rows.map(_.getAs[Long]("numcust")).sum == expected)
+    // the anti join actually filtered someone: rich customers exceed survivors
+    assert(c.filter(col("c_acctbal") > avgBal).count() > expected)
+  }
+
   test("mvRefreshFrom with an empty feed returns the base MV unchanged") {
     import spark.implicits._
     import graft.ops.Relational
