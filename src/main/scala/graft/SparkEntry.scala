@@ -66,6 +66,10 @@ object SparkEntry {
     "q_array_agg" -> (Relational.arrayAgg _),
     "q_sketch_stats" -> (Relational.sketchStats _),
     "q_salted_agg" -> (SkewOps.saltedAgg _),
+    "q_skew_audit" -> (SkewOps.skewAudit _),
+    "q_corr_matrix" -> (Relational.corrMatrix _),
+    "q_mad_outliers" -> (Relational.madOutliers _),
+    "q_lang_entropy" -> (CurationOps.langEntropy _),
     "q_salted_join" -> (SkewOps.saltedJoinQuery _),
     "q_kde" -> (Relational.kde _),
     "q_stats_pack" -> (Relational.statsPack _),
@@ -421,6 +425,49 @@ object SparkEntry {
     "q_salted_agg" -> // the salted two-phase plan must REPRODUCE the direct answer
       """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_skew_audit" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_partkey),
+        |s AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c)
+        |SELECT l_partkey, cnt,
+        |  round(cnt * 1.0 / total, 6) AS share,
+        |  round(cnt * nkeys * 1.0 / total, 4) AS x_mean
+        |FROM c, s ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
+    "q_corr_matrix" -> {
+      val pairs = for {
+        i <- Relational.CorrCols.indices
+        j <- Relational.CorrCols.indices if i < j
+      } yield (Relational.CorrCols(i), Relational.CorrCols(j))
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |  round(corr($a, $b), 4) AS r, count(*) AS n FROM lineitem"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+    },
+    "q_mad_outliers" ->
+      s"""WITH m AS (SELECT l_returnflag,
+         |    quantile_cont(l_extendedprice, 0.5) AS med
+         |  FROM lineitem GROUP BY l_returnflag),
+         |d AS (SELECT l_returnflag, med,
+         |    abs(l_extendedprice - med) AS adev
+         |  FROM lineitem JOIN m USING (l_returnflag)),
+         |md AS (SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+         |  FROM d GROUP BY l_returnflag)
+         |SELECT d.l_returnflag AS l_returnflag, count(*) AS n,
+         |  round(med, 4) AS med, round(mad, 4) AS mad,
+         |  CAST(sum(CASE WHEN adev > ${Relational.MadCut} * mad
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM d JOIN md USING (l_returnflag)
+         |GROUP BY d.l_returnflag, med, mad
+         |ORDER BY l_returnflag""".stripMargin,
+    "q_lang_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |           FROM documents GROUP BY source, lang)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  count(*) AS n_langs,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits,
+        |  round(max(c) * 1.0 / sum(c), 4) AS top_share
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q_salted_join" -> // the salted join must REPRODUCE the plain join
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

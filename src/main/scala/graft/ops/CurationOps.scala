@@ -12,6 +12,28 @@ import graft.sources.Tables
   */
 object CurationOps {
 
+  /** Per-source language-distribution entropy — the corpus-composition
+    * audit run before fixing a training mix (a source whose language
+    * entropy collapses between crawls is a scraper bug; one whose entropy
+    * explodes got contaminated). Shannon entropy in bits via the
+    * single-pass identity H = log2(T) − (Σ c·log2 c)/T over the per-
+    * (source, lang) counts, so the plan is two cascaded aggregates — the
+    * second over ~|sources|×|langs| rows — with NO join-back for the
+    * total; at 100 TB both shuffles are map-side combined and the second
+    * input is tiny. `top_share` (heaviest language's fraction) reads the
+    * same rows — concentration and entropy from one pass. */
+  def langEntropy(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(log2(sum("c")) -
+          sum(col("c") * log2(col("c"))) / sum("c"), 4).as("entropy_bits"),
+        round(max("c") * lit(1.0) / sum("c"), 4).as("top_share"))
+      .orderBy("source")
+
   /** Email / IPv4 / long-number redaction over document text — the
     * compliance pass every web-scale corpus runs before training. The
     * fixture text is synthetic and PII-free, so deterministic PII is

@@ -748,6 +748,71 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Numeric columns profiled by [[corrMatrix]] — every unordered pair
+    * gets a Pearson coefficient. */
+  val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson correlation matrix over the fact's numeric columns —
+    * the first look any feature pipeline takes before fitting anything
+    * (collinear features, leakage candidates). All C(4,2)=6 coefficients
+    * are ALGEBRAIC (sums of x, y, xy, x², y² compose across partitions),
+    * so the whole matrix is ONE map-side-combined pass over the scan with
+    * a single-row shuffle — at 100 TB the reduce stage sees one partial
+    * row of 6×5 moments per task, never the data. The wide 1-row result
+    * is melted to (col_x, col_y, r) rows with `stack` — plan-side
+    * reshaping, zero extra passes. */
+  def corrMatrix(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = for {
+      i <- CorrCols.indices; j <- CorrCols.indices if i < j
+    } yield (CorrCols(i), CorrCols(j))
+    val aggs = count(lit(1)).as("n") +:
+      pairs.map { case (a, b) => round(corr(col(a), col(b)), 4).as(s"${a}__$b") }
+    val wide = Tables.load(spark, sf, "lineitem")
+      .select(CorrCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', ${a}__$b" }.mkString(", ")
+    wide.select(
+        expr(s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, r)"),
+        col("n"))
+      .orderBy("col_x", "col_y")
+  }
+
+  /** 3×1.4826 — the standard "3 sigma" cut in MAD units (1.4826 scales a
+    * MAD to the sigma of a normal). Written as one literal so the Spark
+    * and DuckDB sides compare against bit-identical doubles. */
+  val MadCut = 4.4478
+
+  /** Per-group robust outlier census — median, median-absolute-deviation,
+    * and how many rows sit beyond [[MadCut]]×MAD from the median. The
+    * robust twin of z-score outliers ([[Relational.zscore]]'s μ/σ are
+    * themselves dragged by the outliers being hunted; the median/MAD pair
+    * isn't, which is why curation pipelines cut on MAD). Three passes by
+    * necessity (median → MAD → census) but each is one shuffle, and the
+    * two quantile frames are 3-row broadcasts back onto the scan; at
+    * 100 TB the exact `percentile` swaps for `approx_percentile` — same
+    * shape, one fewer decimal of accuracy. Median/MAD interpolation
+    * matches DuckDB `quantile_cont` bit-for-bit (q_percentile pins). */
+  def madOutliers(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val med = li.groupBy("l_returnflag")
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag", "med", "mad")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(MadCut) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("l_returnflag"), col("n"), round(col("med"), 4).as("med"),
+        round(col("mad"), 4).as("mad"), col("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
   /** Per-group simple linear regression — slope/intercept/R²/count of
     * extendedprice on quantity, one per return flag. All four are
     * single-pass ALGEBRAIC aggregates (sums of x, y, x², y², xy compose

@@ -61,6 +61,30 @@ object SkewOps {
         col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** Hot-key audit — the diagnostic that decides WHETHER the salted forms
+    * above are needed: the top-10 heaviest join/shuffle keys with their
+    * share of all rows and their multiple of the mean per-key load. A
+    * reducer's wall-clock is proportional to its heaviest key, so
+    * `x_mean` IS the straggler factor a plain hash-partition would see.
+    * One groupBy shuffle (the same one the real query would pay) + a
+    * single-row global stat broadcast back; the top-10 head is a
+    * TakeOrderedAndProject, never a full sort. Counts are exact integers
+    * and the quotients are computed from identical longs on both engines,
+    * so 4/6-dp rounding is stable. */
+  def skewAudit(spark: SparkSession, sf: String): DataFrame = {
+    val counts = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum("cnt").as("total"), count(lit(1)).as("nkeys"))
+    counts.join(broadcast(stats))
+      .select(
+        col("l_partkey"), col("cnt"),
+        round(col("cnt") * lit(1.0) / col("total"), 6).as("share"),
+        round(col("cnt") * col("nkeys") * lit(1.0) / col("total"), 4)
+          .as("x_mean"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+      .limit(10)
+  }
+
   /** Salted join for a skewed key against a non-broadcastable right side:
     * left rows get salt = hash(probe col) % salts; the right side is
     * replicated `salts` times (explode) so every (key, salt) pair finds its

@@ -123,4 +123,20 @@ class CurationOpsSpec extends SparkSpec {
     // HLL default rsd 5%: generous 15% band keeps this deterministic-safe
     assert(math.abs(approx - exact) <= exact * 0.15, s"approx $approx exact $exact")
   }
+
+  test("langEntropy: bounded by log2(n_langs), top_share consistent, counts reconcile") {
+    val rows = CurationOps.langEntropy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.load(spark, sf0001, "documents").count())
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val k = r.getAs[Long]("n_langs").toDouble
+      assert(h >= -1e-9 && h <= math.log(k) / math.log(2.0) + 1e-9,
+        s"entropy $h outside [0, log2($k)]")
+      val ts = r.getAs[Double]("top_share")
+      // uniform lower bound: the heaviest of k classes holds >= 1/k
+      assert(ts >= 1.0 / k - 1e-9 && ts <= 1.0)
+    }
+  }
 }

@@ -256,6 +256,46 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix: r in [-1,1], price~quantity strongly positive, one row per pair") {
+    val rows = graft.ops.Relational.corrMatrix(spark, sf0001).collect()
+    val k = graft.ops.Relational.CorrCols.size
+    assert(rows.length == k * (k - 1) / 2)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("r")) <= 1.0))
+    // every unordered pair appears exactly once
+    val seen = rows.map(r => Set(r.getAs[String]("col_x"),
+      r.getAs[String]("col_y"))).toSet
+    assert(seen.size == rows.length)
+    // one coefficient recomputed from raw moments must agree
+    val pq = rows.find(r => r.getAs[String]("col_x") == "l_quantity" &&
+      r.getAs[String]("col_y") == "l_extendedprice").get
+    val m = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .select(avg("l_quantity").as("mx"), avg("l_extendedprice").as("my"),
+        avg(col("l_quantity") * col("l_extendedprice")).as("mxy"),
+        stddev_pop("l_quantity").as("sx"),
+        stddev_pop("l_extendedprice").as("sy"))
+      .collect().head
+    val manual = (m.getAs[Double]("mxy") -
+      m.getAs[Double]("mx") * m.getAs[Double]("my")) /
+      (m.getAs[Double]("sx") * m.getAs[Double]("sy"))
+    assert(math.abs(pq.getAs[Double]("r") - manual) < 1e-3,
+      s"reported ${pq.getAs[Double]("r")} vs manual $manual")
+  }
+
+  test("madOutliers: MAD never negative, outliers beyond the cut when recomputed") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Relational.madOutliers(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byFlag = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n") == byFlag(r.getAs[String]("l_returnflag")))
+      // a 3-sigma-equivalent cut keeps outliers rare (< 5% of the group)
+      assert(r.getAs[Long]("n_outliers") < 0.05 * r.getAs[Long]("n"))
+    }
+  }
+
   test("mvRefresh: incremental delta-merge equals full recompute of the new snapshot") {
     import org.apache.spark.sql.functions._
     val old = graft.sources.Tables.load(spark, sf0001, "customer")

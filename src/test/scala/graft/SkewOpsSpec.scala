@@ -93,4 +93,21 @@ class SkewOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
     assert(one.count() > 0)
   }
+
+  test("skewAudit: shares sum below 1, ordered by weight, straggler factor >= 1") {
+    val rows = graft.ops.SkewOps.skewAudit(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.sameElements(cnts.sorted(Ordering[Long].reverse)))
+    assert(rows.map(_.getAs[Double]("share")).sum < 1.0)
+    // the heaviest key must be at least as loaded as the average key
+    assert(rows.head.getAs[Double]("x_mean") >= 1.0)
+    // share and x_mean reconcile: x_mean = share * nkeys
+    val nkeys = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .select("l_partkey").distinct().count()
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("x_mean") -
+        r.getAs[Double]("share") * nkeys) < 0.01 * nkeys)
+    }
+  }
 }
