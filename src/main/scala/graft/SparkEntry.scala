@@ -70,6 +70,10 @@ object SparkEntry {
     "q_corr_matrix" -> (Relational.corrMatrix _),
     "q_mad_outliers" -> (Relational.madOutliers _),
     "q_lang_entropy" -> (CurationOps.langEntropy _),
+    "q_rfm" -> (Relational.rfm _),
+    "q_ks_drift" -> (Relational.ksDrift _),
+    "q_gini" -> (Relational.gini _),
+    "q_forget" -> (CurationOps.forgetCascade _),
     "q_salted_join" -> (SkewOps.saltedJoinQuery _),
     "q_kde" -> (Relational.kde _),
     "q_stats_pack" -> (Relational.statsPack _),
@@ -468,6 +472,92 @@ object SparkEntry {
         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits,
         |  round(max(c) * 1.0 / sum(c), 4) AS top_share
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+        |      AS recency,
+        |    count(*) AS frequency, sum(o_totalprice) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |cuts AS (SELECT
+        |    quantile_cont(CAST(recency AS DOUBLE), 0.25) AS r25,
+        |    quantile_cont(CAST(recency AS DOUBLE), 0.5) AS r50,
+        |    quantile_cont(CAST(recency AS DOUBLE), 0.75) AS r75,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f50,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
+        |    quantile_cont(monetary, 0.25) AS m25,
+        |    quantile_cont(monetary, 0.5) AS m50,
+        |    quantile_cont(monetary, 0.75) AS m75
+        |  FROM pc),
+        |scored AS (SELECT
+        |    5 - (CASE WHEN CAST(recency AS DOUBLE) > r75 THEN 4
+        |         WHEN CAST(recency AS DOUBLE) > r50 THEN 3
+        |         WHEN CAST(recency AS DOUBLE) > r25 THEN 2
+        |         ELSE 1 END) AS r_score,
+        |    CASE WHEN CAST(frequency AS DOUBLE) > f75 THEN 4
+        |         WHEN CAST(frequency AS DOUBLE) > f50 THEN 3
+        |         WHEN CAST(frequency AS DOUBLE) > f25 THEN 2
+        |         ELSE 1 END AS f_score,
+        |    CASE WHEN monetary > m75 THEN 4 WHEN monetary > m50 THEN 3
+        |         WHEN monetary > m25 THEN 2 ELSE 1 END AS m_score,
+        |    monetary
+        |  FROM pc, cuts)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  round(avg(monetary), 4) AS avg_monetary
+        |FROM scored GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+    "q_ks_drift" ->
+      """WITH v AS (SELECT l_extendedprice AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS b
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |g AS (SELECT x, sum(a) AS na, sum(b) AS nb FROM v GROUP BY x),
+        |c AS (SELECT
+        |    sum(na) OVER (ORDER BY x) AS cna,
+        |    sum(nb) OVER (ORDER BY x) AS cnb,
+        |    sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+        |  FROM g)
+        |SELECT round(max(abs(cna * 1.0 / ta - cnb * 1.0 / tb)), 6) AS d_stat,
+        |  round(max(abs(cna * 1.0 / ta - cnb * 1.0 / tb)) *
+        |    sqrt(ta * tb * 1.0 / (ta + tb)), 4) AS ks_scaled,
+        |  CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b
+        |FROM c GROUP BY ta, tb""".stripMargin,
+    "q_gini" ->
+      """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (SELECT rev,
+        |    row_number() OVER (ORDER BY rev, o_custkey) AS i
+        |  FROM rev)
+        |SELECT count(*) AS n, round(sum(rev), 4) AS total_rev,
+        |  round(2.0 * sum(i * rev) / (count(*) * sum(rev)) -
+        |    (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM ranked""".stripMargin,
+    "q_forget" -> {
+      val m = CurationOps.ForgetModulus
+      s"""WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % $m = 0),
+         |do_ AS (SELECT o_orderkey FROM orders
+         |        WHERE o_custkey IN (SELECT c_custkey FROM dc)),
+         |dl AS (SELECT 1 FROM lineitem
+         |       WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+         |SELECT 'customer' AS table_name,
+         |  (SELECT count(*) FROM customer) AS rows_before,
+         |  (SELECT count(*) FROM dc) AS rows_deleted,
+         |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM dc)
+         |    AS rows_after
+         |UNION ALL
+         |SELECT 'lineitem',
+         |  (SELECT count(*) FROM lineitem),
+         |  (SELECT count(*) FROM dl),
+         |  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM dl)
+         |UNION ALL
+         |SELECT 'orders',
+         |  (SELECT count(*) FROM orders),
+         |  (SELECT count(*) FROM do_),
+         |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM do_)
+         |ORDER BY table_name""".stripMargin
+    },
     "q_salted_join" -> // the salted join must REPRODUCE the plain join
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -12,6 +12,46 @@ import graft.sources.Tables
   */
 object CurationOps {
 
+  /** Erasure keys for [[forgetCascade]]: every 97th customer, standing in
+    * for a batch of right-to-be-forgotten requests. */
+  val ForgetModulus = 97
+
+  /** GDPR erasure-cascade audit — given a batch of customer keys to
+    * forget, measure the blast radius down the foreign-key chain
+    * (customer → orders → lineitem) BEFORE running the deletes: per
+    * table, rows before / deleted / after. The cascade is two LEFT SEMI
+    * joins (each table's doomed rows are the ones whose parent is
+    * doomed), and because the request batch is a tiny fraction of
+    * customers, each semi join broadcasts the doomed-key side — at
+    * 100 TB the fact tables are scanned once each, no shuffle. The
+    * actual delete is then the anti-join twin of each semi (same plan,
+    * inverted), which [[graft.ops.Relational.upsert]]-style sinks apply;
+    * auditing first is the discipline: erasure is irreversible. */
+  def forgetCascade(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+    val o = Tables.load(spark, sf, "orders")
+    val l = Tables.load(spark, sf, "lineitem")
+    val doomedC = c.filter(col("c_custkey") % ForgetModulus === 0)
+      .select("c_custkey")
+    val doomedO = o.join(broadcast(doomedC),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey")
+    def census(name: String, table: DataFrame, doomed: DataFrame) = {
+      val before = table.agg(count(lit(1)).as("rows_before"))
+      val del = doomed.agg(count(lit(1)).as("rows_deleted"))
+      before.join(del)
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    }
+    val doomedL = l.join(broadcast(doomedO),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    census("customer", c, doomedC)
+      .unionAll(census("orders", o, doomedO))
+      .unionAll(census("lineitem", l, doomedL.select("l_orderkey")))
+      .orderBy("table_name")
+  }
+
   /** Per-source language-distribution entropy — the corpus-composition
     * audit run before fixing a training mix (a source whose language
     * entropy collapses between crawls is a scraper bug; one whose entropy

@@ -748,6 +748,122 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** RFM customer segmentation — the classic recency/frequency/monetary
+    * quartile scoring, done the way it survives 100 TB: NOT with three
+    * global `ntile` windows (a no-PARTITION window is one task holding
+    * every customer) but with the three quartile cut-points computed as a
+    * 1-row aggregate and broadcast back, scores assigned by comparison —
+    * map-only after the per-customer rollup, identical results. Scores
+    * use strict `>` against the cuts (so a metric equal to the cut stays
+    * in the lower bucket on both engines — `quantile_cont` parity makes
+    * the cuts bit-identical). Output is the 4³-cell segment census, not
+    * per-customer rows: the decision table a marketing pipeline actually
+    * consumes. Recency is measured against the fixture's global max
+    * order date so the query is deterministic, not wall-clock-relative. */
+  def rfm(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.load(spark, sf, "orders")
+    val maxDate = o.agg(max("o_orderdate").as("max_date"))
+    val perCust = o.groupBy("o_custkey")
+      .agg(
+        max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum("o_totalprice").as("monetary"))
+      .join(broadcast(maxDate))
+      .withColumn("recency",
+        datediff(col("max_date"), col("last_order")))
+    val cuts = perCust.agg(
+      percentile(col("recency").cast("double"), lit(0.25)).as("r25"),
+      percentile(col("recency").cast("double"), lit(0.5)).as("r50"),
+      percentile(col("recency").cast("double"), lit(0.75)).as("r75"),
+      percentile(col("frequency").cast("double"), lit(0.25)).as("f25"),
+      percentile(col("frequency").cast("double"), lit(0.5)).as("f50"),
+      percentile(col("frequency").cast("double"), lit(0.75)).as("f75"),
+      percentile(col("monetary"), lit(0.25)).as("m25"),
+      percentile(col("monetary"), lit(0.5)).as("m50"),
+      percentile(col("monetary"), lit(0.75)).as("m75"))
+    def score(v: Column, c25: Column, c50: Column, c75: Column): Column =
+      when(v > c75, 4).when(v > c50, 3).when(v > c25, 2).otherwise(1)
+    perCust.join(broadcast(cuts))
+      .select(
+        // low recency = recently active = best score: invert the bucket
+        (lit(5) - score(col("recency").cast("double"),
+          col("r25"), col("r50"), col("r75"))).as("r_score"),
+        score(col("frequency").cast("double"),
+          col("f25"), col("f50"), col("f75")).as("f_score"),
+        score(col("monetary"), col("m25"), col("m50"), col("m75"))
+          .as("m_score"),
+        col("monetary"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg("monetary"), 4).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the returned
+    * ('R') and accepted ('A') populations' price distributions — THE
+    * distribution-drift alarm a data pipeline runs between snapshots
+    * (means/variances agree long after the shape has drifted). Shape:
+    * reduce to per-distinct-value counts first (one shuffle, cardinality
+    * ≤ |distinct prices|), then the cumulative-difference max runs as a
+    * window over ONLY the distinct values — that bounded relation is what
+    * makes a global-order window acceptable at 100 TB (same argument as
+    * the exact-percentile sort agg; the raw rows never enter a single
+    * partition). D and the scaled statistic are quotients of exact
+    * integer cumulatives, identical on both engines. */
+  def ksDrift(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_extendedprice").as("x"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("a"),
+        when(col("l_returnflag") === "A", 1L).otherwise(0L).as("b"))
+    val g = v.groupBy("x").agg(sum("a").as("na"), sum("b").as("nb"))
+    val w = Window.orderBy("x")
+    val c = g.select(
+      sum("na").over(w).as("cna"), sum("nb").over(w).as("cnb"),
+      sum("na").over(Window.partitionBy()).as("ta"),
+      sum("nb").over(Window.partitionBy()).as("tb"))
+    c.groupBy("ta", "tb")
+      .agg(max(abs(col("cna") * lit(1.0) / col("ta") -
+        col("cnb") * lit(1.0) / col("tb"))).as("d"))
+      .select(
+        round(col("d"), 6).as("d_stat"),
+        round(col("d") * sqrt(col("ta") * col("tb") * lit(1.0) /
+          (col("ta") + col("tb"))), 4).as("ks_scaled"),
+        col("ta").as("n_a"), col("tb").as("n_b"))
+  }
+
+  /** Gini coefficient of customer revenue — the concentration audit
+    * ("what share of spend do the top customers own"), the same statistic
+    * a corpus pipeline runs over per-source token mass before fixing a
+    * training mix. Needs each customer's rank in revenue order; ranking
+    * runs over the per-customer ROLLUP (one row per customer, not per
+    * order), and ties are broken by custkey so the rank — and therefore
+    * the Σ i·xᵢ term — is deterministic on both engines. At 100 TB the
+    * rollup is the big shuffle; the ranked relation is |customers| and
+    * its global window swaps for the two-phase partition-offset rank of
+    * [[idFallback]] if even that outgrows one task. */
+  def gini(spark: SparkSession, sf: String): DataFrame =
+    giniFrom(Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
+      .withColumnRenamed("o_custkey", "key"))
+
+  /** Core of [[gini]] over any (key, rev) frame. */
+  def giniFrom(rev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rev.select(col("rev"),
+      row_number().over(Window.orderBy(col("rev"), col("key")))
+        .cast("long").as("i"))
+    ranked.agg(
+        count(lit(1)).as("n"), sum("rev").as("total"),
+        sum(col("i") * col("rev")).as("iw"))
+      .select(
+        col("n"),
+        round(col("total"), 4).as("total_rev"),
+        round(lit(2.0) * col("iw") / (col("n") * col("total")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
   /** Numeric columns profiled by [[corrMatrix]] — every unordered pair
     * gets a Pearson coefficient. */
   val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

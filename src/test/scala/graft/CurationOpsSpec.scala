@@ -139,4 +139,27 @@ class CurationOpsSpec extends SparkSpec {
       assert(ts >= 1.0 / k - 1e-9 && ts <= 1.0)
     }
   }
+
+  test("forgetCascade: censuses reconcile with direct recounts, cascade is consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = CurationOps.forgetCascade(spark, sf0001).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("rows_before"), r.getAs[Long]("rows_deleted"),
+         r.getAs[Long]("rows_after"))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    rows.values.foreach { case (before, del, after) =>
+      assert(after == before - del && del > 0, s"$before/$del/$after")
+    }
+    // direct recount of the order cascade
+    val doomedOrders = graft.sources.Tables.load(spark, sf0001, "orders")
+      .filter(col("o_custkey") % CurationOps.ForgetModulus === 0).count()
+    assert(rows("orders")._2 == doomedOrders)
+    // deleting the survivors' complement leaves no orphaned order
+    val c = graft.sources.Tables.load(spark, sf0001, "customer")
+      .filter(col("c_custkey") % CurationOps.ForgetModulus =!= 0)
+    val orphans = graft.sources.Tables.load(spark, sf0001, "orders")
+      .filter(col("o_custkey") % CurationOps.ForgetModulus =!= 0)
+      .join(c, col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(orphans == 0)
+  }
 }

@@ -296,6 +296,62 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rfm: segment census covers every customer, scores in 1..4") {
+    val rows = graft.ops.Relational.rfm(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nCust = graft.sources.Tables.load(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = r.getAs[Int](c); assert(s >= 1 && s <= 4, s"$c=$s")
+      }
+      assert(r.getAs[Double]("avg_monetary") > 0.0)
+    }
+    // quartile scoring: no single bucket of any axis may hold everyone
+    val byM = rows.groupBy(_.getAs[Int]("m_score"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_customers")).sum }
+    assert(byM.size > 1 && byM.max < nCust)
+  }
+
+  test("ksDrift: D in [0,1] and matches a driver-side recompute") {
+    val r = graft.ops.Relational.ksDrift(spark, sf0001).collect().head
+    val d = r.getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    // recompute D from the two sorted samples on the driver
+    val pairs = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_returnflag").isin("R", "A"))
+      .select("l_extendedprice", "l_returnflag").collect()
+      .map(row => (row.getDouble(0), row.getString(1)))
+    val a = pairs.filter(_._2 == "R").map(_._1).sorted
+    val b = pairs.filter(_._2 == "A").map(_._1).sorted
+    assert(a.length == r.getAs[Long]("n_a") && b.length == r.getAs[Long]("n_b"))
+    val grid = (a ++ b).distinct.sorted
+    def cdf(s: Array[Double], x: Double) =
+      s.count(_ <= x).toDouble / s.length
+    val manual = grid.map(x => math.abs(cdf(a, x) - cdf(b, x))).max
+    assert(math.abs(d - manual) < 1e-6, s"query $d vs manual $manual")
+  }
+
+  test("gini: in [0,1), zero when flat, hand-checked on a skewed frame") {
+    import spark.implicits._
+    val r = graft.ops.Relational.gini(spark, sf0001).collect().head
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    // everyone equal → exactly 0
+    val flat = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0))
+      .toDF("key", "rev")
+    val gFlat = graft.ops.Relational.giniFrom(flat)
+      .collect().head.getAs[Double]("gini")
+    assert(math.abs(gFlat) < 1e-9)
+    // (1,1,1,7): G = 2*(1+2+3+28)/(4*10) - 5/4 = 0.45
+    val skew = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 7.0))
+      .toDF("key", "rev")
+    val gSkew = graft.ops.Relational.giniFrom(skew)
+      .collect().head.getAs[Double]("gini")
+    assert(math.abs(gSkew - 0.45) < 1e-9, s"got $gSkew")
+  }
+
   test("mvRefresh: incremental delta-merge equals full recompute of the new snapshot") {
     import org.apache.spark.sql.functions._
     val old = graft.sources.Tables.load(spark, sf0001, "customer")
