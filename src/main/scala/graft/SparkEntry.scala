@@ -74,6 +74,8 @@ object SparkEntry {
     "q_ks_drift" -> (Relational.ksDrift _),
     "q_gini" -> (Relational.gini _),
     "q_forget" -> (CurationOps.forgetCascade _),
+    "q_ewma" -> (EventOps.ewma _),
+    "q_join_size" -> (SkewOps.joinSizeEstimate _),
     "q_salted_join" -> (SkewOps.saltedJoinQuery _),
     "q_kde" -> (Relational.kde _),
     "q_stats_pack" -> (Relational.statsPack _),
@@ -558,6 +560,21 @@ object SparkEntry {
          |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM do_)
          |ORDER BY table_name""".stripMargin
     },
+    "q_ewma" -> EventOps.ewmaOracleSql,
+    "q_join_size" ->
+      """WITH a AS (SELECT o_orderkey, count(*) AS ca
+        |           FROM orders GROUP BY o_orderkey),
+        |b AS (SELECT l_orderkey, count(*) AS cb
+        |      FROM lineitem GROUP BY l_orderkey),
+        |m AS (SELECT count(*) AS n_matched_keys,
+        |        sum(ca * cb) AS predicted_rows,
+        |        max(ca * cb) AS max_key_rows
+        |      FROM a JOIN b ON o_orderkey = l_orderkey)
+        |SELECT (SELECT count(*) FROM a) AS n_keys_left,
+        |  (SELECT count(*) FROM b) AS n_keys_right,
+        |  n_matched_keys, CAST(predicted_rows AS BIGINT) AS predicted_rows,
+        |  max_key_rows
+        |FROM m""".stripMargin,
     "q_salted_join" -> // the salted join must REPRODUCE the plain join
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

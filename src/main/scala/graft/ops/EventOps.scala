@@ -317,6 +317,55 @@ object EventOps {
   def thetaSets(spark: SparkSession, sf: String): DataFrame =
     thetaSetsFrom(events(spark, sf))
 
+  /** Taps in the [[ewma]] finite-impulse window (k = 0 .. EwmaTaps-1). */
+  val EwmaTaps = 8
+
+  /** Per-user exponentially-weighted moving average of event values —
+    * the smoothing pass an anomaly detector runs before thresholding
+    * (a spike matters relative to the user's own recent level, not the
+    * global mean; [[zscoreOutliers]] is the global twin). Truncated to
+    * [[EwmaTaps]] taps so it's a FINITE window: α = 1/2 makes every
+    * weight 2^-k, so each product is an exact binary scaling and the
+    * fixed left-to-right tap sum is BIT-IDENTICAL on any IEEE engine —
+    * the one α where an EWMA can hash-match a foreign oracle. All taps
+    * read one window sort (same spec → one Exchange + sort per user
+    * partition); at 100 TB that shuffle is the query, and the state per
+    * row is 8 lags, not unbounded history. First events use the
+    * renormalized partial-window denominator (standard
+    * `adjust=True` EWMA semantics). */
+  def ewma(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val taps = (0 until EwmaTaps).map { k =>
+      val wk = math.pow(0.5, k) // 2^-k: exact
+      val lagged = lag(col("value"), k).over(w)
+      (when(lagged.isNotNull, lagged * lit(wk)).otherwise(lit(0.0)),
+        when(lagged.isNotNull, lit(wk)).otherwise(lit(0.0)))
+    }
+    events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(taps.map(_._1).reduce(_ + _) /
+          taps.map(_._2).reduce(_ + _), 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** DuckDB twin of [[ewma]] — generated from the same tap loop so the
+    * weights and the left-to-right sum order match term for term. */
+  def ewmaOracleSql: String = {
+    val num = (0 until EwmaTaps).map { k =>
+      val wk = math.pow(0.5, k)
+      s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN lag(value, $k) OVER w * $wk ELSE 0.0 END"
+    }.mkString(" + ")
+    val den = (0 until EwmaTaps).map { k =>
+      val wk = math.pow(0.5, k)
+      s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN $wk ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""SELECT user_id, event_id, value,
+       |  round(($num) / ($den), 6) AS ewma
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   /** The sketch algebra over any (event_type, value, user_id) frame —
     * split out so empty/degenerate inputs are testable. */
   private[graft] def thetaSetsFrom(ev: DataFrame): DataFrame = {

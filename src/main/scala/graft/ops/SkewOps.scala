@@ -85,6 +85,35 @@ object SkewOps {
       .limit(10)
   }
 
+  /** Join-cardinality pre-flight — predict |orders ⋈ lineitem| from the
+    * two sides' per-key histograms WITHOUT running the join:
+    * Σ_k cnt_a(k)·cnt_b(k), plus the single heaviest key's contribution.
+    * The estimate is EXACT for an equi join (it's the same sum the join
+    * materializes row by row), but costs two aggregates and a
+    * histogram-sized join — at 100 TB that's |distinct keys| rows through
+    * the shuffle instead of the full fact tables, which is why planners
+    * run exactly this before choosing broadcast vs sort-merge vs salting
+    * ([[skewAudit]] reads the same histogram one level deeper). The
+    * max_key_rows / predicted_rows ratio is the skew alarm: a single key
+    * owning a material fraction of the output means AQE skew-split or
+    * [[saltedJoin]], not a plain hash join. */
+  def joinSizeEstimate(spark: SparkSession, sf: String): DataFrame = {
+    val a = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderkey").agg(count(lit(1)).as("ca"))
+    val b = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("cb"))
+    val matched = a.join(b, col("o_orderkey") === col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_matched_keys"),
+        sum(col("ca") * col("cb")).as("predicted_rows"),
+        max(col("ca") * col("cb")).as("max_key_rows"))
+    a.agg(count(lit(1)).as("n_keys_left"))
+      .join(b.agg(count(lit(1)).as("n_keys_right")))
+      .join(matched)
+      .select("n_keys_left", "n_keys_right", "n_matched_keys",
+        "predicted_rows", "max_key_rows")
+  }
+
   /** Salted join for a skewed key against a non-broadcastable right side:
     * left rows get salt = hash(probe col) % salts; the right side is
     * replicated `salts` times (explode) so every (key, salt) pair finds its

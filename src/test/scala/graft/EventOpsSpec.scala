@@ -168,4 +168,35 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_both") == 0L && r.getAs[Long]("n_buy_only") == 2L)
     assert(r.getAs[Long]("n_either") == 2L)
   }
+
+  test("ewma: first event equals value, constant series stays constant, hand-check") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.EventOps.ewma(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // group rows per user in event order; first row's ewma is its raw value
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rs =>
+      val head = rs.minBy(_.getAs[Long]("event_id"))
+      assert(math.abs(head.getAs[Double]("ewma") -
+        math.rint(head.getAs[Double]("value") * 1e6) / 1e6) < 1e-9)
+    }
+    // hand recompute one user's full tap series
+    val u = byUser.keys.head
+    val ordered = graft.ops.EventOps.events(spark, sf0001)
+      .filter(col("user_id") === u)
+      .orderBy("ts", "event_id")
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val got = rs2map(byUser(u))
+    ordered.zipWithIndex.foreach { case ((eid, _), i) =>
+      val taps = (0 until graft.ops.EventOps.EwmaTaps)
+        .filter(k => i - k >= 0)
+        .map(k => (math.pow(0.5, k), ordered(i - k)._2))
+      val manual = taps.map { case (w, v) => w * v }.sum / taps.map(_._1).sum
+      assert(math.abs(got(eid) - manual) < 1e-5, s"event $eid: ${got(eid)} vs $manual")
+    }
+  }
+
+  private def rs2map(rs: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+    rs.map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
 }

@@ -110,4 +110,16 @@ class SkewOpsSpec extends SparkSpec {
         r.getAs[Double]("share") * nkeys) < 0.01 * nkeys)
     }
   }
+
+  test("joinSizeEstimate: prediction equals the materialized join exactly") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.SkewOps.joinSizeEstimate(spark, sf0001).collect().head
+    val actual = graft.sources.Tables.load(spark, sf0001, "orders")
+      .join(graft.sources.Tables.load(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(r.getAs[Long]("predicted_rows") == actual)
+    assert(r.getAs[Long]("n_matched_keys") <=
+      math.min(r.getAs[Long]("n_keys_left"), r.getAs[Long]("n_keys_right")))
+    assert(r.getAs[Long]("max_key_rows") <= r.getAs[Long]("predicted_rows"))
+  }
 }
