@@ -76,6 +76,10 @@ object SparkEntry {
     "q_forget" -> (CurationOps.forgetCascade _),
     "q_ewma" -> (EventOps.ewma _),
     "q_join_size" -> (SkewOps.joinSizeEstimate _),
+    "q_chi2" -> (Relational.chi2 _),
+    "q_psi" -> (Relational.psi _),
+    "q_autocorr" -> (Relational.autocorr _),
+    "q_url_dedup" -> (CurationOps.urlDedup _),
     "q_salted_join" -> (SkewOps.saltedJoinQuery _),
     "q_kde" -> (Relational.kde _),
     "q_stats_pack" -> (Relational.statsPack _),
@@ -561,6 +565,80 @@ object SparkEntry {
          |ORDER BY table_name""".stripMargin
     },
     "q_ewma" -> EventOps.ewmaOracleSql,
+    "q_chi2" ->
+      """WITH cells AS (SELECT c_mktsegment, o_orderpriority, count(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_orderpriority),
+        |m AS (SELECT CAST(o AS DOUBLE) AS o,
+        |    CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS rt,
+        |    CAST(sum(o) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS ct,
+        |    CAST(sum(o) OVER () AS DOUBLE) AS n,
+        |    c_mktsegment, o_orderpriority
+        |  FROM cells)
+        |SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) /
+        |    (rt * ct / n)), 4) AS chi2,
+        |  (count(DISTINCT c_mktsegment) - 1) *
+        |    (count(DISTINCT o_orderpriority) - 1) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM m""".stripMargin,
+    "q_psi" -> {
+      val w = Relational.PsiBinWidth
+      s"""WITH li AS (SELECT
+         |    CAST(floor(l_extendedprice / $w) AS BIGINT) AS bin,
+         |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+         |      THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM lineitem),
+         |bins AS (SELECT bin, sum(a) AS na, sum(b) AS nb
+         |         FROM li GROUP BY bin),
+         |t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM bins)
+         |SELECT round(sum(CASE WHEN na > 0 AND nb > 0
+         |    THEN (na * 1.0 / ta - nb * 1.0 / tb) *
+         |      ln((na * 1.0 / ta) / (nb * 1.0 / tb))
+         |    ELSE 0.0 END), 6) AS psi,
+         |  CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bins_used,
+         |  CAST(sum(CASE WHEN na = 0 OR nb = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bins_skipped,
+         |  CAST(max(ta) AS BIGINT) AS n_early,
+         |  CAST(max(tb) AS BIGINT) AS n_late
+         |FROM bins, t""".stripMargin
+    },
+    "q_autocorr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |p AS (SELECT rev, lag(rev, 1) OVER (ORDER BY day) AS prev
+        |      FROM daily)
+        |SELECT count(*) AS n_pairs, round(corr(rev, prev), 4) AS acf1
+        |FROM p WHERE prev IS NOT NULL""".stripMargin,
+    "q_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM'
+        |          ELSE 'www.example.com' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+        |    '/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |          THEN '?utm_source=mail&utm_campaign=x' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '?ref=home' ELSE '' END) AS u
+        |  FROM documents),
+        |c1 AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z]+://[^/:?]+)', 1)) ||
+        |      regexp_replace(u, '^[A-Za-z]+://[^/:?]+', '', 'g') AS u
+        |  FROM raw),
+        |c2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    u, ':80/', '/', 'g'), ':80\?', '?', 'g'), ':80$', '', 'g') AS u
+        |  FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    u, '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'),
+        |    '[?&]$', '', 'g'), '/$', '', 'g') AS u
+        |  FROM c2)
+        |SELECT u AS canonical_url, count(*) AS n_raw,
+        |  min(doc_id) AS keep_doc
+        |FROM c3 GROUP BY u ORDER BY canonical_url""".stripMargin,
     "q_join_size" ->
       """WITH a AS (SELECT o_orderkey, count(*) AS ca
         |           FROM orders GROUP BY o_orderkey),

@@ -52,6 +52,51 @@ object CurationOps {
       .orderBy("table_name")
   }
 
+  /** URL-canonicalization dedup — the web-crawl dedup that runs BEFORE
+    * any content hashing: the same page arrives as `HTTP://Example.com/a/`,
+    * `http://example.com:80/a?utm_source=feed`, … and only canonical-form
+    * grouping sees them as one fetch. The fixture has no URL column, so
+    * deterministic raw URLs are synthesized per doc (casing / default
+    * port / tracking params / trailing slash vary by doc_id — the
+    * [[piiRedact]] inject-then-process discipline) and then canonicalized
+    * with the pure-expression chain: lowercase scheme+host, strip default
+    * ports, drop `utm_*`/`ref` params, trim the dangling `?`/`&` and the
+    * trailing slash. Every step is `regexp_replace` in the Java∩RE2
+    * subset, so the plan is map-only codegen until the final group —
+    * which shuffles the CANONICAL key, the whole point at 100 TB (the
+    * raw variants never co-locate). */
+  def urlDedup(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    // raw variant per doc: path collides every 40 ids, decoration varies
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, "HTTP://").otherwise("http://"),
+      when(col("doc_id") % 2 === 0, "WWW.Example.COM").otherwise("www.example.com"),
+      when(col("doc_id") % 5 === 0, ":80").otherwise(""),
+      lit("/page/"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      when(col("doc_id") % 7 === 0, "?utm_source=mail&utm_campaign=x")
+        .otherwise(""),
+      when(col("doc_id") % 11 === 0, "?ref=home").otherwise(""))
+    // scheme+host lowercase: split head (scheme://host) from the rest,
+    // lower() the head — regex engines can't lowercase a capture, an
+    // expression can.
+    val head = regexp_extract(raw, "^([A-Za-z]+://[^/:?]+)", 1)
+    val rest = regexp_replace(raw, "^[A-Za-z]+://[^/:?]+", "")
+    val rejoined = concat(lower(head), rest)
+    // default-port strip, capture-free (Java $1 vs RE2 \1 replacement
+    // syntax differs — three plain patterns sidestep it; ':80' cannot
+    // occur elsewhere in these digit-only paths)
+    val noPort = regexp_replace(regexp_replace(
+      regexp_replace(rejoined, ":80/", "/"), ":80\\?", "?"), ":80$", "")
+    val noTrack = regexp_replace(noPort, "[?&](utm_[a-z]+|ref)=[^&]*", "")
+    val noDangle = regexp_replace(noTrack, "[?&]$", "")
+    val noSlash = regexp_replace(noDangle, "/$", "")
+    docs.select(col("doc_id"), noSlash.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_raw"), min("doc_id").as("keep_doc"))
+      .orderBy("canonical_url")
+  }
+
   /** Per-source language-distribution entropy — the corpus-composition
     * audit run before fixing a training mix (a source whose language
     * entropy collapses between crawls is a scraper bug; one whose entropy

@@ -748,6 +748,102 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Chi-square independence test between market segment and order
+    * priority — "is the categorical feature informative about the label,
+    * or can the pipeline drop it": the feature-selection screen run
+    * before one-hot-encoding ([[graft.ops.Scoring]]'s encoder) blows up
+    * the feature space. Plan: one (segment × priority) cell census — a
+    * 25-row relation — then margins via windows OVER THAT CENSUS (never
+    * a second scan of the fact), expected counts e = row·col/N, and
+    * χ² = Σ (o−e)²/e. The customer join carries NO broadcast hint —
+    * customers scale with the data ([[brandRevenue]]'s rule); at SFs
+    * where the dim fits, AQE picks broadcast unaided. dof is (r−1)(c−1)
+    * computed from the observed domain sizes, not hardcoded. */
+  def chi2(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    val withMargins = cells.select(
+      col("o").cast("double").as("o"),
+      sum("o").over(Window.partitionBy("c_mktsegment")).cast("double").as("rt"),
+      sum("o").over(Window.partitionBy("o_orderpriority")).cast("double").as("ct"),
+      sum("o").over(Window.partitionBy()).cast("double").as("n"),
+      col("c_mktsegment"), col("o_orderpriority"))
+    withMargins.agg(
+        round(sum((col("o") - col("rt") * col("ct") / col("n")) *
+          (col("o") - col("rt") * col("ct") / col("n")) /
+          (col("rt") * col("ct") / col("n"))), 4).as("chi2"),
+        ((countDistinct("c_mktsegment") - 1) *
+          (countDistinct("o_orderpriority") - 1)).as("dof"),
+        max("n").cast("long").as("n"))
+  }
+
+  /** Equal-width bin size for [[psi]] over `l_extendedprice`. */
+  val PsiBinWidth = 7000.0
+
+  /** Population Stability Index between the early (<1998) and late
+    * (≥1998) shipment populations' price distributions — the
+    * model-monitoring drift score ([[ksDrift]] is the distribution-shape
+    * twin; PSI is what scorecards alarm on: <0.1 stable, >0.25 retrain).
+    * Prices bin into fixed [[PsiBinWidth]]-wide buckets — integer
+    * binning, no quantile estimation — so the two one-pass conditional
+    * censuses are ONE aggregate over the scan. Σ (p−q)·ln(p/q) runs over
+    * bins populated on BOTH sides (the standard finite-PSI convention;
+    * `n_bins_skipped` reports how many one-sided bins were excluded
+    * rather than silently smoothing them away). */
+  def psi(spark: SparkSession, sf: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val li = Tables.load(spark, sf, "lineitem").select(
+      floor(col("l_extendedprice") / lit(PsiBinWidth)).as("bin"),
+      when(col("l_shipdate") < cut, 1L).otherwise(0L).as("a"),
+      when(col("l_shipdate") >= cut, 1L).otherwise(0L).as("b"))
+    val bins = li.groupBy("bin")
+      .agg(sum("a").as("na"), sum("b").as("nb"))
+    val tot = bins.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    bins.join(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("na") * lit(1.0) / col("ta")).as("p"),
+        (col("nb") * lit(1.0) / col("tb")).as("q"),
+        col("ta"), col("tb"))
+      .groupBy("ta", "tb")
+      .agg(
+        round(sum(when(col("na") > 0 && col("nb") > 0,
+          (col("p") - col("q")) * log(col("p") / col("q")))
+          .otherwise(lit(0.0))), 6).as("psi"),
+        sum(when(col("na") > 0 && col("nb") > 0, 1L).otherwise(0L))
+          .as("n_bins_used"),
+        sum(when(col("na") === 0 || col("nb") === 0, 1L).otherwise(0L))
+          .as("n_bins_skipped"))
+      .select(col("psi"), col("n_bins_used"), col("n_bins_skipped"),
+        col("ta").as("n_early"), col("tb").as("n_late"))
+  }
+
+  /** Lag-1 autocorrelation of the daily-revenue series — the "is there
+    * momentum / is yesterday predictive" screen run before fitting any
+    * forecaster. Two cascaded shapes, both bounded: the daily rollup is
+    * the only fact-sized shuffle; the lag window and the final `corr`
+    * run over |days| rows (the [[ksDrift]] bounded-relation argument —
+    * the window's global order never sees raw orders). `corr` is
+    * algebraic, so the day-pair relation reduces map-side. Calendar gaps
+    * use PHYSICAL series order (lag = previous observed day), the
+    * convention that keeps the statistic defined on sparse fixtures;
+    * [[EventOps.gapFill]] composes upstream when true calendar lag is wanted. */
+  def autocorr(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum("o_totalprice").as("rev"))
+    val paired = daily.select(col("rev"),
+      lag("rev", 1).over(Window.orderBy("day")).as("prev"))
+    paired.filter(col("prev").isNotNull)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(corr(col("rev"), col("prev")), 4).as("acf1"))
+  }
+
   /** RFM customer segmentation — the classic recency/frequency/monetary
     * quartile scoring, done the way it survives 100 TB: NOT with three
     * global `ntile` windows (a no-PARTITION window is one task holding

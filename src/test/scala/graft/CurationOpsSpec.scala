@@ -162,4 +162,21 @@ class CurationOpsSpec extends SparkSpec {
       .join(c, col("o_custkey") === col("c_custkey"), "left_anti").count()
     assert(orphans == 0)
   }
+
+  test("urlDedup: canonical forms are clean, every doc accounted, variants collide") {
+    val rows = CurationOps.urlDedup(spark, sf0001).collect()
+    val nDocs = graft.sources.Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_raw")).sum == nDocs)
+    rows.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(u == u.toLowerCase, s"case survived: $u")
+      assert(!u.contains(":80") && !u.contains("utm_") && !u.contains("ref="),
+        s"decoration survived: $u")
+      assert(!u.endsWith("/") && !u.endsWith("?") && !u.endsWith("&"),
+        s"dangle survived: $u")
+    }
+    // canonicalization must actually merge variants: fewer groups than docs
+    assert(rows.length < nDocs)
+    assert(rows.exists(_.getAs[Long]("n_raw") > 1))
+  }
 }

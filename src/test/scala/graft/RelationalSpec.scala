@@ -352,6 +352,35 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(gSkew - 0.45) < 1e-9, s"got $gSkew")
   }
 
+  test("chi2: non-negative, dof from observed domains, n reconciles") {
+    val r = graft.ops.Relational.chi2(spark, sf0001).collect().head
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val nSeg = graft.sources.Tables.load(spark, sf0001, "customer")
+      .select("c_mktsegment").distinct().count()
+    val nPrio = graft.sources.Tables.load(spark, sf0001, "orders")
+      .select("o_orderpriority").distinct().count()
+    assert(r.getAs[Long]("dof") == (nSeg - 1) * (nPrio - 1))
+    assert(r.getAs[Long]("n") ==
+      graft.sources.Tables.load(spark, sf0001, "orders").count())
+  }
+
+  test("psi: non-negative (every term has matching signs), populations reconcile") {
+    val r = graft.ops.Relational.psi(spark, sf0001).collect().head
+    assert(r.getAs[Double]("psi") >= 0.0)
+    val n = graft.sources.Tables.load(spark, sf0001, "lineitem").count()
+    assert(r.getAs[Long]("n_early") + r.getAs[Long]("n_late") == n)
+    assert(r.getAs[Long]("n_bins_used") > 0)
+  }
+
+  test("autocorr: |acf1| <= 1 and pairs = days - 1") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.Relational.autocorr(spark, sf0001).collect().head
+    assert(math.abs(r.getAs[Double]("acf1")) <= 1.0)
+    val days = graft.sources.Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderdate").cast("date")).distinct().count()
+    assert(r.getAs[Long]("n_pairs") == days - 1)
+  }
+
   test("mvRefresh: incremental delta-merge equals full recompute of the new snapshot") {
     import org.apache.spark.sql.functions._
     val old = graft.sources.Tables.load(spark, sf0001, "customer")
