@@ -633,7 +633,9 @@ object SparkEntry {
         |    u, ':80/', '/', 'g'), ':80\?', '?', 'g'), ':80$', '', 'g') AS u
         |  FROM c1),
         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-        |    u, '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'),
+        |    regexp_replace(regexp_replace(
+        |    u, '(utm_[a-z]+|ref)=[^&?]*', '', 'g'),
+        |    '&+', '&', 'g'), '\?[?&]+', '?', 'g'),
         |    '[?&]$', '', 'g'), '/$', '', 'g') AS u
         |  FROM c2)
         |SELECT u AS canonical_url, count(*) AS n_raw,

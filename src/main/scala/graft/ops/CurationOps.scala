@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -21,9 +21,12 @@ object CurationOps {
     * (customer → orders → lineitem) BEFORE running the deletes: per
     * table, rows before / deleted / after. The cascade is two LEFT SEMI
     * joins (each table's doomed rows are the ones whose parent is
-    * doomed), and because the request batch is a tiny fraction of
-    * customers, each semi join broadcasts the doomed-key side — at
-    * 100 TB the fact tables are scanned once each, no shuffle. The
+    * doomed). Only the REQUEST batch (doomed custkeys) is hint-broadcast
+    * — it's bounded by the erasure request, not the data. The derived
+    * doomed-ORDER set scales with the fact (~1% of all orderkeys), so
+    * its semi join onto lineitem carries no hint: AQE broadcasts while
+    * it fits and falls back to a shuffle semi join beyond that — the
+    * same no-unbounded-broadcast rule as brandRevenue's dims. The
     * actual delete is then the anti-join twin of each semi (same plan,
     * inverted), which [[graft.ops.Relational.upsert]]-style sinks apply;
     * auditing first is the discipline: erasure is irreversible. */
@@ -44,7 +47,7 @@ object CurationOps {
           col("rows_deleted"),
           (col("rows_before") - col("rows_deleted")).as("rows_after"))
     }
-    val doomedL = l.join(broadcast(doomedO),
+    val doomedL = l.join(doomedO,
       col("l_orderkey") === col("o_orderkey"), "left_semi")
     census("customer", c, doomedC)
       .unionAll(census("orders", o, doomedO))
@@ -60,11 +63,45 @@ object CurationOps {
     * port / tracking params / trailing slash vary by doc_id — the
     * [[piiRedact]] inject-then-process discipline) and then canonicalized
     * with the pure-expression chain: lowercase scheme+host, strip default
-    * ports, drop `utm_*`/`ref` params, trim the dangling `?`/`&` and the
-    * trailing slash. Every step is `regexp_replace` in the Java∩RE2
+    * ports, drop `utm_*`/`ref` params (normalizing the separator debris
+    * they leave, so real params that follow survive intact), trim the
+    * trailing separator and slash. Every step is `regexp_replace` in the Java∩RE2
     * subset, so the plan is map-only codegen until the final group —
     * which shuffles the CANONICAL key, the whole point at 100 TB (the
     * raw variants never co-locate). */
+  /** The canonicalization chain of [[urlDedup]] over any URL column —
+    * split out so arbitrary inputs (tracking + real params mixed, etc.)
+    * are testable. */
+  def canonicalizeUrl(raw: Column): Column = {
+    // scheme+host lowercase: split head (scheme://host) from the rest,
+    // lower() the head — regex engines can't lowercase a capture, an
+    // expression can.
+    val head = regexp_extract(raw, "^([A-Za-z]+://[^/:?]+)", 1)
+    val rest = regexp_replace(raw, "^[A-Za-z]+://[^/:?]+", "")
+    val rejoined = concat(lower(head), rest)
+    // default-port strip, capture-free (Java $1 vs RE2 \1 replacement
+    // syntax differs — plain patterns sidestep it; ':NN' cannot occur
+    // elsewhere in a path, where '/' or '?' always precedes) and
+    // SCHEME-AWARE: :80 is default only for http, :443 only for https —
+    // stripping the wrong one would merge distinct origins
+    def stripPort(u: Column, port: String): Column =
+      regexp_replace(regexp_replace(
+        regexp_replace(u, s":$port/", "/"), s":$port\\?", "?"), s":$port$$", "")
+    val noPort = when(rejoined.startsWith("http://"), stripPort(rejoined, "80"))
+      .when(rejoined.startsWith("https://"), stripPort(rejoined, "443"))
+      .otherwise(rejoined)
+    // tracking-param strip that stays correct when real params follow:
+    // remove the pair only (value stops at & AND ?), then normalize the
+    // separator debris — collapse '&' runs, collapse '?[?&]+' to '?', and
+    // strip a trailing separator. '?utm_a=1&page=2' → '?&page=2' →
+    // '?page=2'; '?utm_a=1&utm_b=2' → '?&' → '?' → ''.
+    val noTrack = regexp_replace(noPort, "(utm_[a-z]+|ref)=[^&?]*", "")
+    val ampRuns = regexp_replace(noTrack, "&+", "&")
+    val qRuns = regexp_replace(ampRuns, "\\?[?&]+", "?")
+    val noDangle = regexp_replace(qRuns, "[?&]$", "")
+    regexp_replace(noDangle, "/$", "")
+  }
+
   def urlDedup(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
     // raw variant per doc: path collides every 40 ids, decoration varies
@@ -77,21 +114,7 @@ object CurationOps {
       when(col("doc_id") % 7 === 0, "?utm_source=mail&utm_campaign=x")
         .otherwise(""),
       when(col("doc_id") % 11 === 0, "?ref=home").otherwise(""))
-    // scheme+host lowercase: split head (scheme://host) from the rest,
-    // lower() the head — regex engines can't lowercase a capture, an
-    // expression can.
-    val head = regexp_extract(raw, "^([A-Za-z]+://[^/:?]+)", 1)
-    val rest = regexp_replace(raw, "^[A-Za-z]+://[^/:?]+", "")
-    val rejoined = concat(lower(head), rest)
-    // default-port strip, capture-free (Java $1 vs RE2 \1 replacement
-    // syntax differs — three plain patterns sidestep it; ':80' cannot
-    // occur elsewhere in these digit-only paths)
-    val noPort = regexp_replace(regexp_replace(
-      regexp_replace(rejoined, ":80/", "/"), ":80\\?", "?"), ":80$", "")
-    val noTrack = regexp_replace(noPort, "[?&](utm_[a-z]+|ref)=[^&]*", "")
-    val noDangle = regexp_replace(noTrack, "[?&]$", "")
-    val noSlash = regexp_replace(noDangle, "/$", "")
-    docs.select(col("doc_id"), noSlash.as("canonical_url"))
+    docs.select(col("doc_id"), canonicalizeUrl(raw).as("canonical_url"))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_raw"), min("doc_id").as("keep_doc"))
       .orderBy("canonical_url")

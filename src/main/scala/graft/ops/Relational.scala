@@ -997,7 +997,7 @@ object Relational {
 
   /** Per-group robust outlier census — median, median-absolute-deviation,
     * and how many rows sit beyond [[MadCut]]×MAD from the median. The
-    * robust twin of z-score outliers ([[Relational.zscore]]'s μ/σ are
+    * robust twin of z-score outliers ([[EventOps.zscoreOutliers]]'s μ/σ are
     * themselves dragged by the outliers being hunted; the median/MAD pair
     * isn't, which is why curation pipelines cut on MAD). Three passes by
     * necessity (median → MAD → census) but each is one shuffle, and the

@@ -104,15 +104,6 @@ object TpchOps {
       .limit(20)
   }
 
-  /** Q5 (local supplier volume, adapted): revenue from lineitems where the
-    * supplier and customer share a nation, for one region and one year.
-    * The classic star-with-a-twist: region→nation prune the supplier side
-    * via broadcast joins (5 + 25 rows — always broadcast), the year
-    * predicate prunes orders at the scan, and the one genuinely big join
-    * (orders ⋈ lineitem) carries only the pruned survivors into its
-    * shuffle. The c_nationkey = s_nationkey equality is the twist that
-    * makes it non-hierarchical — it rides the supplier join as a second
-    * key, not an extra shuffle. */
   /** Q6 (forecast revenue change, adapted): the pure-pushdown benchmark —
     * three range predicates, zero joins, one global sum. The entire query
     * should collapse to a parquet scan with every predicate in
@@ -240,6 +231,15 @@ object TpchOps {
       .orderBy("c_nationkey")
   }
 
+  /** Q5 (local supplier volume, adapted): revenue from lineitems where the
+    * supplier and customer share a nation, for one region and one year.
+    * The classic star-with-a-twist: region→nation prune the supplier side
+    * via broadcast joins (5 + 25 rows — always broadcast), the year
+    * predicate prunes orders at the scan, and the one genuinely big join
+    * (orders ⋈ lineitem) carries only the pruned survivors into its
+    * shuffle. The c_nationkey = s_nationkey equality is the twist that
+    * makes it non-hierarchical — it rides the supplier join as a second
+    * key, not an extra shuffle. */
   def localSupplierVolume(spark: SparkSession, sf: String): DataFrame = {
     val cutLo = lit("1997-01-01").cast("timestamp")
     val cutHi = lit("1998-01-01").cast("timestamp")

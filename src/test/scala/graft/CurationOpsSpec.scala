@@ -179,4 +179,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.length < nDocs)
     assert(rows.exists(_.getAs[Long]("n_raw") > 1))
   }
+
+  test("canonicalizeUrl: real params survive tracking-param removal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      ("http://example.com/a?utm_source=x&page=2",
+       "http://example.com/a?page=2"),
+      ("http://example.com/a?page=2&utm_source=x",
+       "http://example.com/a?page=2"),
+      ("http://example.com/a?utm_a=1&utm_b=2&page=2",
+       "http://example.com/a?page=2"),
+      ("HTTPS://Example.COM:80/a/?ref=nav", "https://example.com:80/a"),
+      ("HTTPS://Example.COM:443/a/?ref=nav", "https://example.com/a"),
+      ("http://example.com:80/a?utm_x=1", "http://example.com/a"),
+      ("http://example.com/a?utm_source=a?page=2",
+       "http://example.com/a?page=2"))
+    val got = cases.map(_._1).toDF("u")
+      .select(CurationOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"$in -> $g, wanted $want")
+    }
+  }
 }

@@ -173,14 +173,22 @@ class EventOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val rows = graft.ops.EventOps.ewma(spark, sf0001).collect()
     assert(rows.nonEmpty)
-    // group rows per user in event order; first row's ewma is its raw value
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
-    byUser.values.foreach { rs =>
-      val head = rs.minBy(_.getAs[Long]("event_id"))
+    // the window orders by (ts, event_id) — derive every user's TRUE head
+    // from that order, never from event_id alone (fixture-shape-agnostic)
+    val heads = graft.ops.EventOps.events(spark, sf0001)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")))
+      .filter(col("rk") === 1)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (user, rs) =>
+      val head = rs.find(_.getAs[Long]("event_id") == heads(user)).get
       assert(math.abs(head.getAs[Double]("ewma") -
         math.rint(head.getAs[Double]("value") * 1e6) / 1e6) < 1e-9)
     }
-    // hand recompute one user's full tap series
+    // hand recompute one user's full tap series in the same (ts, id) order
     val u = byUser.keys.head
     val ordered = graft.ops.EventOps.events(spark, sf0001)
       .filter(col("user_id") === u)
