@@ -80,6 +80,7 @@ object SparkEntry {
     "q_psi" -> (Relational.psi _),
     "q_autocorr" -> (Relational.autocorr _),
     "q_url_dedup" -> (CurationOps.urlDedup _),
+    "q_bom_rollup" -> (Relational.bomRollup _),
     "q_salted_join" -> (SkewOps.saltedJoinQuery _),
     "q_kde" -> (Relational.kde _),
     "q_stats_pack" -> (Relational.statsPack _),
@@ -565,6 +566,17 @@ object SparkEntry {
          |ORDER BY table_name""".stripMargin
     },
     "q_ewma" -> EventOps.ewmaOracleSql,
+    // the genuine recursive-CTE twin of the iterative BFS labeling
+    "q_bom_rollup" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal, CAST(1 AS BIGINT) AS depth
+        |  FROM customer WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_acctbal, t.depth + 1
+        |  FROM customer c JOIN t ON c.c_custkey // 2 = t.k
+        |  WHERE c.c_custkey <> 0)
+        |SELECT depth, count(*) AS n_nodes, round(sum(bal), 4) AS sum_bal
+        |FROM t GROUP BY depth ORDER BY depth""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (SELECT c_mktsegment, o_orderpriority, count(*) AS o
         |  FROM orders JOIN customer ON o_custkey = c_custkey

@@ -106,11 +106,17 @@ object VectorFunctions {
 }
 
 /** `SparkSessionExtensions` hook: registers the native functions for SQL use
-  * (`spark.sql("SELECT cosine_sim(a, b) ...")`). Wire with
+  * (`spark.sql("SELECT cosine_sim(a, b) ...")`) AND the [[TopKPerKey]]
+  * physical strategy, so one wiring line exposes the library's whole
+  * custom-Catalyst surface. Wire with
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`
+  * ([[org.apache.spark.sql.graft.TopKPerKey.topKPerKey]] also
+  * self-registers via `experimental.extraStrategies` for callers that
+  * skip the extension). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

@@ -844,6 +844,44 @@ object Relational {
         round(corr(col("rev"), col("prev")), 4).as("acf1"))
   }
 
+  /** Hierarchy (BOM-style) rollup — the recursive-traversal shape every
+    * warehouse needs for org charts / bills of material / category trees,
+    * which plain SQL-on-Spark lacks (no recursive CTE): iterative
+    * breadth-first labeling, one equi-join per LEVEL (not per node), with
+    * the frontier `localCheckpoint`ed each round so lineage stays flat —
+    * the [[graft.ops.TextOps]] label-propagation discipline applied to a
+    * DAG. The fixture has no hierarchy, so a binary tree is synthesized
+    * over custkeys (parent = k div 2, root 0 — the [[CurationOps
+    * .urlDedup]] inject-then-process pattern). Iterations are bounded by
+    * TREE DEPTH (log₂ n), not node count: 100 TB of nodes is ~40 rounds
+    * of small joins, each shuffling only the frontier. The per-level
+    * census (node count + balance mass) is the standard rollup readout;
+    * the DuckDB oracle is the genuine `WITH RECURSIVE` twin. */
+  def bomRollup(spark: SparkSession, sf: String): DataFrame = {
+    val nodes = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      .persist()
+    try {
+      var frontier = nodes.filter(col("k") === 0)
+        .withColumn("depth", lit(1L)).localCheckpoint()
+      val levels = scala.collection.mutable.ArrayBuffer(frontier)
+      var n = frontier.count()
+      while (n > 0) {
+        frontier = nodes.filter(col("k") =!= 0)
+          .join(frontier.select(expr("k").as("pk"), col("depth")),
+            expr("k div 2") === col("pk"))
+          .select(col("k"), col("bal"), (col("depth") + 1L).as("depth"))
+          .localCheckpoint() // flat lineage: each level is a fresh root
+        n = frontier.count() // loop control — 1-scalar driver action
+        if (n > 0) levels += frontier
+      }
+      levels.reduce(_ unionAll _)
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_nodes"), round(sum("bal"), 4).as("sum_bal"))
+        .orderBy("depth")
+    } finally nodes.unpersist()
+  }
+
   /** RFM customer segmentation — the classic recency/frequency/monetary
     * quartile scoring, done the way it survives 100 TB: NOT with three
     * global `ntile` windows (a no-PARTITION window is one task holding

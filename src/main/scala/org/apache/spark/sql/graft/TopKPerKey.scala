@@ -99,6 +99,15 @@ object TopKPerKey {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    frameOnly(df, k, keys, orderBy)
+  }
+
+  /** [[topKPerKey]] WITHOUT the strategy side-registration — for sessions
+    * wired through `GraftExtensions` (injectPlannerStrategy), where
+    * registering again would mask whether the extension path works. */
+  def frameOnly(df: DataFrame, k: Int, keys: Seq[String],
+                orderBy: Seq[(String, Boolean)]): DataFrame = {
+    val spark = df.sparkSession
     val child = df.queryExecution.analyzed
     def attr(name: String): Attribute = child.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(

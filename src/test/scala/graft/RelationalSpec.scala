@@ -381,6 +381,26 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pairs") == days - 1)
   }
 
+  test("bomRollup: levels double down the binary tree, closed-form depth agrees") {
+    val rows = graft.ops.Relational.bomRollup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.load(spark, sf0001, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == n, "every node labeled once")
+    // parent = k div 2 means depth(k) = floor(log2(k)) + 2 for k > 0:
+    // level d holds the keys in [2^(d-2), 2^(d-1)) clipped to [0, n)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("depth")
+      val expected =
+        if (d == 1L) 1L
+        else {
+          val lo = 1L << (d - 2); val hi = 1L << (d - 1)
+          math.max(0L, math.min(hi, n) - lo)
+        }
+      assert(r.getAs[Long]("n_nodes") == expected,
+        s"depth $d: ${r.getAs[Long]("n_nodes")} vs $expected")
+    }
+  }
+
   test("mvRefresh: incremental delta-merge equals full recompute of the new snapshot") {
     import org.apache.spark.sql.functions._
     val old = graft.sources.Tables.load(spark, sf0001, "customer")

@@ -50,4 +50,35 @@ class VectorExpressionsSpec extends SparkSpec {
     // and the extension hook itself injects without error
     new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("GraftExtensions wires a full session: SQL function + TopK strategy") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate returns the shared test session (ignoring extensions)
+    // unless the active/default slots are cleared first — build a REAL
+    // extension-wired session on the same SparkContext, restore after
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        .head().getDouble(0)
+      assert(math.abs(r - 1.0) < 1e-12)
+      // the strategy arrived via injectPlannerStrategy, not the
+      // experimental-registration side door
+      import s2.implicits._
+      val base = Seq(("a", 1L, 3.0), ("a", 2L, 2.0), ("a", 3L, 1.0))
+        .toDF("k", "id", "v")
+      val frame = org.apache.spark.sql.graft.TopKPerKey
+        .frameOnly(base, 1, Seq("k"), Seq("v" -> false, "id" -> true))
+      assert(frame.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(frame.collect().map(r2 => (r2.getAs[String]("k"),
+        r2.getAs[Double]("v"))).toSeq == Seq(("a", 3.0)))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
