@@ -178,6 +178,14 @@ object SparkEntry {
     "q_tpch_q19" -> (TpchOps.disjunctiveRevenue _),
     "q_tpch_q4" -> (TpchOps.priorityCount _),
     "q_tpch_q22" -> (TpchOps.salesOpportunity _),
+    "q_tpch_q7" -> (TpchOps.volumeShipping _),
+    "q_tpch_q8" -> (TpchOps.marketShare _),
+    "q_tpch_q10" -> (TpchOps.returnedItems _),
+    "q_tpch_q12" -> (TpchOps.shipClassPriority _),
+    "q_tpch_q13" -> (TpchOps.customerDistribution _),
+    "q_tpch_q15" -> (TpchOps.topSupplier _),
+    "q_tpch_q17" -> (TpchOps.smallQtyRevenue _),
+    "q_tpch_q21" -> (TpchOps.waitingSuppliers _),
     "q_typed_agg" -> (TypedOps.typedAvg _),
     "q_variant_extract" -> (EventOps.variantExtract _),
     "q_token_mask" -> (TextOps.tokenMask _),
@@ -1678,6 +1686,104 @@ object SparkEntry {
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |    AND o_orderdate >= TIMESTAMP '${TpchOps.Q22IdleSince}')
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, round(c_acctbal, 4), n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |        THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |        THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q17" ->
+      s"""SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+         |  count(*) AS n
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = '${TpchOps.Q17Brand}'
+         |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         |FROM supplier
+         |  JOIN lineitem ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = '${TpchOps.Q7NationA}'
+         |        AND n2.n_name = '${TpchOps.Q7NationB}')
+         |    OR (n1.n_name = '${TpchOps.Q7NationB}'
+         |        AND n2.n_name = '${TpchOps.Q7NationA}'))
+         |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1999-01-01'
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  round(sum(CASE WHEN n2.n_name = '${TpchOps.Q8Nation}'
+         |              THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+         |        sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+         |  count(*) AS n
+         |FROM part
+         |  JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     // the typed path must land on the plain-AVG answer
     "q_typed_agg" ->
       """SELECT l_returnflag, round(avg(l_discount), 4) AS avg_discount

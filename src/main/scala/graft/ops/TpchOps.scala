@@ -240,6 +240,266 @@ object TpchOps {
     * shuffle. The c_nationkey = s_nationkey equality is the twist that
     * makes it non-hierarchical — it rides the supplier join as a second
     * key, not an extra shuffle. */
+  /** Q10 (returned-item reporting, adapted): top 20 customers by revenue
+    * lost to returns in one quarter. The quarter predicate prunes orders at
+    * the scan and the returnflag predicate prunes lineitem at the scan, so
+    * the one big shuffle join (orders ⋈ lineitem) carries only ~1/12 × 1/3
+    * of the fact; nation (25 rows, bounded) broadcasts for the name. The
+    * group-by keys ride the customer join's partitioning. Ordering is on
+    * the ROUNDED revenue with custkey as total tie-break (the [[Q3Cutoff]]
+    * summation-order rule). */
+  def returnedItems(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    Tables.load(spark, sf, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, sf, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 4).as("c_acctbal"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q12 (ship-class priority, adapted): the canonical two-way join with
+    * conditional counts — per lineitem class, how many came from
+    * urgent/high-priority orders vs the rest. The fixture has no
+    * `l_shipmode`/`l_commitdate`/`l_receiptdate`, so `l_linestatus` carries
+    * the class role and `l_returnflag = 'R'` stands in for the
+    * receipt-after-commit lateness test — same shape: fact-side predicate
+    * at the scan, one shuffle join on orderkey, 2-group conditional
+    * aggregate (map-side combined; the shuffle carries ~4 partial rows per
+    * task at any scale). Conditional COUNT (not SUM of CASE 1/0) keeps
+    * both engines' output type BIGINT. */
+  def shipClassPriority(spark: SparkSession, sf: String): DataFrame = {
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+      .join(
+        Tables.load(spark, sf, "lineitem")
+          .filter(col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_linestatus"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(urgent, lit(1))).as("high_line_count"),
+        count(when(!urgent, lit(1))).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Q13 (customer order-count distribution): the canonical LEFT OUTER
+    * join + double aggregate — every customer counts, including the
+    * never-ordered ones (count(o_orderkey) gives 0 for null matches, which
+    * an inner join would silently drop). The priority exclusion lives in
+    * the JOIN CONDITION, not a WHERE (textbook's `NOT LIKE '%special%'`
+    * role): a WHERE would turn the outer join back into an inner one. Two
+    * shuffles by construction — custkey for the per-customer count, then
+    * the tiny c_count domain (≤ max orders per customer) for the
+    * distribution; the second carries ~20 rows total. */
+  def customerDistribution(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.load(spark, sf, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15 (top supplier): the view + scalar-max shape — per-supplier revenue
+    * for one quarter, keeping only the supplier(s) at the maximum. The
+    * revenue frame is computed ONCE and reused for both the max and the
+    * equality filter (Catalyst builds the scalar subquery as a one-row
+    * broadcast — no driver round-trip); revenue is rounded to 4 dp BEFORE
+    * the max/equality so both engines compare identical values (a raw
+    * double equality against an aggregate is exactly the cross-engine
+    * last-ulp trap the repo rounds away everywhere else). At 100 TB the
+    * quarter predicate prunes the fact at the scan and the per-supplier
+    * agg is map-side combined; supplier joins only the ≤ handful of
+    * max-revenue rows. */
+  def topSupplier(spark: SparkSession, sf: String): DataFrame = {
+    val rev = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val top = rev.agg(max("total_revenue").as("max_revenue"))
+    Tables.load(spark, sf, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17 (small-quantity-order revenue): the correlated-scalar-subquery
+    * shape — lineitems of one brand whose quantity is below 20% of that
+    * part's own average quantity. Decorrelated the way every engine must:
+    * the per-part average is ONE aggregate over the brand-restricted
+    * lineitems (restricting first is safe because the correlation key is
+    * the part itself), joined back on partkey — two shuffles on the same
+    * key, which AQE can co-locate. The 0.2 × avg threshold is a correctly
+    * rounded double of an exact integer ratio (quantities are integers, so
+    * sum and count are exact), hence bit-identical across engines — the
+    * `<` comparison cannot diverge. */
+  val Q17Brand = "Brand#11"
+
+  def smallQtyRevenue(spark: SparkSession, sf: String): DataFrame = {
+    val brandParts = Tables.load(spark, sf, "part")
+      .filter(col("p_brand") === Q17Brand).select("p_partkey")
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+    val caps = li.groupBy(col("l_partkey").as("cap_partkey"))
+      .agg((avg("l_quantity") * 0.2).as("qty_cap"))
+    li.join(caps, col("l_partkey") === col("cap_partkey"))
+      .filter(col("l_quantity") < col("qty_cap"))
+      .agg(
+        round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q7 (volume shipping, adapted): bilateral trade volume between two
+    * nations by ship year. The nation-pair disjunction is applied to the
+    * DIMENSIONS before any fact join: supplier and customer are each
+    * pre-joined to the (bounded, 25-row, broadcast) nation table filtered
+    * to the two nations, so the big joins carry only the ≤ 2/25 survivors
+    * of each side — the residual pair predicate then only has to kill the
+    * two same-nation combinations post-join. Supplier/customer get no
+    * broadcast hint (both scale with the data — the [[promoRevenue]]
+    * rule); AQE promotes them at SFs where the nation prune makes them
+    * tiny. Year is extracted once in the aggregate key and cast to BIGINT
+    * on both engines. */
+  val Q7NationA = "NATION_12"
+  val Q7NationB = "NATION_13"
+
+  def volumeShipping(spark: SparkSession, sf: String): DataFrame = {
+    val nations = Tables.load(spark, sf, "nation")
+      .filter(col("n_name").isin(Q7NationA, Q7NationB))
+    val supp = Tables.load(spark, sf, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(spark, sf, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .join(Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8 (national market share, adapted): the deepest canonical shape — an
+    * 8-relation join feeding a conditional-ratio aggregate (one target
+    * nation's share of a region's import volume, by order year). The
+    * hierarchy dims (region→nation, bounded) broadcast and prune the
+    * customer side to one region BEFORE the fact joins; the part-type and
+    * order-date predicates prune their scans. The supplier-side nation
+    * join is only for the share label, so it rides as a second broadcast.
+    * The ratio rounds at 4 dp on a ~1e-12-relative-noise quotient (the
+    * [[promoRevenue]] analysis). */
+  val Q8Nation = "NATION_3"
+
+  def marketShare(spark: SparkSession, sf: String): DataFrame = {
+    val nation = Tables.load(spark, sf, "nation")
+    val amerCust = Tables.load(spark, sf, "customer")
+      .join(broadcast(nation
+        .join(broadcast(Tables.load(spark, sf, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = Tables.load(spark, sf, "supplier")
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(Tables.load(spark, sf, "part")
+        .filter(col("p_type") === "STANDARD").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, sf, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(amerCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === Q8Nation, vol).otherwise(lit(0.0))) /
+          sum(vol), 4).as("mkt_share"),
+        count(lit(1)).as("n"))
+      .orderBy("o_year")
+  }
+
+  /** Q21 (suppliers who kept orders waiting, adapted): the
+    * EXISTS + NOT-EXISTS double-correlation shape. Per returned ('R')
+    * lineitem of a finalized order: some OTHER supplier contributed to the
+    * order (EXISTS → left-semi join with an orderkey equi-key and a
+    * suppkey-inequality residual) but NO other supplier's line was
+    * returned (NOT EXISTS → left-anti, same key structure) — i.e. this
+    * supplier alone caused the return. The fixture lacks
+    * commit/receipt dates, so returnflag carries the "late" role; the
+    * correlation structure (self-joins on the fact's own key with
+    * inequality residuals) is the textbook one. Both probe sides are
+    * pre-projected to two columns, and all three fact passes shuffle on
+    * the same orderkey, so AQE co-locates them. */
+  def waitingSuppliers(spark: SparkSession, sf: String): DataFrame = {
+    val l1 = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+      .join(Tables.load(spark, sf, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    val others = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val othersReturned = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    l1
+      .join(others,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(othersReturned,
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+        "left_anti")
+      .join(Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   def localSupplierVolume(spark: SparkSession, sf: String): DataFrame = {
     val cutLo = lit("1997-01-01").cast("timestamp")
     val cutHi = lit("1998-01-01").cast("timestamp")

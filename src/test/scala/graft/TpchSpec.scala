@@ -186,4 +186,88 @@ class TpchSpec extends SparkSpec {
     val totalEq = rows.map(_.getAs[Long]("n_nullsafe_eq")).sum
     assert(totalEq == statuses.getOrElse("P", 0L))
   }
+
+  test("q13: outer join preserves every customer; no-order customers count 0") {
+    val rows = TpchOps.customerDistribution(spark, sf0001).collect()
+    val nCust = Tables.load(spark, sf0001, "customer").count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust)
+    // ordering contract: custdist desc, then c_count desc
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("custdist"), r.getAs[Long]("c_count")))
+    assert(pairs.sameElements(
+      pairs.sortBy { case (d, c) => (-d, -c) }))
+  }
+
+  test("q15: every surviving supplier carries exactly the maximum revenue") {
+    val rows = TpchOps.topSupplier(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1) // equality filter admits only the max
+  }
+
+  test("q17: the per-part cap admits a strict subset of the brand's lines") {
+    val row = TpchOps.smallQtyRevenue(spark, sf0001).collect().head
+    val brandLines = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "part")
+        .filter(col("p_brand") === TpchOps.Q17Brand),
+        col("l_partkey") === col("p_partkey")).count()
+    val n = row.getAs[Long]("n")
+    assert(n > 0 && n < brandLines)
+    assert(row.getAs[Double]("avg_yearly") > 0.0)
+  }
+
+  test("q7: only the two configured nations appear and never as a self-pair") {
+    val rows = TpchOps.volumeShipping(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ok = Set(TpchOps.Q7NationA, TpchOps.Q7NationB)
+    rows.foreach { r =>
+      val (s, c) = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      assert(ok(s) && ok(c) && s != c)
+      assert(r.getAs[Long]("l_year") >= 1997L && r.getAs[Long]("l_year") <= 1998L)
+    }
+  }
+
+  test("q8: market share is a proper fraction per year") {
+    val rows = TpchOps.marketShare(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
+  test("q21: plan uses semi+anti self-correlation, never a cartesian product") {
+    val df = TpchOps.waitingSuppliers(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // semantics: a lone-supplier order can never produce a waiting supplier
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("numwait")).forall(_ > 0L))
+  }
+
+  test("q12: high + low line counts reconcile with the filtered join size") {
+    val rows = TpchOps.shipClassPriority(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val expected = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.load(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(total == expected)
+  }
+
+  test("q10: rows arrive revenue-desc, returns-only, capped at 20") {
+    val rows = TpchOps.returnedItems(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    assert(revs.forall(_ > 0.0))
+  }
 }
