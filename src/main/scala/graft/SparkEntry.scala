@@ -137,6 +137,7 @@ object SparkEntry {
     "q_funnel" -> (EventOps.funnel _),
     "q_cohort_retention" -> (EventOps.cohortRetention _),
     "q_rolling_dau" -> (EventOps.rollingDau _),
+    "q_rolling_dau_sketch" -> (EventOps.rollingDauSketch _),
     "q_gap_fill" -> (EventOps.gapFill _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "q_pagerank" -> (GraphOps.pageRank _),
     "q_skyline" -> (CurationOps.skyline _),
     "q_data_quality" -> (CurationOps.dataQuality _),
+    "q_table_checksum" -> (CurationOps.tableChecksum _),
     "q_length_dist" -> (TextOps.lengthDist _),
     "q_doc_shards" -> (TextOps.docShards _),
     "q_bucket_join" -> (BucketOps.bucketJoin _),
@@ -189,7 +191,8 @@ object SparkEntry {
     "q_typed_agg" -> (TypedOps.typedAvg _),
     "q_variant_extract" -> (EventOps.variantExtract _),
     "q_token_mask" -> (TextOps.tokenMask _),
-    "q_winsorize" -> (Relational.winsorize _))
+    "q_winsorize" -> (Relational.winsorize _),
+    "q_column_profile" -> (Relational.columnProfile _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -942,6 +945,15 @@ object SparkEntry {
         |  count(DISTINCT du.user_id) AS dau7
         |FROM days JOIN du ON du.d <= days.day_d AND du.d > days.day_d - INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    // exact below theta saturation (4096 ≫ fixture users), so the sketch
+    // path hash-matches the same exact sliding-distinct oracle
+    "q_rolling_dau_sketch" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day_d FROM du)
+        |SELECT strftime(days.day_d, '%Y-%m-%d') AS day,
+        |  count(DISTINCT du.user_id) AS dau7
+        |FROM days JOIN du ON du.d <= days.day_d AND du.d > days.day_d - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q_gap_fill" ->
       """WITH ev AS (SELECT * FROM events WHERE user_id <= 3),
         |bounds AS (
@@ -1063,6 +1075,13 @@ object SparkEntry {
         |FROM w
         |WHERE (best_smaller IS NULL OR best_smaller < price) AND price = best_same
         |ORDER BY p_partkey""".stripMargin,
+    "q_table_checksum" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+        |    strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+        |  ), 1, 15))::BIGINT) AS xor_digest
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_data_quality" ->
       """SELECT 'fk_lineitem_order' AS check_name, (
         |  SELECT count(*) FROM lineitem l
@@ -1810,6 +1829,29 @@ object SparkEntry {
          |  coalesce(string_agg(CASE WHEN m AND rk <= ${TextOps.MaskHeadK}
          |    THEN CAST(p AS VARCHAR) END, ',' ORDER BY p), '') AS mask_head
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_column_profile" ->
+      """SELECT 'c_acctbal' AS column_name,
+        |  count(*) - count(c_acctbal) AS n_nulls,
+        |  count(DISTINCT c_acctbal) AS n_distinct,
+        |  CAST(min(c_acctbal) AS VARCHAR) AS min_v,
+        |  CAST(max(c_acctbal) AS VARCHAR) AS max_v FROM customer
+        |UNION ALL SELECT 'c_custkey', count(*) - count(c_custkey),
+        |  count(DISTINCT c_custkey),
+        |  CAST(min(c_custkey) AS VARCHAR), CAST(max(c_custkey) AS VARCHAR)
+        |  FROM customer
+        |UNION ALL SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+        |  count(DISTINCT c_mktsegment),
+        |  CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+        |  FROM customer
+        |UNION ALL SELECT 'c_name', count(*) - count(c_name),
+        |  count(DISTINCT c_name),
+        |  CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+        |  FROM customer
+        |UNION ALL SELECT 'c_nationkey', count(*) - count(c_nationkey),
+        |  count(DISTINCT c_nationkey),
+        |  CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+        |  FROM customer
+        |ORDER BY column_name""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

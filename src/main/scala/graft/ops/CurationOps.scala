@@ -16,6 +16,40 @@ object CurationOps {
     * for a batch of right-to-be-forgotten requests. */
   val ForgetModulus = 97
 
+  /** Order-independent table checksum — the cross-cluster reconciliation
+    * primitive: did a migration / backfill / replica produce EXACTLY this
+    * table? Per status group: row count + a 60-bit digest that is the
+    * BIT-XOR of per-row md5 prefixes. XOR is commutative, associative and
+    * self-inverse, so the aggregate is partition-order-independent (any
+    * engine, any parallelism, same digest), map-side combinable, and
+    * O(1) state — at 100 TB this is one map-only pass and an 8-byte
+    * shuffle per task, and two clusters can compare tables by exchanging
+    * 3 rows instead of 3 billion. 15 hex chars (60 bits) keeps the value
+    * inside ANSI BIGINT on both engines; a row edit flips the group
+    * digest with probability 1 − 2⁻⁶⁰ per pair. Typed columns are
+    * rendered through EXPLICIT formats (dates via `date_format`) because
+    * a reconciliation digest must pin the byte representation, not
+    * inherit an engine's default cast — the docstring contract for
+    * production use is "format every column explicitly, especially
+    * floats". */
+  def tableChecksum(spark: SparkSession, sf: String): DataFrame =
+    tableChecksumFrom(Tables.load(spark, sf, "orders"))
+
+  /** The digest over any orders-shaped frame — split out so the
+    * partition-order-invariance and single-row-sensitivity contracts are
+    * testable. */
+  private[graft] def tableChecksumFrom(orders: DataFrame): DataFrame = {
+    val payload = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderpriority"))
+    orders
+      .select(col("o_orderstatus"),
+        conv(substring(md5(payload), 1, 15), 16, 10).cast("long").as("digest"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(digest)").as("xor_digest"))
+      .orderBy("o_orderstatus")
+  }
+
   /** GDPR erasure-cascade audit — given a batch of customer keys to
     * forget, measure the blast radius down the foreign-key chain
     * (customer → orders → lineitem) BEFORE running the deletes: per

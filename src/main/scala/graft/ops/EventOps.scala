@@ -244,6 +244,34 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Sketch twin of [[rollingDau]]: the same 7-day sliding distinct-user
+    * count, but each day is reduced to ONE mergeable theta sketch before
+    * the window join — the form that survives 100 TB. The exact twin's
+    * window join carries every (day, user) row into the 7-day groups
+    * (each user re-shuffled once per window it falls in, ×7
+    * amplification); here the join carries 7 SKETCH ROWS per output day —
+    * O(days × k) total, independent of user count — and the per-day
+    * sketches are partial-aggregate friendly (built map-side in one
+    * events pass) and storable, so tomorrow's window is an incremental
+    * union of stored sketches, not a rescan. Same
+    * below-saturation-exactness contract as [[thetaSets]] (lgK=12 →
+    * 4096 retained hashes ≫ the fixture's 1.5 k users), which is what
+    * lets this hash-match the exact COUNT DISTINCT oracle at verify SFs;
+    * beyond saturation it degrades to ±~2% with [[rollingDau]] as the
+    * audit path. */
+  def rollingDauSketch(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+    val days = daily.select(col("d").as("day_d"))
+    daily.join(broadcast(days),
+        col("d") <= col("day_d") && col("d") > col("day_d") - expr("INTERVAL 7 DAY"))
+      .groupBy(date_format(col("day_d"), "yyyy-MM-dd").as("day"))
+      .agg(theta_sketch_estimate(theta_union_agg(col("sk"))).cast("long")
+        .as("dau7"))
+      .orderBy("day")
+  }
+
   /** Hourly gap-fill + forward-fill for a small user cohort — the
     * time-series regularization every downstream model expects: a complete
     * hourly spine per user (`sequence` over the observed bounds, exploded),

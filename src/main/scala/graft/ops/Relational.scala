@@ -729,6 +729,40 @@ object Relational {
     * accuracy, one pass ([[sketchStats]] is that form). Interpolated
     * `percentile` matches DuckDB's `quantile_cont` bit-for-bit
     * (the parity [[percentileExact]] pins). */
+  /** Columns profiled by [[columnProfile]]. */
+  val ProfileColumns: Seq[String] =
+    Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey")
+
+  /** One-pass whole-table column profile — the ANALYZE TABLE / `describe`
+    * shape every catalog and data-quality tool runs first: per column,
+    * null count, exact distinct count, and min/max (rendered to string so
+    * heterogeneous column types share one output schema). ONE aggregate
+    * over the scan computes all 5 columns × 4 metrics; the multi-column
+    * DISTINCTs plan as a single Expand (×5 row duplication) feeding one
+    * shuffle — not 5 scans. Min/max/null-count partials are
+    * map-side-combined; the melt to (column, metric…) rows is a `stack`
+    * over the single aggregate row, map-only. At 100 TB the Expand's ×N
+    * duplication is the cost driver — the documented swap is
+    * `approx_count_distinct` (HLL partials, no Expand, same single-pass
+    * plan), the [[sketchStats]] precedent; the exact form IS the oracle
+    * twin. */
+  def columnProfile(spark: SparkSession, sf: String): DataFrame = {
+    val cols = ProfileColumns
+    val aggs = cols.flatMap { c => Seq(
+      count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    Tables.load(spark, sf, "customer")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max").mkString(", ") +
+          ") AS (column_name, n_nulls, n_distinct, min_v, max_v)"))
+      .orderBy("column_name")
+  }
+
   def winsorize(spark: SparkSession, sf: String): DataFrame = {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))

@@ -202,4 +202,30 @@ class CurationOpsSpec extends SparkSpec {
       assert(g == want, s"$in -> $g, wanted $want")
     }
   }
+
+  test("tableChecksum is partition/order invariant and single-row sensitive") {
+    val orders = graft.sources.Tables.load(spark, sf0001, "orders")
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      CurationOps.tableChecksumFrom(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = digests(orders)
+    assert(base.nonEmpty)
+    // any repartitioning / arrival order yields the same digest (XOR is
+    // commutative) — this is the property that makes it cross-cluster safe
+    assert(digests(orders.repartition(13)) == base)
+    assert(digests(orders.orderBy(col("o_orderdate").desc)) == base)
+    // flipping one row's priority flips exactly that group's digest,
+    // leaves its count alone
+    val mutated = orders.withColumn("o_orderpriority",
+      when(col("o_orderkey") === 1L, lit("9-MUTATED"))
+        .otherwise(col("o_orderpriority")))
+    val mut = digests(mutated)
+    val changedStatus = orders.filter(col("o_orderkey") === 1L)
+      .select("o_orderstatus").collect().head.getString(0)
+    base.zip(mut).foreach { case ((s, n, d), (s2, n2, d2)) =>
+      assert(s == s2 && n == n2)
+      if (s == changedStatus) assert(d != d2, s"group $s digest should move")
+      else assert(d == d2, s"group $s digest should not move")
+    }
+  }
 }

@@ -207,4 +207,21 @@ class EventOpsSpec extends SparkSpec {
 
   private def rs2map(rs: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
     rs.map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+
+  test("rollingDauSketch equals the exact sliding distinct below saturation") {
+    def asPairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[String]("day"), r.getAs[Long]("dau7"))).toSeq
+    val exact = asPairs(graft.ops.EventOps.rollingDau(spark, sf0001).collect())
+    val sketch = asPairs(
+      graft.ops.EventOps.rollingDauSketch(spark, sf0001).collect())
+    assert(sketch == exact)
+  }
+
+  test("rollingDauSketch plan carries sketches into the window join, not users") {
+    val plan = graft.ops.EventOps.rollingDauSketch(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // theta aggregates run in ObjectHashAggregate; no distinct pass anywhere
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.toLowerCase.contains("distinct"), plan.take(800))
+  }
 }

@@ -418,4 +418,21 @@ class RelationalSpec extends SparkSpec {
     val incremental = graft.ops.Relational.mvRefresh(spark, sf0001).collect()
     assert(incremental.toSeq == direct.toSeq)
   }
+
+  test("columnProfile: one scan, one Expand; key metrics reconcile") {
+    val df = graft.ops.Relational.columnProfile(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // all 5 columns' distincts share ONE Expand over ONE scan — not 5 scans
+    assert("(?s)Scan parquet".r.findAllIn(plan).size == 1, plan.take(800))
+    assert("(?s)Expand".r.findAllIn(plan).size == 1, plan.take(800))
+    val rows = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(rows.keySet == graft.ops.Relational.ProfileColumns.toSet)
+    val nCust = graft.sources.Tables.load(spark, sf0001, "customer").count()
+    val (nulls, nd, minV, _) = rows("c_custkey")
+    assert(nulls == 0L && nd == nCust) // the key is unique and non-null
+    assert(minV.toLong >= 0L)
+    assert(rows("c_mktsegment")._2 == 5L) // 5 market segments
+  }
 }
