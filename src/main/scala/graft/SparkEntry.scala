@@ -192,7 +192,10 @@ object SparkEntry {
     "q_variant_extract" -> (EventOps.variantExtract _),
     "q_token_mask" -> (TextOps.tokenMask _),
     "q_winsorize" -> (Relational.winsorize _),
-    "q_column_profile" -> (Relational.columnProfile _))
+    "q_column_profile" -> (Relational.columnProfile _),
+    "q_listagg" -> (Relational.topNamesListAgg _),
+    "q_try_arith" -> (Relational.tryArithmetic _),
+    "q_sliding_window" -> (EventOps.slidingWindowSum _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1075,11 +1078,16 @@ object SparkEntry {
         |FROM w
         |WHERE (best_smaller IS NULL OR best_smaller < price) AND price = best_same
         |ORDER BY p_partkey""".stripMargin,
+    // every field NULL-sentineled with chr(1), mirroring the Spark side —
+    // '||' would otherwise NULL the whole payload where concat_ws skips
     "q_table_checksum" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  bit_xor(('0x' || substr(md5(
-        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
-        |    strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
+        |    coalesce(o_orderstatus, chr(1)) || '|' ||
+        |    coalesce(strftime(o_orderdate, '%Y-%m-%d'), chr(1)) || '|' ||
+        |    coalesce(o_orderpriority, chr(1))
         |  ), 1, 15))::BIGINT) AS xor_digest
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_data_quality" ->
@@ -1852,6 +1860,33 @@ object SparkEntry {
         |  CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
         |  FROM customer
         |ORDER BY column_name""".stripMargin,
+    "q_listagg" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_name,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY rk) AS top_names
+        |FROM ranked WHERE rk <= 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the NULL contract of try_divide/try_add stated as explicit CASE arms
+    "q_try_arith" ->
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN l_quantity <> 1
+        |        THEN l_extendedprice / (l_quantity - 1) END) AS n_div_ok,
+        |  round(avg(CASE WHEN l_quantity <> 1
+        |        THEN l_extendedprice / (l_quantity - 1) END), 4) AS avg_ratio,
+        |  count(CASE WHEN l_orderkey % 1000 <> 0 THEN 1 END) AS n_add_ok
+        |FROM lineitem""".stripMargin,
+    // every event belongs to the 7 epoch-aligned day windows ending at its day
+    "q_sliding_window" ->
+      """WITH w AS (
+        |  SELECT date_trunc('day', ts) - INTERVAL 1 DAY * r.k AS ws, value
+        |  FROM events, range(0, 7) r(k))
+        |SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+        |  round(sum(value), 4) AS value_sum, count(*) AS n_events
+        |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -39,9 +39,16 @@ object CurationOps {
     * partition-order-invariance and single-row-sensitivity contracts are
     * testable. */
   private[graft] def tableChecksumFrom(orders: DataFrame): DataFrame = {
+    // every field is explicitly NULL-sentineled BEFORE concatenation:
+    // concat_ws silently skips NULLs (so (a,NULL,b) and (a,b,NULL) would
+    // collide) and DuckDB's `||` propagates them (so the engines would
+    // disagree on any NULL-bearing table); the \u0001 sentinel cannot
+    // appear in the fixture's printable columns
+    def f(c: Column): Column = coalesce(c.cast("string"), lit("\u0001"))
     val payload = concat_ws("|",
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-      date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderpriority"))
+      f(col("o_orderkey")), f(col("o_custkey")), f(col("o_orderstatus")),
+      f(date_format(col("o_orderdate"), "yyyy-MM-dd")),
+      f(col("o_orderpriority")))
     orders
       .select(col("o_orderstatus"),
         conv(substring(md5(payload), 1, 15), 16, 10).cast("long").as("digest"))

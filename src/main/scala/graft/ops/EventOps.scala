@@ -272,6 +272,27 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Generic sliding-window aggregate via the built-in `window(ts, size,
+    * slide)` generator — each event lands in size/slide windows (7 here),
+    * produced map-side by an Expand-style Generate BEFORE the one shuffle
+    * on window start. This is the batch form of the Structured Streaming
+    * windowed aggregate (identical call streaming-side, where partial
+    * sums also fold into the state store incrementally), and the
+    * value-sum complement of [[rollingDauSketch]]'s distinct-count
+    * window: sums are algebraic, so the ×7 fan-out carries map-combined
+    * partials, not rows — shuffle volume is windows × partitions,
+    * independent of event count. Epoch-aligned day boundaries match
+    * `date_trunc('day', …)`, which is what makes the DuckDB spine oracle
+    * line up exactly. */
+  def slidingWindowSum(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(round(sum("value"), 4).as("value_sum"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_start"),
+        col("value_sum"), col("n_events"))
+      .orderBy("window_start")
+
   /** Hourly gap-fill + forward-fill for a small user cohort — the
     * time-series regularization every downstream model expects: a complete
     * hourly spine per user (`sequence` over the observed bounds, exploded),

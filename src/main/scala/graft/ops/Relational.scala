@@ -729,6 +729,63 @@ object Relational {
     * accuracy, one pass ([[sketchStats]] is that form). Interpolated
     * `percentile` matches DuckDB's `quantile_cont` bit-for-bit
     * (the parity [[percentileExact]] pins). */
+  /** Ordered intra-group string aggregation — the LISTAGG ... WITHIN GROUP
+    * surface (SQL:2016, new as a built-in in Spark 4): per market segment,
+    * the top-3 customer names by balance as one ordered comma-joined
+    * string. Rank first (one window per segment), THEN aggregate the ≤ 3
+    * survivors — the aggregate's input is 3 rows per group regardless of
+    * customer count, so the concat state never grows with the data (the
+    * unbounded form — listagg over all members — is the documented
+    * anti-pattern at 100 TB: per-group state is O(group size) strings).
+    * Through the `spark.sql` front door to exercise the WITHIN GROUP
+    * parse path (the [[TpchOps.shippingPriority]] precedent), with the
+    * same catalog-hygiene discipline. Total order (bal DESC, custkey)
+    * makes rank and concat order engine-independent. */
+  def topNamesListAgg(spark: SparkSession, sf: String): DataFrame = {
+    Tables.load(spark, sf, "customer").createOrReplaceTempView("graft_la_customer")
+    try spark.sql(
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_name,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM graft_la_customer)
+        |SELECT c_mktsegment,
+        |  listagg(c_name, ',') WITHIN GROUP (ORDER BY rk) AS top_names
+        |FROM ranked WHERE rk <= 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    finally spark.catalog.dropTempView("graft_la_customer")
+  }
+
+  /** ANSI-safe arithmetic pack — Spark 4 runs ANSI mode ON, so raw
+    * division by zero / bigint overflow THROW instead of silently nulling
+    * or wrapping; `try_divide` / `try_add` are the per-expression escape
+    * hatch that keeps a 100 TB job from dying on one poisoned row while
+    * preserving strictness everywhere else. The quantity−1 denominator
+    * manufactures real zeros from fixture data; the Long.MaxValue addend
+    * manufactures real overflows on ~0.1% of rows (orderkey ≡ 0 mod 1000
+    * adds 1 to Long.MaxValue). Poison density matters, and it's MEASURED:
+    * `TryEval` implements the TRY semantics as a per-row try/catch, so
+    * every poisoned row costs a thrown-and-caught ArithmeticException
+    * (~20 µs with stack fill) — at 100%-poisoned this one-pass aggregate
+    * went 0.5 → 13 s at sf0.1. The operator contract is therefore
+    * "`try_*` protects against RARE poison"; a column where errors are
+    * the common case should be pre-filtered or computed with explicit
+    * CASE guards instead. Map-only over the scan + one-row aggregate;
+    * the oracle states the NULL contract explicitly as CASE arms. The
+    * mean is rounded (not the sum): a ratio sum isn't decimal-exact, and
+    * the mean's relative summation noise (~1e-14) is far below 4 dp. */
+  def tryArithmetic(spark: SparkSession, sf: String): DataFrame = {
+    val ratio = try_divide(col("l_extendedprice"), col("l_quantity") - lit(1))
+    val poisonedAdd = try_add(lit(Long.MaxValue),
+      when(col("l_orderkey") % 1000 === 0, lit(1L)).otherwise(lit(0L)))
+    Tables.load(spark, sf, "lineitem")
+      .agg(
+        count(lit(1)).as("n"),
+        count(ratio).as("n_div_ok"),
+        round(avg(ratio), 4).as("avg_ratio"),
+        count(poisonedAdd).as("n_add_ok"))
+  }
+
   /** Columns profiled by [[columnProfile]]. */
   val ProfileColumns: Seq[String] =
     Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey")

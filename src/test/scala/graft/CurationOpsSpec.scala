@@ -228,4 +228,19 @@ class CurationOpsSpec extends SparkSpec {
       else assert(d == d2, s"group $s digest should not move")
     }
   }
+
+  test("tableChecksum distinguishes rows that differ only in NULL position") {
+    // without per-field sentinels, concat_ws would render both rows as the
+    // same payload (it silently skips NULLs) and the digests would collide
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("1997-01-01 00:00:00")
+    import spark.implicits._
+    def frame(status: Option[String], prio: Option[String]) =
+      Seq((1L, 2L, status, ts, prio))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      CurationOps.tableChecksumFrom(df).collect().map(_.getLong(2)).toSeq
+    assert(digest(frame(None, Some("P1"))) != digest(frame(Some("P1"), None)))
+  }
 }

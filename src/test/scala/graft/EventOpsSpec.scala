@@ -217,6 +217,25 @@ class EventOpsSpec extends SparkSpec {
     assert(sketch == exact)
   }
 
+  test("slidingWindowSum: every event lands in exactly 7 day-windows") {
+    val ev = graft.ops.EventOps.events(spark, sf0001)
+    val total = ev.count()
+    val rows = graft.ops.EventOps.slidingWindowSum(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 7L * total)
+    // window starts span exactly [min_day − 6, max_day], consecutively —
+    // pins the epoch alignment, not just distinctness
+    val starts = rows.map(r =>
+      java.time.LocalDate.parse(r.getAs[String]("window_start"))).sorted
+    val bounds = ev.agg(min(to_date(date_trunc("day", col("ts")))),
+      max(to_date(date_trunc("day", col("ts"))))).collect().head
+    val (lo, hi) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
+    assert(starts.head == lo.minusDays(6) && starts.last == hi)
+    starts.zip(starts.tail).foreach { case (a, b) =>
+      assert(b == a.plusDays(1), s"gap between $a and $b")
+    }
+  }
+
   test("rollingDauSketch plan carries sketches into the window join, not users") {
     val plan = graft.ops.EventOps.rollingDauSketch(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -435,4 +435,31 @@ class RelationalSpec extends SparkSpec {
     assert(minV.toLong >= 0L)
     assert(rows("c_mktsegment")._2 == 5L) // 5 market segments
   }
+
+  test("topNamesListAgg concatenates exactly the top-3 by balance, in order") {
+    val got = graft.ops.Relational.topNamesListAgg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = graft.sources.Tables.load(spark, sf0001, "customer")
+      .select("c_mktsegment", "c_name", "c_acctbal", "c_custkey").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (seg, rows) =>
+        seg -> rows.sortBy(t => (-t._3, t._4)).take(3).map(_._2).mkString(",")
+      }
+    assert(got == want)
+  }
+
+  test("tryArithmetic: NULL contract reconciles with the poisoned-row counts") {
+    val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
+    val r = graft.ops.Relational.tryArithmetic(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n == li.count())
+    // division survives exactly the quantity≠1 rows
+    assert(r.getAs[Long]("n_div_ok") ==
+      n - li.filter(col("l_quantity") === 1.0).count())
+    // the ~0.1% poisoned rows (key ≡ 0 mod 1000) overflow; the rest survive
+    assert(r.getAs[Long]("n_add_ok") ==
+      li.filter(col("l_orderkey") % 1000 =!= 0L).count())
+    assert(!r.getAs[Double]("avg_ratio").isNaN)
+  }
 }
