@@ -195,7 +195,11 @@ object SparkEntry {
     "q_column_profile" -> (Relational.columnProfile _),
     "q_listagg" -> (Relational.topNamesListAgg _),
     "q_try_arith" -> (Relational.tryArithmetic _),
-    "q_sliding_window" -> (EventOps.slidingWindowSum _))
+    "q_sliding_window" -> (EventOps.slidingWindowSum _),
+    "q_markov" -> (EventOps.markovTransitions _),
+    "q_streaks" -> (EventOps.activityStreaks _),
+    "q_lateral_topn" -> (Relational.lateralTopN _),
+    "q_array_hof" -> (VectorOps.arrayHof _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1887,6 +1891,51 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d') AS window_start,
         |  round(sum(value), 4) AS value_sum, count(*) AS n_events
         |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // n / CAST(... AS DOUBLE): DuckDB's window sum of BIGINT is HUGEINT,
+    // whose division semantics shouldn't be load-bearing
+    "q_markov" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |t AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+        |    AS prob
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INTEGER) AS anchor
+        |  FROM days),
+        |s AS (SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS max_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM s GROUP BY 1 ORDER BY max_streak DESC, user_id LIMIT 20""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    "q_array_hof" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  round(avg(len(list_filter(embedding, x -> x > 0)) / 64.0), 4)
+        |    AS avg_pos_frac,
+        |  round(avg(list_aggregate(
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'sum')), 4)
+        |    AS avg_l1,
+        |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> abs(x) > 2.0)) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

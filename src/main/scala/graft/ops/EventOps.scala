@@ -415,6 +415,53 @@ object EventOps {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the sequence-mining primitive behind next-event prediction and
+    * journey analysis: P(next type | current type), estimated from every
+    * consecutive pair in each user's ts-ordered stream. One window
+    * (`lead` over user_id) pairs the events — shuffle on user_id, sort
+    * within, linear in events and embarrassingly parallel across users at
+    * 100 TB (no cross-user state). The per-source normalization reuses
+    * the grouped counts via a SECOND window over the 25-row transition
+    * table, not a re-scan: by then the data is type×type sized,
+    * independent of event count. (ts, event_id) total order makes each
+    * user's sequence — and therefore every count — engine-independent. */
+  def markovTransitions(spark: SparkSession, sf: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events(spark, sf)
+      .select(col("event_type").as("from_type"),
+        lead("event_type", 1).over(seq).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("prob", round(col("n") /
+        sum("n").over(Window.partitionBy("from_type")), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands shape (date minus per-user row_number is constant
+    * within a run of consecutive days). Three shuffles, each strictly
+    * smaller than the last: distinct (user, day) collapses the event
+    * stream to at most users × days rows, the island grouping keys on
+    * (user, anchor), and the per-user max is user-sized. The window sort
+    * is per-user — no global ordering anywhere before the final top-20.
+    * Ties on max_streak break by user_id so the k-boundary is
+    * deterministic. */
+  def activityStreaks(spark: SparkSession, sf: String): DataFrame = {
+    val days = events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val rn = Window.partitionBy("user_id").orderBy("d")
+    val streaks = days
+      .withColumn("anchor", date_sub(col("d"), row_number().over(rn)))
+      .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+    streaks.groupBy("user_id")
+      .agg(max("len").as("max_streak"), sum("len").as("n_active_days"))
+      .orderBy(col("max_streak").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** The sketch algebra over any (event_type, value, user_id) frame —
     * split out so empty/degenerate inputs are testable. */
   private[graft] def thetaSetsFrom(ev: DataFrame): DataFrame = {

@@ -756,6 +756,36 @@ object Relational {
     finally spark.catalog.dropTempView("graft_la_customer")
   }
 
+  /** Correlated LATERAL subquery — each customer's 2 priciest orders, the
+    * top-N-per-key shape stated as the SQL standard writes it (a per-row
+    * dependent subquery with ORDER BY … LIMIT) instead of the
+    * window+filter rewrite [[windowRank]] uses. Catalyst DECORRELATES it:
+    * the planned query is one equi-join on custkey feeding a per-key
+    * rank filter — no per-customer re-execution, same plan family as the
+    * window form, so the 100 TB cost is one fact shuffle regardless of
+    * customer count (the spec pins no BroadcastNestedLoop/Cartesian in
+    * the plan). Through the `spark.sql` front door because LATERAL is a
+    * parser-level surface; temp views are dropped in `finally` (the
+    * [[topNamesListAgg]] catalog-hygiene discipline). Only customers
+    * with orders appear (inner lateral join) — stated in the oracle as a
+    * plain JOIN. */
+  def lateralTopN(spark: SparkSession, sf: String): DataFrame = {
+    Tables.load(spark, sf, "customer").createOrReplaceTempView("graft_lat_customer")
+    Tables.load(spark, sf, "orders").createOrReplaceTempView("graft_lat_orders")
+    try spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM graft_lat_customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+    finally {
+      spark.catalog.dropTempView("graft_lat_customer")
+      spark.catalog.dropTempView("graft_lat_orders")
+    }
+  }
+
   /** ANSI-safe arithmetic pack — Spark 4 runs ANSI mode ON, so raw
     * division by zero / bigint overflow THROW instead of silently nulling
     * or wrapping; `try_divide` / `try_add` are the per-expression escape

@@ -131,6 +131,34 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Higher-order array functions as a declared surface — `filter`,
+    * `aggregate`, `exists` over the embedding column, WITHOUT exploding:
+    * per label, the average fraction of positive dimensions, average L1
+    * mass, and how many vectors have any dimension beyond ±2. The
+    * contrast with [[centroids]] is the point: posexplode multiplies the
+    * row count ×64 before its shuffle, while a lambda pipeline computes
+    * per-vector scalars in place — map-only work feeding a label-sized
+    * aggregate, the shape that wins when the array is wide and the
+    * output is per-row (or per-group) rather than per-element. Lambdas
+    * are interpreter-evaluated per element (no codegen) — fine off the
+    * hot path; [[dot]]'s native expression is the pattern when it isn't.
+    * Left-to-right double folds match DuckDB's list_* evaluation order,
+    * so sums are bit-identical, not just close. */
+  def arrayHof(spark: SparkSession, sf: String): DataFrame = {
+    val v = asDouble(col("embedding"))
+    Tables.load(spark, sf, "embeddings")
+      .select(col("label"),
+        (size(filter(v, x => x > 0)) / lit(Dim.toDouble)).as("pos_frac"),
+        aggregate(v, lit(0.0), (acc, x) => acc + abs(x)).as("l1"),
+        exists(v, x => abs(x) > 2.0).cast("long").as("has_extreme"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("pos_frac"), 4).as("avg_pos_frac"),
+        round(avg("l1"), 4).as("avg_l1"),
+        sum("has_extreme").as("n_extreme"))
+      .orderBy("label")
+  }
+
   /** Number of random hyperplanes for sign-LSH bucketing. */
   val LshBits = 8
 

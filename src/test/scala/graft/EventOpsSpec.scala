@@ -236,6 +236,34 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("markovTransitions: rows are a probability matrix that reconciles with raw pairs") {
+    val rows = graft.ops.EventOps.markovTransitions(spark, sf0001).collect()
+    // per-source probabilities sum to 1 (within rounding of 25 cells)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val p = rs.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(p - 1.0) < 0.003, s"$from probs sum to $p")
+    }
+    // total transition count = events - one terminal event per user
+    val ev = graft.ops.EventOps.events(spark, sf0001)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("activityStreaks agrees with a hand-rolled streak scan for the top user") {
+    val top = graft.ops.EventOps.activityStreaks(spark, sf0001).collect().head
+    val days = graft.ops.EventOps.events(spark, sf0001)
+      .filter(col("user_id") === top.getLong(0))
+      .select(to_date(col("ts"))).distinct().collect()
+      .map(_.getDate(0).toLocalDate).sorted
+    assert(days.length.toLong == top.getAs[Long]("n_active_days"))
+    val runs = days.foldLeft(List.empty[(java.time.LocalDate, Long)]) {
+      case ((last, len) :: tail, d) if last.plusDays(1) == d =>
+        (d, len + 1) :: tail
+      case (acc, d) => (d, 1L) :: acc
+    }
+    assert(runs.map(_._2).max == top.getAs[Long]("max_streak"))
+  }
+
   test("rollingDauSketch plan carries sketches into the window join, not users") {
     val plan = graft.ops.EventOps.rollingDauSketch(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -449,6 +449,24 @@ class RelationalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("lateralTopN decorrelates to one join and equals the window rewrite") {
+    val lat = graft.ops.Relational.lateralTopN(spark, sf0001)
+    val plan = lat.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"lateral should decorrelate to an equi-join, got:\n$plan")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val rewrite = graft.sources.Tables.load(spark, sf0001, "orders")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .join(graft.sources.Tables.load(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    assert(lat.collect().toSeq == rewrite.collect().toSeq)
+  }
+
   test("tryArithmetic: NULL contract reconciles with the poisoned-row counts") {
     val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
     val r = graft.ops.Relational.tryArithmetic(spark, sf0001).collect().head

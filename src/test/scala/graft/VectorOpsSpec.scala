@@ -98,6 +98,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("arrayHof reconciles with the explode-based computation, no Generate in plan") {
+    val hof = VectorOps.arrayHof(spark, sf0001)
+    // the whole point of the lambda pipeline: per-vector scalars without a
+    // ×64 row explosion
+    assert(!hof.queryExecution.executedPlan.toString.contains("Generate"),
+      "arrayHof must not explode the array")
+    val got = hof.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val want = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(col("label"), col("vec_id"),
+        posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("label", "vec_id")
+      .agg((count(when(col("x") > 0, 1)) / 64.0).as("pos_frac"),
+        sum(abs(col("x"))).as("l1"),
+        max((abs(col("x")) > 2.0).cast("long")).as("ext"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("pos_frac"), 4).as("pf"),
+        round(avg("l1"), 4).as("l1"), sum("ext").as("ne"))
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("lshBucket is deterministic and bucket-stable for identical vectors") {
     val df = Seq(Array.fill(8)(0.5f), Array.fill(8)(0.5f)).toDF("v")
       .select(VectorOps.lshBucket(VectorOps.asDouble(col("v"))).as("b"))
