@@ -199,7 +199,10 @@ object SparkEntry {
     "q_markov" -> (EventOps.markovTransitions _),
     "q_streaks" -> (EventOps.activityStreaks _),
     "q_lateral_topn" -> (Relational.lateralTopN _),
-    "q_array_hof" -> (VectorOps.arrayHof _))
+    "q_array_hof" -> (VectorOps.arrayHof _),
+    "q_rank_pack" -> (Relational.rankPack _),
+    "q_interval_overlap" -> (EventOps.intervalOverlap _),
+    "q_dedup_snm" -> (TextOps.sortedNeighborhood _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1936,6 +1939,64 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> abs(x) > 2.0)) > 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_rank_pack" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  round(percent_rank() OVER w, 4) AS prank,
+        |  round(cume_dist() OVER w, 4) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+        |ORDER BY c_custkey""".stripMargin,
+    // the oracle is the DIRECT all-pairs overlap join — the binned Spark
+    // plan must reproduce it exactly, duplicates-per-shared-bin and all
+    "q_interval_overlap" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) > CAST(3600 AS BIGINT) * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM w
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked
+        |), sess AS (
+        |  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |    epoch_us(min(ts)) AS s_start, epoch_us(max(ts)) AS s_end
+        |  FROM numbered GROUP BY user_id, session_no
+        |), inc AS (
+        |  SELECT epoch_us(ts) AS i_start,
+        |    epoch_us(ts) + CAST(1800 AS BIGINT) * 1000000 AS i_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT user_id, session_no, count(*) AS n_incidents
+        |FROM sess, inc
+        |WHERE s_start <= i_end AND i_start <= s_end
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q_dedup_snm" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS t, n_chars,
+        |    substr(lower(text), 1, 12) AS block
+        |  FROM documents),
+        |nb AS (
+        |  SELECT doc_id AS id_a, t AS t_a,
+        |    lead(doc_id, 1) OVER w1 AS id_b, lead(t, 1) OVER w1 AS t_b
+        |  FROM d WINDOW w1 AS (PARTITION BY block ORDER BY n_chars, doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, t, lead(doc_id, 2) OVER w2, lead(t, 2) OVER w2
+        |  FROM d WINDOW w2 AS (PARTITION BY block ORDER BY n_chars, doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, t, lead(doc_id, 3) OVER w3, lead(t, 3) OVER w3
+        |  FROM d WINDOW w3 AS (PARTITION BY block ORDER BY n_chars, doc_id))
+        |SELECT least(id_a, id_b) AS id_lo, greatest(id_a, id_b) AS id_hi,
+        |  CAST(levenshtein(t_a, t_b) AS BIGINT) AS lev
+        |FROM nb WHERE id_b IS NOT NULL AND levenshtein(t_a, t_b) <= 20
+        |ORDER BY id_lo, id_hi""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -415,6 +415,60 @@ object EventOps {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** Interval-overlap join WITHOUT a shared equi key — sessions × global
+    * incident windows (30 min after every error event). [[rangeJoin]]'s
+    * user key bounded its quadratic term; here there is none, so the naive
+    * plan is a Cartesian with a range residual. The scale path is TIME
+    * BINNING: explode both interval sets onto an hourly grid
+    * (`sequence` over bin indices — cost ∝ interval length / bin), equi-
+    * join on the bin, keep true overlaps, and de-duplicate pairs that
+    * share several bins. Shuffle volume is rows × avg bins-per-interval
+    * and candidate volume is co-binned pairs only — the 1-D version of
+    * the LSH-banding discipline (and of Spark's own
+    * binned-interval-join literature shape). The spec pins the plan:
+    * a hash equi-join on `bin`, no BNLJ/Cartesian, and equality with the
+    * direct all-pairs form. */
+  val OverlapBinMicros: Long = 3600L * 1000000L
+
+  def intervalOverlap(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = ev
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 3600L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(unix_micros(min("ts")).as("s_start"), unix_micros(max("ts")).as("s_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"),
+        unix_micros(col("ts")).as("i_start"),
+        (unix_micros(col("ts")) + 1800L * 1000000L).as("i_end"))
+    intervalOverlapFrom(sessions, incidents)
+  }
+
+  /** Core over any (user_id, session_no, s_start, s_end) × (inc_id,
+    * i_start, i_end) interval frames — split out so the spec can A/B the
+    * binned plan against the direct all-pairs form on the same inputs. */
+  private[graft] def intervalOverlapFrom(
+      sessions: DataFrame, incidents: DataFrame): DataFrame = {
+    val b = OverlapBinMicros
+    val sBinned = sessions.withColumn("bin",
+      explode(sequence(expr(s"s_start div $b"), expr(s"s_end div $b"))))
+    val iBinned = incidents.withColumn("bin",
+      explode(sequence(expr(s"i_start div $b"), expr(s"i_end div $b"))))
+    sBinned.join(iBinned, "bin")
+      .filter(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+      .select("user_id", "session_no", "inc_id").distinct()
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_incidents"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** First-order Markov transition matrix over per-user event sequences —
     * the sequence-mining primitive behind next-event prediction and
     * journey analysis: P(next type | current type), estimated from every

@@ -756,6 +756,26 @@ object Relational {
     finally spark.catalog.dropTempView("graft_la_customer")
   }
 
+  /** Distribution-rank window pack — `dense_rank`, `percent_rank`,
+    * `cume_dist` per market segment over account balance, the analytic
+    * trio [[windowFrames]]'s frame/offset family doesn't cover. The
+    * window orders by VALUE ONLY (no tie-break key): all three functions
+    * are functions of the value's position in the group's multiset, so
+    * ties get identical outputs and the result is deterministic without a
+    * unique ordering — which is exactly what makes them safe to compare
+    * across engines (a row-unique order would make them trivially
+    * rank/n). One hash partitioning on segment scores every row in one
+    * pass; rounding keeps the two ratio outputs off the hash boundary. */
+  def rankPack(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        dense_rank().over(w).cast("long").as("drank"),
+        round(percent_rank().over(w), 4).as("prank"),
+        round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
   /** Correlated LATERAL subquery — each customer's 2 priciest orders, the
     * top-N-per-key shape stated as the SQL standard writes it (a per-row
     * dependent subquery with ORDER BY … LIMIT) instead of the

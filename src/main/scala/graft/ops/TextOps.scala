@@ -768,6 +768,44 @@ object TextOps {
     }
   }
 
+  /** Sorted-neighborhood near-dup detection (Hernández & Stolfo 1995) — the
+    * third classic blocking family next to the inverted index
+    * ([[dedupJaccard]]) and LSH banding ([[dedupMinhash]]): sort the corpus
+    * by a blocking key, then compare each record only against its next
+    * [[SnmWindow]] neighbors in sort order — O(n·w) comparisons total, and
+    * the expensive verifier (full-text edit distance here) runs on n·w
+    * pairs, never n². Distributed form: hash-partition on a block prefix of
+    * the sort key, sort WITHIN blocks (one window per block — no global
+    * sort, no single-partition window), lead() materializes the neighbor
+    * texts. The method's known failure mode is real and documented: a
+    * near-dup pair whose difference lands in the first [[SnmBlockChars]]
+    * characters falls into different blocks and is missed — which is why
+    * production runs multi-pass SNM with different keys, and why the spec
+    * measures recall against the exact pair set instead of assuming it. */
+  val SnmWindow = 3
+  val SnmBlockChars = 12
+  val SnmMaxLev = 20
+
+  def sortedNeighborhood(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
+      .withColumn("block", substring(col("t"), 1, SnmBlockChars))
+    val w = Window.partitionBy("block").orderBy("n_chars", "doc_id")
+    val neighbors = (1 to SnmWindow).map { k =>
+      docs.select(col("doc_id").as("id_a"), col("t").as("t_a"),
+        lead("doc_id", k).over(w).as("id_b"),
+        lead("t", k).over(w).as("t_b"))
+    }.reduce(_ unionAll _)
+    neighbors
+      .filter(col("id_b").isNotNull)
+      .select(least(col("id_a"), col("id_b")).as("id_lo"),
+        greatest(col("id_a"), col("id_b")).as("id_hi"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("lev"))
+      .filter(col("lev") <= SnmMaxLev)
+      .orderBy("id_lo", "id_hi")
+  }
+
   /** Canonical-document selection — the decision step that turns the
     * cluster analysis ([[dupClusters]]) into an actual dedup action: every
     * document gets a cluster (singletons are their own), and within each

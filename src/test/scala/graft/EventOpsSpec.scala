@@ -236,6 +236,29 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap: binned plan is an equi-join and equals the all-pairs form") {
+    val binned = graft.ops.EventOps.intervalOverlap(spark, sf0001)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"binned overlap must be an equi-join on bin, got:\n$plan")
+    // direct all-pairs twin on identical interval inputs
+    import spark.implicits._
+    val sess = Seq((1L, 1L, 100L, 200L), (1L, 2L, 900L, 950L),
+      (2L, 1L, 0L, 5000L)).toDF("user_id", "session_no", "s_start", "s_end")
+    val inc = Seq((10L, 150L, 300L), (11L, 400L, 800L), (12L, 120L, 180L),
+      (13L, 4000L, 9000L)).toDF("inc_id", "i_start", "i_end")
+    val got = graft.ops.EventOps.intervalOverlapFrom(sess, inc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = sess.crossJoin(inc)
+      .filter(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+      .groupBy("user_id", "session_no").agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "session_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(binned.collect().nonEmpty)
+  }
+
   test("markovTransitions: rows are a probability matrix that reconciles with raw pairs") {
     val rows = graft.ops.EventOps.markovTransitions(spark, sf0001).collect()
     // per-source probabilities sum to 1 (within rounding of 25 cells)

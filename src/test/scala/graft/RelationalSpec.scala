@@ -449,6 +449,31 @@ class RelationalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("rankPack: distribution ranks agree with a per-segment recompute") {
+    val rows = graft.ops.Relational.rankPack(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val byBal = graft.sources.Tables.load(spark, sf0001, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2)
+    rows.groupBy(_._2).foreach { case (seg, rs) =>
+      val bals = byBal(seg).map(t => t._1 -> t._3).toMap
+      val n = bals.size
+      assert(rs.length == n)
+      rs.foreach { case (ck, _, drank, prank, cdist) =>
+        val v = bals(ck)
+        val higher = bals.values.count(_ > v)
+        val geq = bals.values.count(_ >= v)
+        // rank = higher+1; percent_rank = (rank-1)/(n-1); cume_dist = geq/n
+        assert(prank == math.rint(higher.toDouble / (n - 1) * 10000) / 10000)
+        assert(cdist == math.rint(geq.toDouble / n * 10000) / 10000)
+        val distinctHigher = bals.values.filter(_ > v).toSet.size
+        assert(drank == distinctHigher + 1L)
+      }
+    }
+  }
+
   test("lateralTopN decorrelates to one join and equals the window rewrite") {
     val lat = graft.ops.Relational.lateralTopN(spark, sf0001)
     val plan = lat.queryExecution.executedPlan.toString

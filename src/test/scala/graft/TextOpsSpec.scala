@@ -404,4 +404,33 @@ class TextOpsSpec extends SparkSpec {
     val again = graft.ops.TextOps.tokenMask(spark, sf0001).collect()
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("sortedNeighborhood: pairs ⊆ exact lev-pairs, with measured recall") {
+    // Precision is 1 by construction (the emitted lev IS the <= threshold
+    // filter), so the content of this test is RECALL. Exact all-pairs
+    // Levenshtein over all 500 fixture docs is 124,750 ~300-char pairs
+    // (minutes); ground truth is bounded to a deterministic 150-doc prefix
+    // (11,175 pairs) and SNM is compared on that same subset.
+    val SubsetMax = 150L
+    val snmAll = TextOps.sortedNeighborhood(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val snm = snmAll.filter(p => p._1 < SubsetMax && p._2 < SubsetMax).toSet
+    val d = graft.sources.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") < SubsetMax)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val exact = d.as("a")
+      .join(d.select(col("doc_id").as("ib"), col("t").as("tb")),
+        col("doc_id") < col("ib"))
+      .select(col("doc_id"), col("ib"),
+        levenshtein(col("t"), col("tb")).cast("long").as("lev"))
+      .filter(col("lev") <= TextOps.SnmMaxLev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture subset should contain lev-close pairs")
+    assert(snm.subsetOf(exact), s"SNM emitted non-pairs: ${snm.diff(exact)}")
+    // single-pass single-key SNM: demand most of the truth, not all of it —
+    // the known miss is a pair differing inside the 12-char block prefix
+    val recall = snm.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall (${snm.size}/${exact.size})")
+    assert(snmAll.nonEmpty)
+  }
 }
