@@ -202,7 +202,11 @@ object SparkEntry {
     "q_array_hof" -> (VectorOps.arrayHof _),
     "q_rank_pack" -> (Relational.rankPack _),
     "q_interval_overlap" -> (EventOps.intervalOverlap _),
-    "q_dedup_snm" -> (TextOps.sortedNeighborhood _))
+    "q_dedup_snm" -> (TextOps.sortedNeighborhood _),
+    "q_pmi" -> (TextOps.pmiCollocations _),
+    "q_dedup_chunk" -> (TextOps.dedupChunks _),
+    "q_khop" -> (GraphOps.kHop _),
+    "q_also_bought" -> (GraphOps.alsoBought _))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -1997,6 +2001,84 @@ object SparkEntry {
         |  CAST(levenshtein(t_a, t_b) AS BIGINT) AS lev
         |FROM nb WHERE id_b IS NOT NULL AND levenshtein(t_a, t_b) <= 20
         |ORDER BY id_lo, id_hi""".stripMargin,
+    // the double chain (cast → multiply → divide → log2 → round 4) is
+    // written identically to the Spark side so both engines walk the same
+    // IEEE ops
+    "q_pmi" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |uc AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+         |    split_part(bigram, ' ', 2) AS w2, count(*) AS cxy
+         |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |    FROM t WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT (SELECT sum(c) FROM uc) AS n_tok,
+         |               (SELECT sum(cxy) FROM bc) AS n_bi)
+         |SELECT bc.w1, bc.w2, bc.cxy,
+         |  round(log2(CAST(bc.cxy AS DOUBLE) * t2.n_tok * t2.n_tok /
+         |    (CAST(t2.n_bi AS DOUBLE) * a.c * b.c)), 4) AS pmi
+         |FROM bc
+         |JOIN uc a ON a.w = bc.w1
+         |JOIN uc b ON b.w = bc.w2
+         |CROSS JOIN tot t2
+         |WHERE bc.cxy >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_dedup_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, i AS idx,
+         |    array_to_string(list_slice(toks, i*10+1, i*10+10), ' ') AS chunk
+         |  FROM t, LATERAL (SELECT unnest(range(0,
+         |    CAST(ceil(len(toks)/10.0) AS INT))) AS i) s),
+         |k AS (SELECT doc_id, idx, chunk,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+         |      AS kept
+         |  FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+         |  md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+         |    ORDER BY idx), '')) AS clean_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_khop" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS lvl
+        |  FROM part WHERE p_partkey % 100 = 0
+        |  UNION
+        |  SELECT e.v, r.lvl + 1 FROM r JOIN e ON e.u = r.node
+        |  WHERE r.lvl < 3)
+        |SELECT lvl, count(*) AS n_nodes
+        |FROM (SELECT node, min(lvl) AS lvl FROM r GROUP BY node) m
+        |GROUP BY lvl ORDER BY lvl""".stripMargin,
+    "q_also_bought" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |deg AS (SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS orders
+        |  FROM li GROUP BY 1),
+        |tgt AS (SELECT p, orders AS p_orders FROM deg
+        |  ORDER BY orders DESC, p LIMIT 10),
+        |pairs AS (
+        |  SELECT t.p, t.p_orders, b.l_partkey AS q,
+        |    count(DISTINCT a.l_orderkey) AS cooc
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  JOIN tgt t ON t.p = a.l_partkey
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT p.p, p.q, p.cooc,
+        |    round(CAST(p.cooc AS DOUBLE) /
+        |      (p.p_orders + d.orders - p.cooc), 4) AS jac
+        |  FROM pairs p JOIN deg d ON d.p = p.q)
+        |SELECT p, rk, q, cooc, jac FROM (
+        |  SELECT p, q, cooc, jac,
+        |    CAST(row_number() OVER (PARTITION BY p ORDER BY jac DESC, q)
+        |      AS BIGINT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY p, rk""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

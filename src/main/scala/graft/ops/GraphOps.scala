@@ -204,4 +204,96 @@ object GraphOps {
     e.unpersist()
     n
   }
+
+  /** BFS depth bound for [[kHop]]. */
+  val KHopDepth = 3
+
+  /** Seed selector for [[kHop]]: every part whose key is a multiple of 100
+    * (2 / 20 / 200 seeds at the three harness scales — deterministic, no
+    * sampling). */
+  val KHopSeedMod = 100L
+
+  /** k-hop reachability — frontier-parallel BFS over the co-purchase graph
+    * from a fixed seed set, reporting how many parts are FIRST reached at
+    * each hop (the blast-radius / recommendation-horizon query; also the
+    * building block of distributed shortest-path). Per round: one equi-join
+    * of the frontier against the persisted directed-both-ways edge list
+    * (shuffles frontier-size × degree, never the whole graph), one
+    * distinct, and one anti-join against the visited set — all keyed on the
+    * node, so at 100 TB the edge list is hash-partitioned once and every
+    * round reuses that layout. Frontier and visited `localCheckpoint` per
+    * round (the dup-clusters lineage lesson: an iterated plan re-analyzes
+    * its whole history otherwise). The fixed [[KHopDepth]] keeps the oracle
+    * a genuine depth-bounded `WITH RECURSIVE` twin. */
+  def kHop(spark: SparkSession, sf: String): DataFrame = {
+    val e = edges(spark, sf)
+    val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .persist()
+    val seeds = Tables.load(spark, sf, "part")
+      .filter(col("p_partkey") % KHopSeedMod === 0)
+      .select(col("p_partkey").as("node"), lit(0L).as("lvl"))
+    var visited = seeds.localCheckpoint()
+    var frontier = visited
+    for (lvl <- 1 to KHopDepth) {
+      val next = frontier
+        .join(dir, frontier("node") === dir("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(lvl.toLong).as("lvl"))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    visited.groupBy("lvl")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("lvl")
+  }
+
+  /** Neighbors reported per target part in [[alsoBought]]. */
+  val AlsoBoughtK = 3
+
+  /** Target parts (by descending order-degree) in [[alsoBought]]. */
+  val AlsoBoughtTargets = 10
+
+  /** Item-item collaborative filtering — "customers who bought X also
+    * bought Y": for the [[AlsoBoughtTargets]] most-ordered parts, the top
+    * [[AlsoBoughtK]] co-purchased parts ranked by Jaccard similarity of
+    * their order neighborhoods, jac = cooc / (orders_p + orders_q − cooc).
+    * The normalization is what [[marketBasket]]'s raw pair counts lack: a
+    * bestseller co-occurs with everything, Jaccard discounts it. Plan: the
+    * directed pair counts and per-part degrees come off the same lineitem
+    * scan; the 10-row target list broadcasts into the pair table, so only
+    * target-adjacent pairs survive to the degree join and the per-target
+    * top-k window runs over candidate-sized partitions. At 100 TB the pair
+    * generation is the basket-bounded self-join (fan-out ≤ basket², never
+    * catalog-sized) and everything downstream is target-pruned. */
+  def alsoBought(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    val deg = li.groupBy(col("l_partkey").as("p"))
+      .agg(count_distinct(col("l_orderkey")).as("orders"))
+      .persist()
+    val targets = deg
+      .orderBy(col("orders").desc, col("p")).limit(AlsoBoughtTargets)
+      .select(col("p"), col("orders").as("p_orders"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("p"), col("b.l_partkey").as("q"),
+        col("a.l_orderkey").as("o"))
+      .join(broadcast(targets), "p")
+      .groupBy("p", "p_orders", "q").agg(count_distinct(col("o")).as("cooc"))
+    val scored = pairs
+      .join(deg.select(col("p").as("q"), col("orders").as("q_orders")), "q")
+      .select(col("p"), col("q"), col("cooc"),
+        round(col("cooc").cast("double") /
+          (col("p_orders") + col("q_orders") - col("cooc")), 4).as("jac"))
+    val w = Window.partitionBy("p")
+      .orderBy(col("jac").desc, col("q"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= AlsoBoughtK)
+      .select("p", "rk", "q", "cooc", "jac")
+      .orderBy("p", "rk")
+  }
 }

@@ -1159,4 +1159,108 @@ object TextOps {
       .select("source", "rk", "doc_id", "n_chars")
       .orderBy("source", "rk")
   }
+
+  /** Minimum bigram occurrences before a pair is PMI-scored — below this the
+    * estimate is noise (the classic Church & Hanks 1990 caveat: PMI inflates
+    * rare pairs, so production collocation extraction always floors the
+    * joint count). */
+  val PmiMinCount = 5L
+
+  /** Pointwise mutual information collocations — the association-mining
+    * pass behind phrase detection (word2vec-style phrase joining, boilerplate
+    * discovery): for each adjacent word pair, how much more often it occurs
+    * than independence predicts, pmi = log2((c_xy/Nb) / ((c_x/N)(c_y/N))).
+    * One exploded token relation feeds BOTH count tables (unigrams and
+    * adjacent bigrams — the bigram array is built per row, no self-join);
+    * the two scalar totals ride a broadcast 1-row crossJoin and the
+    * unigram-count attachments are vocab-sized joins (broadcast at fixture
+    * scale, co-keyed hash joins beyond). Shuffle volume is distinct-gram
+    * cardinality, never token count. The double-math chain (cast → multiply
+    * → divide → log2 → round(4)) is written identically in the DuckDB twin
+    * so both engines walk the same IEEE ops. */
+  def pmiCollocations(spark: SparkSession, sf: String): DataFrame = {
+    val docs = fannedDocs(spark, sf)
+    // both count tables persist: each serves its scalar total AND the
+    // per-pair attachment joins below
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist()
+    val biAll = docs
+      .select(explode(bigramPairsOf(tokens(col("text")))).as("p"))
+      .select(col("p._1").as("w1"), col("p._2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .persist()
+    val totals = uni.agg(sum("c").as("n_tok"))
+      .crossJoin(biAll.agg(sum("cxy").as("n_bi")))
+    biAll.filter(col("cxy") >= PmiMinCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("cxy"),
+        round(log2(col("cxy").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_bi").cast("double") * col("cx") * col("cy"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Adjacent word pairs as structs (empty when < 2 tokens) — the split-free
+    * twin of [[bigramsOf]] for consumers that need the words separately. */
+  private def bigramPairsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("_1"), element_at(toks, i + 1).as("_2"))))
+      .otherwise(array().cast("array<struct<_1:string,_2:string>>"))
+
+  /** Tokens per dedup chunk in [[dedupChunks]]. */
+  val ChunkTokens = 10
+
+  /** Chunk-level exact dedup with document reconstruction — the passage/
+    * line-granularity dedup of production pipelines (CCNet's line dedup,
+    * RefinedWeb) applied to disjoint [[ChunkTokens]]-token chunks: a chunk
+    * is DUPLICATED when its globally-first occurrence (min (doc_id, idx))
+    * is elsewhere, and every document is re-emitted as the md5 of its
+    * surviving chunks in order — the dedup ACTION at sub-document
+    * granularity, where whole-doc dedup ([[dedupExact]]) can't see repeated
+    * boilerplate inside otherwise-distinct pages. Plan: chunking is a
+    * map-only posexplode (no join, chunks are disjoint so volume = token
+    * count / chunk size); first-occurrence election and the occurrence
+    * join-back share ONE hash shuffle on the chunk text (co-keyed); the
+    * rebuild is a per-doc aggregate whose state is the doc's own kept
+    * chunks. At 100 TB the chunk key should be fingerprinted
+    * (xxhash64, as [[shingleRows]] does) so 100-token strings never ride
+    * the shuffle — kept as text here because the md5 rebuild needs the
+    * characters anyway and the oracle compares them. */
+  def dedupChunks(spark: SparkSession, sf: String): DataFrame =
+    dedupChunksFrom(fannedDocs(spark, sf))
+
+  /** Core over any (doc_id, text) frame — the seam the whole-doc-duplicate
+    * property test uses (the harness fixture has near-dups but no exact-dup
+    * texts at every scale). */
+  private[graft] def dedupChunksFrom(docs: DataFrame): DataFrame = {
+    val n = lit(ChunkTokens)
+    val toks = tokens(col("text"))
+    // `sequence(0, -1)` DESCENDS in Spark, so a token-less doc must get an
+    // explicit empty chunk array (it then drops out of the posexplode, as
+    // the oracle's unnest-of-empty does)
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), ceil(size(toks) / n.cast("double")).cast("int") - 1),
+        i => array_join(slice(toks, i * n + 1, n), " ")))
+      .otherwise(array().cast("array<string>"))
+    val occ = docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+    val keeper = occ.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first_occ"))
+    occ.join(keeper, "chunk")
+      .withColumn("kept",
+        struct(col("doc_id"), col("idx")) === col("first_occ"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(when(col("kept"),
+            struct(col("idx"), col("chunk"))))), s => s.getField("chunk"))))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
 }

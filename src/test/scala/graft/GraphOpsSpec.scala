@@ -102,4 +102,59 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       assert(GraphOps.pageRank(spark, sf0001).collect().toSeq == ranksB)
     } finally spark.conf.unset(GraphOps.GraphBroadcastMaxEdgesKey)
   }
+
+  test("kHop level counts equal an in-memory BFS over the same graph") {
+    import org.apache.spark.sql.functions._
+    val got = GraphOps.kHop(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the co-purchase graph and BFS it on the driver (sf0.001 is
+    // thousands of edges — cheap, and a fully independent implementation)
+    val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).distinct)
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for (parts <- byOrder; a <- parts; b <- parts if a != b)
+      adj(a) = adj(a) + b
+    val seeds = graft.sources.Tables.load(spark, sf0001, "part")
+      .filter(col("p_partkey") % GraphOps.KHopSeedMod === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(seeds.nonEmpty)
+    var visited = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (lvl <- 1 to GraphOps.KHopDepth) {
+      val next = frontier.flatMap(adj).diff(visited.keySet)
+      visited = visited ++ next.map(_ -> lvl.toLong)
+      frontier = next
+    }
+    val want = visited.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got == want.filter(_._2 > 0), s"got $got want $want")
+    assert(got(0L) == seeds.size)
+  }
+
+  test("alsoBought ranks by Jaccard and reconciles with raw order sets") {
+    val rows = GraphOps.alsoBought(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // per-target: ranks are 1..n, n <= K, jac non-increasing
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= GraphOps.AlsoBoughtK)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._5 >= b._5; case _ => true })
+    }
+    // reconcile one row against order sets computed independently
+    val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ordersOf = li.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val (p, _, q, cooc, jac) = rows.head
+    val (op, oq) = (ordersOf(p), ordersOf(q))
+    val inter = op.intersect(oq).size
+    assert(cooc == inter.toLong)
+    assert(jac == math.rint(inter.toDouble / (op.size + oq.size - inter) * 10000) / 10000)
+  }
 }

@@ -433,4 +433,65 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall (${snm.size}/${exact.size})")
     assert(snmAll.nonEmpty)
   }
+
+  test("pmiCollocations reconciles with independently-counted grams") {
+    val rows = TextOps.pmiCollocations(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    // sorted by pmi desc (w1/w2 tie-break is the oracle's concern)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._4 >= b._4
+      case _ => true })
+    // recompute one pair's pmi from driver-side token counts
+    val texts = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = toks.flatMap(t => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = uni.values.sum
+    val nBi = bi.values.sum
+    val (w1, w2, cxy, pmi) = rows.head
+    assert(cxy == bi((w1, w2)) && cxy >= TextOps.PmiMinCount)
+    val want = math.log(cxy.toDouble * nTok * nTok /
+      (nBi.toDouble * uni(w1) * uni(w2))) / math.log(2.0)
+    assert(math.abs(pmi - want) < 1e-3)
+  }
+
+  test("dedupChunks conserves chunk mass and zeroes whole-doc duplicates") {
+    val rows = TextOps.dedupChunks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // chunk-count conservation per doc
+    val nChunksOf = docs.map { case (id, t) =>
+      id -> (t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty) + 9) / 10
+    }.toMap
+    rows.foreach { case (id, n, dup, _) =>
+      assert(n == nChunksOf(id).toLong, s"doc $id chunk count")
+      assert(dup >= 0 && dup <= n)
+    }
+    // near-dup docs share chunks, so SOME chunk-level dedup must fire
+    assert(rows.map(_._3).sum > 0, "fixture near-dups should share chunks")
+    // whole-doc-duplicate property on a synthetic frame: the copy loses all
+    // chunks (md5 of ''), the original keeps all, the half-overlap doc
+    // loses exactly its shared half
+    import spark.implicits._
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    val half = (11 to 30).map(i => s"w$i").mkString(" ") // 2nd chunk shared
+    val synth = Seq((1L, twenty), (2L, twenty), (3L, half))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupChunksFrom(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val emptyMd5 = org.apache.commons.codec.digest.DigestUtils.md5Hex("")
+    assert(got(0) == (1L, 2L, 0L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(twenty)))
+    assert(got(1) == (2L, 2L, 2L, emptyMd5))
+    // doc 3: chunk "w11..w20" duplicates doc 1's 2nd chunk; "w21..w30" kept
+    assert(got(2) == (3L, 2L, 1L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        (21 to 30).map(i => s"w$i").mkString(" "))))
+  }
 }
