@@ -206,7 +206,9 @@ object SparkEntry {
     "q_pmi" -> (TextOps.pmiCollocations _),
     "q_dedup_chunk" -> (TextOps.dedupChunks _),
     "q_khop" -> (GraphOps.kHop _),
-    "q_also_bought" -> (GraphOps.alsoBought _))
+    "q_also_bought" -> (GraphOps.alsoBought _),
+    "q_lm_perplexity" -> (TextOps.lmPerplexity _),
+    "q_semdedup" -> ((s, dir) => VectorOps.semDedup(s, dir)))
 
   /** DuckDB CTE mirroring Scoring.synthCustomers + Scoring.impute verbatim
     * (constants from the reference pickle, FIXTURES.md §B). */
@@ -2079,6 +2081,31 @@ object SparkEntry {
         |      AS BIGINT) AS rk
         |  FROM scored)
         |WHERE rk <= 3 ORDER BY p, rk""".stripMargin,
+    // same smoothing chain as the Spark side: (cxy+1)/(cx+V) in doubles,
+    // log2, occurrence-weighted mean, round(4); docs with < 2 tokens have
+    // no bigrams and drop out of both engines identically
+    "q_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |uc AS (SELECT w, count(*) AS cx
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bo AS (SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+         |    split_part(bigram, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |    FROM t WHERE len(toks) >= 2)),
+         |bc AS (SELECT w1, w2, count(*) AS cxy FROM bo GROUP BY 1, 2),
+         |db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bo GROUP BY 1, 2, 3),
+         |v AS (SELECT count(*) AS vsz FROM uc)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |  round(sum(n * lp) / sum(n), 4) AS avg_lp,
+         |  round(pow(2.0, -sum(n * lp) / sum(n)), 4) AS ppl
+         |FROM (SELECT db.doc_id, db.n,
+         |    log2(CAST(bc.cxy + 1 AS DOUBLE) / (uc.cx + v.vsz)) AS lp
+         |  FROM db
+         |  JOIN bc ON bc.w1 = db.w1 AND bc.w2 = db.w2
+         |  JOIN uc ON uc.w = db.w1
+         |  CROSS JOIN v)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

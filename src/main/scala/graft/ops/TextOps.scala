@@ -1263,4 +1263,45 @@ object TextOps {
           .as("clean_md5"))
       .orderBy("doc_id")
   }
+
+  /** Per-document language-model scoring — the CCNet/Wikipedia-LM quality
+    * filter (Wenzek et al. 2020): train a bigram LM on the corpus itself
+    * (add-one smoothing, p(w2|w1) = (c12+1)/(c1+V)), then score every
+    * document by its mean log2 probability and perplexity 2^(−mean).
+    * Out-of-distribution documents (the boilerplate/gibberish a filter
+    * drops) surface as high perplexity. Plan: the exploded token relation
+    * feeds the unigram table, the exploded bigram relation feeds BOTH the
+    * corpus bigram counts and the per-doc occurrence counts (grouping
+    * before the score join keeps join volume at distinct (doc, bigram),
+    * not token count); scoring attaches corpus counts with vocab-sized
+    * equi-joins and the scalar V rides a broadcast 1-row crossJoin. All
+    * shuffles are keyed on grams — at 100 TB the LM tables are exactly the
+    * word-count job, and scoring co-keys with them. Docs under 2 tokens
+    * have no bigrams and drop out, as in the oracle. */
+  def lmPerplexity(spark: SparkSession, sf: String): DataFrame = {
+    val docs = fannedDocs(spark, sf)
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cx"))
+      .persist()
+    // bigram occurrences persist: corpus counts AND per-doc counts read it
+    val bo = docs
+      .select(col("doc_id"), explode(bigramPairsOf(tokens(col("text")))).as("p"))
+      .select(col("doc_id"), col("p._1").as("w1"), col("p._2").as("w2"))
+      .persist()
+    val bc = bo.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    val vocab = uni.agg(count(lit(1)).as("vsz"))
+    val scored = bc
+      .join(uni.select(col("w").as("w1"), col("cx")), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log2((col("cxy") + 1).cast("double") / (col("cx") + col("vsz"))).as("lp"))
+    bo.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        round(sum(col("n") * col("lp")) / sum("n"), 4).as("avg_lp"),
+        round(pow(lit(2.0), -sum(col("n") * col("lp")) / sum("n")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
 }

@@ -291,14 +291,13 @@ object VectorOps {
   private val kmCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.ml.clustering.KMeansModel]()
 
-  def ivfTopk(spark: SparkSession, sf: String, k: Int = 16, nprobe: Int = 2): DataFrame = {
+  /** Fit-or-load the k-cell coarse quantizer for `sf` (expects an `fv`
+    * vector column). Shared by [[ivfTopk]] and [[semDedup]] so both see the
+    * SAME cells for a given (sf, k). */
+  private[graft] def coarseQuantizer(sf: String, k: Int, emb: DataFrame)
+      : org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
-        array_to_vector(col("embedding")).as("fv"))
-      .persist()
-    val km = kmCache.computeIfAbsent(s"$sf/$k", _ => {
+    kmCache.computeIfAbsent(s"$sf/$k", _ => {
       val dir = s"target/models/ivf$k-${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
       scala.util.Try(KMeansModel.load(dir)).getOrElse {
         // a coarse quantizer only buckets — 5 iterations is plenty;
@@ -309,6 +308,15 @@ object VectorOps {
         m
       }
     })
+  }
+
+  def ivfTopk(spark: SparkSession, sf: String, k: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        array_to_vector(col("embedding")).as("fv"))
+      .persist()
+    val km = coarseQuantizer(sf, k, emb)
     val assigned = km.transform(emb).select(col("vec_id"), col("v"), col("cell"))
     // centroids are driver-side constants (k × dim doubles) → literal frame
     val centroids = spark.createDataFrame(
@@ -357,5 +365,49 @@ object VectorOps {
       .filter(col("rk") <= 3)
       .select("probe_id", "rk", "vec_id", "cos")
       .orderBy("probe_id", "rk")
+  }
+
+  /** Cosine threshold for [[semDedup]] — the same 0.45 that marks the
+    * fixture's planted near-dups in [[dedupCosine]], so the exact all-pairs
+    * form is directly the recall baseline. */
+  val SemDedupThreshold = 0.45
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+    * clustering THEN comparing: assign every embedding to a k-means cell
+    * (the [[ivfTopk]] coarse quantizer, same cells), compare pairs only
+    * WITHIN a cell, and drop any vector with a smaller-id cell-mate above
+    * the threshold (deterministic stand-in for the paper's
+    * keep-farthest-from-centroid; keep-lowest-id makes the keep set
+    * reproducible and testable). Emits the full keep/drop decision table.
+    * Plan: one fit on the persisted scan, then a single equi-join on cell —
+    * never all-pairs; per-cell pair volume is (n/k)² per cell, so k grows
+    * as √n at scale (the paper runs k≈√n for exactly this bound) and cells
+    * are the partition keys. Precision is 1 (the within-cell cosine is
+    * exact); only recall is clustering-dependent — pairs split across cells
+    * are missed — which is why this is declared no-oracle with a measured
+    * recall bound against the oracled exact twin ([[dedupCosine]]) in
+    * VectorOpsSpec. */
+  def semDedup(spark: SparkSession, sf: String, k: Int = 16): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        array_to_vector(col("embedding")).as("fv"))
+      .persist()
+    val km = coarseQuantizer(sf, k, emb)
+    // persist: both sides of the within-cell self-join read this
+    val assigned = km.transform(emb)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .persist()
+    val dropped = assigned
+      .join(assigned.select(col("cell"), col("vec_id").as("ib"), col("v").as("vb")),
+        Seq("cell"))
+      .filter(col("vec_id") > col("ib") &&
+        round(cosine(col("v"), col("vb")), 4) >= SemDedupThreshold)
+      .select("vec_id").distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("hit"), lit(false)).as("dropped"))
+      .orderBy("vec_id")
   }
 }

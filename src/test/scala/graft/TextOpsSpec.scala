@@ -494,4 +494,24 @@ class TextOpsSpec extends SparkSpec {
       org.apache.commons.codec.digest.DigestUtils.md5Hex(
         (21 to 30).map(i => s"w$i").mkString(" "))))
   }
+
+  test("lmPerplexity: one row per multi-token doc, n_bigrams = tokens-1, ppl = 2^-avg_lp") {
+    val rows = TextOps.lmPerplexity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // docs with >= 2 tokens each contribute exactly (tokens - 1) bigram
+    // occurrences; shorter docs drop out entirely
+    val tokCounts = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = tokCounts.filter(_._2 >= 2)
+    assert(rows.length == expected.size)
+    rows.foreach { case (id, nBi, avgLp, ppl) =>
+      assert(nBi == expected(id) - 1L, s"doc $id")
+      // add-one smoothed probabilities are true probabilities < 1
+      assert(avgLp < 0.0 && ppl > 1.0, s"doc $id: avg_lp=$avgLp ppl=$ppl")
+      // the two reported forms are the same number (both 4-dp rounded)
+      assert(math.abs(ppl - math.pow(2.0, -avgLp)) <= 0.01 * ppl,
+        s"doc $id: ppl=$ppl vs 2^-avg_lp=${math.pow(2.0, -avgLp)}")
+    }
+  }
 }

@@ -128,4 +128,30 @@ class VectorOpsSpec extends SparkSpec {
     val bs = df.collect().map(_.getLong(0))
     assert(bs(0) == bs(1))
   }
+
+  test("semDedup: one row per vector, precision 1, measured recall vs exact twin") {
+    val rows = VectorOps.semDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val nVec = graft.sources.Tables.load(spark, sf001, "embeddings").count()
+    assert(rows.length == nVec.toInt)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // exact twin: global near-dup pairs at the same threshold. The greedy
+    // keep-lowest-id rule over the FULL pair set would drop exactly the
+    // larger-id members, so:
+    val exactPairs = VectorOps.dedupCosine(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exactDrop = exactPairs.map(_._2).toSet
+    val dropped = rows.filter(_._3).map(_._1).toSet
+    // precision 1: a within-cell drop is backed by an exact global pair
+    assert(dropped.subsetOf(exactDrop),
+      s"semDedup dropped non-dups: ${dropped.diff(exactDrop)}")
+    // recall: pairs split across cells are missed — demand a measured floor
+    assert(exactDrop.nonEmpty)
+    val recall = dropped.size.toDouble / exactDrop.size
+    assert(recall >= 0.5, s"recall $recall (${dropped.size}/${exactDrop.size})")
+    // deterministic: the quantizer is cached + seeded, the rule is id-based
+    val again = VectorOps.semDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
