@@ -217,29 +217,43 @@ object GraphOps {
     * from a fixed seed set, reporting how many parts are FIRST reached at
     * each hop (the blast-radius / recommendation-horizon query; also the
     * building block of distributed shortest-path). Per round: one equi-join
-    * of the frontier against the persisted directed-both-ways edge list
-    * (shuffles frontier-size × degree, never the whole graph), one
-    * distinct, and one anti-join against the visited set — all keyed on the
-    * node, so at 100 TB the edge list is hash-partitioned once and every
-    * round reuses that layout. Frontier and visited `localCheckpoint` per
-    * round (the dup-clusters lineage lesson: an iterated plan re-analyzes
-    * its whole history otherwise). The fixed [[KHopDepth]] keeps the oracle
-    * a genuine depth-bounded `WITH RECURSIVE` twin. */
+    * of the frontier against the persisted directed-both-ways edge list,
+    * one distinct, and one anti-join against the visited set. Frontier and
+    * visited are NODE-bounded, so both sides broadcast under the same
+    * guarded choice as [[pageRank]]'s rank table
+    * ([[GraphBroadcastMaxEdgesKey]]): `localCheckpoint`ed frames carry no
+    * stats, so without the hint every round SMJ-re-shuffles the persisted
+    * edge list. Warm sf0.1 is flat either way (5.0 vs 5.1 s — the 1.2M-row
+    * local shuffle is nearly free and the dominant cost is the `edges()`
+    * self-join+distinct derivation); the hint is for the cluster, where
+    * re-shuffling the 100 TB edge list 3× is the bottleneck and a
+    * node-state broadcast is exactly what the rank table already pays.
+    * Past the threshold the joins degrade to shuffles keyed on the node,
+    * where the edge list is hash-partitioned once and every round reuses
+    * that layout. Frontier and visited `localCheckpoint`
+    * per round (the dup-clusters lineage lesson: an iterated plan
+    * re-analyzes its whole history otherwise). The fixed [[KHopDepth]]
+    * keeps the oracle a genuine depth-bounded `WITH RECURSIVE` twin. */
   def kHop(spark: SparkSession, sf: String): DataFrame = {
     val e = edges(spark, sf)
     val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
       .persist()
+    // node-count probe for the guarded broadcast — same 1-row
+    // data-dependent plan choice as graphMetrics/pageRank
+    val n = dir.select(count_distinct(col("src"))).head().getLong(0)
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (n <= broadcastMaxEdges(spark)) broadcast else identity
     val seeds = Tables.load(spark, sf, "part")
       .filter(col("p_partkey") % KHopSeedMod === 0)
       .select(col("p_partkey").as("node"), lit(0L).as("lvl"))
     var visited = seeds.localCheckpoint()
     var frontier = visited
     for (lvl <- 1 to KHopDepth) {
-      val next = frontier
-        .join(dir, frontier("node") === dir("src"))
+      val next = dir
+        .join(maybeBroadcast(frontier), frontier("node") === dir("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(maybeBroadcast(visited), Seq("node"), "left_anti")
         .select(col("node"), lit(lvl.toLong).as("lvl"))
         .localCheckpoint()
       visited = visited.union(next).localCheckpoint()
