@@ -14,16 +14,29 @@ import graft.sources.Tables
   */
 object EventOps {
 
-  /** The harness `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
-    * convert with integer division (`div`, not `/` — double division loses
-    * precision above 2^53 and ~1.7e18 ns is well past it), then
-    * `timestamp_micros`. Session TZ is pinned UTC so wall-clock formatting
-    * matches DuckDB's naive TIMESTAMP_NS reading. */
+  /** Schema-adaptive `events` read. The harness fixture has shipped `ts` as
+    * both parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS, not-UTC-adjusted)
+    * across driver rounds, so dispatch on the resolved type instead of
+    * assuming one:
+    *  - NANOS: Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL), so read
+    *    nanos as raw longs (`nanosAsLong`) and convert with integer
+    *    division (`div`, not `/` — double division loses precision above
+    *    2^53 and ~1.7e18 ns is well past it), then `timestamp_micros`.
+    *  - MICROS not-UTC-adjusted: arrives as TIMESTAMP_NTZ; cast to the
+    *    session-TZ timestamp every downstream op already expects (session
+    *    TZ is pinned UTC, so the wall clock is unchanged).
+    * Either way the result is TIMESTAMP with UTC wall-clock matching
+    * DuckDB's naive read of the same file. */
   def events(spark: SparkSession, sf: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.load(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.load(spark, sf, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** JSON field extraction — `get_json_object` over the `props` JSON column,
