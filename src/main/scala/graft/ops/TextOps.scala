@@ -792,11 +792,20 @@ object TextOps {
       .select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
       .withColumn("block", substring(col("t"), 1, SnmBlockChars))
     val w = Window.partitionBy("block").orderBy("n_chars", "doc_id")
-    val neighbors = (1 to SnmWindow).map { k =>
-      docs.select(col("doc_id").as("id_a"), col("t").as("t_a"),
-        lead("doc_id", k).over(w).as("id_b"),
-        lead("t", k).over(w).as("t_b"))
-    }.reduce(_ unionAll _)
+    // every lead(·, k) shares ONE window spec, so Catalyst plans a single
+    // Window operator over a single Exchange+Sort; the w neighbor slots
+    // then fan out through a cheap map-side explode. (A union of w
+    // per-offset projections re-sorts the whole corpus w times — at 100 TB
+    // the sort IS the cost of SNM, so this is a w× saving.)
+    val neighbors = docs
+      .select(col("doc_id").as("id_a"), col("t").as("t_a"),
+        array((1 to SnmWindow).map { k =>
+          struct(lead("doc_id", k).over(w).as("id_b"),
+            lead("t", k).over(w).as("t_b"))
+        }: _*).as("nbrs"))
+      .select(col("id_a"), col("t_a"), explode(col("nbrs")).as("nb"))
+      .select(col("id_a"), col("t_a"),
+        col("nb.id_b").as("id_b"), col("nb.t_b").as("t_b"))
     neighbors
       .filter(col("id_b").isNotNull)
       .select(least(col("id_a"), col("id_b")).as("id_lo"),

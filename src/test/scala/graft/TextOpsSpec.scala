@@ -434,6 +434,24 @@ class TextOpsSpec extends SparkSpec {
     assert(snmAll.nonEmpty)
   }
 
+  test("sortedNeighborhood plan: ONE window (one sort), not one per offset") {
+    // the w lead() offsets must share a single Window operator — a union of
+    // per-offset projections would re-sort the corpus w times (guards the
+    // round-8 single-pass rewrite against regressing to the union form)
+    val df = TextOps.sortedNeighborhood(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1, s"expected 1 Window node, got ${windows.size}")
+    assert(windows.head.windowExpressions.size == 2 * TextOps.SnmWindow,
+      s"expected ${2 * TextOps.SnmWindow} shared window expressions")
+    val unions = opt.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.isEmpty, "union of per-offset windows crept back in")
+  }
+
   test("pmiCollocations reconciles with independently-counted grams") {
     val rows = TextOps.pmiCollocations(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
