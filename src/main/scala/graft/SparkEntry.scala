@@ -672,8 +672,9 @@ object SparkEntry {
         |    u, ':80/', '/', 'g'), ':80\?', '?', 'g'), ':80$', '', 'g') AS u
         |  FROM c1),
         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(
-        |    u, '(utm_[a-z]+|ref)=[^&?]*', '', 'g'),
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    u, '\?(utm_[a-z]+|ref)=[^&?]*', '?', 'g'),
+        |    '&(utm_[a-z]+|ref)=[^&?]*', '&', 'g'),
         |    '&+', '&', 'g'), '\?[?&]+', '?', 'g'),
         |    '[?&]$', '', 'g'), '/$', '', 'g') AS u
         |  FROM c2)
@@ -1721,7 +1722,7 @@ object SparkEntry {
       s"""SELECT c_nationkey, count(*) AS numcust,
          |  round(sum(c_acctbal), 4) AS totacctbal
          |FROM customer
-         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+         |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
          |                   WHERE c_acctbal > 0.0)
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |    AND o_orderdate >= TIMESTAMP '${TpchOps.Q22IdleSince}')

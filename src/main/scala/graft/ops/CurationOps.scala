@@ -131,12 +131,18 @@ object CurationOps {
     val noPort = when(rejoined.startsWith("http://"), stripPort(rejoined, "80"))
       .when(rejoined.startsWith("https://"), stripPort(rejoined, "443"))
       .otherwise(rejoined)
-    // tracking-param strip that stays correct when real params follow:
-    // remove the pair only (value stops at & AND ?), then normalize the
-    // separator debris — collapse '&' runs, collapse '?[?&]+' to '?', and
-    // strip a trailing separator. '?utm_a=1&page=2' → '?&page=2' →
-    // '?page=2'; '?utm_a=1&utm_b=2' → '?&' → '?' → ''.
-    val noTrack = regexp_replace(noPort, "(utm_[a-z]+|ref)=[^&?]*", "")
+    // tracking-param strip that stays correct when real params follow AND
+    // is anchored on the param-name boundary (a bare '(utm_…|ref)=' would
+    // also fire inside 'href=x'/'aref=x', corrupting real params): the
+    // pattern consumes the leading separator and re-emits it as a literal
+    // — capture-free, so the Java-vs-RE2 '$1'/'\1' replacement divergence
+    // never applies — then the debris passes below normalize what's left:
+    // collapse '&' runs, collapse '?[?&]+' to '?', strip a trailing
+    // separator. '?utm_a=1&page=2' → '?&page=2' → '?page=2';
+    // '?utm_a=1&utm_b=2' → '?&' → '?' → ''.
+    val noTrack = regexp_replace(
+      regexp_replace(noPort, "\\?(utm_[a-z]+|ref)=[^&?]*", "?"),
+      "&(utm_[a-z]+|ref)=[^&?]*", "&")
     val ampRuns = regexp_replace(noTrack, "&+", "&")
     val qRuns = regexp_replace(ampRuns, "\\?[?&]+", "?")
     val noDangle = regexp_replace(qRuns, "[?&]$", "")

@@ -259,6 +259,10 @@ object GraphOps {
       visited = visited.union(next).localCheckpoint()
       frontier = next
     }
+    // the result is built entirely from checkpointed frames, so the edge
+    // cache is dead weight past this point (unlike alsoBought's deg, which
+    // the RETURNED lazy plan still references and must stay cached)
+    dir.unpersist()
     visited.groupBy("lvl")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("lvl")
@@ -285,6 +289,9 @@ object GraphOps {
   def alsoBought(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    // stays cached for the session (released by the harness clearCache):
+    // the RETURNED plan references deg on both the target build and the
+    // q-degree join, so an eager unpersist here would re-run the aggregate
     val deg = li.groupBy(col("l_partkey").as("p"))
       .agg(count_distinct(col("l_orderkey")).as("orders"))
       .persist()

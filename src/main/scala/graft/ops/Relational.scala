@@ -717,18 +717,6 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** Per-group winsorization — clip a value column to its group's
-    * [p05, p95] band and report how many rows each tail clipped plus the
-    * before/after means: the standard outlier-robustification pass a
-    * feature pipeline runs before scaling (a single corrupt sensor read
-    * otherwise owns the group's mean and the fitted scaler with it). Two
-    * passes by necessity (quantiles, then clip) but ONE shuffle each: the
-    * exact per-group percentiles are a sort-based aggregate (3 group
-    * rows), broadcast-joined back onto the scan; at 100 TB the exact
-    * percentile swaps for `approx_percentile` — same shape, sketch
-    * accuracy, one pass ([[sketchStats]] is that form). Interpolated
-    * `percentile` matches DuckDB's `quantile_cont` bit-for-bit
-    * (the parity [[percentileExact]] pins). */
   /** Ordered intra-group string aggregation — the LISTAGG ... WITHIN GROUP
     * surface (SQL:2016, new as a built-in in Spark 4): per market segment,
     * the top-3 customer names by balance as one ordered comma-joined
@@ -870,6 +858,18 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** Per-group winsorization — clip a value column to its group's
+    * [p05, p95] band and report how many rows each tail clipped plus the
+    * before/after means: the standard outlier-robustification pass a
+    * feature pipeline runs before scaling (a single corrupt sensor read
+    * otherwise owns the group's mean and the fitted scaler with it). Two
+    * passes by necessity (quantiles, then clip) but ONE shuffle each: the
+    * exact per-group percentiles are a sort-based aggregate (3 group
+    * rows), broadcast-joined back onto the scan; at 100 TB the exact
+    * percentile swaps for `approx_percentile` — same shape, sketch
+    * accuracy, one pass ([[sketchStats]] is that form). Interpolated
+    * `percentile` matches DuckDB's `quantile_cont` bit-for-bit
+    * (the parity [[percentileExact]] pins). */
   def winsorize(spark: SparkSession, sf: String): DataFrame = {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))

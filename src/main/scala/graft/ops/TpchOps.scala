@@ -216,8 +216,11 @@ object TpchOps {
 
   def salesOpportunity(spark: SparkSession, sf: String): DataFrame = {
     val c = Tables.load(spark, sf, "customer")
+    // round the scalar BEFORE the > compare: cross-engine summation-order
+    // ulp drift in avg() could otherwise flip a customer sitting exactly at
+    // the boundary (same discipline as Q15's rounded max-revenue equality)
     val posAvg = c.filter(col("c_acctbal") > 0.0)
-      .agg(avg("c_acctbal").as("avg_bal"))
+      .agg(round(avg("c_acctbal"), 4).as("avg_bal"))
     val recent = Tables.load(spark, sf, "orders")
       .filter(col("o_orderdate") >= lit(Q22IdleSince).cast("timestamp"))
       .select("o_custkey")
@@ -231,15 +234,6 @@ object TpchOps {
       .orderBy("c_nationkey")
   }
 
-  /** Q5 (local supplier volume, adapted): revenue from lineitems where the
-    * supplier and customer share a nation, for one region and one year.
-    * The classic star-with-a-twist: region→nation prune the supplier side
-    * via broadcast joins (5 + 25 rows — always broadcast), the year
-    * predicate prunes orders at the scan, and the one genuinely big join
-    * (orders ⋈ lineitem) carries only the pruned survivors into its
-    * shuffle. The c_nationkey = s_nationkey equality is the twist that
-    * makes it non-hierarchical — it rides the supplier join as a second
-    * key, not an extra shuffle. */
   /** Q10 (returned-item reporting, adapted): top 20 customers by revenue
     * lost to returns in one quarter. The quarter predicate prunes orders at
     * the scan and the returnflag predicate prunes lineitem at the scan, so
@@ -500,6 +494,15 @@ object TpchOps {
       .limit(100)
   }
 
+  /** Q5 (local supplier volume, adapted): revenue from lineitems where the
+    * supplier and customer share a nation, for one region and one year.
+    * The classic star-with-a-twist: region→nation prune the supplier side
+    * via broadcast joins (5 + 25 rows — always broadcast), the year
+    * predicate prunes orders at the scan, and the one genuinely big join
+    * (orders ⋈ lineitem) carries only the pruned survivors into its
+    * shuffle. The c_nationkey = s_nationkey equality is the twist that
+    * makes it non-hierarchical — it rides the supplier join as a second
+    * key, not an extra shuffle. */
   def localSupplierVolume(spark: SparkSession, sf: String): DataFrame = {
     val cutLo = lit("1997-01-01").cast("timestamp")
     val cutHi = lit("1998-01-01").cast("timestamp")

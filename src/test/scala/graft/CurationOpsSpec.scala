@@ -194,7 +194,12 @@ class CurationOpsSpec extends SparkSpec {
       ("HTTPS://Example.COM:443/a/?ref=nav", "https://example.com/a"),
       ("http://example.com:80/a?utm_x=1", "http://example.com/a"),
       ("http://example.com/a?utm_source=a?page=2",
-       "http://example.com/a?page=2"))
+       "http://example.com/a?page=2"),
+      // param names that merely END in 'ref' are real params, not tracking:
+      // an unanchored '(utm_…|ref)=' would fire inside them ('href=x' →
+      // 'h'), which is exactly the corruption the separator anchor prevents
+      ("http://example.com/a?href=x&utm_b=2", "http://example.com/a?href=x"),
+      ("http://example.com/a?aref=1&ref=nav", "http://example.com/a?aref=1"))
     val got = cases.map(_._1).toDF("u")
       .select(CurationOps.canonicalizeUrl(col("u")).as("c"))
       .collect().map(_.getString(0))
