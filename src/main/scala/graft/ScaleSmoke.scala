@@ -24,14 +24,13 @@ object ScaleSmoke {
     // cost is itself a measurement, so it goes last
     val ops: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "ann_ivf" -> ((s: SparkSession, d: String) => graft.ops.VectorOps.ivfTopk(s, d)),
+      // fixed-k arm: the eventually-quadratic regime, kept as the contrast
       "semdedup(k=16)" -> ((s: SparkSession, d: String) =>
-        graft.ops.VectorOps.semDedup(s, d)),
+        graft.ops.VectorOps.semDedup(s, d, k = 16)),
       // the paper's k ~ sqrt(n) regime: per-cell pair volume (n/k)^2 * k =
-      // n^1.5 total — the knob that keeps within-cell compares sub-quadratic
-      "semdedup(k=sqrt_n)" -> ((s: SparkSession, d: String) => {
-        val n = graft.sources.Tables.load(s, d, "embeddings").count()
-        graft.ops.VectorOps.semDedup(s, d, k = math.max(4, math.sqrt(n.toDouble).toInt))
-      }),
+      // n^1.5 total — since round 8 this IS the declared default
+      "semdedup(k=sqrt_n)" -> ((s: SparkSession, d: String) =>
+        graft.ops.VectorOps.semDedup(s, d)),
       "dedup_cosine_lsh_prod(0.95,8x8)" -> (graft.ops.VectorOps.dedupCosineLshProd _),
       "dedup_cosine_lsh(0.45,8x2)" -> (graft.ops.VectorOps.dedupCosineLsh _))
     for (dir <- dirs; (name, fn) <- ops; rep <- 1 to 2) {

@@ -380,20 +380,28 @@ object VectorOps {
     * keep-farthest-from-centroid; keep-lowest-id makes the keep set
     * reproducible and testable). Emits the full keep/drop decision table.
     * Plan: one fit on the persisted scan, then a single equi-join on cell —
-    * never all-pairs; per-cell pair volume is (n/k)² per cell, so k grows
-    * as √n at scale (the paper runs k≈√n for exactly this bound) and cells
-    * are the partition keys. Precision is 1 (the within-cell cosine is
-    * exact); only recall is clustering-dependent — pairs split across cells
-    * are missed — which is why this is declared no-oracle with a measured
-    * recall bound against the oracled exact twin ([[dedupCosine]]) in
-    * VectorOpsSpec. */
-  def semDedup(spark: SparkSession, sf: String, k: Int = 16): DataFrame = {
+    * never all-pairs; per-cell pair volume is (n/k)² per cell, so the
+    * DECLARED k tracks the data: k = max(16, ⌈√n⌉), the paper's k≈√n
+    * regime, keeping total within-cell compares at n^1.5 instead of the
+    * eventually-quadratic fixed-k form (the ScaleSmoke decade measures
+    * both). The n probe is a 1-row count on the persisted scan the
+    * quantizer fit is about to materialize anyway — a data-dependent plan
+    * choice, not a driver-side loop (ledger class: GraphOps scalars).
+    * Precision is 1 (the within-cell cosine is exact); only recall is
+    * clustering-dependent — pairs split across cells are missed — which is
+    * why this is declared no-oracle with a measured recall bound against
+    * the oracled exact twin ([[dedupCosine]]) in VectorOpsSpec. Pass k > 0
+    * to pin the cell count (tests, the smoke's fixed-k arm). */
+  def semDedup(spark: SparkSession, sf: String, k: Int = 0): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"),
         array_to_vector(col("embedding")).as("fv"))
       .persist()
-    val km = coarseQuantizer(sf, k, emb)
+    val kk =
+      if (k > 0) k
+      else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val km = coarseQuantizer(sf, kk, emb)
     // persist: both sides of the within-cell self-join read this
     val assigned = km.transform(emb)
       .select(col("vec_id"), col("v"), col("cell"))
