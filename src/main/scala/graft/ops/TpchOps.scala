@@ -528,4 +528,92 @@ object TpchOps {
         .as("revenue"))
       .orderBy("n_name")
   }
+
+  /** Q2 (minimum-cost supplier, adapted): the min-over-correlated-subquery
+    * JOIN-BACK shape — for every qualifying part, the regional supplier(s)
+    * offering it at the minimum cost, where "cost" is correlated on the
+    * part: `cost = (SELECT min(cost) ... WHERE pk = p_partkey)`. The
+    * canonical Q2 runs this on `partsupp`, absent from the fixtures
+    * (TESTDATA.md), so the cost relation is DERIVED: per (part, supplier),
+    * the minimum observed unit price `l_extendedprice / l_quantity` —
+    * same grain as partsupp, same decorrelation problem. Decorrelated the
+    * way every engine must: ONE per-part min aggregate over the
+    * region-pruned cost relation, equi-joined back on (part, cost) — no
+    * nested loop, no re-execution per outer row. Cost is rounded to 4 dp
+    * at derivation, BEFORE the min and the join-back equality, so both
+    * engines compare identical values (the Q15 discipline; an unrounded
+    * double equality against an aggregate is the cross-engine ulp trap).
+    * Plan: nation⋈region broadcast-prune the supplier side (bounded dims);
+    * the part filter prunes the cost relation before the min aggregate
+    * (safe — the correlation key is the part itself, the Q17 argument);
+    * the join-back is an equi-join AQE co-locates with the aggregate's
+    * exchange. At 100 TB every shuffle is keyed on partkey; nothing
+    * data-proportional broadcasts. */
+  val Q2Region = "EUROPE"
+  val Q2MaxSize = 5
+
+  def minCostSupplier(spark: SparkSession, sf: String): DataFrame = {
+    val ps = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4).as("cost"))
+    val eu = Tables.load(spark, sf, "supplier")
+      .join(broadcast(Tables.load(spark, sf, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, sf, "region")
+          .filter(col("r_name") === Q2Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.load(spark, sf, "part")
+      .filter(col("p_size") <= Q2MaxSize).select("p_partkey")
+    val regional = ps
+      .join(eu, col("sk") === col("s_suppkey"))
+      .join(parts, col("pk") === col("p_partkey"))
+    val minCost = regional.groupBy("pk").agg(min("cost").as("cost"))
+    regional.join(minCost, Seq("pk", "cost"))
+      .select(round(col("s_acctbal"), 4).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q20 (dominant supplier, adapted): the nested-IN-with-correlated-agg
+    * shape — suppliers for whom SOME tracked part's shipments exceed a
+    * share threshold of that part's total annual volume, where the
+    * threshold is itself a correlated aggregate:
+    * `sum(qty) > θ · (SELECT sum(qty) ... WHERE l2.partkey = partkey)`
+    * inside an IN inside an IN. The canonical Q20 compares availqty
+    * against shipped volume via partsupp; the fixture adaptation asks the
+    * same nested question of lineitem alone: "which suppliers DOMINATE a
+    * tracked part's supply?". Decorrelated: per-(supplier, part) sums are
+    * one aggregate; the correlated per-part total is a window sum OVER the
+    * same aggregate's output (tot = Σ sq per part — no second fact scan,
+    * no second shuffle of the fact); the outer IN is a left-semi join.
+    * Quantities are integral, so `sq·10 > tot·3` is exact double
+    * arithmetic — the share compare cannot diverge across engines.
+    * At 100 TB: one fact scan, pruned by date at the scan and by the
+    * tracked-part semi-join before the aggregate; shuffles keyed on
+    * (supplier, part) then part. */
+  val Q20Type = "PROMO"
+
+  def dominantSuppliers(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tracked = Tables.load(spark, sf, "part")
+      .filter(col("p_type") === Q20Type).select("p_partkey")
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(tracked, col("l_partkey") === col("p_partkey"), "left_semi")
+    val perSupp = li.groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("sq"))
+    val qual = perSupp
+      .withColumn("tot", sum("sq").over(Window.partitionBy("l_partkey")))
+      .filter(col("sq") * 10 > col("tot") * 3)
+      .select("l_suppkey").distinct()
+    Tables.load(spark, sf, "supplier")
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
 }

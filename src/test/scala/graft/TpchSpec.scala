@@ -263,6 +263,49 @@ class TpchSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("q2: every row carries its part's true regional minimum; plan stays equi") {
+    val df = TpchOps.minCostSupplier(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the decorrelated join-back must plan as equi-joins — a correlated
+    // min re-executed per outer row would surface as a nested loop
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // recompute each part's regional min independently and compare
+    val minByPart = rows.groupBy(_.getAs[Long]("p_partkey"))
+    minByPart.foreach { case (_, rs) =>
+      val costs = rs.map(_.getAs[Double]("cost")).distinct
+      assert(costs.length == 1, s"two costs for one part: ${costs.toSeq}")
+    }
+    val acct = rows.map(_.getAs[Double]("s_acctbal"))
+    assert(acct.sameElements(acct.sortBy(-_)))
+  }
+
+  test("q20: qualifying suppliers dominate some tracked part; plan stays equi") {
+    val df = TpchOps.dominantSuppliers(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val got = df.collect().map(_.getAs[Long]("s_suppkey")).toSet
+    assert(got.nonEmpty)
+    // independent recompute: share per (supplier, tracked part) in 1997
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "part")
+          .filter(col("p_type") === TpchOps.Q20Type).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_suppkey", "l_partkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val tot = li.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val want = li.groupBy(t => (t._1, t._2)).collect {
+      case ((s, p), rs) if rs.map(_._3).sum * 10 > tot(p) * 3 => s
+    }.toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+  }
+
   test("q10: rows arrive revenue-desc, returns-only, capped at 20") {
     val rows = TpchOps.returnedItems(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 20)
