@@ -663,14 +663,21 @@ object TextOps {
   def bpeMerges(spark: SparkSession, sf: String): DataFrame =
     bpeMergesOf(fannedDocs(spark, sf))
 
-  /** Core over any (doc_id, text) frame (golden-vector seam, TextOpsSpec). */
-  def bpeMergesOf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Shared trainer core: runs the [[BpeRounds]] greedy rounds and returns
+    * both artifacts — the merge list AND the final distinct-word table
+    * `(w, s, n)` with each word's post-merge segmentation, which IS the
+    * encode dictionary ([[bpeEncodeOf]] — training's word rewrite after
+    * round r equals applying merges 1..r, so the encoder costs nothing
+    * extra). The word table is left persisted; [[bpeMergesOf]] releases it,
+    * [[bpeEncodeOf]]'s returned plan keeps reading it (harness clearCache
+    * releases, the alsoBought convention). */
+  private def bpeTrain(docs: DataFrame)
+      : (Seq[(Long, String, Long)], DataFrame) = {
     var words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
+      .select(col("w"), trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+        col("n"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to BpeRounds) {
@@ -685,7 +692,7 @@ object TextOps {
       if (top.nonEmpty) {
         val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
         merges += ((r.toLong, pair, cnt))
-        val next = words.select(
+        val next = words.select(col("w"),
           regexp_replace(col("s"), "\\b" + pair + "\\b", pair.replace(" ", "")).as("s"),
           col("n")).persist()
         next.count() // materialize before dropping the parent from cache
@@ -693,8 +700,45 @@ object TextOps {
         words = next
       }
     }
+    (merges.toSeq, words)
+  }
+
+  /** Core over any (doc_id, text) frame (golden-vector seam, TextOpsSpec). */
+  def bpeMergesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, words) = bpeTrain(docs)
     words.unpersist()
-    merges.toSeq.toDF("rank", "pair", "weight").orderBy("rank")
+    merges.toDF("rank", "pair", "weight").orderBy("rank")
+  }
+
+  /** BPE APPLY/ENCODE — the consumer of [[bpeMerges]]' output: tokenize the
+    * corpus with the learned merges and report each document's subword
+    * footprint (word count, BPE unit count, units per word — the number a
+    * context-length budget like [[seqPack]]'s is actually denominated in).
+    * The encode dictionary is the trainer's own final word table (see
+    * [[bpeTrain]]): segmentation happens ONCE per distinct word, and the
+    * corpus pass is a vocab-sized equi-join of exploded doc tokens against
+    * it — the standard "tokenize via vocabulary lookup" plan; at 100 TB
+    * the dictionary is millions of rows (broadcast or co-keyed hash join),
+    * never the corpus. Zero-token docs have no words and drop out, as in
+    * the oracle (the [[lmPerplexity]] convention). */
+  def bpeEncode(spark: SparkSession, sf: String): DataFrame =
+    bpeEncodeOf(fannedDocs(spark, sf))
+
+  /** Core over any (doc_id, text) frame (golden-vector seam, TextOpsSpec). */
+  def bpeEncodeOf(docs: DataFrame): DataFrame = {
+    val (_, words) = bpeTrain(docs)
+    val vocab = words.select(col("w"),
+      size(split(col("s"), " ")).cast("long").as("units"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("units").as("n_units"))
+      .select(col("doc_id"), col("n_words"), col("n_units"),
+        round(col("n_units").cast("double") / col("n_words"), 4)
+          .as("units_per_word"))
+      .orderBy("doc_id")
   }
 
   /** Token-k-gram length for [[dedupNgram]]: 13 tokens — long enough that a

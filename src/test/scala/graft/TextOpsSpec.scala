@@ -46,6 +46,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got.last == (9L, "n ewest", 1L))
   }
 
+  test("bpeEncode agrees with a plain-Scala re-application of the trained merges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low lower lower newest"),
+      (2L, "newest widest lowest low"),
+      (3L, ""), // zero tokens: must drop out, as in the oracle
+      (4L, "low")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMergesOf(docs).collect().map(_.getString(1)).toSeq
+    // independent encoder: same \b-delimited left-to-right replacement,
+    // but driver-side per word via Java replaceAll
+    def encode(word: String): Int = {
+      var s = word.trim.toCharArray.mkString(" ")
+      merges.foreach { p =>
+        s = s.replaceAll("\\b" + p + "\\b", p.replace(" ", ""))
+      }
+      s.split(" ").length
+    }
+    val got = TextOps.bpeEncodeOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(1L, 2L, 4L).map { id =>
+      val ws = Seq("low low low lower lower newest", "newest widest lowest low",
+        "low")(Seq(1L, 2L, 4L).indexOf(id)).split("\\s+").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(encode).sum.toLong)
+    }
+    assert(got == want, s"got $got")
+  }
+
   test("bpeMerges handles identical-symbol runs like the standard greedy scan") {
     import spark.implicits._
     // 'aaaa' must merge to [aa, aa] in round 1 (space-consuming replacement
