@@ -110,6 +110,7 @@ object SparkEntry {
     "q_bm25" -> (TextOps.bm25 _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_bpe_merges" -> (TextOps.bpeMerges _),
+    "q_bpe_encode" -> (TextOps.bpeEncode _),
     "q_lang_stats" -> (TextOps.langStats _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_fingerprint" -> (TextOps.fingerprint _),
@@ -188,6 +189,8 @@ object SparkEntry {
     "q_tpch_q15" -> (TpchOps.topSupplier _),
     "q_tpch_q17" -> (TpchOps.smallQtyRevenue _),
     "q_tpch_q21" -> (TpchOps.waitingSuppliers _),
+    "q_tpch_q2" -> (TpchOps.minCostSupplier _),
+    "q_tpch_q20" -> (TpchOps.dominantSuppliers _),
     "q_typed_agg" -> (TypedOps.typedAvg _),
     "q_variant_extract" -> (EventOps.variantExtract _),
     "q_token_mask" -> (TextOps.tokenMask _),
@@ -314,7 +317,12 @@ object SparkEntry {
     * replacement). A round past vocabulary exhaustion (empty t_i) passes
     * rows through unchanged — without the CASE guard, the NULL scalar
     * subquery would NULL every row of all later CTEs via regexp_replace. */
-  private def bpeMergesSql: String = {
+  /** The merge-round CTE chain shared by [[bpeMergesSql]] and
+    * [[bpeEncodeSql]]. Word tables carry the original word `w` through
+    * every round so the final w$rounds doubles as the encode dictionary
+    * (word → its post-merge segmentation), exactly like the Scala
+    * trainer's word table. */
+  private def bpeChainSql: String = {
     val rounds = graft.ops.TextOps.BpeRounds
     val iters = (1 to rounds).map { i =>
       s"""p$i AS (
@@ -325,21 +333,41 @@ object SparkEntry {
          |  SELECT p, CAST(sum(n) AS BIGINT) AS cnt FROM p$i GROUP BY p
          |  ORDER BY cnt DESC, p LIMIT 1
          |), w$i AS MATERIALIZED (
-         |  SELECT CASE WHEN (SELECT count(*) FROM t$i) = 0 THEN s
+         |  SELECT w, CASE WHEN (SELECT count(*) FROM t$i) = 0 THEN s
          |    ELSE regexp_replace(s, '\\b' || (SELECT p FROM t$i) || '\\b',
          |      replace((SELECT p FROM t$i), ' ', ''), 'g') END AS s, n
          |  FROM w${i - 1}
          |)""".stripMargin
     }.mkString(", ")
+    s"""toks AS (SELECT unnest($toksSql) AS w FROM documents),
+       |w0 AS MATERIALIZED (SELECT w,
+       |       trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
+       |       count(*) AS n FROM toks GROUP BY w),
+       |$iters""".stripMargin
+  }
+
+  private def bpeMergesSql: String = {
+    val rounds = graft.ops.TextOps.BpeRounds
     val unions = (1 to rounds).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, p AS pair, cnt AS weight FROM t$i")
       .mkString("\nUNION ALL ")
-    s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
-       |w0 AS MATERIALIZED (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
-       |       count(*) AS n FROM toks GROUP BY w),
-       |$iters
+    s"""WITH $bpeChainSql
        |$unions
        |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB twin of TextOps.bpeEncode: the same unrolled merge chain, then
+    * the corpus tokens join the final word table for per-doc unit counts. */
+  private def bpeEncodeSql: String = {
+    val rounds = graft.ops.TextOps.BpeRounds
+    s"""WITH $bpeChainSql,
+       |dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(v.s, ' '))) AS BIGINT) AS n_units,
+       |  round(CAST(sum(len(string_split(v.s, ' '))) AS DOUBLE) / count(*), 4)
+       |    AS units_per_word
+       |FROM dw JOIN w$rounds v USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB twin of TextOps.repetition; also embedded as a CTE by the
@@ -1160,6 +1188,7 @@ object SparkEntry {
          |  round(1 - CAST(count(*) AS DOUBLE) / sum(n), 4) AS dup_rate
          |FROM per""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_bm25" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
@@ -1757,6 +1786,40 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q2" -> // correlated scalar min, written correlated on purpose:
+      // the oracle exercises DuckDB's own decorrelation of the same shape
+      s"""WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    round(min(l_extendedprice / l_quantity), 4) AS cost
+         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+         |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = '${TpchOps.Q2Region}')
+         |SELECT round(s_acctbal, 4) AS s_acctbal, s_name, n_name,
+         |  p_partkey, cost
+         |FROM part JOIN ps ON p_partkey = pk JOIN eu ON sk = s_suppkey
+         |WHERE p_size <= ${TpchOps.Q2MaxSize}
+         |  AND cost = (SELECT min(ps2.cost) FROM ps ps2
+         |    JOIN eu eu2 ON ps2.sk = eu2.s_suppkey
+         |    WHERE ps2.pk = p_partkey)
+         |ORDER BY round(s_acctbal, 4) DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "q_tpch_q20" -> // nested IN + correlated agg, written correlated on
+      // purpose — the decorrelation is the engine's job on both sides
+      s"""SELECT s_suppkey, s_name FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM lineitem l1
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_type = '${TpchOps.Q20Type}')
+         |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY l_suppkey, l_partkey
+         |  HAVING sum(l_quantity) * 10 > 3 * (SELECT sum(l2.l_quantity)
+         |    FROM lineitem l2
+         |    WHERE l2.l_partkey = l1.l_partkey
+         |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+         |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+         |ORDER BY s_suppkey""".stripMargin,
     "q_tpch_q15" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,
