@@ -191,6 +191,9 @@ object SparkEntry {
     "q_tpch_q21" -> (TpchOps.waitingSuppliers _),
     "q_tpch_q2" -> (TpchOps.minCostSupplier _),
     "q_tpch_q20" -> (TpchOps.dominantSuppliers _),
+    "q_tpch_q9" -> (TpchOps.productProfit _),
+    "q_tpch_q11" -> (TpchOps.importantParts _),
+    "q_tpch_q16" -> (TpchOps.partSupplierCensus _),
     "q_typed_agg" -> (TypedOps.typedAvg _),
     "q_variant_extract" -> (EventOps.variantExtract _),
     "q_token_mask" -> (TextOps.tokenMask _),
@@ -1789,7 +1792,7 @@ object SparkEntry {
     "q_tpch_q2" -> // correlated scalar min, written correlated on purpose:
       // the oracle exercises DuckDB's own decorrelation of the same shape
       s"""WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
-         |    round(min(l_extendedprice / l_quantity), 4) AS cost
+         |    floor(min(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000 AS cost
          |  FROM lineitem GROUP BY l_partkey, l_suppkey),
          |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
          |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -1820,6 +1823,47 @@ object SparkEntry {
          |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
          |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
          |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q9" ->
+      s"""WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    floor(min(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000 AS cost
+         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+         |SELECT n_name, year(o_orderdate) AS o_year,
+         |  round(sum(l_extendedprice * (1 - l_discount)
+         |    - cost * l_quantity), 4) AS profit
+         |FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN ps ON pk = l_partkey AND sk = l_suppkey
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation ON n_nationkey = s_nationkey
+         |WHERE p_name LIKE '${TpchOps.Q9PartFamily}'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q_tpch_q11" -> // the HAVING scalar aggregates the SAME grouped
+      // relation — written that way so DuckDB plans its own CSE of it
+      s"""WITH v AS (SELECT l_partkey AS p_partkey,
+         |    round(sum(l_extendedprice), 4) AS value
+         |  FROM lineitem
+         |    JOIN supplier ON s_suppkey = l_suppkey
+         |    JOIN nation ON n_nationkey = s_nationkey
+         |  WHERE n_name = '${TpchOps.Q11Nation}'
+         |  GROUP BY l_partkey)
+         |SELECT p_partkey, value FROM v
+         |WHERE value > ${TpchOps.Q11MeanMultiple}
+         |  * (SELECT sum(value) / count(*) FROM v)
+         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q_tpch_q16" ->
+      s"""SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) psx
+         |  JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand <> '${TpchOps.Q16ExcludedBrand}'
+         |  AND p_type NOT LIKE '${TpchOps.Q16ExcludedTypePrefix}'
+         |  AND p_size IN (${TpchOps.Q16Sizes.mkString(", ")})
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |                        WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_tpch_q15" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,

@@ -306,6 +306,70 @@ class TpchSpec extends SparkSpec {
     assert(got == want, s"got ${got.size}, want ${want.size}")
   }
 
+  test("q9: profit never exceeds revenue and the cost term is the Q2 relation") {
+    val rows = TpchOps.productProfit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent recompute of one (nation, year) cell via plain SQL algebra
+    val revOnly = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "part")
+          .filter(col("p_name").like(TpchOps.Q9PartFamily)).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_orderdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.load(spark, sf0001, "supplier").select("s_suppkey", "s_nationkey"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.load(spark, sf0001, "nation"),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      // profit = revenue - cost·qty where cost = min unit price > 0
+      assert(r.getDouble(2) < revOnly(key), s"profit not below revenue at $key")
+    }
+  }
+
+  test("q11: survivors beat the mean-multiple cut; scalar is not a driver action") {
+    val df = TpchOps.importantParts(spark, sf0001)
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    // recompute the grouped relation and the cut independently
+    val v = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "supplier"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.load(spark, sf0001, "nation")
+          .filter(col("n_name") === TpchOps.Q11Nation),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy("l_partkey").agg(round(sum("l_extendedprice"), 4).as("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val cut = TpchOps.Q11MeanMultiple * v.map(_._2).sum / v.length
+    val want = v.filter(_._2 > cut).sortBy(t => (-t._2, t._1)).toSeq
+    assert(rows.toSeq == want)
+    val vals = rows.map(_._2)
+    assert(vals.sameElements(vals.sortBy(-(_: Double))))
+  }
+
+  test("q16: exclusions hold — no flagged supplier, no excluded attributes") {
+    val df = TpchOps.partSupplierCensus(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(800)) // the NOT IN
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) != TpchOps.Q16ExcludedBrand)
+      assert(!r.getString(1).startsWith(
+        TpchOps.Q16ExcludedTypePrefix.stripSuffix("%")))
+      assert(TpchOps.Q16Sizes.contains(r.getInt(2)))
+      assert(r.getLong(3) > 0L)
+    }
+    // census must not exceed the unflagged supplier universe
+    val nOk = Tables.load(spark, sf0001, "supplier")
+      .filter(col("s_acctbal") >= 0).count()
+    assert(rows.map(_.getLong(3)).max <= nOk)
+  }
+
   test("q10: rows arrive revenue-desc, returns-only, capped at 20") {
     val rows = TpchOps.returnedItems(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 20)
