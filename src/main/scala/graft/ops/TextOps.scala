@@ -664,20 +664,15 @@ object TextOps {
     bpeMergesOf(fannedDocs(spark, sf))
 
   /** Shared trainer core: runs the [[BpeRounds]] greedy rounds and returns
-    * both artifacts — the merge list AND the final distinct-word table
-    * `(w, s, n)` with each word's post-merge segmentation, which IS the
-    * encode dictionary ([[bpeEncodeOf]] — training's word rewrite after
-    * round r equals applying merges 1..r, so the encoder costs nothing
-    * extra). The word table is left persisted; [[bpeMergesOf]] releases it,
-    * [[bpeEncodeOf]]'s returned plan keeps reading it (harness clearCache
-    * releases, the alsoBought convention). */
+    * the merge list plus the final word table (left persisted — every
+    * caller releases it; the encode path consumes only the merges and
+    * re-derives segmentations declaratively, [[bpeEncodeOf]]). */
   private def bpeTrain(docs: DataFrame)
       : (Seq[(Long, String, Long)], DataFrame) = {
     var words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(col("w"), trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
-        col("n"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to BpeRounds) {
@@ -692,7 +687,7 @@ object TextOps {
       if (top.nonEmpty) {
         val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
         merges += ((r.toLong, pair, cnt))
-        val next = words.select(col("w"),
+        val next = words.select(
           regexp_replace(col("s"), "\\b" + pair + "\\b", pair.replace(" ", "")).as("s"),
           col("n")).persist()
         next.count() // materialize before dropping the parent from cache
@@ -712,25 +707,48 @@ object TextOps {
     merges.toDF("rank", "pair", "weight").orderBy("rank")
   }
 
+  /** Per-corpus memo of the learned merge sequence — the trainer is
+    * deterministic on a fixed corpus, so one JVM trains once however many
+    * registry queries consume the tokenizer (the Scoring model-registry /
+    * VectorOps kmCache pattern; a plain Seq, immune to catalog
+    * clearCache). */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def mergesFor(spark: SparkSession, sf: String): Seq[String] =
+    bpeMergeCache.computeIfAbsent(sf, _ => {
+      val (merges, words) = bpeTrain(fannedDocs(spark, sf))
+      words.unpersist()
+      merges.map(_._2)
+    })
+
   /** BPE APPLY/ENCODE — the consumer of [[bpeMerges]]' output: tokenize the
     * corpus with the learned merges and report each document's subword
     * footprint (word count, BPE unit count, units per word — the number a
     * context-length budget like [[seqPack]]'s is actually denominated in).
-    * The encode dictionary is the trainer's own final word table (see
-    * [[bpeTrain]]): segmentation happens ONCE per distinct word, and the
-    * corpus pass is a vocab-sized equi-join of exploded doc tokens against
-    * it — the standard "tokenize via vocabulary lookup" plan; at 100 TB
-    * the dictionary is millions of rows (broadcast or co-keyed hash join),
-    * never the corpus. Zero-token docs have no words and drop out, as in
-    * the oracle (the [[lmPerplexity]] convention). */
+    * Encoding is the ARTIFACT-CONSUMER side of the trainer split: the
+    * merge list (tiny, memoized per corpus — [[mergesFor]]) is applied to
+    * the distinct-word table as one chained regexp_replace projection in
+    * rank order — a single codegen'd map stage, no per-round actions or
+    * persists, because apply needs no argmax. Segmentation happens ONCE
+    * per distinct word, and the corpus pass is a vocab-sized equi-join of
+    * exploded doc tokens against it — the standard "tokenize via
+    * vocabulary lookup" plan; at 100 TB the dictionary is millions of rows
+    * (broadcast or co-keyed hash join), never the corpus. Zero-token docs
+    * have no words and drop out, as in the oracle (the [[lmPerplexity]]
+    * convention). */
   def bpeEncode(spark: SparkSession, sf: String): DataFrame =
-    bpeEncodeOf(fannedDocs(spark, sf))
+    bpeEncodeOf(fannedDocs(spark, sf), mergesFor(spark, sf))
 
-  /** Core over any (doc_id, text) frame (golden-vector seam, TextOpsSpec). */
-  def bpeEncodeOf(docs: DataFrame): DataFrame = {
-    val (_, words) = bpeTrain(docs)
-    val vocab = words.select(col("w"),
-      size(split(col("s"), " ")).cast("long").as("units"))
+  /** Core over any (doc_id, text) frame and merge sequence (golden-vector
+    * seam, TextOpsSpec; pairs with [[bpeMergesOf]] on the same frame). */
+  def bpeEncodeOf(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val seg = merges.foldLeft(
+      trim(regexp_replace(col("w"), "(.)", "$1 "))) { (acc, p) =>
+      regexp_replace(acc, "\\b" + p + "\\b", p.replace(" ", ""))
+    }
+    val vocab = docs.select(explode(tokens(col("text"))).as("w")).distinct()
+      .select(col("w"), size(split(seg, " ")).cast("long").as("units"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .join(vocab, "w")
       .groupBy("doc_id")

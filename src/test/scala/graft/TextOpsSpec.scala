@@ -63,7 +63,7 @@ class TextOpsSpec extends SparkSpec {
       }
       s.split(" ").length
     }
-    val got = TextOps.bpeEncodeOf(docs).collect()
+    val got = TextOps.bpeEncodeOf(docs, merges).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val want = Seq(1L, 2L, 4L).map { id =>
       val ws = Seq("low low low lower lower newest", "newest widest lowest low",
