@@ -870,10 +870,16 @@ object TextOps {
         col("nb.id_b").as("id_b"), col("nb.t_b").as("t_b"))
     neighbors
       .filter(col("id_b").isNotNull)
+      // two lossless verifier cuts (the DP is the operator's dominant
+      // cost): lev(a,b) >= |len(a)-len(b)|, so a length prefilter skips
+      // the DP outright; and the threshold form of levenshtein runs a
+      // banded O(threshold·n) DP returning -1 past the bound instead of
+      // filling the full O(n·m) matrix. Neither changes the emitted set.
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= SnmMaxLev)
       .select(least(col("id_a"), col("id_b")).as("id_lo"),
         greatest(col("id_a"), col("id_b")).as("id_hi"),
-        levenshtein(col("t_a"), col("t_b")).cast("long").as("lev"))
-      .filter(col("lev") <= SnmMaxLev)
+        levenshtein(col("t_a"), col("t_b"), SnmMaxLev).cast("long").as("lev"))
+      .filter(col("lev") >= 0 && col("lev") <= SnmMaxLev)
       .orderBy("id_lo", "id_hi")
   }
 
