@@ -103,6 +103,7 @@ object SparkEntry {
     "q_text_tokens" -> (TextOps.textTokens _),
     "q_corpus_stats" -> (TextOps.corpusStats _),
     "q_ngram_top" -> (TextOps.ngramTop _),
+    "q_heavy_hitters" -> (TextOps.heavyHitters _),
     "q_decontaminate" -> (TextOps.decontaminate _),
     "q_repetition" -> (TextOps.repetition _),
     "q_quality_filter" -> (TextOps.qualityFilter _),

@@ -578,6 +578,43 @@ object TextOps {
       .limit(20)
   }
 
+  /** Sketch twin of [[ngramTop]] — corpus heavy hitters via Spark 4's
+    * native `approx_top_k` (DataSketches frequent-items / Misra–Gries
+    * family): one pass, fixed [[HhMaxTracked]]-entry state per partition,
+    * merged associatively — where the exact form's shuffle volume is the
+    * full distinct-bigram cardinality, the sketch ships one bounded blob
+    * per partition. That is the 100 TB trade: vocabulary-scale exact
+    * aggregation vs constant-memory streaming summary with a documented
+    * one-sided error (est ∈ [true, true + εN], ε ~ 1/maxTracked). On the
+    * fixtures the tracked map exceeds the distinct-bigram count, so
+    * estimates are exact and deterministic (TextOpsSpec pins both regimes:
+    * unsaturated == exact twin, saturated ≥ true). Declared no-oracle —
+    * sketch internals aren't SQL-expressible — with [[ngramTop]] as the
+    * oracled exact twin, the established sketch-family pattern. */
+  val HhK = 20
+  val HhMaxTracked = 10000
+
+  def heavyHitters(spark: SparkSession, sf: String): DataFrame =
+    heavyHittersOf(fannedDocs(spark, sf), HhK, HhMaxTracked)
+
+  /** Over-fetch factor for the deterministic tie-break: the sketch picks
+    * an ARBITRARY subset of a count-tie straddling the k-th slot, so ask
+    * for the tie group's worth of extra items and re-rank with the exact
+    * twin's (count desc, item asc) order before cutting to k. */
+  val HhTieSlack = 80
+
+  /** Core over any (doc_id, text) frame (saturation-regime seam). */
+  def heavyHittersOf(docs: DataFrame, k: Int, maxTracked: Int): DataFrame = {
+    val fetch = math.min(k + HhTieSlack, maxTracked)
+    docs
+      .select(explode(bigramsOf(tokens(col("text")))).as("bigram"))
+      .agg(expr(s"approx_top_k(bigram, $fetch, $maxTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("bigram"), col("e.count").cast("long").as("est"))
+      .orderBy(col("est").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Benchmark decontamination — the pre-training hygiene step: flag every
     * training document sharing any 3-token shingle with the held-out eval
     * set (here: doc_id % 20 == 0, a deterministic benchmark stand-in). The

@@ -461,6 +461,36 @@ class TextOpsSpec extends SparkSpec {
     assert(snmAll.nonEmpty)
   }
 
+  test("heavyHitters: unsaturated sketch equals the exact twin; saturated stays one-sided") {
+    // unsaturated regime (tracked map >> distinct bigrams): the declared
+    // form's estimates must be EXACT — identical multiset to ngramTop
+    val exact = TextOps.ngramTop(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sk = TextOps.heavyHitters(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sk == exact, s"unsaturated sketch diverged: ${sk.take(3)} vs ${exact.take(3)}")
+    // saturated regime: track far fewer slots than distinct items. The
+    // near-uniform FIXTURE correctly yields NOTHING here (no item is
+    // provably frequent — the sketch's no-false-positives guarantee), so
+    // saturation is exercised on planted skew: one bigram dominating a
+    // long uniform tail must surface with a near-true estimate.
+    import spark.implicits._
+    val uniformSat = TextOps.heavyHittersOf(
+      graft.sources.Tables.load(spark, sf0001, "documents"), 20, 64).collect()
+    assert(uniformSat.isEmpty,
+      "near-uniform corpus must yield no provably-frequent items when saturated")
+    val heavy = (1 to 2000).map(i => (i.toLong, "hot pair")) ++
+      (1 to 1000).map(i => (2000L + i, s"cold w$i"))
+    val skewed = heavy.toDF("doc_id", "text")
+    val sat = TextOps.heavyHittersOf(skewed, 5, 64).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(sat.nonEmpty, "planted heavy hitter not reported")
+    val (hotItem, hotEst) = sat.head
+    assert(hotItem == "hot pair", s"wrong heavy hitter: $hotItem")
+    assert(hotEst >= 2000L && hotEst <= 3000L,
+      s"estimate outside [true, true + N_tail]: $hotEst")
+  }
+
   test("sortedNeighborhood plan: ONE window (one sort), not one per offset") {
     // the w lead() offsets must share a single Window operator — a union of
     // per-offset projections would re-sort the corpus w times (guards the
