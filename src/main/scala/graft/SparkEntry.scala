@@ -210,6 +210,7 @@ object SparkEntry {
     "q_rank_pack" -> (Relational.rankPack _),
     "q_interval_overlap" -> (EventOps.intervalOverlap _),
     "q_dedup_snm" -> (TextOps.sortedNeighborhood _),
+    "q_dedup_snm_multi" -> (TextOps.sortedNeighborhoodMulti _),
     "q_pmi" -> (TextOps.pmiCollocations _),
     "q_dedup_chunk" -> (TextOps.dedupChunks _),
     "q_khop" -> (GraphOps.kHop _),
@@ -2109,6 +2110,36 @@ object SparkEntry {
         |  SELECT doc_id, t, lead(doc_id, 3) OVER w3, lead(t, 3) OVER w3
         |  FROM d WINDOW w3 AS (PARTITION BY block ORDER BY n_chars, doc_id))
         |SELECT least(id_a, id_b) AS id_lo, greatest(id_a, id_b) AS id_hi,
+        |  CAST(levenshtein(t_a, t_b) AS BIGINT) AS lev
+        |FROM nb WHERE id_b IS NOT NULL AND levenshtein(t_a, t_b) <= 20
+        |ORDER BY id_lo, id_hi""".stripMargin,
+    "q_dedup_snm_multi" -> // prefix pass ∪ suffix pass, DISTINCT pairs
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS t, n_chars,
+        |    substr(lower(text), 1, 12) AS blk_p,
+        |    substr(reverse(lower(text)), 1, 12) AS blk_s
+        |  FROM documents),
+        |nb AS (
+        |  SELECT doc_id AS id_a, t AS t_a,
+        |    lead(doc_id, 1) OVER w1 AS id_b, lead(t, 1) OVER w1 AS t_b
+        |  FROM d WINDOW w1 AS (PARTITION BY blk_p ORDER BY n_chars, doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, t, lead(doc_id, 2) OVER w2, lead(t, 2) OVER w2
+        |  FROM d WINDOW w2 AS (PARTITION BY blk_p ORDER BY n_chars, doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, t, lead(doc_id, 3) OVER w3, lead(t, 3) OVER w3
+        |  FROM d WINDOW w3 AS (PARTITION BY blk_p ORDER BY n_chars, doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, t, lead(doc_id, 1) OVER s1, lead(t, 1) OVER s1
+        |  FROM d WINDOW s1 AS (PARTITION BY blk_s ORDER BY n_chars, doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, t, lead(doc_id, 2) OVER s2, lead(t, 2) OVER s2
+        |  FROM d WINDOW s2 AS (PARTITION BY blk_s ORDER BY n_chars, doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, t, lead(doc_id, 3) OVER s3, lead(t, 3) OVER s3
+        |  FROM d WINDOW s3 AS (PARTITION BY blk_s ORDER BY n_chars, doc_id))
+        |SELECT DISTINCT least(id_a, id_b) AS id_lo,
+        |  greatest(id_a, id_b) AS id_hi,
         |  CAST(levenshtein(t_a, t_b) AS BIGINT) AS lev
         |FROM nb WHERE id_b IS NOT NULL AND levenshtein(t_a, t_b) <= 20
         |ORDER BY id_lo, id_hi""".stripMargin,

@@ -491,6 +491,36 @@ class TextOpsSpec extends SparkSpec {
       s"estimate outside [true, true + N_tail]: $hotEst")
   }
 
+  test("sortedNeighborhoodMulti: superset of the single pass, still precision 1") {
+    val single = TextOps.sortedNeighborhood(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = TextOps.sortedNeighborhoodMulti(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(single.subsetOf(multi),
+      s"suffix pass LOST prefix-pass pairs: ${single.diff(multi)}")
+    // precision stays 1 on the bounded subset (every emitted lev IS exact
+    // and <= threshold — reuse the single-pass ground-truth construction)
+    val SubsetMax = 150L
+    val exact = {
+      val d = graft.sources.Tables.load(spark, sf0001, "documents")
+        .filter(col("doc_id") < SubsetMax)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      d.as("a")
+        .join(d.select(col("doc_id").as("ib"), col("t").as("tb")),
+          col("doc_id") < col("ib"))
+        .select(col("doc_id"), col("ib"),
+          levenshtein(col("t"), col("tb")).cast("long").as("lev"))
+        .filter(col("lev") <= TextOps.SnmMaxLev)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val multiSub = multi.filter(p => p._1 < SubsetMax && p._2 < SubsetMax)
+    assert(multiSub.subsetOf(exact), s"multi emitted non-pairs: ${multiSub.diff(exact)}")
+    // the second key must BUY recall, not just duplicate the first
+    val singleSub = single.filter(p => p._1 < SubsetMax && p._2 < SubsetMax)
+    assert(multiSub.size >= singleSub.size)
+    assert(multiSub.size.toDouble / exact.size >= 0.7)
+  }
+
   test("sortedNeighborhood plan: ONE window (one sort), not one per offset") {
     // the w lead() offsets must share a single Window operator — a union of
     // per-offset projections would re-sort the corpus w times (guards the
