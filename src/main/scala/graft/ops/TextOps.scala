@@ -697,8 +697,10 @@ object TextOps {
     * "aa aa", never "aa a a"). `\b` is supported by both Java regex and
     * RE2, so the DuckDB twin applies the identical rewrite. Output: the
     * learned merge table (rank, pair, weight). */
-  def bpeMerges(spark: SparkSession, sf: String): DataFrame =
-    bpeMergesOf(fannedDocs(spark, sf))
+  def bpeMerges(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    mergesFor(spark, sf).toDF("rank", "pair", "weight").orderBy("rank")
+  }
 
   /** Shared trainer core: runs the [[BpeRounds]] greedy rounds and returns
     * the merge list plus the final word table (left persisted — every
@@ -750,13 +752,16 @@ object TextOps {
     * VectorOps kmCache pattern; a plain Seq, immune to catalog
     * clearCache). */
   private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, Long)]]()
 
-  private def mergesFor(spark: SparkSession, sf: String): Seq[String] =
+  /** Fit-or-recall the full merge table for `sf` — shared by the trainer
+    * query ([[bpeMerges]]) and the encoder ([[bpeEncode]]), so one JVM
+    * pays the sequential training exactly once whichever runs first. */
+  private def mergesFor(spark: SparkSession, sf: String): Seq[(Long, String, Long)] =
     bpeMergeCache.computeIfAbsent(sf, _ => {
       val (merges, words) = bpeTrain(fannedDocs(spark, sf))
       words.unpersist()
-      merges.map(_._2)
+      merges
     })
 
   /** BPE APPLY/ENCODE — the consumer of [[bpeMerges]]' output: tokenize the
@@ -775,7 +780,7 @@ object TextOps {
     * have no words and drop out, as in the oracle (the [[lmPerplexity]]
     * convention). */
   def bpeEncode(spark: SparkSession, sf: String): DataFrame =
-    bpeEncodeOf(fannedDocs(spark, sf), mergesFor(spark, sf))
+    bpeEncodeOf(fannedDocs(spark, sf), mergesFor(spark, sf).map(_._2))
 
   /** Core over any (doc_id, text) frame and merge sequence (golden-vector
     * seam, TextOpsSpec; pairs with [[bpeMergesOf]] on the same frame). */
