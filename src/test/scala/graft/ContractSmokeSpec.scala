@@ -30,4 +30,36 @@ class ContractSmokeSpec extends SparkSpec {
     val unknown = graft.ops.SourceOps.stagedQueries.toSet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"stagedQueries not in registry: $unknown")
   }
+
+  /** The no-oracle ledger: declared queries whose semantics aren't
+    * SQL-expressible (sketch internals, LSH banding, ML scoring). The
+    * convention every VERDICT audits by hand: each MUST name an ORACLED
+    * exact twin whose spec ties the two together. Adding a no-oracle
+    * query means adding a row here — orphaned no-oracle queries fail. */
+  private val noOracleTwins: Map[String, String] = Map(
+    "q_ann_lsh" -> "q_cosine_topk",
+    "q_ann_ivf" -> "q_cosine_topk",
+    "q_dedup_minhash" -> "q_dedup_jaccard",
+    "q_dedup_simhash" -> "q_dedup_jaccard",
+    "q_dedup_cosine_lsh" -> "q_dedup_cosine",
+    "q_dup_clusters_lsh" -> "q_dup_clusters",
+    "q_semdedup" -> "q_dedup_cosine",
+    "q_media_dedup_lsh" -> "q_media_dedup",
+    "q_score_batch" -> "q_score_exact",
+    "q_sketch_stats" -> "q_stats_pack",
+    "q_heavy_hitters" -> "q_ngram_top")
+
+  test("every declared query is oracled OR on the no-oracle ledger with an oracled twin") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unledgered = unoracled -- noOracleTwins.keySet
+    assert(unledgered.isEmpty,
+      s"no-oracle queries missing a declared twin: $unledgered")
+    val staleRows = noOracleTwins.keySet -- unoracled
+    assert(staleRows.isEmpty,
+      s"ledger rows for queries that ARE oracled (or gone): $staleRows")
+    noOracleTwins.foreach { case (q, twin) =>
+      assert(SparkEntry.oracleSql.contains(twin),
+        s"$q's twin $twin is not itself oracled")
+    }
+  }
 }
