@@ -117,6 +117,9 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
+    // the (c)-tier ladder's Rule: row_number-filter window top-k rewrites
+    // to the bounded-heap operator with no user opt-in
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.TopKRewriteRule)
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

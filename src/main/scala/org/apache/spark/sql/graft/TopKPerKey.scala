@@ -87,6 +87,71 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule completing the custom-operator ladder: users write the
+  * UNIVERSAL form — `row_number() OVER (PARTITION BY … ORDER BY …)` then
+  * `filter(rk <= k)` — and this rule rewrites the analyzed
+  * Filter-over-Window pattern into [[TopKPerKey]], swapping Window's
+  * full-partition sort for bounded per-key heaps without the user naming
+  * the custom operator at all. Deliberately conservative: it fires ONLY
+  * when the Window carries exactly one expression, that expression is
+  * `row_number()` with the canonical running frame, the ORDER BY is
+  * non-empty, and the filter is a bare `rk <= lit` / `rk < lit` /
+  * `rk = 1` on the rank output — anything else (rank/dense_rank, compound
+  * predicates, frame variants) is left for Spark's own
+  * InferWindowGroupLimit. If that rule got there first, its
+  * WindowGroupLimit wrapper is unwrapped (it only pre-prunes rows this
+  * operator drops anyway, but would plan a redundant sort). The rank
+  * column keeps its original exprId and IntegerType via a casting
+  * projection, so downstream references never notice the swap. Tie
+  * caveat: like `row_number` itself, result sets are only deterministic
+  * when the ordering is total — the rewrite preserves the ordering
+  * verbatim, so it never changes which caveat applies. */
+object TopKRewriteRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, EqualTo,
+    ExprId, LessThan, LessThanOrEqual, Literal, RowNumber, RowFrame,
+    SpecifiedWindowFrame, UnboundedPreceding, CurrentRow,
+    WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project,
+    Window, WindowGroupLimit}
+  import org.apache.spark.sql.types.IntegerType
+
+  private def bound(cond: Expression, rk: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
+      if a.exprId == rk => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType))
+      if a.exprId == rk => Some(v - 1)
+    case EqualTo(a: Attribute, Literal(v: Int, IntegerType))
+      if a.exprId == rk && v == 1 => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      w.windowExpressions match {
+        case Seq(alias @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(part, order,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
+            if order.nonEmpty =>
+          bound(cond, alias.exprId) match {
+            case Some(k) if k >= 1 =>
+              val child = w.child match {
+                case wgl: WindowGroupLimit => wgl.child // redundant pre-sort
+                case c => c
+              }
+              val rkLong =
+                AttributeReference("rk", LongType, nullable = false)()
+              Project(
+                child.output :+
+                  Alias(Cast(rkLong, IntegerType), alias.name)(alias.exprId),
+                TopKPerKey(k, part, order, rkLong, child))
+            case _ => f
+          }
+        case _ => f
+      }
+  }
+}
+
 object TopKPerKey {
   /** Top-k rows per key with a `rk` rank column appended. Key/order columns
     * are named and resolved directly against the child's analyzed output

@@ -81,4 +81,50 @@ class VectorExpressionsSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("TopKRewriteRule: window row_number filter rewrites to the heap operator") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val base = Seq(
+        ("a", 1L, 3.0), ("a", 2L, 2.0), ("a", 3L, 1.0),
+        ("b", 4L, 9.0), ("b", 5L, 8.0)).toDF("k", "id", "v")
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      // the user writes the UNIVERSAL window form...
+      val windowForm = base.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+      // ...and the optimizer swaps in the custom operator
+      assert(windowForm.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t
+      }.size == 1, windowForm.queryExecution.optimizedPlan.toString)
+      assert(windowForm.queryExecution.executedPlan.toString
+        .contains("TopKPerKey"))
+      val got = windowForm.orderBy("k", "rk").collect()
+        .map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSeq
+      assert(got == Seq(("a", 1, 1L), ("a", 2, 2L), ("b", 1, 4L), ("b", 2, 5L)))
+      // rank column keeps its name and IntegerType (exprId-preserving cast)
+      assert(windowForm.schema("rk").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      // negative guards: rank() and non-rank-only predicates DON'T rewrite
+      val rankForm = base.withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
+      assert(rankForm.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t }.isEmpty)
+      val compound = base.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2 && col("v") > 0)
+      assert(compound.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t }.isEmpty)
+      assert(compound.count() == 4) // and still answers correctly via Window
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
