@@ -30,6 +30,7 @@ object Verify {
       // --sql-only writes a static JSON — don't pay SparkSession startup
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")

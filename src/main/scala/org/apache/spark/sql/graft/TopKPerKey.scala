@@ -109,8 +109,8 @@ object TopKStrategy extends SparkStrategy {
 object TopKRewriteRule
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, EqualTo,
-    ExprId, LessThan, LessThanOrEqual, Literal, RowNumber, RowFrame,
-    SpecifiedWindowFrame, UnboundedPreceding, CurrentRow,
+    ExprId, LessThan, LessThanOrEqual, Literal, NamedExpression, RowNumber,
+    RowFrame, SpecifiedWindowFrame, UnboundedPreceding, CurrentRow,
     WindowExpression, WindowSpecDefinition}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project,
     Window, WindowGroupLimit}
@@ -123,28 +123,84 @@ object TopKRewriteRule
       if a.exprId == rk => Some(v - 1)
     case EqualTo(a: Attribute, Literal(v: Int, IntegerType))
       if a.exprId == rk && v == 1 => Some(1)
+    // the long-rank idiom: `row_number().over(w).cast("long")` then
+    // `filter(rk <= 3)` — the int literal arrives promoted to long
+    case LessThanOrEqual(a: Attribute, Literal(v: Long, LongType))
+      if a.exprId == rk && v <= Int.MaxValue => Some(v.toInt)
+    case LessThan(a: Attribute, Literal(v: Long, LongType))
+      if a.exprId == rk && v <= Int.MaxValue => Some(v.toInt - 1)
+    case EqualTo(a: Attribute, Literal(v: Long, LongType))
+      if a.exprId == rk && v == 1L => Some(1)
     case _ => None
   }
 
+  /** The single canonical row_number window expression, or None. */
+  private def rankAlias(w: Window): Option[Alias] = w.windowExpressions match {
+    case Seq(alias @ Alias(WindowExpression(_: RowNumber,
+        WindowSpecDefinition(_, order,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
+        if order.nonEmpty => Some(alias)
+    case _ => None
+  }
+
+  private def realChild(w: Window): LogicalPlan = w.child match {
+    case wgl: WindowGroupLimit => wgl.child // its pre-sort is redundant here
+    case c => c
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // bare form: Filter directly over the Window
     case f @ Filter(cond, w: Window) =>
-      w.windowExpressions match {
-        case Seq(alias @ Alias(WindowExpression(_: RowNumber,
-            WindowSpecDefinition(part, order,
-              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
-            if order.nonEmpty =>
+      rankAlias(w) match {
+        case Some(alias) =>
           bound(cond, alias.exprId) match {
             case Some(k) if k >= 1 =>
-              val child = w.child match {
-                case wgl: WindowGroupLimit => wgl.child // redundant pre-sort
-                case c => c
-              }
+              val child = realChild(w)
               val rkLong =
                 AttributeReference("rk", LongType, nullable = false)()
               Project(
                 child.output :+
                   Alias(Cast(rkLong, IntegerType), alias.name)(alias.exprId),
-                TopKPerKey(k, part, order, rkLong, child))
+                TopKPerKey(k, w.partitionSpec, w.orderSpec, rkLong, child))
+            case _ => f
+          }
+        case _ => f
+      }
+    // cast form: Filter over Project(..., cast(rank as long), ...) over
+    // Window — the library's own idiom (BIGINT ranks for oracle parity).
+    // Every non-rank projection must be a bare pass-through attribute, so
+    // substituting the rank column is the only rewrite the Project needs.
+    case f @ Filter(cond, p @ Project(projList, w: Window)) =>
+      rankAlias(w) match {
+        case Some(alias) =>
+          val castAlias = projList.collectFirst {
+            case ca @ Alias(c: Cast, _)
+              if c.dataType == LongType &&
+                (c.child match {
+                  case a: Attribute => a.exprId == alias.exprId
+                  case _ => false
+                }) => ca
+          }
+          val othersPassThrough = projList.forall {
+            case _: Attribute => true
+            case ca: Alias => castAlias.exists(_.exprId == ca.exprId)
+            case _ => false
+          }
+          castAlias match {
+            case Some(ca) if othersPassThrough =>
+              bound(cond, ca.exprId) match {
+                case Some(k) if k >= 1 =>
+                  val child = realChild(w)
+                  val rkLong =
+                    AttributeReference("rk", LongType, nullable = false)()
+                  val newProj: Seq[NamedExpression] = projList.map {
+                    case a: Attribute => a
+                    case _ => Alias(rkLong, ca.name)(ca.exprId)
+                  }
+                  Project(newProj,
+                    TopKPerKey(k, w.partitionSpec, w.orderSpec, rkLong, child))
+                case _ => f
+              }
             case _ => f
           }
         case _ => f

@@ -113,6 +113,18 @@ class VectorExpressionsSpec extends SparkSpec {
       // rank column keeps its name and IntegerType (exprId-preserving cast)
       assert(windowForm.schema("rk").dataType ==
         org.apache.spark.sql.types.IntegerType)
+      // the library's own idiom — BIGINT rank for oracle parity — must
+      // rewrite through the interposed cast Project
+      val castForm = base.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+      assert(castForm.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t
+      }.size == 1, castForm.queryExecution.optimizedPlan.toString)
+      assert(castForm.schema("rk").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val gotCast = castForm.orderBy("k", "rk").collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(1))).toSeq
+      assert(gotCast == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L), ("b", 2L, 5L)))
       // negative guards: rank() and non-rank-only predicates DON'T rewrite
       val rankForm = base.withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
       assert(rankForm.queryExecution.optimizedPlan.collect {
