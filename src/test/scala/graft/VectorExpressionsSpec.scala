@@ -125,6 +125,21 @@ class VectorExpressionsSpec extends SparkSpec {
       val gotCast = castForm.orderBy("k", "rk").collect()
         .map(r => (r.getString(0), r.getLong(3), r.getLong(1))).toSeq
       assert(gotCast == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L), ("b", 2L, 5L)))
+      // edge cases through the rewritten operator: groups smaller than k
+      // (heap never fills) and the rk = 1 argmax form
+      val small = Seq(("a", 1L, 5.0), ("b", 2L, 4.0), ("b", 3L, 6.0))
+        .toDF("k", "id", "v")
+      val under = small.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+      assert(under.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t }.size == 1)
+      assert(under.count() == 3) // k > group size emits every row
+      val argmax = small.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      assert(argmax.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t }.size == 1)
+      assert(argmax.orderBy("k").collect().map(_.getLong(1)).toSeq ==
+        Seq(1L, 3L)) // per-key argmax by (v desc, id)
       // negative guards: rank() and non-rank-only predicates DON'T rewrite
       val rankForm = base.withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
       assert(rankForm.queryExecution.optimizedPlan.collect {
