@@ -149,6 +149,7 @@ object SparkEntry {
     "q_media_dedup_lsh" -> (MultimodalOps.mediaDedupLsh _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_dedup_canonical" -> (TextOps.dedupCanonical _),
+    "q_dedup_canonical_lsh" -> (TextOps.dedupCanonicalLsh _),
     "q_corpus_mix" -> (TextOps.corpusMix _),
     "q_seq_pack" -> (TextOps.seqPack _),
     "q_mix_weights" -> (TextOps.mixWeights _),

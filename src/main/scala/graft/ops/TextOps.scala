@@ -961,10 +961,24 @@ object TextOps {
     * rewrite. One window over the cluster key after the cluster join; at
     * 100 TB the clusters frame is tiny relative to the corpus (only
     * near-dup members), so the left join broadcasts. */
-  def dedupCanonical(spark: SparkSession, sf: String): DataFrame = {
+  def dedupCanonical(spark: SparkSession, sf: String): DataFrame =
+    dedupCanonicalFrom(spark, sf, dupClusters(spark, sf))
+
+  /** The 100 TB form of [[dedupCanonical]]: identical keep/drop policy over
+    * the LSH-banded cluster assignment ([[dupClustersLsh]]) instead of the
+    * exact-pair one — the round-8 text decade measured the exact pair base
+    * trending quadratic on hot-shingle corpora (PLANS.md) while the banded
+    * base holds ~0.6, so the ACTION step needs a twin that rides the scale
+    * path. No-oracle (LSH banding isn't SQL-expressible); the spec pins
+    * equality with the oracled exact form on the fixture, where banding
+    * recovers every planted pair. */
+  def dedupCanonicalLsh(spark: SparkSession, sf: String): DataFrame =
+    dedupCanonicalFrom(spark, sf, dupClustersLsh(spark, sf))
+
+  private def dedupCanonicalFrom(spark: SparkSession, sf: String,
+      clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "n_chars")
-    val clusters = dupClusters(spark, sf)
     val member = docs.join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"), col("n_chars"))

@@ -43,6 +43,7 @@ class ContractSmokeSpec extends SparkSpec {
     "q_dedup_simhash" -> "q_dedup_jaccard",
     "q_dedup_cosine_lsh" -> "q_dedup_cosine",
     "q_dup_clusters_lsh" -> "q_dup_clusters",
+    "q_dedup_canonical_lsh" -> "q_dedup_canonical",
     "q_semdedup" -> "q_dedup_cosine",
     "q_media_dedup_lsh" -> "q_media_dedup",
     "q_score_batch" -> "q_score_exact",

@@ -83,6 +83,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a a", 9L), (2L, "aa aa", 3L)))
   }
 
+  test("dedupCanonicalLsh equals the exact-pair canonical table on the fixture") {
+    // banding recovers every fixture near-dup pair, so the keep/drop
+    // decision table must be IDENTICAL — this pins the scale-path twin to
+    // the oracled form the same way dupClustersLsh is pinned
+    val exact = TextOps.dedupCanonical(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSeq
+    val lsh = TextOps.dedupCanonicalLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSeq
+    assert(exact.nonEmpty && exact == lsh)
+  }
+
   test("dupClustersLsh (minhash pairs) equals exact-pair clustering") {
     val exact = TextOps.dupClusters(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
