@@ -1757,8 +1757,8 @@ object SparkEntry {
       s"""SELECT c_nationkey, count(*) AS numcust,
          |  round(sum(c_acctbal), 4) AS totacctbal
          |FROM customer
-         |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
-         |                   WHERE c_acctbal > 0.0)
+         |WHERE c_acctbal > (SELECT floor(avg(c_acctbal) * 10000 + 0.5) / 10000
+         |                   FROM customer WHERE c_acctbal > 0.0)
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |    AND o_orderdate >= TIMESTAMP '${TpchOps.Q22IdleSince}')
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,

@@ -216,11 +216,12 @@ object TpchOps {
 
   def salesOpportunity(spark: SparkSession, sf: String): DataFrame = {
     val c = Tables.load(spark, sf, "customer")
-    // round the scalar BEFORE the > compare: cross-engine summation-order
-    // ulp drift in avg() could otherwise flip a customer sitting exactly at
-    // the boundary (same discipline as Q15's rounded max-revenue equality)
+    // stabilize the scalar BEFORE the > compare — and with the FLOOR idiom,
+    // not round(): the value feeds further comparison arithmetic, where the
+    // engines' round() implementations diverge at scaled-half boundaries
+    // (the derivedSupplyCost lesson; round() is for terminal columns only)
     val posAvg = c.filter(col("c_acctbal") > 0.0)
-      .agg(round(avg("c_acctbal"), 4).as("avg_bal"))
+      .agg((floor(avg("c_acctbal") * 10000d + 0.5d) / 10000d).as("avg_bal"))
     val recent = Tables.load(spark, sf, "orders")
       .filter(col("o_orderdate") >= lit(Q22IdleSince).cast("timestamp"))
       .select("o_custkey")

@@ -116,30 +116,38 @@ object TopKRewriteRule
     Window, WindowGroupLimit}
   import org.apache.spark.sql.types.IntegerType
 
+  /** The filter's rank bound, ONLY when it is a genuine k >= 1 — every
+    * branch carries an explicit positivity guard BEFORE any arithmetic:
+    * `rk < Int.MinValue` would otherwise wrap v−1 to Int.MaxValue and a
+    * provably-empty filter would rewrite into a crashing k (review r8). */
   private def bound(cond: Expression, rk: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
-      if a.exprId == rk => Some(v)
+      if a.exprId == rk && v >= 1 => Some(v)
     case LessThan(a: Attribute, Literal(v: Int, IntegerType))
-      if a.exprId == rk => Some(v - 1)
+      if a.exprId == rk && v >= 2 => Some(v - 1)
     case EqualTo(a: Attribute, Literal(v: Int, IntegerType))
       if a.exprId == rk && v == 1 => Some(1)
     // the long-rank idiom: `row_number().over(w).cast("long")` then
     // `filter(rk <= 3)` — the int literal arrives promoted to long
     case LessThanOrEqual(a: Attribute, Literal(v: Long, LongType))
-      if a.exprId == rk && v <= Int.MaxValue => Some(v.toInt)
+      if a.exprId == rk && v >= 1L && v <= Int.MaxValue => Some(v.toInt)
     case LessThan(a: Attribute, Literal(v: Long, LongType))
-      if a.exprId == rk && v <= Int.MaxValue => Some(v.toInt - 1)
+      if a.exprId == rk && v >= 2L && v <= Int.MaxValue => Some(v.toInt - 1)
     case EqualTo(a: Attribute, Literal(v: Long, LongType))
       if a.exprId == rk && v == 1L => Some(1)
     case _ => None
   }
 
-  /** The single canonical row_number window expression, or None. */
+  /** The single canonical row_number window expression, or None. The
+    * partitionSpec must be NON-EMPTY: TopKPerKeyExec asks the planner for
+    * ClusteredDistribution(keys), which rejects Nil — a global top-k
+    * (no PARTITION BY) belongs to TakeOrderedAndProject, not this
+    * operator (review r8: the unguarded form crashed planning). */
   private def rankAlias(w: Window): Option[Alias] = w.windowExpressions match {
     case Seq(alias @ Alias(WindowExpression(_: RowNumber,
-        WindowSpecDefinition(_, order,
+        WindowSpecDefinition(part, order,
           SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
-        if order.nonEmpty => Some(alias)
+        if order.nonEmpty && part.nonEmpty => Some(alias)
     case _ => None
   }
 

@@ -70,14 +70,34 @@ class LedgerSpec extends AnyFunSuite {
       var enclosingDef = "<toplevel>"
       var inBlockComment = false
       Files.readAllLines(p).asScala.zipWithIndex.foreach { case (line, i) =>
-        // strip comments so scaladoc prose never counts as a call site
-        if (line.contains("/*")) inBlockComment = true
-        val wasInComment = inBlockComment
-        if (line.contains("*/")) inBlockComment = false
-        val trimmed = line.trim
-        val code =
-          if (wasInComment || trimmed.startsWith("*")) ""
-          else line.replaceAll("//.*$", "")
+        // strip comments with a real state machine: code SHARING a line
+        // with /* or */ must survive (`val n = df.count() /* probe */`
+        // silently escaped the blanket line-blank this replaces — review
+        // r8), while everything inside the block — including scaladoc
+        // continuation lines — is dropped. Known benign limitation: a //
+        // inside a string literal (e.g. a URL) truncates that line early,
+        // same as the previous regex form.
+        val code = {
+          val sb = new StringBuilder
+          var pos = 0
+          while (pos < line.length) {
+            if (inBlockComment) {
+              val end = line.indexOf("*/", pos)
+              if (end < 0) pos = line.length
+              else { inBlockComment = false; pos = end + 2 }
+            } else {
+              val blockStart = line.indexOf("/*", pos)
+              val lineStart = line.indexOf("//", pos)
+              if (lineStart >= 0 && (blockStart < 0 || lineStart < blockStart)) {
+                sb.append(line.substring(pos, lineStart)); pos = line.length
+              } else if (blockStart >= 0) {
+                sb.append(line.substring(pos, blockStart))
+                inBlockComment = true; pos = blockStart + 2
+              } else { sb.append(line.substring(pos)); pos = line.length }
+            }
+          }
+          sb.toString
+        }
         defPattern.findFirstMatchIn(code).foreach(m => enclosingDef = m.group(1))
         if (actionPattern.findFirstIn(code).isDefined) {
           val key = (rel, enclosingDef)

@@ -140,6 +140,21 @@ class VectorExpressionsSpec extends SparkSpec {
         case t: org.apache.spark.sql.graft.TopKPerKey => t }.size == 1)
       assert(argmax.orderBy("k").collect().map(_.getLong(1)).toSeq ==
         Seq(1L, 3L)) // per-key argmax by (v desc, id)
+      // crash-shape guards (review r8): a GLOBAL top-k (no PARTITION BY)
+      // must fall through to Window/TakeOrdered — TopKPerKey's required
+      // ClusteredDistribution rejects empty keys
+      val globalW = Window.orderBy(col("v").desc, col("id"))
+      val globalTopk = base.withColumn("rk", row_number().over(globalW))
+        .filter(col("rk") <= 2)
+      assert(globalTopk.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t }.isEmpty)
+      assert(globalTopk.collect().map(_.getLong(1)).toSeq == Seq(4L, 5L))
+      // ...and a provably-empty bound must not wrap into a giant k
+      val wrapped = base.withColumn("rk", row_number().over(w))
+        .filter(col("rk") < Int.MinValue)
+      assert(wrapped.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t }.isEmpty)
+      assert(wrapped.count() == 0)
       // negative guards: rank() and non-rank-only predicates DON'T rewrite
       val rankForm = base.withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
       assert(rankForm.queryExecution.optimizedPlan.collect {
