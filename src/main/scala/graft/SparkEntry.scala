@@ -140,6 +140,8 @@ object SparkEntry {
     "q_cohort_retention" -> (EventOps.cohortRetention _),
     "q_rolling_dau" -> (EventOps.rollingDau _),
     "q_rolling_dau_sketch" -> (EventOps.rollingDauSketch _),
+    "q_monthly_uniques" -> (EventOps.monthlyUniques _),
+    "q_hll_merge" -> (EventOps.hllMerge _),
     "q_gap_fill" -> (EventOps.gapFill _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
@@ -989,6 +991,11 @@ object SparkEntry {
         |FROM events e JOIN first f ON e.user_id = f.user_id
         |WHERE e.ts >= f.cohort_day
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_monthly_uniques" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |  count(DISTINCT user_id) AS uniq_users
+        |FROM events
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     "q_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
         |days AS (SELECT DISTINCT d AS day_d FROM du)

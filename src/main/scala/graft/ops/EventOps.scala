@@ -548,4 +548,38 @@ object EventOps {
       theta_sketch_estimate(theta_union(col("sa"), col("sb")))
         .cast("long").as("n_either"))
   }
+
+  /** Exact monthly unique users — the rollup the sketch-merge twin
+    * ([[hllMerge]]) is measured against. One shuffle on (month, user)
+    * for the distinct, then the per-month count. */
+  def monthlyUniques(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(count_distinct(col("user_id")).as("uniq_users"))
+      .orderBy("month")
+
+  /** Mergeable-sketch rollup — the pattern that makes sketches matter at
+    * 100 TB: per-DAY HLL blobs are materialized once (`hll_sketch_agg`,
+    * DataSketches, lgK=14 ≈ 0.8% rse), and every coarser rollup — monthly
+    * here — MERGES the stored blobs (`hll_union_agg`) without ever
+    * rescanning the event table. Register-max union is associative,
+    * commutative and idempotent, so the merged estimate is bit-identical
+    * to sketching the month directly (the spec asserts exactly that, plus
+    * the accuracy bound vs the oracled exact twin [[monthlyUniques]]) —
+    * and late-arriving days just re-union. This is the storage/merge
+    * discipline behind every incremental-analytics store (druid/pinot
+    * style); [[rollingDauSketch]] covers the windowed-estimate form,
+    * THIS covers sketch persistence + re-aggregation. Declared no-oracle:
+    * the blob layer isn't SQL-expressible in the oracle engine. */
+  def hllMerge(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("uniq_est"),
+        count(lit(1)).as("n_days"))
+      .orderBy("month")
+  }
 }

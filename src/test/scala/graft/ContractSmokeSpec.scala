@@ -48,7 +48,8 @@ class ContractSmokeSpec extends SparkSpec {
     "q_media_dedup_lsh" -> "q_media_dedup",
     "q_score_batch" -> "q_score_exact",
     "q_sketch_stats" -> "q_stats_pack",
-    "q_heavy_hitters" -> "q_ngram_top")
+    "q_heavy_hitters" -> "q_ngram_top",
+    "q_hll_merge" -> "q_monthly_uniques")
 
   test("every declared query is oracled OR on the no-oracle ledger with an oracled twin") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

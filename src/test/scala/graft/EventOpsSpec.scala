@@ -294,4 +294,27 @@ class EventOpsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(800))
     assert(!plan.toLowerCase.contains("distinct"), plan.take(800))
   }
+
+  test("hllMerge: union of daily blobs == direct month sketch, close to exact") {
+    val merged = graft.ops.EventOps.hllMerge(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(merged.nonEmpty && merged.forall(_._3 > 0))
+    // mergeability is EXACT: register-max union is associative, so the
+    // per-day-then-union estimate must equal sketching each month directly
+    val direct = graft.ops.EventOps.events(spark, sf001)
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    merged.foreach { case (m, est, _) =>
+      assert(direct(m) == est, s"merge broke at $m: $est vs direct ${direct(m)}")
+    }
+    // accuracy vs the oracled exact twin: lgK=14 is ~0.8% rse; allow 5%
+    val exact = graft.ops.EventOps.monthlyUniques(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(exact.keySet == merged.map(_._1).toSet)
+    merged.foreach { case (m, est, _) =>
+      val e = exact(m)
+      assert(math.abs(est - e).toDouble / e <= 0.05, s"$m: est $est exact $e")
+    }
+  }
 }
