@@ -135,6 +135,7 @@ object SparkEntry {
     "q_time_bucket" -> (EventOps.timeBucket _),
     "q_sessionize" -> (EventOps.sessionize _),
     "q_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
+    "q_stream_compact" -> (graft.streaming.StreamOps.streamCompact _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_funnel" -> (EventOps.funnel _),
     "q_cohort_retention" -> (EventOps.cohortRetention _),
@@ -142,6 +143,8 @@ object SparkEntry {
     "q_rolling_dau_sketch" -> (EventOps.rollingDauSketch _),
     "q_monthly_uniques" -> (EventOps.monthlyUniques _),
     "q_hll_merge" -> (EventOps.hllMerge _),
+    "q_monthly_median" -> (EventOps.monthlyMedian _),
+    "q_kll_merge" -> (EventOps.kllMerge _),
     "q_gap_fill" -> (EventOps.gapFill _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
@@ -996,6 +999,12 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS uniq_users
         |FROM events
         |GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_monthly_median" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |  round(quantile_cont(value, 0.5), 4) AS median_value,
+        |  round(quantile_cont(value, 0.95), 4) AS p95_value
+        |FROM events
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     "q_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
         |days AS (SELECT DISTINCT d AS day_d FROM du)
@@ -1441,6 +1450,17 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+    // end-to-end foreachBatch merge sink + compaction view: the stream's
+    // per-user latest-by-(ts, batch) collapses to the plain global argmax
+    // because (user_id, ts) is unique in the fixture — which is what makes
+    // a REAL multi-micro-batch stream run hash-checkable against SQL.
+    "q_stream_compact" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // session_window twin of q_sessionize: same gap-split grouping, but the
     // native operator's session END is last event time + gap (half-open
     // [first, last + gap) range), so the oracle shifts the end by 1 hour.

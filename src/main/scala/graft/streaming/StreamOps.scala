@@ -96,8 +96,10 @@ object StreamOps {
     * change the answer — the exactly-once contract without MERGE INTO.
     * With a transactional table format the body becomes a real MERGE. */
   def foreachBatchMerge(events: DataFrame, logDir: String,
-                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+                        checkpointDir: String,
+                        trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy("user_id")
@@ -108,7 +110,8 @@ object StreamOps {
           .write.mode("append").parquet(logDir)
         ()
       }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** foreachBatch incremental-MV sink — the streaming twin of
     * `Relational.mvRefresh`: each micro-batch of the (key, op, old_bal,
@@ -149,6 +152,37 @@ object StreamOps {
       .groupBy("bucket")
       .agg(sum("dn").as("dn"), sum("ds").as("ds"))
     graft.ops.Relational.mvMerge(baseMv, deltas)
+  }
+
+  /** Declared END-TO-END form of the merge-sink pipeline (the second
+    * CORRECTNESS-tracked streaming query after `q_session_window`, verdict
+    * r8 #5): stages the harness events table as a 4-file parquet directory,
+    * runs the REAL structured stream — file source, `maxFilesPerTrigger=2`
+    * so the log genuinely spans multiple micro-batches, `Trigger
+    * .AvailableNow` to drain and stop — through [[foreachBatchMerge]], and
+    * returns the [[latestState]] compaction view. Deterministic and
+    * batching-independent, which is the very property the sink's
+    * idempotent-compaction contract promises: (user_id, ts) is unique in
+    * the fixture (checked r9), so per-user latest-by-(ts, batch_id) equals
+    * the global argmax the DuckDB oracle computes, HOWEVER the file source
+    * happens to slice batches. Staging lives under `target/tmp` (fresh dir
+    * per run; the checkpoint dies with it, so every call replays). */
+  def streamCompact(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(base)
+    val run = java.nio.file.Files.createTempDirectory(base, "stream_compact_").toString
+    val ev = graft.ops.EventOps.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    ev.repartition(4, col("user_id")).write.parquet(s"$run/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$run/in")
+    val q = foreachBatchMerge(stream, s"$run/log", s"$run/ckpt",
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+    latestState(spark, s"$run/log")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
+      .orderBy("user_id")
   }
 
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per

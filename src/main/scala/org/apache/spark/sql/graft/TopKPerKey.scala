@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.LongType
   * the difference between a full sort-spill and a fixed-size heap.
   *
   * Declared as `q_topk_custom`; semantics (and the DuckDB oracle) are
-  * identical to the window form, which is what makes it checkable.
+  * identical to the window form, which is what makes it checkable. Heap
+  * memory is bounded per key but not in keys — past
+  * `spark.graft.topk.maxHeapKeys` distinct keys per partition the operator
+  * falls back to a spill-capable external sort (see [[TopKPerKeyExec]]'s
+  * memory envelope), so extreme key cardinality degrades gracefully
+  * instead of OOMing.
   */
 case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
                       rkAttr: Attribute, child: LogicalPlan) extends UnaryNode {
@@ -40,8 +45,21 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(keys))
 
+  /** Memory envelope: the fast path holds ≤ k rows per DISTINCT KEY in the
+    * partition — bounded per key, unbounded in keys. Past
+    * `spark.graft.topk.maxHeapKeys` distinct keys (default 1M ≈ low hundreds
+    * of MB at k≤10 on ~100-byte rows) the partition FALLS BACK to a
+    * spill-capable external sort by (key, order) and streams ranks off the
+    * sorted run — the heaps' surviving candidates (discarded rows can never
+    * re-enter a top-k) plus all unread rows are fed to the sorter, so the
+    * switch is mid-stream and loses nothing. A billion-user top-3 therefore
+    * degrades to Window-like sort-spill behavior instead of OOM — this
+    * matters doubly because [[TopKRewriteRule]] routes users' plain window
+    * idiom here without them choosing the operator. */
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val maxHeapKeys =
+      conf.getConfString("spark.graft.topk.maxHeapKeys", "1000000").toInt
     child.execute().mapPartitionsInternal { rows =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ordering = new LazilyGeneratedOrdering(order, childOutput)
@@ -49,28 +67,74 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
       // requested sort, since SortOrder already encodes asc/desc)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       val reverse = ordering.reverse // max-heap on "worst kept row" at head
-      rows.foreach { row =>
+      var overflowRow: UnsafeRow = null // first row past the key threshold
+      while (rows.hasNext && overflowRow == null) {
+        val row = rows.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](k + 1, reverse)
-          heaps.put(key.copy(), heap)
+          if (heaps.size() >= maxHeapKeys) {
+            overflowRow = row.copy().asInstanceOf[UnsafeRow]
+          } else {
+            heap = new java.util.PriorityQueue[UnsafeRow](k + 1, reverse)
+            heaps.put(key.copy(), heap)
+          }
         }
-        if (heap.size < k) heap.add(row.copy().asInstanceOf[UnsafeRow])
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy().asInstanceOf[UnsafeRow])
+        if (heap != null) {
+          if (heap.size < k) heap.add(row.copy().asInstanceOf[UnsafeRow])
+          else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy().asInstanceOf[UnsafeRow])
+          }
         }
       }
       val outProj = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
       val rkRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val sorted = heap.asScala.toArray.sorted(ordering)
-        sorted.iterator.zipWithIndex.map { case (row, i) =>
-          rkRow.setLong(0, i + 1L)
-          outProj(joined(row, rkRow))
+      if (overflowRow == null) {
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val sorted = heap.asScala.toArray.sorted(ordering)
+          sorted.iterator.zipWithIndex.map { case (row, i) =>
+            rkRow.setLong(0, i + 1L)
+            outProj(joined(row, rkRow))
+          }
         }
+      } else {
+        // Sort-based fallback: external sort by (key asc, order), then a
+        // single streaming pass counting ranks per key group. Group change
+        // is detected with a key-only comparator (consistent with the sort
+        // order by construction, unlike raw key-byte equality).
+        import org.apache.spark.sql.catalyst.expressions.Ascending
+        import org.apache.spark.util.collection.ExternalSorter
+        val keySort = keys.map(SortOrder(_, Ascending))
+        val fullCmp = new LazilyGeneratedOrdering(keySort ++ order, childOutput)
+        val keyCmp = new LazilyGeneratedOrdering(keySort, childOutput)
+        val sorter = new ExternalSorter[UnsafeRow, Boolean, Boolean](
+          org.apache.spark.TaskContext.get(), None, None,
+          Some(new Ordering[UnsafeRow] {
+            override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+              fullCmp.compare(a, b)
+          }))
+        val kept = heaps.values().iterator().asScala
+          .flatMap(_.asScala.iterator) // already owned copies
+        val rest = Iterator.single(overflowRow) ++
+          rows.map(_.copy().asInstanceOf[UnsafeRow])
+        sorter.insertAll((kept ++ rest).map((_, true)))
+        heaps.clear()
+        var prevKey: UnsafeRow = null
+        var rank = 0L
+        val ranked = sorter.iterator.flatMap { case (row, _) =>
+          if (prevKey == null || keyCmp.compare(row, prevKey) != 0) {
+            rank = 1L
+            prevKey = row.copy() // sorter may reuse deserialized buffers
+          } else rank += 1L
+          if (rank <= k) {
+            rkRow.setLong(0, rank)
+            Iterator.single(outProj(joined(row, rkRow)))
+          } else Iterator.empty
+        }
+        org.apache.spark.util.CompletionIterator[InternalRow, Iterator[InternalRow]](
+          ranked, sorter.stop())
       }
     }
   }
@@ -201,7 +265,15 @@ object TopKRewriteRule
                   val child = realChild(w)
                   val rkLong =
                     AttributeReference("rk", LongType, nullable = false)()
+                  // A bare Attribute can be the Window's OWN rank output
+                  // (idiom: withColumn("rk", row_number...) then
+                  // withColumn("rkl", $"rk".cast("long")).filter($"rkl"<=k)).
+                  // The Window is dropped, so that attribute must be
+                  // re-derived from rkLong — passing it through untouched
+                  // left a dangling reference that failed binding (ADVICE r8).
                   val newProj: Seq[NamedExpression] = projList.map {
+                    case a: Attribute if a.exprId == alias.exprId =>
+                      Alias(Cast(rkLong, IntegerType), a.name)(a.exprId)
                     case a: Attribute => a
                     case _ => Alias(rkLong, ca.name)(ca.exprId)
                   }

@@ -49,7 +49,8 @@ class ContractSmokeSpec extends SparkSpec {
     "q_score_batch" -> "q_score_exact",
     "q_sketch_stats" -> "q_stats_pack",
     "q_heavy_hitters" -> "q_ngram_top",
-    "q_hll_merge" -> "q_monthly_uniques")
+    "q_hll_merge" -> "q_monthly_uniques",
+    "q_kll_merge" -> "q_monthly_median")
 
   test("every declared query is oracled OR on the no-oracle ledger with an oracled twin") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

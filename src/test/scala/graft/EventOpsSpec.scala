@@ -317,4 +317,35 @@ class EventOpsSpec extends SparkSpec {
       assert(math.abs(est - e).toDouble / e <= 0.05, s"$m: est $est exact $e")
     }
   }
+
+  test("kllMerge: merged daily blobs answer quantiles within KLL rank-error bounds") {
+    // KLL compaction is randomized, so (unlike hllMerge's register-max
+    // union) merge-of-daily vs direct-month is NOT bit-equal — the sketch
+    // contract is the rank-error bound, and that is what this asserts:
+    // the TRUE rank of each estimated quantile, measured against the
+    // month's exact value set, must sit within the k=200 envelope
+    // (±1.65% normalized rank error at 99% conf; 5% allowed for slack).
+    val est = graft.ops.EventOps.kllMerge(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(est.nonEmpty && est.forall(_._4 > 0))
+    val vals = graft.ops.EventOps.events(spark, sf001)
+      .select(date_trunc("month", col("ts")).cast("date").as("m"), col("value"))
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toArray).toMap
+    def rankOf(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    assert(est.map(_._1).toSet == vals.keySet)
+    est.foreach { case (m, med, p95, _) =>
+      val s = vals(m)
+      assert(math.abs(rankOf(s, med) - 0.5) <= 0.05,
+        s"$m: median est $med has true rank ${rankOf(s, med)}")
+      assert(math.abs(rankOf(s, p95) - 0.95) <= 0.05,
+        s"$m: p95 est $p95 has true rank ${rankOf(s, p95)}")
+    }
+    // and the oracled exact twin covers the same months (the pairing the
+    // no-oracle ledger in ContractSmokeSpec records)
+    val exactMonths = graft.ops.EventOps.monthlyMedian(spark, sf001).collect()
+      .map(_.getDate(0).toString).toSet
+    assert(exactMonths == est.map(_._1).toSet)
+  }
 }

@@ -67,7 +67,20 @@ class LedgerSpec extends AnyFunSuite {
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     for (p <- libSources) {
       val rel = Paths.get("src/main/scala/graft").relativize(p).toString
-      var enclosingDef = "<toplevel>"
+      // Scope-aware attribution (ADVICE r8): a bare `var enclosingDef`
+      // never reset on scope exit, so an action in a val initializer or a
+      // def-less region AFTER a justified def silently inherited its
+      // justification. Each def is pushed with the brace depth it was
+      // declared at and popped once its body (the braces that opened
+      // beyond that depth) closes; an expression-body def that never
+      // opens a brace stays until an enclosing scope closes — the old,
+      // conservative behavior. Braces inside "…" string literals are
+      // skipped; a brace inside a triple-quoted string is the known
+      // remaining blind spot (none in lib sources today).
+      final case class DefScope(name: String, declDepth: Int, var opened: Boolean)
+      val scopes = scala.collection.mutable.Stack.empty[DefScope]
+      def enclosingDef = scopes.headOption.map(_.name).getOrElse("<toplevel>")
+      var depth = 0
       var inBlockComment = false
       Files.readAllLines(p).asScala.zipWithIndex.foreach { case (line, i) =>
         // strip comments with a real state machine: code SHARING a line
@@ -98,13 +111,35 @@ class LedgerSpec extends AnyFunSuite {
           }
           sb.toString
         }
-        defPattern.findFirstMatchIn(code).foreach(m => enclosingDef = m.group(1))
+        defPattern.findFirstMatchIn(code).foreach(m =>
+          scopes.push(DefScope(m.group(1), depth, opened = false)))
         if (actionPattern.findFirstIn(code).isDefined) {
           val key = (rel, enclosingDef)
           found += key
           if (!justified.contains(key))
             violations += s"$rel:${i + 1} in def $enclosingDef: ${line.trim}"
         }
+        // walk the line's braces (string-literal-aware) and close any def
+        // whose body just ended
+        var ci = 0
+        var inStr = false
+        while (ci < code.length) {
+          val ch = code.charAt(ci)
+          if (inStr) {
+            if (ch == '\\') ci += 1
+            else if (ch == '"') inStr = false
+          } else ch match {
+            case '"' => inStr = true
+            case '{' =>
+              depth += 1
+              scopes.headOption.foreach(s => if (depth > s.declDepth) s.opened = true)
+            case '}' => depth -= 1
+            case _ =>
+          }
+          ci += 1
+        }
+        while (scopes.nonEmpty && scopes.head.opened && depth <= scopes.head.declDepth)
+          scopes.pop()
       }
     }
     assert(violations.isEmpty,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Memory-envelope spec for TopKPerKeyExec (verdict r8 #3): past
+  * `spark.graft.topk.maxHeapKeys` distinct keys per partition the operator
+  * must switch mid-stream from per-key heaps to the spill-capable external
+  * sort and still produce exactly the window-form answer. The threshold is
+  * planted absurdly low (50) against 5,000 distinct keys so every partition
+  * overflows; the same query at the default threshold pins heap-path
+  * equality.
+  */
+class TopKFallbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = {
+    // 5,000 keys × 4 rows, values arranged so top-2 per key is (40+key*…)
+    // deterministic: per key i, rows (i, j, v = (i*7 + j*13) % 101)
+    (0 until 5000).flatMap { i =>
+      (0 until 4).map(j => (s"k$i", i.toLong * 10 + j, ((i * 7 + j * 13) % 101).toDouble))
+    }.toDF("k", "id", "v")
+  }
+
+  private def expected(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    df.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 2)
+      .orderBy("k", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+  }
+
+  test("sort-fallback past the key threshold matches the heap path and the window form") {
+    val df = planted
+    val want = expected(df)
+    assert(want.size == 10000)
+    def run(): Seq[(String, Long, Double, Long)] =
+      org.apache.spark.sql.graft.TopKPerKey
+        .topKPerKey(df, 2, Seq("k"), Seq("v" -> false, "id" -> true))
+        .orderBy("k", "rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // heap path (default threshold 1M — 5k keys never overflow)
+    assert(run() == want)
+    // fallback path: threshold 50 « 5000 keys / 2 partitions — every
+    // partition overflows mid-stream and finishes on the external sort
+    spark.conf.set("spark.graft.topk.maxHeapKeys", "50")
+    try assert(run() == want)
+    finally spark.conf.unset("spark.graft.topk.maxHeapKeys")
+  }
+
+  test("fallback handles groups split around the overflow point and ties to k") {
+    // threshold 1: the very SECOND distinct key overflows, so nearly the
+    // whole partition rides the sorter; also k > some group sizes
+    val df = Seq(
+      ("a", 1L, 5.0), ("b", 2L, 7.0), ("a", 3L, 6.0), ("c", 4L, 1.0),
+      ("b", 5L, 8.0), ("a", 6L, 4.0), ("c", 7L, 2.0)).toDF("k", "id", "v")
+    spark.conf.set("spark.graft.topk.maxHeapKeys", "1")
+    try {
+      val got = org.apache.spark.sql.graft.TopKPerKey
+        .topKPerKey(df.repartition(1), 2, Seq("k"), Seq("v" -> false, "id" -> true))
+        .orderBy("k", "rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      assert(got == Seq(
+        ("a", 3L, 1L), ("a", 1L, 2L),
+        ("b", 5L, 1L), ("b", 2L, 2L),
+        ("c", 7L, 1L), ("c", 4L, 2L)))
+    } finally spark.conf.unset("spark.graft.topk.maxHeapKeys")
+  }
+}

@@ -125,6 +125,25 @@ class VectorExpressionsSpec extends SparkSpec {
       val gotCast = castForm.orderBy("k", "rk").collect()
         .map(r => (r.getString(0), r.getLong(3), r.getLong(1))).toSeq
       assert(gotCast == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L), ("b", 2L, 5L)))
+      // ADVICE r8: a legal variant keeps the ORIGINAL int rank column AND
+      // filters on a separate cast column. The rank attribute is then a
+      // bare pass-through in the Project — it must be re-derived from the
+      // operator's long rank, not passed through (the Window that produced
+      // it is gone; the unpatched rule failed attribute binding here).
+      val keepBoth = base.withColumn("rk", row_number().over(w))
+        .withColumn("rkl", col("rk").cast("long"))
+        .filter(col("rkl") <= 2)
+      assert(keepBoth.queryExecution.optimizedPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerKey => t
+      }.size == 1, keepBoth.queryExecution.optimizedPlan.toString)
+      assert(keepBoth.schema("rk").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(keepBoth.schema("rkl").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val gotBoth = keepBoth.orderBy("k", "rk").collect()
+        .map(r => (r.getString(0), r.getInt(3), r.getLong(4), r.getLong(1))).toSeq
+      assert(gotBoth == Seq(("a", 1, 1L, 1L), ("a", 2, 2L, 2L),
+        ("b", 1, 1L, 4L), ("b", 2, 2L, 5L)))
       // edge cases through the rewritten operator: groups smaller than k
       // (heap never fills) and the rk = 1 argmax form
       val small = Seq(("a", 1L, 5.0), ("b", 2L, 4.0), ("b", 3L, 6.0))

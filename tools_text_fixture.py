@@ -4,10 +4,13 @@
 Generates target/tscale1x and target/tscale10x (5,000 / 50,000 docs)
 matching /root/testdata/*/documents.parquet's shape: the same 31-word
 template vocabulary, uniform 8-96 token lengths, 20 sources, 5 langs —
-plus 2% planted near-dup pairs (a copy with ~3 token edits: inside the
-SNM lev threshold and sharing most shingles, so every dedup family has
-real signal at both scales). One deterministic generator, one seed per
-size, so growth exponents are measured on the same distribution.
+plus 2% planted near-dup pairs (a copy with up to 3 token substitutions
+whose SUMMED character-level edit cost is capped at 18, so every planted
+pair is PROVABLY inside the SNM lev threshold of 20 — an uncapped triple
+of 8-char swaps could cost ~24 edits and quietly fall outside it (ADVICE
+r8) — and shares most shingles, so every dedup family has real signal at
+both scales). One deterministic generator, one seed per size, so growth
+exponents are measured on the same distribution.
 Driver-side tooling only — the library never reads these files.
 """
 import numpy as np
@@ -28,12 +31,20 @@ def gen(n_docs: int, out_dir: str) -> None:
         n_tok = rng.integers(8, 97)
         texts.append(" ".join(rng.choice(VOCAB, n_tok)))
     # plant near-dups: every 50th doc overwrites the next doc with a copy
-    # of itself carrying ~3 single-token substitutions
+    # of itself carrying up to 3 single-token substitutions. The summed
+    # per-substitution character cost (bounded above by max(len(old),
+    # len(new)), a replace-then-insert/delete alignment) is capped at 18
+    # < SnmMaxLev=20, so every planted pair is provably within threshold.
     planted = 0
     for i in range(0, n_docs - 1, 50):
         toks = texts[i].split()
+        budget = 18
         for p in rng.choice(len(toks), size=min(3, len(toks)), replace=False):
-            toks[p] = VOCAB[rng.integers(0, len(VOCAB))]
+            new = VOCAB[rng.integers(0, len(VOCAB))]
+            cost = max(len(toks[p]), len(new))
+            if cost <= budget:
+                toks[p] = new
+                budget -= cost
         texts[i + 1] = " ".join(toks)
         planted += 1
     table = pa.table({
