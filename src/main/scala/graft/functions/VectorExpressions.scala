@@ -132,5 +132,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("xgb_margin"),
       new ExpressionInfo(classOf[XgbMargin].getName, "xgb_margin"),
       (children: Seq[Expression]) => XgbMargin(children.head)))
+    // KLL sketch surface (round 9): SQL-callable like Spark's own
+    // hll_sketch_agg family — `kll_sketch_agg(value)`, `kll_union_agg(sk)`,
+    // `kll_quantile(sk, 0.5)`; optional second arg on the aggs sets k
+    ext.injectFunction((
+      new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (children: Seq[Expression]) => {
+        val k = children.lift(1).map(kOf("kll_sketch_agg", _))
+          .getOrElse(KllFunctions.DefaultK)
+        KllSketchAgg(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_union_agg"),
+      new ExpressionInfo(classOf[KllUnionAgg].getName, "kll_union_agg"),
+      (children: Seq[Expression]) => {
+        val k = children.lift(1).map(kOf("kll_union_agg", _))
+          .getOrElse(KllFunctions.DefaultK)
+        KllUnionAgg(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (children: Seq[Expression]) => KllQuantile(children(0), children(1))))
+  }
+
+  /** The k parameter must be a literal int at registration time (it sizes
+    * the aggregation buffer before any row is seen). */
+  private def kOf(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn(col, k): k must be an integer literal, got $other")
   }
 }

@@ -76,6 +76,19 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(frame.queryExecution.executedPlan.toString.contains("TopKPerKey"))
       assert(frame.collect().map(r2 => (r2.getAs[String]("k"),
         r2.getAs[Double]("v"))).toSeq == Seq(("a", 3.0)))
+      // KLL sketch surface is SQL-callable through the same extension:
+      // build, merge (across 4 grouped sketches) and query — the median
+      // of 0..1000 must land within the k=200 rank-error envelope (±1.65%
+      // of 1001 ranks ≈ ±17; ±50 allows slack)
+      val kllMed = s2.sql(
+        """SELECT kll_quantile(kll_union_agg(sk), 0.5d) AS med FROM (
+          |  SELECT kll_sketch_agg(CAST(id AS DOUBLE)) AS sk
+          |  FROM range(1001) GROUP BY id % 4)""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(kllMed - 500.0) <= 50.0, s"kll median $kllMed")
+      // explicit-k form parses and the literal guard rejects a column
+      assert(s2.sql("SELECT kll_quantile(kll_sketch_agg(CAST(id AS DOUBLE), 128), 0.5d) FROM range(100)")
+        .head().getDouble(0) > 0.0)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
