@@ -134,7 +134,18 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
           } else Iterator.empty
         }
         org.apache.spark.util.CompletionIterator[InternalRow, Iterator[InternalRow]](
-          ranked, sorter.stop())
+          ranked, {
+            // ExternalSorter tracks its spill volume but only the caller
+            // can surface it (SortShuffleWriter does the same) — without
+            // this the fallback's spills are invisible to the UI/metrics
+            val tc = org.apache.spark.TaskContext.get()
+            if (tc != null) {
+              tc.taskMetrics().incMemoryBytesSpilled(sorter.memoryBytesSpilled)
+              tc.taskMetrics().incDiskBytesSpilled(sorter.diskBytesSpilled)
+              tc.taskMetrics().incPeakExecutionMemory(sorter.peakMemoryUsedBytes)
+            }
+            sorter.stop()
+          })
       }
     }
   }

@@ -17,6 +17,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // force in-memory collections to REALLY spill past 300k elements so
+      // spill paths are testable (TopKFallbackSpec); fixture suites stay
+      // far below this, so only the deliberately-oversized specs pay it
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "300000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

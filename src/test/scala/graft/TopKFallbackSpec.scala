@@ -47,6 +47,44 @@ class TopKFallbackSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.topk.maxHeapKeys")
   }
 
+  test("fallback completes under constrained memory with a REAL spill") {
+    // The envelope claim, demonstrated rather than asserted: 500k rows on
+    // ONE partition with the heap threshold at 1k keys — the external sort
+    // receives ~496k rows, and the session's 300k force-spill threshold
+    // (SparkSpec) makes the sorter genuinely spill to disk mid-run. The
+    // listener proves the spill happened; the counts and spot-checked keys
+    // prove nothing was lost across it.
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) spilled.addAndGet(t.taskMetrics.memoryBytesSpilled)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.graft.topk.maxHeapKeys", "1000")
+    try {
+      // key i ∈ [0, 100k), 5 rows each; top-2 by v desc = j ∈ {4, 3}
+      val big = spark.range(500000L).selectExpr(
+        "id % 100000 AS k", "id AS rid", "CAST(id DIV 100000 AS DOUBLE) AS v")
+      val out = org.apache.spark.sql.graft.TopKPerKey
+        .topKPerKey(big.repartition(1), 2, Seq("k"), Seq("v" -> false, "rid" -> true))
+      assert(out.count() == 200000L)
+      val probe = out.filter(col("k").isin(0L, 54321L, 99999L))
+        .orderBy("k", "rk")
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSeq
+      assert(probe == Seq(
+        (0L, 4.0, 1L), (0L, 3.0, 2L),
+        (54321L, 4.0, 1L), (54321L, 3.0, 2L),
+        (99999L, 4.0, 1L), (99999L, 3.0, 2L)))
+      // listener delivery is async — poll briefly before asserting
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (spilled.get() == 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(spilled.get() > 0, "expected the fallback's external sorter to spill")
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxHeapKeys")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("fallback handles groups split around the overflow point and ties to k") {
     // threshold 1: the very SECOND distinct key overflows, so nearly the
     // whole partition rides the sorter; also k > some group sizes
