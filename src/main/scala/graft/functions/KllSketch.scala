@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, Decimal, DoubleType, NumericType}
 
 /** Mergeable KLL quantile sketches — the QUANTILE half of the persistent-
   * sketch storage discipline (`EventOps.hllMerge` is the distinct-count
@@ -50,9 +50,23 @@ object KllFunctions {
       Literal(rank, DoubleType)))
 }
 
-/** Builds a KLL(k) doubles sketch over a double column; evaluates to the
-  * serialized blob (BinaryType). Null inputs are skipped (aggregate
-  * convention); an all-null group yields a valid empty sketch blob. */
+/** Any-numeric → Double widening shared by the agg's update and the
+  * quantile's rank argument: a strict DoubleType check rejected plain SQL
+  * literals (`0.5` parses as DECIMAL(1,1)) and integer value columns
+  * (review r9), which Spark's own sketch functions accept. */
+private[functions] object KllNum {
+  def toDouble(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case dec: Decimal => dec.toDouble
+    case n: java.lang.Number => n.doubleValue()
+  }
+}
+
+/** Builds a KLL(k) doubles sketch over any numeric column (widened to
+  * double); evaluates to the serialized blob (BinaryType). Null inputs are
+  * skipped (aggregate convention); an all-null group yields a valid empty
+  * sketch blob. */
 case class KllSketchAgg(
     child: Expression,
     k: Int = KllFunctions.DefaultK,
@@ -62,9 +76,9 @@ case class KllSketchAgg(
   with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType.isInstanceOf[NumericType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"kll_sketch_agg needs a DOUBLE input, got ${child.dataType.sql}")
+      s"kll_sketch_agg needs a numeric input, got ${child.dataType.sql}")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "kll_sketch_agg"
@@ -74,7 +88,7 @@ case class KllSketchAgg(
 
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[Double])
+    if (v != null) buffer.update(KllNum.toDouble(v))
     buffer
   }
 
@@ -153,10 +167,10 @@ case class KllQuantile(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == DoubleType)
+    if (left.dataType == BinaryType && right.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"kll_quantile needs (BINARY, DOUBLE), got (${left.dataType.sql}, ${right.dataType.sql})")
+      s"kll_quantile needs (BINARY, numeric), got (${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "kll_quantile"
@@ -164,7 +178,7 @@ case class KllQuantile(left: Expression, right: Expression)
   override protected def nullSafeEval(blob: Any, rank: Any): Any = {
     val sk = KllDoublesSketch.heapify(Memory.wrap(blob.asInstanceOf[Array[Byte]]))
     if (sk.isEmpty) null
-    else sk.getQuantile(rank.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+    else sk.getQuantile(KllNum.toDouble(rank), QuantileSearchCriteria.INCLUSIVE)
   }
 
   override protected def withNewChildrenInternal(

@@ -179,10 +179,18 @@ object StreamOps {
     val q = foreachBatchMerge(stream, s"$run/log", s"$run/ckpt",
       Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     q.awaitTermination()
-    latestState(spark, s"$run/log")
+    // materialize the (small: one row per user) compaction BEFORE deleting
+    // the run dir — without the cleanup every bench/verify/spec call left
+    // a full staged copy of the events table behind (review r9)
+    val out = latestState(spark, s"$run/log")
       .select(col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
       .orderBy("user_id")
+      .localCheckpoint() // eager
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
   }
 
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per

@@ -109,12 +109,25 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
         val keySort = keys.map(SortOrder(_, Ascending))
         val fullCmp = new LazilyGeneratedOrdering(keySort ++ order, childOutput)
         val keyCmp = new LazilyGeneratedOrdering(keySort, childOutput)
+        val taskCtx = org.apache.spark.TaskContext.get()
         val sorter = new ExternalSorter[UnsafeRow, Boolean, Boolean](
-          org.apache.spark.TaskContext.get(), None, None,
+          taskCtx, None, None,
           Some(new Ordering[UnsafeRow] {
             override def compare(a: UnsafeRow, b: UnsafeRow): Int =
               fullCmp.compare(a, b)
           }))
+        // Metrics + cleanup are bound to TASK completion, not iterator
+        // exhaustion (the BlockStoreShuffleReader discipline): a limit/
+        // take/cancel that abandons the iterator mid-stream would
+        // otherwise leak the sorter's spill files until executor
+        // shutdown. stop() is idempotent and the spill counters stay
+        // readable after it, so the eager stop below double-calls safely.
+        if (taskCtx != null) taskCtx.addTaskCompletionListener[Unit] { _ =>
+          taskCtx.taskMetrics().incMemoryBytesSpilled(sorter.memoryBytesSpilled)
+          taskCtx.taskMetrics().incDiskBytesSpilled(sorter.diskBytesSpilled)
+          taskCtx.taskMetrics().incPeakExecutionMemory(sorter.peakMemoryUsedBytes)
+          sorter.stop()
+        }
         val kept = heaps.values().iterator().asScala
           .flatMap(_.asScala.iterator) // already owned copies
         val rest = Iterator.single(overflowRow) ++
@@ -134,18 +147,8 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
           } else Iterator.empty
         }
         org.apache.spark.util.CompletionIterator[InternalRow, Iterator[InternalRow]](
-          ranked, {
-            // ExternalSorter tracks its spill volume but only the caller
-            // can surface it (SortShuffleWriter does the same) — without
-            // this the fallback's spills are invisible to the UI/metrics
-            val tc = org.apache.spark.TaskContext.get()
-            if (tc != null) {
-              tc.taskMetrics().incMemoryBytesSpilled(sorter.memoryBytesSpilled)
-              tc.taskMetrics().incDiskBytesSpilled(sorter.diskBytesSpilled)
-              tc.taskMetrics().incPeakExecutionMemory(sorter.peakMemoryUsedBytes)
-            }
-            sorter.stop()
-          })
+          ranked, sorter.stop()) // eager release on full consumption;
+                                 // metrics land via the task listener
       }
     }
   }

@@ -138,7 +138,14 @@ class LedgerSpec extends AnyFunSuite {
           }
           ci += 1
         }
-        while (scopes.nonEmpty && scopes.head.opened && depth <= scopes.head.declDepth)
+        // brace-bodied defs die when their body closes (depth back AT the
+        // declaration); expression-body defs (never opened) die when their
+        // ENCLOSING scope closes (depth drops BELOW the declaration) —
+        // without the second arm an unopened def leaked across object
+        // boundaries and claimed later actions (review r9)
+        while (scopes.nonEmpty && (
+          (scopes.head.opened && depth <= scopes.head.declDepth) ||
+          (!scopes.head.opened && depth < scopes.head.declDepth)))
           scopes.pop()
       }
     }

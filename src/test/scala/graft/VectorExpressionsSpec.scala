@@ -86,8 +86,10 @@ class VectorExpressionsSpec extends SparkSpec {
           |  FROM range(1001) GROUP BY id % 4)""".stripMargin)
         .head().getDouble(0)
       assert(math.abs(kllMed - 500.0) <= 50.0, s"kll median $kllMed")
-      // explicit-k form parses and the literal guard rejects a column
-      assert(s2.sql("SELECT kll_quantile(kll_sketch_agg(CAST(id AS DOUBLE), 128), 0.5d) FROM range(100)")
+      // explicit-k form parses; plain-decimal rank literal and an integer
+      // value column both work (review r9: a strict DOUBLE check rejected
+      // `0.5` = DECIMAL(1,1) and unwidened int columns)
+      assert(s2.sql("SELECT kll_quantile(kll_sketch_agg(id, 128), 0.5) FROM range(100)")
         .head().getDouble(0) > 0.0)
     } finally {
       SparkSession.setDefaultSession(spark)
