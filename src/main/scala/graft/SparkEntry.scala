@@ -72,6 +72,7 @@ object SparkEntry {
     "q_lang_entropy" -> (CurationOps.langEntropy _),
     "q_rfm" -> (Relational.rfm _),
     "q_ks_drift" -> (Relational.ksDrift _),
+    "q_ks_drift_sketch" -> (Relational.ksDriftSketch _),
     "q_gini" -> (Relational.gini _),
     "q_forget" -> (CurationOps.forgetCascade _),
     "q_ewma" -> (EventOps.ewma _),

@@ -48,6 +48,12 @@ object KllFunctions {
   def kll_quantile(c: Column, rank: Double): Column =
     Bridge.column(KllQuantile(Bridge.expression(c),
       Literal(rank, DoubleType)))
+
+  def kll_quantile(c: Column, rank: Column): Column =
+    Bridge.column(KllQuantile(Bridge.expression(c), Bridge.expression(rank)))
+
+  def kll_rank(c: Column, value: Column): Column =
+    Bridge.column(KllRank(Bridge.expression(c), Bridge.expression(value)))
 }
 
 /** Any-numeric → Double widening shared by the agg's update and the
@@ -183,5 +189,35 @@ case class KllQuantile(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllQuantile =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Inverse of [[KllQuantile]]: the NORMALIZED RANK of a value in a stored
+  * KLL blob — `kll_rank(blob, v)` ∈ [0, 1], INCLUSIVE criteria. The pair
+  * (quantile, rank) is what sketch-side distribution COMPARISON runs on:
+  * two periods' blobs give an approximate KS statistic as
+  * max over a probe grid of |rank_a(v) − rank_b(v)| (`q_ks_drift_sketch`)
+  * with error bounded by the two sketches' rank errors. Null on an empty
+  * sketch. */
+case class KllRank(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_rank needs (BINARY, numeric), got (${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_rank"
+
+  override protected def nullSafeEval(blob: Any, value: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(blob.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getRank(KllNum.toDouble(value), QuantileSearchCriteria.INCLUSIVE)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllRank =
     copy(left = newLeft, right = newRight)
 }

@@ -155,6 +155,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
       (children: Seq[Expression]) => KllQuantile(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_rank"),
+      new ExpressionInfo(classOf[KllRank].getName, "kll_rank"),
+      (children: Seq[Expression]) => KllRank(children(0), children(1))))
   }
 
   /** The k parameter must be a literal int at registration time (it sizes

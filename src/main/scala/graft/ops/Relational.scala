@@ -1108,6 +1108,41 @@ object Relational {
         col("ta").as("n_a"), col("tb").as("n_b"))
   }
 
+  /** Sketch-side KS drift — the monitoring twin of [[ksDrift]] and the
+    * USE CASE the mergeable KLL blobs exist for: each population is
+    * reduced to ONE ~5 KB KLL(200) blob in a single map-combined pass
+    * (vs the exact form's distinct-value cumulative window), and the KS
+    * statistic is estimated as max over a 1001-point probe grid — the
+    * quantiles of BOTH sketches — of |rank_a(v) − rank_b(v)|. At 100 TB
+    * the two periods' blobs live in the sketch store ([[graft.ops
+    * .EventOps.kllMerge]]'s discipline) and drift is answered WITHOUT
+    * rescanning either period; error ≤ the two sketches' rank errors
+    * (±1.65% each) + grid resolution, spec'd against the exact twin.
+    * Declared no-oracle (randomized compaction, the q_kll_merge
+    * contract). */
+  def ksDriftSketch(spark: SparkSession, sf: String): DataFrame = {
+    import graft.functions.KllFunctions._
+    val v = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_extendedprice").as("x"), col("l_returnflag").as("f"))
+    val sk = v.agg(
+      kll_sketch_agg(when(col("f") === "R", col("x"))).as("ska"),
+      kll_sketch_agg(when(col("f") === "A", col("x"))).as("skb"),
+      sum(when(col("f") === "R", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("f") === "A", 1L).otherwise(0L)).as("n_b"))
+    val grid = spark.range(0, 1001).select((col("id") / 1000.0).as("q"))
+    grid.crossJoin(broadcast(sk)) // sk is ONE row of two blobs
+      .select(col("n_a"), col("n_b"),
+        greatest(
+          abs(kll_rank(col("ska"), kll_quantile(col("ska"), col("q"))) -
+            kll_rank(col("skb"), kll_quantile(col("ska"), col("q")))),
+          abs(kll_rank(col("ska"), kll_quantile(col("skb"), col("q"))) -
+            kll_rank(col("skb"), kll_quantile(col("skb"), col("q"))))).as("dd"))
+      .groupBy("n_a", "n_b")
+      .agg(round(max(col("dd")), 4).as("d_est"))
+      .select(col("d_est"), col("n_a"), col("n_b"))
+  }
+
   /** Gini coefficient of customer revenue — the concentration audit
     * ("what share of spend do the top customers own"), the same statistic
     * a corpus pipeline runs over per-source token mass before fixing a

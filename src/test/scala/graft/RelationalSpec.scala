@@ -331,6 +331,14 @@ class RelationalSpec extends SparkSpec {
       s.count(_ <= x).toDouble / s.length
     val manual = grid.map(x => math.abs(cdf(a, x) - cdf(b, x))).max
     assert(math.abs(d - manual) < 1e-6, s"query $d vs manual $manual")
+    // sketch twin: same populations reduced to two KLL blobs; D-hat must
+    // sit within the two sketches' combined rank-error envelope (±1.65%
+    // each at k=200; 0.05 allows slack + grid resolution) of the exact D
+    val sk = graft.ops.Relational.ksDriftSketch(spark, sf0001).collect().head
+    assert(sk.getAs[Long]("n_a") == a.length && sk.getAs[Long]("n_b") == b.length)
+    val dEst = sk.getAs[Double]("d_est")
+    assert(dEst >= 0.0 && dEst <= 1.0)
+    assert(math.abs(dEst - manual) <= 0.05, s"sketch $dEst vs exact $manual")
   }
 
   test("gini: in [0,1), zero when flat, hand-checked on a skewed frame") {
