@@ -348,4 +348,25 @@ class EventOpsSpec extends SparkSpec {
       .map(_.getDate(0).toString).toSet
     assert(exactMonths == est.map(_._1).toSet)
   }
+
+  test("kll aggregates: 97-group union over 8 partitions stays in rank bounds") {
+    // hardens the TypedImperativeAggregate serialize/merge path: partial
+    // sketches cross a shuffle per level (build in 8 partitions, union
+    // across 97 groups), so blob (de)serialization and sketch merge run
+    // many times. v = (id * 7) mod 100003 over 100k ids is near-uniform on
+    // [0, 100003): true median ≈ 50001, p90 ≈ 90003. k=200 rank error
+    // 1.65% of 100k ranks ≈ ±1650 ranks ≈ ±1650 in value; ±4000 allows
+    // the distribution's own lumpiness.
+    import graft.functions.KllFunctions._
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(100000).repartition(8)
+      .select((col("id") % 97).as("g"),
+        ((col("id") * 7) % 100003).cast("double").as("v"))
+    val r = df.groupBy("g").agg(kll_sketch_agg(col("v")).as("sk"))
+      .agg(kll_quantile(kll_union_agg(col("sk")), 0.5).as("med"),
+        kll_quantile(kll_union_agg(col("sk")), 0.9).as("p90"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 50001.0) < 4000, s"median ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 90003.0) < 4000, s"p90 ${r.getDouble(1)}")
+  }
 }
