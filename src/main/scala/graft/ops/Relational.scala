@@ -1132,15 +1132,25 @@ object Relational {
       sum(when(col("f") === "A", 1L).otherwise(0L)).as("n_b"))
     val grid = spark.range(0, 1001).select((col("id") / 1000.0).as("q"))
     grid.crossJoin(broadcast(sk)) // sk is ONE row of two blobs
+      // probe values hoisted once per row (review r9: the fallback-eval'd
+      // expressions get no guaranteed subexpression elimination, so the
+      // inline form deserialized each blob twice per probe)
+      .select(col("n_a"), col("n_b"), col("ska"), col("skb"),
+        kll_quantile(col("ska"), col("q")).as("va"),
+        kll_quantile(col("skb"), col("q")).as("vb"))
       .select(col("n_a"), col("n_b"),
         greatest(
-          abs(kll_rank(col("ska"), kll_quantile(col("ska"), col("q"))) -
-            kll_rank(col("skb"), kll_quantile(col("ska"), col("q")))),
-          abs(kll_rank(col("ska"), kll_quantile(col("skb"), col("q"))) -
-            kll_rank(col("skb"), kll_quantile(col("skb"), col("q"))))).as("dd"))
+          abs(kll_rank(col("ska"), col("va")) - kll_rank(col("skb"), col("va"))),
+          abs(kll_rank(col("ska"), col("vb")) - kll_rank(col("skb"), col("vb"))))
+          .as("dd"))
       .groupBy("n_a", "n_b")
+      // an EMPTY side makes every probe null and d_est null — exactly when
+      // a monitor must scream, so the condition is surfaced as a column
+      // instead of read back out of a silent null (review r9)
       .agg(round(max(col("dd")), 4).as("d_est"))
-      .select(col("d_est"), col("n_a"), col("n_b"))
+      .select(col("d_est"), col("n_a"), col("n_b"),
+        (col("n_a") > 0 && col("n_b") > 0 && col("d_est").isNotNull)
+          .as("both_present"))
   }
 
   /** Gini coefficient of customer revenue — the concentration audit

@@ -336,6 +336,7 @@ class RelationalSpec extends SparkSpec {
     // each at k=200; 0.05 allows slack + grid resolution) of the exact D
     val sk = graft.ops.Relational.ksDriftSketch(spark, sf0001).collect().head
     assert(sk.getAs[Long]("n_a") == a.length && sk.getAs[Long]("n_b") == b.length)
+    assert(sk.getAs[Boolean]("both_present"))
     val dEst = sk.getAs[Double]("d_est")
     assert(dEst >= 0.0 && dEst <= 1.0)
     assert(math.abs(dEst - manual) <= 0.05, s"sketch $dEst vs exact $manual")
