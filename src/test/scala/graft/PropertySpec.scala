@@ -343,4 +343,35 @@ class PropertySpec extends SparkSpec {
       assert(smatching.subsetOf(ssurvivors))
     }
   }
+
+  test("TopKPerKey heap AND sort-fallback paths equal the window form for all inputs") {
+    // the operator silently serves every user window-top-k via the rewrite
+    // rule, so its two execution paths must agree with row_number semantics
+    // on ARBITRARY data — duplicate values, tiny and oversized k, skewed
+    // key distributions. Ordering is total (v desc, id asc), so the answer
+    // is unique and comparable row-for-row.
+    val rowsGen = for {
+      n <- Gen.choose(1, 60)
+      ks <- Gen.listOfN(n, Gen.choose(0, 6))      // few keys → collisions
+      vs <- Gen.listOfN(n, Gen.choose(0, 9))      // few values → rank ties broken by id
+      k <- Gen.choose(1, 5)
+    } yield (ks.zip(vs).zipWithIndex.map { case ((key, v), id) =>
+      (s"g$key", id.toLong, v.toDouble) }, k)
+    forAll(rowsGen) { case (rows, k) =>
+      val df = rows.toDF("k", "id", "v")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val expect = df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k).orderBy("k", "rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      def run(): Seq[(String, Long, Long)] = org.apache.spark.sql.graft.TopKPerKey
+        .topKPerKey(df, k, Seq("k"), Seq("v" -> false, "id" -> true))
+        .orderBy("k", "rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      assert(run() == expect) // heap path
+      spark.conf.set("spark.graft.topk.maxHeapKeys", "1")
+      try assert(run() == expect) // fallback path (overflows at key #2)
+      finally spark.conf.unset("spark.graft.topk.maxHeapKeys")
+    }
+  }
 }
