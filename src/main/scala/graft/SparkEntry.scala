@@ -146,6 +146,7 @@ object SparkEntry {
     "q_hll_merge" -> (EventOps.hllMerge _),
     "q_monthly_median" -> (EventOps.monthlyMedian _),
     "q_kll_merge" -> (EventOps.kllMerge _),
+    "q_sketch_store" -> (EventOps.sketchStore _),
     "q_gap_fill" -> (EventOps.gapFill _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),

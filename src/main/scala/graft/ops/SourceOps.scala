@@ -36,7 +36,8 @@ object SourceOps {
     * silently stale. */
   val stagedQueries: Seq[String] = Seq(
     "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
-    "q_partition_prune", "q_schema_merge", "q_binary_files", "q_bucket_join")
+    "q_partition_prune", "q_schema_merge", "q_binary_files", "q_bucket_join",
+    "q_sketch_store")
 
   private[ops] def materialize(key: String)(write: String => Unit): String =
     staged.computeIfAbsent(key, _ => {

@@ -349,6 +349,50 @@ class EventOpsSpec extends SparkSpec {
     assert(exactMonths == est.map(_._1).toSet)
   }
 
+  test("sketchStore: rollup scans ONLY the blob store, estimates match the twins") {
+    val q = graft.ops.EventOps.sketchStore(spark, sf001)
+    // the literal no-rescan proof: the executed plan's file scans must not
+    // touch the events table — every byte read is the persisted blob store
+    // (plan inspected as text: AQE wraps the tree, so node collect() sees
+    // no children)
+    val planText = q.queryExecution.executedPlan.toString
+    assert(planText.contains("graft_sketch_store"),
+      s"rollup must scan the staged store:\n$planText")
+    assert(!planText.contains("events.parquet"),
+      s"rollup must not rescan the fact table:\n$planText")
+    val rows = q.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows.nonEmpty && rows.forall(_._5 > 0))
+    // row mass check: stored per-day counts must re-sum to the fact table
+    val total = graft.ops.EventOps.events(spark, sf001).count()
+    assert(rows.map(_._4).sum == total)
+    // HLL register-max union is deterministic: the store's estimate must
+    // EXACTLY equal the in-plan hllMerge for every month
+    val inPlan = graft.ops.EventOps.hllMerge(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    rows.foreach { case (m, est, _, _, _) =>
+      assert(inPlan(m) == est, s"$m: store $est vs in-plan ${inPlan(m)}")
+    }
+    // KLL median rides the rank-error contract vs the exact oracled twin
+    val exact = graft.ops.EventOps.monthlyMedian(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1))).toMap
+    val vals = graft.ops.EventOps.events(spark, sf001)
+      .select(date_trunc("month", col("ts")).cast("date").as("m"), col("value"))
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toArray).toMap
+    rows.foreach { case (m, _, med, _, _) =>
+      val s = vals(m)
+      val rank = s.count(_ <= med).toDouble / s.length
+      assert(math.abs(rank - 0.5) <= 0.05, s"$m: store median $med rank $rank")
+      assert(exact.contains(m))
+    }
+    // the store is staged once per JVM — a second call reuses it
+    val stagedBefore = graft.ops.SourceOps.stagedKeyCount
+    graft.ops.EventOps.sketchStore(spark, sf001).collect()
+    assert(graft.ops.SourceOps.stagedKeyCount == stagedBefore)
+  }
+
   test("kll aggregates: 97-group union over 8 partitions stays in rank bounds") {
     // hardens the TypedImperativeAggregate serialize/merge path: partial
     // sketches cross a shuffle per level (build in 8 partitions, union
