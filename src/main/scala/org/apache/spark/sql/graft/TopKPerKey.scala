@@ -47,19 +47,26 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
 
   /** Memory envelope: the fast path holds ≤ k rows per DISTINCT KEY in the
     * partition — bounded per key, unbounded in keys. Past
-    * `spark.graft.topk.maxHeapKeys` distinct keys (default 1M ≈ low hundreds
-    * of MB at k≤10 on ~100-byte rows) the partition FALLS BACK to a
-    * spill-capable external sort by (key, order) and streams ranks off the
-    * sorted run — the heaps' surviving candidates (discarded rows can never
-    * re-enter a top-k) plus all unread rows are fed to the sorter, so the
-    * switch is mid-stream and loses nothing. A billion-user top-3 therefore
-    * degrades to Window-like sort-spill behavior instead of OOM — this
-    * matters doubly because [[TopKRewriteRule]] routes users' plain window
-    * idiom here without them choosing the operator. */
+    * `spark.graft.topk.maxHeapKeys` distinct keys (default 1M, the
+    * narrow-row proxy) OR `spark.graft.topk.maxHeapBytes` retained bytes
+    * (default 256 MB, exact — key copies + heap rows, maintained
+    * incrementally, the guard that fires first on WIDE rows) the partition
+    * FALLS BACK to a spill-capable external sort by (key, order) and
+    * streams ranks off the sorted run — the heaps' surviving candidates
+    * (discarded rows can never re-enter a top-k) plus all unread rows are
+    * fed to the sorter, so the switch is mid-stream and loses nothing. A
+    * billion-user top-3 therefore degrades to Window-like sort-spill
+    * behavior instead of OOM — this matters doubly because
+    * [[TopKRewriteRule]] routes users' plain window idiom here without
+    * them choosing the operator. */
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val maxHeapKeys =
       conf.getConfString("spark.graft.topk.maxHeapKeys", "1000000").toInt
+    // exact byte envelope alongside the key-count proxy: wide rows hit
+    // memory long before a count threshold sized for narrow ones
+    val maxHeapBytes =
+      conf.getConfString("spark.graft.topk.maxHeapBytes", (256L << 20).toString).toLong
     child.execute().mapPartitionsInternal { rows =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ordering = new LazilyGeneratedOrdering(order, childOutput)
@@ -68,7 +75,9 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       val reverse = ordering.reverse // max-heap on "worst kept row" at head
       var overflowRow: UnsafeRow = null // first row past the key threshold
-      while (rows.hasNext && overflowRow == null) {
+      var retained = 0L // bytes held across key copies + heap rows
+      var bytesExceeded = false
+      while (rows.hasNext && overflowRow == null && !bytesExceeded) {
         val row = rows.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -76,22 +85,31 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
           if (heaps.size() >= maxHeapKeys) {
             overflowRow = row.copy().asInstanceOf[UnsafeRow]
           } else {
+            val keyCopy = key.copy()
+            retained += keyCopy.getSizeInBytes
             heap = new java.util.PriorityQueue[UnsafeRow](k + 1, reverse)
-            heaps.put(key.copy(), heap)
+            heaps.put(keyCopy, heap)
           }
         }
         if (heap != null) {
-          if (heap.size < k) heap.add(row.copy().asInstanceOf[UnsafeRow])
-          else if (ordering.compare(row, heap.peek()) < 0) {
-            heap.poll(); heap.add(row.copy().asInstanceOf[UnsafeRow])
+          if (heap.size < k) {
+            val c = row.copy().asInstanceOf[UnsafeRow]
+            retained += c.getSizeInBytes
+            heap.add(c)
+          } else if (ordering.compare(row, heap.peek()) < 0) {
+            retained -= heap.poll().getSizeInBytes
+            val c = row.copy().asInstanceOf[UnsafeRow]
+            retained += c.getSizeInBytes
+            heap.add(c)
           }
+          if (retained >= maxHeapBytes) bytesExceeded = true
         }
       }
       val outProj = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
       val rkRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      if (overflowRow == null) {
+      if (overflowRow == null && !bytesExceeded) {
         heaps.values().iterator().asScala.flatMap { heap =>
           val sorted = heap.asScala.toArray.sorted(ordering)
           sorted.iterator.zipWithIndex.map { case (row, i) =>
@@ -130,7 +148,9 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
         }
         val kept = heaps.values().iterator().asScala
           .flatMap(_.asScala.iterator) // already owned copies
-        val rest = Iterator.single(overflowRow) ++
+        // key-count overflow carries one unconsumed pending row; the byte
+        // overflow consumed its last row into a heap, so there is none
+        val rest = Option(overflowRow).iterator ++
           rows.map(_.copy().asInstanceOf[UnsafeRow])
         sorter.insertAll((kept ++ rest).map((_, true)))
         heaps.clear()

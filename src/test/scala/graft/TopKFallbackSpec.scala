@@ -85,6 +85,24 @@ class TopKFallbackSpec extends SparkSpec {
     }
   }
 
+  test("byte-threshold overflow (wide rows) matches the heap path too") {
+    // the key-count proxy misses wide rows; the byte guard is exact. A
+    // tiny 4 KB budget overflows within the first few hundred rows (every
+    // row ~0.1 KB retained), with NO pending row (the last row was
+    // consumed into a heap before the guard fired) — the branch the
+    // key-count path never takes.
+    val df = planted
+    val want = expected(df)
+    spark.conf.set("spark.graft.topk.maxHeapBytes", "4096")
+    try {
+      val got = org.apache.spark.sql.graft.TopKPerKey
+        .topKPerKey(df, 2, Seq("k"), Seq("v" -> false, "id" -> true))
+        .orderBy("k", "rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.topk.maxHeapBytes")
+  }
+
   test("fallback handles groups split around the overflow point and ties to k") {
     // threshold 1: the very SECOND distinct key overflows, so nearly the
     // whole partition rides the sorter; also k > some group sizes
