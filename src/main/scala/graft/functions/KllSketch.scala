@@ -69,6 +69,24 @@ private[functions] object KllNum {
   }
 }
 
+/** Shared buffer/serde plumbing of the two KLL aggregates: sketch-object
+  * buffer, register-merge, blob eval and blob (de)serialization are
+  * identical whether rows or stored blobs feed the update side. */
+private[functions] trait KllAggLike extends TypedImperativeAggregate[KllDoublesSketch] {
+  def k: Int
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other); buffer
+  }
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+}
+
 /** Builds a KLL(k) doubles sketch over any numeric column (widened to
   * double); evaluates to the serialized blob (BinaryType). Null inputs are
   * skipped (aggregate convention); an all-null group yields a valid empty
@@ -78,35 +96,19 @@ case class KllSketchAgg(
     k: Int = KllFunctions.DefaultK,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch]
-  with UnaryLike[Expression] {
+  extends KllAggLike with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[NumericType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"kll_sketch_agg needs a numeric input, got ${child.dataType.sql}")
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
   override def prettyName: String = "kll_sketch_agg"
-
-  override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(k)
 
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
     if (v != null) buffer.update(KllNum.toDouble(v))
     buffer
   }
-
-  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
-    buffer.merge(other); buffer
-  }
-
-  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
-
-  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -125,19 +127,13 @@ case class KllUnionAgg(
     k: Int = KllFunctions.DefaultK,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch]
-  with UnaryLike[Expression] {
+  extends KllAggLike with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"kll_union_agg needs a BINARY blob input, got ${child.dataType.sql}")
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
   override def prettyName: String = "kll_union_agg"
-
-  override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(k)
 
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
@@ -146,16 +142,6 @@ case class KllUnionAgg(
     }
     buffer
   }
-
-  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
-    buffer.merge(other); buffer
-  }
-
-  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
-
-  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllUnionAgg =
     copy(mutableAggBufferOffset = newOffset)

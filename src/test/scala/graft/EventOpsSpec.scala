@@ -318,6 +318,14 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  /** month → sorted value array of the fixture (shared by the two
+    * sketch-accuracy specs' true-rank checks). */
+  private def monthValues(sf: String): Map[String, Array[Double]] =
+    graft.ops.EventOps.events(spark, sf)
+      .select(date_trunc("month", col("ts")).cast("date").as("m"), col("value"))
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toArray).toMap
+
   test("kllMerge: merged daily blobs answer quantiles within KLL rank-error bounds") {
     // KLL compaction is randomized, so (unlike hllMerge's register-max
     // union) merge-of-daily vs direct-month is NOT bit-equal — the sketch
@@ -328,10 +336,7 @@ class EventOpsSpec extends SparkSpec {
     val est = graft.ops.EventOps.kllMerge(spark, sf001).collect()
       .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(est.nonEmpty && est.forall(_._4 > 0))
-    val vals = graft.ops.EventOps.events(spark, sf001)
-      .select(date_trunc("month", col("ts")).cast("date").as("m"), col("value"))
-      .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toArray).toMap
+    val vals = monthValues(sf001)
     def rankOf(sorted: Array[Double], v: Double): Double =
       sorted.count(_ <= v).toDouble / sorted.length
     assert(est.map(_._1).toSet == vals.keySet)
@@ -377,10 +382,7 @@ class EventOpsSpec extends SparkSpec {
     // KLL median rides the rank-error contract vs the exact oracled twin
     val exact = graft.ops.EventOps.monthlyMedian(spark, sf001).collect()
       .map(r => (r.getDate(0).toString, r.getDouble(1))).toMap
-    val vals = graft.ops.EventOps.events(spark, sf001)
-      .select(date_trunc("month", col("ts")).cast("date").as("m"), col("value"))
-      .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toArray).toMap
+    val vals = monthValues(sf001)
     rows.foreach { case (m, _, med, _, _) =>
       val s = vals(m)
       val rank = s.count(_ <= med).toDouble / s.length
