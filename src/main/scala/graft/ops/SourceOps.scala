@@ -137,6 +137,29 @@ object SourceOps {
       .orderBy("c_custkey")
   }
 
+  /** Declared query over the custom DataSource V2 ([[graft.sources.GenDataSource]])
+    * — the source-tier ladder's top rung, exercised end-to-end: the id-range
+    * predicate is PUSHED (GenScanBuilder accepts it, partition planning drops
+    * 13 of 16 slices before any row exists), the plan-column filter is the
+    * RESIDUAL Spark evaluates post-scan, and column pruning means the reader
+    * never computes `tenure` at all. Row count is sf-independent by design —
+    * the source is the thing under test, not the fixture. The oracle rebuilds
+    * the identical table from `range(200000)` in DuckDB (pure integer
+    * arithmetic, no RNG), so this custom-source path is value-level verified,
+    * not just rows>0-smoked. GenSourceSpec asserts the pruning/pushdown facts
+    * against the physical plan. */
+  def genSource(spark: SparkSession, sf: String): DataFrame = {
+    spark.read.format("graft-gen")
+      .option("rows", "200000").option("slices", "16").load()
+      .where(col("id") >= 150000L && col("id") < 180000L && col("plan") =!= "Basic")
+      .groupBy("plan", "gender")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("spend"), 2).as("total_spend"),
+        round(avg("age"), 4).as("avg_age"))
+      .orderBy("plan", "gender")
+  }
+
   /** Raw text-line source — how an LLM pipeline ingests an unstructured
     * corpus (one document per line; the fixture texts contain no newlines,
     * verified). Aggregate so row order through the file round-trip is

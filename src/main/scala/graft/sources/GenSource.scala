@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic customer-record generator as a full DataSource V2 — the
+  * custom rung of the SOURCE tier, completing the ladder the operator side
+  * finished with `TopKPerKey` (expression → aggregator → plan → strategy →
+  * rule → extension; now also: table provider → scan builder → pushdown →
+  * partition planning → reader).
+  *
+  * This is the Spark-native shape of the reference's MongoDB source:
+  * `load_data_from_mongo()` issues `collection.find({}, projection)` — a
+  * server-side SELECTION and PROJECTION (`app_test.py:36-57`). In DSv2
+  * those become [[SupportsPushDownFilters]] (the `find` filter document)
+  * and [[SupportsPushDownRequiredColumns]] (the projection): Catalyst
+  * pushes both into the scan, and the source honours them BEFORE data is
+  * materialized — id-range predicates prune whole input partitions at
+  * planning time (the analog of Mongo hitting the `_id` index) and the
+  * reader computes only the requested columns. At 100 TB the same contract
+  * is what keeps an external-system scan from shipping the whole
+  * collection: selection and projection travel to the data, not the other
+  * way round.
+  *
+  * Rows derive from `id` by pure integer arithmetic (no RNG state), so any
+  * engine can reproduce the table exactly — the DuckDB oracle rebuilds it
+  * from `range(n)` and must hash-match, making this the rare custom-source
+  * query with a full value-level oracle rather than a rows-only check.
+  */
+object GenSource {
+  val ShortName = "graft-gen"
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("age", LongType, nullable = false),
+    StructField("gender", StringType, nullable = false),
+    StructField("tenure", LongType, nullable = false),
+    StructField("spend", DoubleType, nullable = false),
+    StructField("plan", StringType, nullable = false)))
+
+  private val genders = Array("Female", "Male").map(UTF8String.fromString)
+  private val plans = Array("Basic", "Standard", "Premium").map(UTF8String.fromString)
+
+  /** Column generators, indexed by field name. Mirrored EXACTLY by the
+    * `q_gen_source` oracle SQL — change one, change both. */
+  private[graft] def gen(field: String): Long => Any = field match {
+    case "id" => id => id
+    case "age" => id => 18L + (id * 37L) % 83L
+    case "gender" => id => genders((id % 2L).toInt)
+    case "tenure" => id => (id * 13L) % 73L
+    case "spend" => id => ((id * 97L) % 100000L).toDouble / 100.0
+    case "plan" => id => plans((id % 3L).toInt)
+  }
+
+  /** Intersect the pushed id predicates with [0, rows) → the surviving
+    * id half-open range. Distinct from row-level evaluation: this is what
+    * PRUNES partitions at planning time. */
+  private[sources] def idRange(rows: Long, pushed: Seq[Filter]): (Long, Long) = {
+    var lo = 0L
+    var hi = rows
+    pushed.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case IsNotNull("id") => // id is never null
+      case f => throw new IllegalStateException(s"unpushable filter retained: $f")
+    }
+    (lo, math.max(lo, hi))
+  }
+
+  /** Which filters the source accepts. Only id predicates (the indexed
+    * key); everything else stays Spark-side — the same division a Mongo
+    * scan makes between an indexed `_id` range and a collection scan. */
+  private[sources] def pushable(f: Filter): Boolean = f match {
+    case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+         LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+         EqualTo("id", _: Long) | IsNotNull("id") => true
+    case _ => false
+  }
+}
+
+class GenDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = GenSource.ShortName
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GenSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GenTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+}
+
+class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"${GenSource.ShortName}($rows)"
+  override def schema(): StructType = GenSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, slices)
+}
+
+class GenScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GenSource.schema
+
+  /** Split: accepted id predicates are handled FULLY inside the source
+    * (range intersection — no post-scan re-check needed), the rest are
+    * returned so Spark evaluates them after the scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition(GenSource.pushable)
+    pushed = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GenScan(rows, slices, required, pushed)
+}
+
+class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val (lo, hi) = GenSource.idRange(rows, pushed)
+    s"GenScan rows=$rows ids=[$lo,$hi) cols=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  }
+
+  /** Partition pruning: slice the FULL id space evenly, then drop every
+    * slice outside the pushed id range — the planning-time skip that makes
+    * a selective key predicate cost O(selected), not O(table). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (lo, hi) = GenSource.idRange(rows, pushed)
+    val per = math.max(1L, (rows + slices - 1) / slices)
+    val parts = ArrayBuffer.empty[InputPartition]
+    var start = 0L
+    while (start < rows) {
+      val end = math.min(rows, start + per)
+      val s = math.max(start, lo)
+      val e = math.min(end, hi)
+      if (s < e) parts += GenInputPartition(s, e)
+      start = end
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required.fieldNames)
+}
+
+case class GenInputPartition(start: Long, end: Long) extends InputPartition
+
+class GenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenInputPartition]
+    new PartitionReader[InternalRow] {
+      // Projection pushdown is real work-avoidance here: only the
+      // requested columns' generators run, the rest are never computed.
+      private val gens = fields.map(GenSource.gen)
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(g => g(id)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

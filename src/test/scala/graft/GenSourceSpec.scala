@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.SourceOps
+import graft.sources.{GenScanBuilder, GenSource}
+
+/** The custom DataSource V2 ladder rung: pushdown facts are asserted against
+  * the PHYSICAL plan (what Spark actually handed the source), and the
+  * planning-time partition pruning is asserted at the ScanBuilder level.
+  * Value correctness rides the DuckDB oracle (q_gen_source); here we pin the
+  * mechanism, not just the numbers.
+  */
+class GenSourceSpec extends SparkSpec {
+
+  private def gen(rows: Long = 200000L, slices: Int = 16) =
+    spark.read.format("graft-gen")
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+
+  test("short name resolves via ServiceLoader and full scan has rows × schema") {
+    val df = gen(rows = 1000L, slices = 4)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "age", "gender", "tenure", "spend", "plan"))
+    assert(df.count() == 1000L)
+  }
+
+  test("id-range predicate prunes input partitions at planning time") {
+    // 16 slices of 12500 ids; [150000, 180000) touches slices 12..14 → 3
+    val df = gen().where(col("id") >= 150000L && col("id") < 180000L)
+    val scan = scanOf(df)
+    assert(scan.inputRDD.getNumPartitions == 3,
+      s"expected 3 surviving slices, plan: ${scan.scan.description()}")
+    assert(df.count() == 30000L)
+  }
+
+  test("pushed filters reach the scan; non-key filters stay residual") {
+    val df = gen().where(col("id") < 100L && col("plan") === "Basic")
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("LessThan(id,100)"), desc)
+    val pushedSegment = desc.substring(desc.indexOf("PushedFilters:"))
+    assert(!pushedSegment.contains("plan"),
+      s"plan filter must NOT be pushed: $desc")
+    // residual is still applied: only ids ≡ 0 (mod 3) below 100
+    assert(df.count() == 34L)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = gen().where(col("id") < 1000L).select("gender", "spend")
+    val read = scanOf(df).scan.readSchema()
+    assert(read.fieldNames.toSet.subsetOf(Set("id", "gender", "spend")),
+      s"readSchema not pruned: $read")
+    assert(!read.fieldNames.contains("tenure") && !read.fieldNames.contains("age"))
+  }
+
+  test("equality on id plans exactly one single-row partition") {
+    val b = new GenScanBuilder(200000L, 16)
+    b.pushFilters(Array(EqualTo("id", 123456L)))
+    val parts = b.build().asInstanceOf[graft.sources.GenScan].planInputPartitions()
+    assert(parts.length == 1)
+  }
+
+  test("contradictory pushed range plans zero partitions") {
+    val b = new GenScanBuilder(200000L, 16)
+    val residual = b.pushFilters(
+      Array(GreaterThanOrEqual("id", 180000L), LessThan("id", 150000L)))
+    assert(residual.isEmpty)
+    val scan = b.build().asInstanceOf[graft.sources.GenScan]
+    assert(scan.planInputPartitions().isEmpty)
+  }
+
+  test("declared query matches the same computation over spark.range") {
+    import graft.sources.GenSource.{gen => colGen}
+    val viaRange = spark.range(200000L).toDF("id")
+      .withColumn("age", lit(18L) + (col("id") * 37L) % 83L)
+      .withColumn("gender", when(col("id") % 2 === 0, "Female").otherwise("Male"))
+      .withColumn("spend", ((col("id") * 97L) % 100000L).cast("double") / 100.0)
+      .withColumn("plan",
+        when(col("id") % 3 === 0, "Basic")
+          .when(col("id") % 3 === 1, "Standard").otherwise("Premium"))
+      .where(col("id") >= 150000L && col("id") < 180000L && col("plan") =!= "Basic")
+      .groupBy("plan", "gender")
+      .agg(count(lit(1)).as("n"), round(sum("spend"), 2).as("total_spend"),
+        round(avg("age"), 4).as("avg_age"))
+      .orderBy("plan", "gender")
+    val got = SourceOps.genSource(spark, sf0001).collect().toSeq
+    assert(got == viaRange.collect().toSeq)
+    assert(got.nonEmpty)
+    // keep the generator map total over the schema (throws on drift)
+    GenSource.schema.fieldNames.foreach(f => colGen(f)(7L))
+  }
+}
