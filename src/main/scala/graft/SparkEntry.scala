@@ -28,6 +28,7 @@ object SparkEntry {
     "q_json_roundtrip" -> (SourceOps.jsonRoundtrip _),
     "q_orc_roundtrip" -> (SourceOps.orcRoundtrip _),
     "q_text_source" -> (SourceOps.textSource _),
+    "q_gen_source" -> (SourceOps.genSource _),
     "q_filter_eq" -> (Relational.filterEq _),
     "q_filter_range" -> (Relational.filterRange _),
     "q_id_fallback" -> (Relational.idFallback _),
@@ -144,6 +145,8 @@ object SparkEntry {
     "q_rolling_dau_sketch" -> (EventOps.rollingDauSketch _),
     "q_monthly_uniques" -> (EventOps.monthlyUniques _),
     "q_hll_merge" -> (EventOps.hllMerge _),
+    "q_user_freq" -> (EventOps.userFreq _),
+    "q_cms_freq" -> (EventOps.cmsFreq _),
     "q_monthly_median" -> (EventOps.monthlyMedian _),
     "q_kll_merge" -> (EventOps.kllMerge _),
     "q_sketch_store" -> (EventOps.sketchStore _),
@@ -471,6 +474,24 @@ object SparkEntry {
     "q_text_source" ->
       """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin,
+    // Rebuilds GenSource's arithmetic table verbatim (GenSource.gen is the
+    // single source of truth; this SQL mirrors it) — a custom DSv2 source
+    // verified at value level, not just smoke.
+    "q_gen_source" ->
+      """WITH g AS (
+        |  SELECT CAST(range AS BIGINT) AS id,
+        |    18 + (range * 37) % 83 AS age,
+        |    CASE WHEN range % 2 = 0 THEN 'Female' ELSE 'Male' END AS gender,
+        |    CAST((range * 97) % 100000 AS DOUBLE) / 100.0 AS spend,
+        |    CASE range % 3 WHEN 0 THEN 'Basic' WHEN 1 THEN 'Standard'
+        |      ELSE 'Premium' END AS plan
+        |  FROM range(200000))
+        |SELECT plan, gender, count(*) AS n,
+        |  round(sum(spend), 2) AS total_spend,
+        |  round(avg(age), 4) AS avg_age
+        |FROM g
+        |WHERE id >= 150000 AND id < 180000 AND plan <> 'Basic'
+        |GROUP BY plan, gender ORDER BY plan, gender""".stripMargin,
     "q_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -1001,6 +1022,12 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS uniq_users
         |FROM events
         |GROUP BY 1 ORDER BY month""".stripMargin,
+    // probe set mirrors EventOps.FreqProbeUsers (1..8)
+    "q_user_freq" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, user_id,
+        |  count(*) AS n_events
+        |FROM events WHERE user_id BETWEEN 1 AND 8
+        |GROUP BY 1, 2 ORDER BY month, user_id""".stripMargin,
     "q_monthly_median" ->
       """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
         |  round(quantile_cont(value, 0.5), 4) AS median_value,

@@ -159,6 +159,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kll_rank"),
       new ExpressionInfo(classOf[KllRank].getName, "kll_rank"),
       (children: Seq[Expression]) => KllRank(children(0), children(1))))
+    // CMS point-frequency surface: `cms_sketch_agg(key)`, `cms_union_agg(sk)`,
+    // `cms_estimate(sk, key)` — fixed (depth, width, seed) so every blob in a
+    // deployment is merge-compatible (CmsFunctions scaladoc)
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch_agg"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch_agg"),
+      (children: Seq[Expression]) => CmsSketchAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_union_agg"),
+      new ExpressionInfo(classOf[CmsUnionAgg].getName, "cms_union_agg"),
+      (children: Seq[Expression]) => CmsUnionAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
   }
 
   /** The k parameter must be a literal int at registration time (it sizes

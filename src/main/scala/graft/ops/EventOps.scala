@@ -656,4 +656,52 @@ object EventOps {
         col("n_events"), col("n_days"))
       .orderBy("month")
   }
+
+  /** Probe keys for the point-frequency pair ([[userFreq]] exact /
+    * [[cmsFreq]] sketch): a fixed low-id user set, identical in the Spark
+    * query, the oracle SQL, and the accuracy spec. */
+  val FreqProbeUsers: Seq[Long] = (1L to 8L)
+
+  /** Exact monthly per-user event counts for the probe users — the oracled
+    * twin [[cmsFreq]] is measured against. Exact point frequency is one
+    * shuffle on (month, user): cheap for 8 probe users, but a 100 TB store
+    * answering ad-hoc "how often did key X occur" probes can't re-shuffle
+    * the fact table per question — that asymmetry is what the CMS blob
+    * exists for. */
+  def userFreq(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .filter(col("user_id").isin(FreqProbeUsers: _*))
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("month", "user_id")
+
+  /** Count-Min point-frequency rollup — the FREQUENCY member of the
+    * mergeable-sketch storage discipline ([[hllMerge]] distinct counts,
+    * [[kllMerge]] quantiles): per-DAY CMS blobs over `user_id`
+    * ([[graft.functions.CmsFunctions]], width 2048 × depth 5, ~80 KB), the
+    * monthly rollup MERGES the stored blobs, and any key's frequency is
+    * then a scalar probe of the merged sketch — no fact-table rescan, and
+    * unlike a pre-aggregated (month, user) table the blob answers keys
+    * nobody enumerated in advance. Probes ride a literal frame cross-joined
+    * against the one-row-per-month sketch side (broadcast, no shuffle).
+    * Declared no-oracle (blob layer); the contract vs the exact twin
+    * [[userFreq]] is one-sided: est ≥ exact always, est ≤ exact + ε·N
+    * w.h.p. — EventOpsSpec pins both plus merge == direct determinism. */
+  def cmsFreq(spark: SparkSession, sf: String): DataFrame = {
+    import graft.functions.CmsFunctions._
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(cms_sketch_agg(col("user_id")).as("sk"))
+    val monthly = daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(cms_union_agg(col("sk")).as("mk"), count(lit(1)).as("n_days"))
+    val probeDf = spark.createDataFrame(FreqProbeUsers.map(Tuple1(_)))
+      .toDF("user_id")
+    monthly.join(broadcast(probeDf))
+      .select(col("month"), col("user_id"),
+        cms_estimate(col("mk"), col("user_id")).as("est_events"),
+        col("n_days"))
+      .orderBy("month", "user_id")
+  }
 }

@@ -52,7 +52,8 @@ class ContractSmokeSpec extends SparkSpec {
     "q_hll_merge" -> "q_monthly_uniques",
     "q_kll_merge" -> "q_monthly_median",
     "q_ks_drift_sketch" -> "q_ks_drift",
-    "q_sketch_store" -> "q_monthly_uniques")
+    "q_sketch_store" -> "q_monthly_uniques",
+    "q_cms_freq" -> "q_user_freq")
 
   test("every declared query is oracled OR on the no-oracle ledger with an oracled twin") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -415,4 +415,90 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 50001.0) < 4000, s"median ${r.getDouble(0)}")
     assert(math.abs(r.getDouble(1) - 90003.0) < 4000, s"p90 ${r.getDouble(1)}")
   }
+
+  test("cmsFreq: merged daily blobs == direct month sketch, bounds hold vs exact twin") {
+    import graft.functions.CmsFunctions._
+    val est = graft.ops.EventOps.cmsFreq(spark, sf001).collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2))).toMap
+    assert(est.nonEmpty)
+    // counter addition is fully deterministic: day-blob merge must equal
+    // sketching the month directly, bit-for-bit at the estimate level
+    val direct = graft.ops.EventOps.events(spark, sf001)
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(cms_sketch_agg(col("user_id")).as("mk"))
+      .join(broadcast(spark.createDataFrame(
+        graft.ops.EventOps.FreqProbeUsers.map(Tuple1(_))).toDF("user_id")))
+      .select(col("month"), col("user_id"),
+        cms_estimate(col("mk"), col("user_id")).as("e"))
+      .collect().map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2))).toMap
+    assert(est == direct, s"merge != direct: $est vs $direct")
+    // one-sided CMS contract vs the oracled exact twin: est >= exact and
+    // est <= exact + eps*N (eps = 2/width; N = month row count)
+    val exact = graft.ops.EventOps.userFreq(spark, sf001).collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2))).toMap
+    val monthN = graft.ops.EventOps.events(spark, sf001)
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("m"))
+      .count().collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val eps = 2.0 / DefaultWidth
+    est.foreach { case ((m, u), e) =>
+      val t = exact.getOrElse((m, u), 0L)
+      assert(e >= t, s"CMS under-counted ($m, $u): $e < $t")
+      assert(e <= t + math.ceil(eps * monthN(m) * 4).toLong,
+        s"CMS error way past bound at ($m, $u): est $e exact $t N ${monthN(m)}")
+    }
+    // every probe user appears for every month the fixture has
+    assert(est.keySet.map(_._1) == monthN.keySet)
+    assert(est.keySet.map(_._2) == graft.ops.EventOps.FreqProbeUsers.toSet)
+  }
+
+  test("cms aggregates: string keys, many-group shuffle, and empty groups survive serde") {
+    import graft.functions.CmsFunctions._
+    // string-keyed sketch over 8 partitions x 50 groups: the serde/merge
+    // path runs many times; skewed key "hot" must dominate every estimate
+    val df = spark.range(20000).repartition(8)
+      .select((col("id") % 50).as("g"),
+        when(col("id") % 4 === 0, "hot").otherwise(concat(lit("k"), col("id") % 100))
+          .as("key"))
+    val blob = df.groupBy("g").agg(cms_sketch_agg(col("key")).as("sk"))
+      .agg(cms_union_agg(col("sk")).as("mk"))
+    val r = blob.select(
+      cms_estimate(col("mk"), lit("hot")).as("hot"),
+      cms_estimate(col("mk"), lit("nope")).as("missing")).head()
+    assert(r.getLong(0) >= 5000L, s"hot ${r.getLong(0)}")
+    // a never-added key can only be hash noise: far below the hot key
+    assert(r.getLong(1) <= 2.0 / DefaultWidth * 20000 + 1, s"missing ${r.getLong(1)}")
+    // an all-null group yields a valid empty blob that merges cleanly
+    val empty = spark.range(10)
+      .select(lit(null).cast("string").as("key"))
+      .agg(cms_sketch_agg(col("key")).as("sk"))
+      .select(cms_estimate(col("sk"), lit("hot"))).head().getLong(0)
+    assert(empty == 0L)
+  }
+
+  test("cms SQL registration answers point frequencies end to end") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate returns the shared test session (ignoring extensions)
+    // unless the active/default slots are cleared first (the
+    // VectorExpressionsSpec extension-session pattern)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      // key 3 occurs exactly 100 times in 0..999 (mod 10); CMS may only
+      // over-count, and with 10 distinct keys in width 2048 it shouldn't
+      // collide at all — allow a whisker anyway
+      val out = s2.sql(
+        """SELECT cms_estimate(cms_union_agg(sk), CAST(3 AS BIGINT)) AS e FROM (
+          |  SELECT id % 2 AS half, cms_sketch_agg(id % 10) AS sk
+          |  FROM range(1000) GROUP BY 1
+          |)""".stripMargin).head().getLong(0)
+      assert(out >= 100L && out <= 102L, s"est $out")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
