@@ -138,6 +138,7 @@ object SparkEntry {
     "q_sessionize" -> (EventOps.sessionize _),
     "q_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
     "q_stream_compact" -> (graft.streaming.StreamOps.streamCompact _),
+    "q_stream_attrib" -> (graft.streaming.StreamOps.streamAttrib _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_funnel" -> (EventOps.funnel _),
     "q_cohort_retention" -> (EventOps.cohortRetention _),
@@ -1490,6 +1491,19 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the stream-stream interval join, drained through a real two-source
+    // micro-batched run: inner join => each matched pair exactly once, so
+    // the batch SQL join IS the full-value oracle
+    "q_stream_attrib" ->
+      """SELECT p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  round(p.value, 4) AS value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY p.user_id, purchase_ts, click_ts""".stripMargin,
     // session_window twin of q_sessionize: same gap-split grouping, but the
     // native operator's session END is last event time + gap (half-open
     // [first, last + gap) range), so the oracle shifts the end by 1 hour.

@@ -66,10 +66,11 @@ object StreamOps {
     * so the join state is bounded — Spark can discard click state older
     * than (purchase watermark − interval). The equality key routes both
     * streams to the same partition; the range predicate bounds buffering. */
-  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.withWatermark("ts", "1 hour")
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          delay: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
-    val p = purchases.withWatermark("ts", "1 hour")
+    val p = purchases.withWatermark("ts", delay)
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
     p.join(c,
       col("p_user") === col("c_user") &&
@@ -187,6 +188,58 @@ object StreamOps {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
       .orderBy("user_id")
       .localCheckpoint() // eager
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
+  /** Declared query for the STREAM-STREAM tier: runs [[purchaseAttribution]]
+    * as a REAL two-source structured stream — clicks and purchases staged as
+    * separate parquet dirs, two file sources with `maxFilesPerTrigger=2` (so
+    * the join genuinely spans micro-batches and carries state across
+    * triggers), append-mode parquet sink, `Trigger.AvailableNow` to drain —
+    * then reads the sink back. An inner interval join emits each matched
+    * (purchase, click) pair exactly once whatever the batch slicing, so the
+    * result is batching-independent and the DuckDB oracle checks the full
+    * value set: the third CORRECTNESS-tracked streaming query, and the one
+    * that puts stream-stream join state under the hash check.
+    *
+    * Watermark honesty: this is a REPLAY of a month+ of history whose file
+    * arrival order is not time-ordered, so the declared run uses a delay
+    * covering the whole fixture span (nothing is ever "late", state is never
+    * evicted early — exactly how a production backfill replays cold data).
+    * The LIVE configuration (1 h delay = bounded state, late clicks dropped)
+    * is the default and is what StreamingSpec exercises; the trade is the
+    * delay parameter, not the plan. */
+  def streamAttrib(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val base = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(base)
+    val run = java.nio.file.Files.createTempDirectory(base, "stream_attrib_").toString
+    val ev = graft.ops.EventOps.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    clicks.repartition(4).write.parquet(s"$run/clicks")
+    purchases.repartition(4).write.parquet(s"$run/purch")
+    val cs = spark.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$run/clicks")
+    val ps = spark.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$run/purch")
+    val q = purchaseAttribution(cs, ps, delay = "90 days")
+      .writeStream.format("parquet")
+      .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$run/out")
+      .select(col("user_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        round(col("value"), 4).as("value"))
+      .orderBy("user_id", "purchase_ts", "click_ts")
+      .localCheckpoint() // eager — the run dir (staged input + sink) is deleted next
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))

@@ -298,6 +298,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getDouble(3) == 99.0)
   }
 
+  test("streamAttrib: the drained two-source file stream equals the batch interval join") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))
+    val out = StreamOps.streamAttrib(spark, sf0001).collect().map(key).toSet
+    val ev = graft.ops.EventOps.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") <= col("pts"))
+      .select(col("user_id"),
+        date_format(col("pts"), "yyyy-MM-dd HH:mm:ss"),
+        date_format(col("cts"), "yyyy-MM-dd HH:mm:ss"),
+        round(col("value"), 4))
+      .collect().map(key).toSet
+    assert(out == batch, s"stream ${out.size} vs batch ${batch.size}")
+    assert(out.nonEmpty)
+    // the run dir is cleaned up: no stream_attrib_ staging survives
+    val left = java.nio.file.Files.list(java.nio.file.Paths.get("target", "tmp"))
+      .iterator()
+    val leftover = new scala.collection.mutable.ArrayBuffer[String]
+    while (left.hasNext) { val p2 = left.next()
+      if (p2.getFileName.toString.startsWith("stream_attrib_")) leftover += p2.toString }
+    assert(leftover.isEmpty, s"staging left behind: $leftover")
+  }
+
   test("checkpointed parquet sink with AvailableNow drains the stream exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
