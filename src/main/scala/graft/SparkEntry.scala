@@ -120,6 +120,7 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.langId _),
     "q_text_clean" -> (TextOps.textClean _),
     "q_split" -> (TextOps.splitCounts _),
+    "q_leakage_split" -> (TextOps.leakageSplit _),
     "q_stratified" -> (TextOps.stratifiedSample _),
     "q_embed_norm" -> (VectorOps.embedNorm _),
     "q_quantize" -> (VectorOps.quantizeErr _),
@@ -1301,6 +1302,21 @@ object SparkEntry {
     "q_dup_clusters" -> (clusterChainSql + """
       |SELECT src AS doc_id, least(src, min(dst)) AS cluster
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    // group-aware split: split is a function of the dup-cluster rep (min id
+    // of the component; singletons are their own rep), mirroring
+    // TextOps.leakageSplit over the same recursive-closure cluster table
+    "q_leakage_split" -> (clusterChainSql + """,
+      |clusters AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src),
+      |tagged AS (
+      |  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster, d.doc_id) AS rep
+      |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+      |SELECT CASE WHEN rep % 10 < 8 THEN 'train'
+      |            WHEN rep % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, count(DISTINCT rep) AS n_groups,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin),
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,

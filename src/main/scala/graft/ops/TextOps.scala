@@ -473,6 +473,32 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("split")
 
+  /** Group-aware (leakage-safe) split — the rule a plain per-doc split
+    * ([[splitCounts]]) silently violates: near-duplicate documents must land
+    * in the SAME split, or held-out evaluation leaks training data through
+    * the duplicate. Split here is a pure function of the dup-cluster
+    * REPRESENTATIVE (min doc_id of the connected component, via the
+    * memoized [[dupClusters]] table; docs in no component are their own
+    * singleton rep), so no near-dup group can span splits BY CONSTRUCTION —
+    * the spec still asserts it at doc level. Output is the per-split audit
+    * (docs, distinct groups, chars); at 100 TB the same left join rides the
+    * tiny cluster table (near-dup members only) broadcast against the
+    * corpus, and the split column is written back as a partition key. */
+  def leakageSplit(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .join(dupClusters(spark, sf), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster"), col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(col("rep") % 10 < 8, "train")
+          .when(col("rep") % 10 === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("rep")).as("n_groups"),
+        sum("n_chars").cast("long").as("n_chars"))
+      .orderBy("split")
+
   /** Stratified sample: top-5 per label ordered by md5(key) — a
     * deterministic pseudo-random draw both engines compute identically
     * (md5 hex is engine-independent, unlike xxhash/rand). One shuffle on

@@ -630,4 +630,34 @@ class TextOpsSpec extends SparkSpec {
         s"doc $id: ppl=$ppl vs 2^-avg_lp=${math.pow(2.0, -avgLp)}")
     }
   }
+
+  test("leakageSplit: no dup cluster spans splits, totals reconcile") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val tagged = docs
+      .join(graft.ops.TextOps.dupClusters(spark, sf0001), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(col("rep") % 10 < 8, "train")
+          .when(col("rep") % 10 === 8, "val").otherwise("test"))
+    // the leakage guarantee, checked at doc level: every group -> ONE split
+    val spanning = tagged.groupBy("rep")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(spanning == 0L)
+    // a clustered doc follows its REP's split, not its own id residue
+    val moved = tagged.filter(col("rep") =!= col("doc_id")).collect()
+    assert(moved.nonEmpty, "fixture should have at least one near-dup cluster")
+    moved.foreach { r =>
+      val own = r.getLong(0) % 10
+      val rep = r.getLong(1) % 10
+      val split = r.getString(2)
+      val expected = if (rep < 8) "train" else if (rep == 8) "val" else "test"
+      assert(split == expected, s"doc ${r.getLong(0)}: split $split rep residue $rep own $own")
+    }
+    // declared aggregate reconciles with the corpus
+    val out = graft.ops.TextOps.leakageSplit(spark, sf0001).collect()
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
