@@ -183,6 +183,7 @@ object SparkEntry {
     "q_inverted_index" -> (TextOps.invertedIndex _),
     "q_weighted_sample" -> (TextOps.weightedSample _),
     "q_zorder" -> (LayoutOps.zorderAudit _),
+    "q_compact_files" -> (LayoutOps.compactFiles _),
     "q_tpch_q3" -> (TpchOps.shippingPriority _),
     "q_tpch_q5" -> (TpchOps.localSupplierVolume _),
     "q_null_semantics" -> (Relational.nullSemantics _),
@@ -1717,6 +1718,10 @@ object SparkEntry {
          |SELECT zbucket, count(*) AS n, min(xk) AS lo_cust, max(xk) AS hi_cust,
          |  min(yk) AS lo_day, max(yk) AS hi_day
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    // content equality THROUGH the 64-file -> 4-file compaction rewrite
+    "q_compact_files" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_tpch_q3" ->
       s"""SELECT l_orderkey,
          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

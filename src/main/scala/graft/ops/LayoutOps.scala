@@ -66,4 +66,37 @@ object LayoutOps {
         min("yk").as("lo_day"), max("yk").as("hi_day"))
       .orderBy("zbucket")
   }
+
+  /** Small-file COMPACTION — the other half of the layout discipline
+    * ([[zorderAudit]] picks the clustering, this fixes the file-count
+    * pathology): a streaming/micro-batch writer leaves thousands of tiny
+    * files per partition, and at 100 TB the per-file open/footer/seek cost
+    * (plus the driver's listing memory) comes to dominate scan time long
+    * before data volume does. The rewrite is one range-repartition on the
+    * natural sort key (`ts`) — so the compacted files are also TIME-
+    * CLUSTERED, narrowing per-file min/max spans and re-arming zone-map
+    * skipping — followed by a plain write; both stages are staged ONCE per
+    * (sf) via the SourceOps memo, and the declared query reads only the
+    * compacted layout. SinkSpec asserts the operational facts: file count
+    * collapses (64 → ≤ 8), row mass is preserved, and per-file ts ranges
+    * are pairwise disjoint (the range-partitioner contract that makes the
+    * layout prunable). The oracle checks content equality through the
+    * rewrite against the original table. */
+  def compactFiles(spark: SparkSession, sf: String): DataFrame = {
+    val dir = SourceOps.materialize(s"compact_$sf") { d =>
+      // the pathology, reproduced: 64 tiny files of an unordered write
+      EventOps.events(spark, sf)
+        .select("event_id", "ts", "event_type", "value")
+        .repartition(64).write.parquet(s"$d/small")
+      // the fix: range-cluster on ts into 4 right-sized, disjoint files
+      spark.read.parquet(s"$d/small")
+        .repartitionByRange(4, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.parquet(s"$d/compacted")
+    }
+    spark.read.parquet(s"$dir/compacted")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
 }

@@ -122,4 +122,34 @@ class SinkSpec extends SparkSpec {
     val b = Scoring.score(reloaded, train).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("compactFiles: 64 tiny files collapse to <= 8 disjoint time-clustered files") {
+    import org.apache.spark.sql.functions._
+    // build (memoized) and get the staging dir by running the declared query
+    val out = graft.ops.LayoutOps.compactFiles(spark, sf0001)
+    assert(out.count() > 0)
+    // locate the staged dirs through the same memo key the op used
+    val dir = graft.ops.SourceOps.materialize(s"compact_$sf0001")(_ => fail("memo missed"))
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    val small = parquetFiles(s"$dir/small")
+    val compacted = parquetFiles(s"$dir/compacted")
+    assert(small.length >= 32, s"expected the small-file pathology, got ${small.length}")
+    assert(compacted.length <= 8, s"compaction failed: ${compacted.length} files")
+    // row mass preserved through the rewrite
+    val nSmall = spark.read.parquet(s"$dir/small").count()
+    val nCompacted = spark.read.parquet(s"$dir/compacted").count()
+    assert(nSmall == nCompacted)
+    // range-partitioner contract: per-file ts spans are pairwise disjoint,
+    // which is what re-arms zone-map pruning on the compacted layout
+    val spans = compacted.sortBy(_.getName).map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("ts"), max("ts")).head()
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB, s"overlapping file spans")
+      case _ =>
+    }
+  }
 }
