@@ -29,6 +29,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> (SourceOps.orcRoundtrip _),
     "q_text_source" -> (SourceOps.textSource _),
     "q_gen_source" -> (SourceOps.genSource _),
+    "q_gen_agg" -> (SourceOps.genAgg _),
     "q_filter_eq" -> (Relational.filterEq _),
     "q_filter_range" -> (Relational.filterRange _),
     "q_id_fallback" -> (Relational.idFallback _),
@@ -495,6 +496,12 @@ object SparkEntry {
         |FROM g
         |WHERE id >= 150000 AND id < 180000 AND plan <> 'Basic'
         |GROUP BY plan, gender ORDER BY plan, gender""".stripMargin,
+    // the completely-pushed aggregate path: count/min/max answered from the
+    // id-range arithmetic, zero rows generated (GenAggScan)
+    "q_gen_agg" ->
+      """SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id
+        |FROM (SELECT CAST(range AS BIGINT) AS id FROM range(200000))
+        |WHERE id >= 120000 AND id < 170000""".stripMargin,
     "q_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -160,6 +160,21 @@ object SourceOps {
       .orderBy("plan", "gender")
   }
 
+  /** Aggregate-PUSHDOWN query over the custom DSv2 source: ungrouped
+    * count/min/max over a pushed id range plan as a `GenAggScan` — one
+    * synthetic row computed from the range arithmetic at planning time,
+    * zero data rows generated (the server-side `countDocuments` /
+    * aggregation-pipeline analog of the reference's Mongo source). The
+    * oracle recomputes the same aggregates over `range(n)`; GenSourceSpec
+    * asserts the plan actually took the pushed path (and that unsupported
+    * shapes fall back to scan + Spark-side aggregation with equal
+    * results). */
+  def genAgg(spark: SparkSession, sf: String): DataFrame =
+    spark.read.format("graft-gen")
+      .option("rows", "200000").option("slices", "16").load()
+      .where(col("id") >= 120000L && col("id") < 170000L)
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+
   /** Raw text-line source — how an LLM pipeline ingests an unstructured
     * corpus (one document per line; the fixture texts contain no newlines,
     * verified). Aggregate so row order through the file round-trip is

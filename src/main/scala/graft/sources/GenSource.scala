@@ -6,8 +6,9 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -111,9 +112,11 @@ class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class GenScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GenSource.schema
+  private var aggFuncs: Array[AggregateFunc] = Array.empty
 
   /** Split: accepted id predicates are handled FULLY inside the source
     * (range intersection — no post-scan re-check needed), the rest are
@@ -128,7 +131,80 @@ class GenScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GenScan(rows, slices, required, pushed)
+  private def isId(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case m: Min => m.column() match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+    case m: Max => m.column() match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** COMPLETE aggregate pushdown for the O(1)-answerable shapes —
+    * ungrouped COUNT(*) / MIN(id) / MAX(id): the surviving id range [lo,
+    * hi) answers all three at PLANNING time with zero rows generated (the
+    * server-side `countDocuments`/aggregation-pipeline analog of the
+    * reference's Mongo source). Anything else — grouping, or aggregates
+    * over derived columns — returns false and Spark plans its own
+    * aggregate over the ordinary scan; complete-only (no partial tier)
+    * keeps the contract crisp: either the source owns the whole answer or
+    * it stays out of the way. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(isId)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      aggFuncs = agg.aggregateExpressions()
+      required = StructType(aggFuncs.zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+      })
+      true
+    }
+
+  override def build(): Scan =
+    if (aggFuncs.nonEmpty) new GenAggScan(rows, required, pushed, aggFuncs)
+    else new GenScan(rows, slices, required, pushed)
+}
+
+/** One-partition, one-row scan answering a completely-pushed aggregation
+  * from the id-range arithmetic alone. */
+class GenAggScan(rows: Long, out: StructType, pushed: Array[Filter],
+    funcs: Array[AggregateFunc]) extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val (lo, hi) = GenSource.idRange(rows, pushed)
+    s"GenAggScan ids=[$lo,$hi) PushedAggregation: [${funcs.mkString(", ")}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenInputPartition(0, 1)) // one synthetic row
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (lo, hi) = GenSource.idRange(rows, pushed)
+    val values: Array[Any] = funcs.map {
+      case _: CountStar => (hi - lo): java.lang.Long
+      case _: Min => if (hi > lo) (lo: java.lang.Long) else null
+      case _: Max => if (hi > lo) ((hi - 1): java.lang.Long) else null
+      case f => throw new IllegalStateException(s"unsupported pushed agg: $f")
+    }
+    new GenAggReaderFactory(values)
+  }
+}
+
+class GenAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filter])

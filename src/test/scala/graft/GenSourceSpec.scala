@@ -20,8 +20,10 @@ class GenSourceSpec extends SparkSpec {
     spark.read.format("graft-gen")
       .option("rows", rows.toString).option("slices", slices.toString).load()
 
+  // sparkPlan, not executedPlan: AQE wraps shuffle queries in
+  // AdaptiveSparkPlanExec, which hides the scan from collectFirst
   private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    df.queryExecution.sparkPlan.collectFirst { case b: BatchScanExec => b }.get
 
   test("short name resolves via ServiceLoader and full scan has rows × schema") {
     val df = gen(rows = 1000L, slices = 4)
@@ -72,6 +74,35 @@ class GenSourceSpec extends SparkSpec {
     assert(residual.isEmpty)
     val scan = b.build().asInstanceOf[graft.sources.GenScan]
     assert(scan.planInputPartitions().isEmpty)
+  }
+
+  test("ungrouped count/min/max pushes completely: one synthetic row, zero data rows") {
+    val df = SourceOps.genAgg(spark, sf0001)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PushedAggregation"),
+      s"aggregate not pushed: ${scan.scan.description()}")
+    assert(scan.inputRDD.getNumPartitions == 1)
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (50000L, 120000L, 169999L))
+  }
+
+  test("pushed aggregate over an empty range: count 0, null min/max") {
+    val df = gen().where(col("id") >= 180000L && col("id") < 150000L)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    assert(scanOf(df).scan.description().contains("PushedAggregation"))
+    val r = df.head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("grouped or derived-column aggregates fall back to scan + Spark aggregation") {
+    val grouped = gen(rows = 1000L).groupBy("plan").count()
+    assert(!scanOf(grouped).scan.description().contains("PushedAggregation"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
+    val derived = gen(rows = 1000L).agg(min("age").as("mn"), max("age").as("mx"))
+    assert(!scanOf(derived).scan.description().contains("PushedAggregation"))
+    val r = derived.head()
+    // age = 18 + (id*37 % 83) covers the full residue set over 1000 ids
+    assert(r.getLong(0) == 18L && r.getLong(1) == 100L)
   }
 
   test("declared query matches the same computation over spark.range") {
