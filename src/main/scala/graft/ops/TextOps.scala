@@ -916,6 +916,87 @@ object TextOps {
     }
   }
 
+  /** Per-document duplicated-SPAN coverage — the span-level half of
+    * substring deduplication (Lee et al. 2022 §3, "ExactSubstr"): where
+    * [[dedupNgram]] reports which PAIRS share a [[NgramK]]-token run, this
+    * reports how much of EACH document is covered by runs that also occur
+    * in some other document — the number a span-removal pass (or a
+    * boilerplate/license-header audit) is denominated in. Shape: positioned
+    * k-gram fingerprints (NOT distinct — positions matter), one aggregate
+    * finds cross-document grams, one equi-join on the 64-bit fingerprint
+    * marks hit positions, and the covered-token union of overlapping
+    * [[NgramK]]-windows folds via a lag window: each hit contributes
+    * `min(K, i - prev_i)` new tokens. The window's `partitionBy(doc_id)`
+    * hash partitioning is reused by the final per-doc aggregate — one
+    * shuffle after the join, never a per-doc sort of the corpus. At 100 TB
+    * this is exactly the suffix-array-free form that scales: shuffle volume
+    * is token count × 8-byte fingerprints, and no step is quadratic. */
+  def dupSpanCoverage(spark: SparkSession, sf: String): DataFrame =
+    dupSpanCoverageFrom(fannedDocs(spark, sf))
+
+  /** Core over any (doc_id, text) relation, for spec-level planting. */
+  private[graft] def dupSpanCoverageFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val pos = docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        posexplode(when(size(toks) >= NgramK,
+          transform(sequence(lit(1), size(toks) - (NgramK - 1)), i =>
+            xxhash64(concat_ws(" ", slice(toks, i, lit(NgramK))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("i"), col("col").as("g"))
+    val crossDoc = pos.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("g")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    pos.join(crossDoc, "g")
+      .select(col("doc_id"), col("n_tokens"),
+        least(lit(NgramK),
+          coalesce(col("i") - lag(col("i"), 1).over(w), lit(NgramK))).as("c"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("dup_positions"), sum(col("c")).cast("long").as("covered_tokens"))
+      .withColumn("dup_frac", round(col("covered_tokens") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-SOURCE overlap matrix — for every pair of `source` corpora, how
+    * many distinct [[NgramK]]-token runs they share and what fraction of
+    * the smaller side that is (containment). The corpus-health companion
+    * to [[decontaminate]]: that one asks "is THIS doc contaminated", this
+    * one asks "which corpus pairs leak into each other", the number a
+    * mixing plan ([[mixWeights]]) should see before double-counting two
+    * crawls of the same site. Shape: distinct (source, gram-fingerprint)
+    * rows, self-equi-join on the fingerprint (per gram appearing in s
+    * sources the join emits s² rows and s is the handful of corpus names —
+    * never document-quadratic), one aggregate; per-source denominators are
+    * a tiny broadcast. */
+  def sourceOverlap(spark: SparkSession, sf: String): DataFrame =
+    sourceOverlapFrom(fannedDocs(spark, sf))
+
+  /** Core over any (source, text) relation, for spec-level planting. */
+  private[graft] def sourceOverlapFrom(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val sg = docs.select(col("source"),
+        explode(when(size(toks) >= NgramK,
+          transform(sequence(lit(1), size(toks) - (NgramK - 1)), i =>
+            xxhash64(concat_ws(" ", slice(toks, i, lit(NgramK))))))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
+      .distinct().persist()
+    val counts = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val out = sg.as("a")
+      .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(counts).as("ca"), col("src_a") === col("ca.source"))
+      .join(broadcast(counts).as("cb"), col("src_b") === col("cb.source"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams") / least(col("ca.n"), col("cb.n")), 4).as("containment"))
+      .orderBy("src_a", "src_b")
+    // eager local checkpoint (tiny s² matrix) so sg can be dropped now
+    val ck = out.localCheckpoint()
+    sg.unpersist()
+    ck
+  }
+
   /** Sorted-neighborhood near-dup detection (Hernández & Stolfo 1995) — the
     * third classic blocking family next to the inverted index
     * ([[dedupJaccard]]) and LSH banding ([[dedupMinhash]]): sort the corpus

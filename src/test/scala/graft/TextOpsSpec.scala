@@ -31,6 +31,39 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dupSpanCoverage: covered = union of overlapping dup windows; internal repeats don't mark") {
+    val share = (1 to 15).map("s" + _).mkString(" ")
+    val rep = (1 to 13).map("r" + _).mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 5).map("u" + _).mkString(" ") + " " + share),
+      (2L, share + " " + (1 to 5).map("v" + _).mkString(" ")),
+      // doc 3 repeats a 13-gram INTERNALLY; cross-doc rule must not mark it
+      (3L, rep + " z1 " + rep)).toDF("doc_id", "text")
+    val r = TextOps.dupSpanCoverageFrom(docs).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    r.foreach { row =>
+      assert(row.getLong(1) == 20L, "n_tokens")
+      // shared 15-token run at K=13 -> 3 dup gram starts, union covers 15
+      assert(row.getLong(2) == 3L, "dup_positions")
+      assert(row.getLong(3) == 15L, "covered_tokens")
+      assert(row.getDouble(4) == 0.75, "dup_frac")
+    }
+  }
+
+  test("sourceOverlap: shared distinct grams + containment vs the smaller side") {
+    val run = (n: Int) => (1 to n).map("s" + _).mkString(" ")
+    val docs = Seq(
+      ("srcA", run(15)),                               // grams s1..s13, s2..s14, s3..s15
+      ("srcB", run(14)),                               // grams s1..s13, s2..s14 (both shared)
+      ("srcC", (1 to 13).map("z" + _).mkString(" "))). // no overlap with anyone
+      toDF("source", "text")
+    val r = TextOps.sourceOverlapFrom(docs).collect()
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getString(1)) == ("srcA", "srcB"))
+    assert(r(0).getLong(2) == 2L, "shared_grams")
+    assert(r(0).getDouble(3) == 1.0, "containment = shared / min-side = 2/2")
+  }
+
   test("bpeMerges learns the classic low/lower/newest merges in order") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
