@@ -38,20 +38,26 @@ object CurationOps {
   /** The digest over any orders-shaped frame — split out so the
     * partition-order-invariance and single-row-sensitivity contracts are
     * testable. */
-  private[graft] def tableChecksumFrom(orders: DataFrame): DataFrame = {
-    // every field is explicitly NULL-sentineled BEFORE concatenation:
-    // concat_ws silently skips NULLs (so (a,NULL,b) and (a,b,NULL) would
-    // collide) and DuckDB's `||` propagates them (so the engines would
-    // disagree on any NULL-bearing table); the \u0001 sentinel cannot
-    // appear in the fixture's printable columns
+  /** The 60-bit md5-prefix ROW digest over the orders reconciliation
+    * payload — shared by [[tableChecksumFrom]] and the audit-sink write
+    * path (`SourceOps.auditSink`), so both publish the same cross-engine
+    * format. Every field is explicitly NULL-sentineled BEFORE
+    * concatenation: concat_ws silently skips NULLs (so (a,NULL,b) and
+    * (a,b,NULL) would collide) and DuckDB's `||` propagates them (so the
+    * engines would disagree on any NULL-bearing table); the \u0001
+    * sentinel cannot appear in the fixture's printable columns. */
+  private[graft] def orderDigest: Column = {
     def f(c: Column): Column = coalesce(c.cast("string"), lit("\u0001"))
     val payload = concat_ws("|",
       f(col("o_orderkey")), f(col("o_custkey")), f(col("o_orderstatus")),
       f(date_format(col("o_orderdate"), "yyyy-MM-dd")),
       f(col("o_orderpriority")))
+    conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
+  }
+
+  private[graft] def tableChecksumFrom(orders: DataFrame): DataFrame = {
     orders
-      .select(col("o_orderstatus"),
-        conv(substring(md5(payload), 1, 15), 16, 10).cast("long").as("digest"))
+      .select(col("o_orderstatus"), orderDigest.as("digest"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(digest)").as("xor_digest"))
       .orderBy("o_orderstatus")

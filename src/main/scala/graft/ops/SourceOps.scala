@@ -37,7 +37,7 @@ object SourceOps {
   val stagedQueries: Seq[String] = Seq(
     "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
     "q_partition_prune", "q_schema_merge", "q_binary_files", "q_bucket_join",
-    "q_sketch_store", "q_compact_files", "q_stream_attrib")
+    "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_dedup")
 
   private[graft] def materialize(key: String)(write: String => Unit): String =
     staged.computeIfAbsent(key, _ => {
@@ -174,6 +174,29 @@ object SourceOps {
       .option("rows", "200000").option("slices", "16").load()
       .where(col("id") >= 120000L && col("id") < 170000L)
       .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+
+  /** DSv2 WRITE path end-to-end: push the orders reconciliation digests
+    * ([[CurationOps.orderDigest]] — the `q_table_checksum` format) through
+    * the custom `graft-audit` sink (TableProvider → WriteBuilder →
+    * BatchWrite → per-task DataWriter → commit protocol), then return the
+    * COMMITTED (rows, xor-digest) the driver-side registry received. The
+    * oracle recomputes both from SQL, so a hash match proves the write
+    * path saw exactly the table's rows — per-task partials, the
+    * commit-message hop, and the driver aggregate included. XOR is
+    * partition-order and task-placement invariant, so the result is
+    * deterministic under any parallelism; AuditSinkSpec additionally pins
+    * the abort path (a poisoned row publishes NOTHING). */
+  def auditSink(spark: SparkSession, sf: String): DataFrame = {
+    val runId = s"audit_$sf"
+    Tables.load(spark, sf, "orders")
+      .select(CurationOps.orderDigest.as("digest"))
+      .write.format(graft.sources.AuditSink.ShortName)
+      .option("runId", runId).mode("append").save()
+    val st = graft.sources.AuditRegistry.get(runId)
+      .getOrElse(throw new IllegalStateException(s"audit sink published nothing for $runId"))
+    import spark.implicits._
+    Seq((st.rows, st.xorDigest)).toDF("n_rows", "xor_digest")
+  }
 
   /** Raw text-line source — how an LLM pipeline ingests an unstructured
     * corpus (one document per line; the fixture texts contain no newlines,
