@@ -56,9 +56,9 @@ object StreamOps {
   /** Exact dedup on a stream: state-bounded via the watermark (an event id
     * must recur within 1 hour to be caught — the streaming contract for the
     * batch TextOps.dedupExact capability). */
-  def dedupEvents(events: DataFrame): DataFrame =
+  def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Watermarked stream-stream interval join: match each purchase to the
@@ -254,6 +254,52 @@ object StreamOps {
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         round(col("value"), 4).as("value"))
       .orderBy("user_id", "purchase_ts", "click_ts")
+      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
+  /** Declared query for the stateful-DEDUP tier: drains [[dedupEvents]]
+    * (`dropDuplicatesWithinWatermark`) over a staged file source whose
+    * input has REAL duplicates planted — every purchase event appears
+    * twice — so the state store provably earns its keep (without the dedup
+    * the drained counts are inflated; StreamingSpec pins that). Duplicate
+    * copies are row-identical and the first arrival wins, so the drained
+    * set is batching-independent = the plain per-type aggregate over the
+    * ORIGINAL events table, which is the DuckDB oracle. Same replay
+    * discipline as [[streamAttrib]]: span-covering watermark delay (state
+    * is never evicted mid-backfill; the live 1 h-delay bounded-state
+    * config is the spec'd default), 4 state partitions during the drain. */
+  def streamDedup(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val inDir = graft.ops.SourceOps.materialize(s"stream_dedup_in_$sf") { d =>
+      val ev = graft.ops.EventOps.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.union(ev.filter(col("event_type") === "purchase"))
+        .repartition(6).write.parquet(s"$d/in")
+    }
+    val base = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(base)
+    val run = java.nio.file.Files.createTempDirectory(base, "stream_dedup_run_").toString
+    val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = dedupEvents(stream, delay = "3650 days")
+        .writeStream.format("parquet")
+        .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val out = spark.read.parquet(s"$run/out")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 4).as("total_value"))
+      .orderBy("event_type")
       .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala

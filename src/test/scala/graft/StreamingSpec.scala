@@ -326,6 +326,29 @@ class StreamingSpec extends SparkSpec {
     assert(leftover.isEmpty, s"staging left behind: $leftover")
   }
 
+  test("streamDedup: planted duplicates flow through the stream and are removed") {
+    val out = StreamOps.streamDedup(spark, sf0001).collect()
+    val batch = graft.ops.EventOps.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"),
+        round(sum("value"), 4).as("v"))
+      .orderBy("event_type").collect()
+    assert(out.length == batch.length && out.nonEmpty)
+    out.zip(batch).foreach { case (o, b) =>
+      assert(o.getString(0) == b.getString(0))
+      assert(o.getLong(1) == b.getLong(1), s"n_events for ${o.getString(0)}")
+      assert(o.getLong(2) == b.getLong(2), s"n_users for ${o.getString(0)}")
+      assert(o.getDouble(3) == b.getDouble(3), s"total_value for ${o.getString(0)}")
+    }
+    // the staged input really contains duplicates: purchases appear twice,
+    // so WITHOUT the stateful dedup the purchase count would be inflated
+    val staged = spark.read.parquet(
+      graft.ops.SourceOps.materialize(s"stream_dedup_in_$sf0001")(_ => ()) + "/in")
+    val purchases = batch.find(_.getString(0) == "purchase").get.getLong(1)
+    assert(staged.filter(col("event_type") === "purchase").count() == 2 * purchases,
+      "staging must plant each purchase twice")
+  }
+
   test("checkpointed parquet sink with AvailableNow drains the stream exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
