@@ -30,6 +30,7 @@ object SparkEntry {
     "q_text_source" -> (SourceOps.textSource _),
     "q_gen_source" -> (SourceOps.genSource _),
     "q_gen_agg" -> (SourceOps.genAgg _),
+    "q_audit_sink" -> (SourceOps.auditSink _),
     "q_filter_eq" -> (Relational.filterEq _),
     "q_filter_range" -> (Relational.filterRange _),
     "q_id_fallback" -> (Relational.idFallback _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
     "q_stream_compact" -> (graft.streaming.StreamOps.streamCompact _),
     "q_stream_attrib" -> (graft.streaming.StreamOps.streamAttrib _),
+    "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_funnel" -> (EventOps.funnel _),
     "q_cohort_retention" -> (EventOps.cohortRetention _),
@@ -161,6 +163,8 @@ object SparkEntry {
     "q_media_dedup" -> (MultimodalOps.mediaDedup _),
     "q_media_dedup_lsh" -> (MultimodalOps.mediaDedupLsh _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
+    "q_dedup_spans" -> (TextOps.dupSpanCoverage _),
+    "q_source_overlap" -> (TextOps.sourceOverlap _),
     "q_dedup_canonical" -> (TextOps.dedupCanonical _),
     "q_dedup_canonical_lsh" -> (TextOps.dedupCanonicalLsh _),
     "q_corpus_mix" -> (TextOps.corpusMix _),
@@ -1183,6 +1187,16 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
     // every field NULL-sentineled with chr(1), mirroring the Spark side —
     // '||' would otherwise NULL the whole payload where concat_ws skips
+    "q_audit_sink" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
+        |    coalesce(o_orderstatus, chr(1)) || '|' ||
+        |    coalesce(strftime(o_orderdate, '%Y-%m-%d'), chr(1)) || '|' ||
+        |    coalesce(o_orderpriority, chr(1))
+        |  ), 1, 15))::BIGINT) AS xor_digest
+        |FROM orders""".stripMargin,
     "q_table_checksum" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  bit_xor(('0x' || substr(md5(
@@ -1515,6 +1529,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // planted duplicates (every purchase twice) are removed by the drained
+    // dropDuplicatesWithinWatermark run, so the per-type aggregate over the
+    // ORIGINAL events table is the oracle — inflated counts would mismatch
+    "q_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the stream-stream interval join, drained through a real two-source
     // micro-batched run: inner join => each matched pair exactly once, so
     // the batch SQL join IS the full-value oracle
@@ -1562,6 +1584,36 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q_dedup_spans" -> {
+      val k = TextOps.NgramK
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |gr AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, i,
+         |         array_to_string(toks[i:i+${k - 1}], ' ') AS g
+         |       FROM t, UNNEST(range(1, len(toks) - ${k - 2})) AS r(i)
+         |       WHERE len(toks) >= $k),
+         |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+         |                       FROM gr GROUP BY g) WHERE nd > 1),
+         |hits AS (SELECT doc_id, n_tokens, i,
+         |    least($k, coalesce(i - lag(i) OVER (PARTITION BY doc_id ORDER BY i), $k)) AS c
+         |  FROM gr WHERE g IN (SELECT g FROM dup))
+         |SELECT doc_id, n_tokens, count(*) AS dup_positions,
+         |  CAST(sum(c) AS BIGINT) AS covered_tokens,
+         |  round(CAST(sum(c) AS DOUBLE) / n_tokens, 4) AS dup_frac
+         |FROM hits GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+    },
+    "q_source_overlap" -> {
+      val k = TextOps.NgramK
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |sg AS (SELECT DISTINCT source, array_to_string(toks[i:i+${k - 1}], ' ') AS g
+         |       FROM t, UNNEST(range(1, len(toks) - ${k - 2})) AS r(i)
+         |       WHERE len(toks) >= $k),
+         |c AS (SELECT source, count(*) AS n FROM sg GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams,
+         |  round(CAST(count(*) AS DOUBLE) / least(ca.n, cb.n), 4) AS containment
+         |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+         |JOIN c ca ON ca.source = a.source JOIN c cb ON cb.source = b.source
+         |GROUP BY a.source, b.source, ca.n, cb.n ORDER BY src_a, src_b""".stripMargin
     },
     "q_dedup_canonical" -> (clusterChainSql + """,
       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
