@@ -50,6 +50,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dupSpanCoverage plan: ONE window, and the final per-doc aggregate reuses its partitioning") {
+    val df = TextOps.dupSpanCoverage(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1, s"expected 1 Window node, got ${windows.size}")
+    // physical: the groupBy(doc_id, n_tokens) above the Window must NOT
+    // add its own Exchange — HashPartitioning(doc_id) from the window sort
+    // satisfies the aggregate's clustered distribution. An Exchange between
+    // Window and the final aggregate means the reuse broke.
+    val phys = df.queryExecution.sparkPlan
+    def path(p: org.apache.spark.sql.execution.SparkPlan,
+             sawAgg: Boolean = false): Boolean = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec => sawAgg
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec if sawAgg => false
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.children.exists(c => path(c, sawAgg = true))
+      case other => other.children.exists(c => path(c, sawAgg))
+    }
+    assert(path(phys), "no Exchange may sit between the final aggregate and the Window")
+  }
+
   test("sourceOverlap: shared distinct grams + containment vs the smaller side") {
     val run = (n: Int) => (1 to n).map("s" + _).mkString(" ")
     val docs = Seq(
