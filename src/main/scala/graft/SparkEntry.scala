@@ -131,6 +131,7 @@ object SparkEntry {
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_dedup_cosine_lsh" -> (VectorOps.dedupCosineLsh _),
     "q_knn_join" -> (VectorOps.knnJoin _),
+    "q_triplet_mine" -> (VectorOps.tripletMine _),
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
@@ -1424,6 +1425,23 @@ object SparkEntry {
       |  FROM sims)
       |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
       |FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin),
+    "q_triplet_mine" -> s"""
+      |WITH e AS (SELECT vec_id, label,
+      |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av FROM e WHERE vec_id < 32),
+      |s AS (SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+      |        round(${dotSql("e.v", "a.av")} / (${normSql("e.v")} * ${normSql("a.av")}), 4) AS cos
+      |      FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id),
+      |p AS (SELECT anchor_id, vec_id, cos,
+      |        row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rk
+      |      FROM s WHERE label = a_label),
+      |n AS (SELECT anchor_id, vec_id, cos,
+      |        row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rk
+      |      FROM s WHERE label <> a_label)
+      |SELECT p.anchor_id, p.vec_id AS pos_id, p.cos AS pos_cos,
+      |  n.vec_id AS neg_id, n.cos AS neg_cos, round(p.cos - n.cos, 4) AS margin
+      |FROM p JOIN n ON p.anchor_id = n.anchor_id AND p.rk = 1 AND n.rk = 1
+      |ORDER BY p.anchor_id""".stripMargin.trim,
     "q_binary_files" ->
       """SELECT r_regionkey, CAST(octet_length(encode(r_name)) AS BIGINT) AS n_bytes
         |FROM region ORDER BY r_regionkey""".stripMargin,

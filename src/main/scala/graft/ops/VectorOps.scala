@@ -69,6 +69,43 @@ object VectorOps {
       .orderBy("probe_id", "rk")
   }
 
+  /** Triplet mining for contrastive training — per anchor, the hardest
+    * POSITIVE (most-similar same-label vector) and hardest NEGATIVE
+    * (most-similar different-label vector) plus the margin between them:
+    * the data-prep step a triplet/InfoNCE loss consumes (FaceNet-style
+    * hard mining; semi-hard selection is the same scored relation with a
+    * band predicate on cos). Shape: broadcast the bounded anchor set, one
+    * map-only scoring pass over the corpus (|anchors| × |corpus|, the
+    * exact baseline), then ONE aggregate computing both argmaxes via
+    * conditional `max_by` — Spark's MaxBy skips rows whose ordering key
+    * is null, so the same-label and different-label maxima fall out of a
+    * single shuffle on anchor_id. Deterministic: ties on the rounded cos
+    * break toward the smaller vec_id (negated id in the ordering struct).
+    * At 100 TB the scoring pass swaps the brute-force scan for the IVF
+    * cell-probe ([[annIvf]]) — the aggregate is unchanged. */
+  def tripletMine(spark: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val anchors = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"), col("v").as("av"))
+    val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"),
+        (col("label") === col("a_label")).as("same"),
+        col("vec_id"), round(cosine(col("v"), col("av")), 4).as("cos"))
+    val ord = struct(col("cos"), (-col("vec_id")).as("nid"))
+    val payload = struct(col("vec_id"), col("cos"))
+    scored.groupBy("anchor_id")
+      .agg(
+        max_by(payload, when(col("same"), ord)).as("p"),
+        max_by(payload, when(!col("same"), ord)).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        col("p.vec_id").as("pos_id"), col("p.cos").as("pos_cos"),
+        col("n.vec_id").as("neg_id"), col("n.cos").as("neg_cos"),
+        round(col("p.cos") - col("n.cos"), 4).as("margin"))
+      .orderBy("anchor_id")
+  }
+
   /** Per-label embedding centroids, long form: one row per (label,
     * dimension) via posexplode → grouped avg. Two codegen'd aggregates
     * (partial+final) over label×dim keys — the building block for IVF-style

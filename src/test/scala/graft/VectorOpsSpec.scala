@@ -6,6 +6,43 @@ import graft.ops.VectorOps
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tripletMine: hardest pos shares the label, hardest neg doesn't; window-rank A/B agrees") {
+    val out = VectorOps.tripletMine(spark, sf0001).collect()
+    assert(out.length == 32)
+    val labels = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(labels(p) == labels(a), s"positive $p must share anchor $a's label")
+      assert(labels(n) != labels(a), s"negative $n must differ from anchor $a's label")
+      // margin is round(pos-neg, 4); the raw difference of two 4-decimal
+      // doubles carries binary residue, so compare within half an ulp of 1e-4
+      assert(math.abs(r.getDouble(5) - (r.getDouble(2) - r.getDouble(4))) < 5e-5,
+        "margin reconciles")
+    }
+    // structural A/B: re-derive both argmaxes with window row_number
+    // instead of conditional max_by — mechanisms must agree exactly
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), VectorOps.asDouble(col("embedding")).as("v"))
+    val anchors = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"), col("v").as("av"))
+    val w = Window.partitionBy("anchor_id", "same")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ranked = emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), (col("label") === col("a_label")).as("same"),
+        col("vec_id"), round(VectorOps.cosine(col("v"), col("av")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    out.foreach { r =>
+      val a = r.getLong(0)
+      assert(ranked((a, true)) == ((r.getLong(1), r.getDouble(2))), s"pos argmax for $a")
+      assert(ranked((a, false)) == ((r.getLong(3), r.getDouble(4))), s"neg argmax for $a")
+    }
+  }
+
   test("dot / l2norm / cosine on known vectors") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f)))
       .toDF("a", "b")
