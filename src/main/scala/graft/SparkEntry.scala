@@ -30,6 +30,7 @@ object SparkEntry {
     "q_text_source" -> (SourceOps.textSource _),
     "q_gen_source" -> (SourceOps.genSource _),
     "q_gen_agg" -> (SourceOps.genAgg _),
+    "q_gen_runtime" -> (SourceOps.genRuntime _),
     "q_audit_sink" -> (SourceOps.auditSink _),
     "q_filter_eq" -> (Relational.filterEq _),
     "q_filter_range" -> (Relational.filterRange _),
@@ -501,6 +502,23 @@ object SparkEntry {
         |FROM g
         |WHERE id >= 150000 AND id < 180000 AND plan <> 'Basic'
         |GROUP BY plan, gender ORDER BY plan, gender""".stripMargin,
+    // the runtime-filtering tier: the dim side's observed join keys prune
+    // fact slices at run time; the oracle rebuilds the identical join from
+    // range(n) arithmetic (pruning is best-effort, values are unchanged)
+    "q_gen_runtime" ->
+      """WITH g AS (
+        |  SELECT CAST(range AS BIGINT) AS id,
+        |    18 + (range * 37) % 83 AS age,
+        |    CAST((range * 97) % 100000 AS DOUBLE) / 100.0 AS spend,
+        |    CASE range % 3 WHEN 0 THEN 'Basic' WHEN 1 THEN 'Standard'
+        |      ELSE 'Premium' END AS plan
+        |  FROM range(200000)),
+        |d AS (SELECT 150000 + c_custkey % 12500 AS k FROM customer
+        |      WHERE c_mktsegment = 'BUILDING')
+        |SELECT plan, count(*) AS n, round(sum(spend), 2) AS total_spend,
+        |  round(avg(age), 4) AS avg_age
+        |FROM g JOIN d ON g.id = d.k
+        |GROUP BY plan ORDER BY plan""".stripMargin,
     // the completely-pushed aggregate path: count/min/max answered from the
     // id-range arithmetic, zero rows generated (GenAggScan)
     "q_gen_agg" ->

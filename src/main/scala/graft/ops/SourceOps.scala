@@ -175,6 +175,30 @@ object SourceOps {
       .where(col("id") >= 120000L && col("id") < 170000L)
       .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
 
+  /** RUNTIME-filtered custom-source join — the dynamic-partition-pruning
+    * tier of the DSv2 ladder (static filter/column pushdown → aggregate
+    * pushdown → runtime filtering): the selective dim side (one market
+    * segment's customers, keys mapped into ONE of the fact's 16 id
+    * slices) executes first, its observed join keys reach
+    * `GenScan.filter` as a runtime `In`, and `planInputPartitions`
+    * re-plans to the single slice the join can hit — a 16× scan cut
+    * decided at RUN time, the DSv2 form of what partition-pruned joins do
+    * for file tables at 100 TB. GenSourceSpec asserts the 16 → 1 slice
+    * collapse and value-equality with pruning disabled; the oracle
+    * rebuilds the same join from `range(n)` arithmetic. */
+  def genRuntime(spark: SparkSession, sf: String): DataFrame = {
+    val fact = spark.read.format("graft-gen")
+      .option("rows", "200000").option("slices", "16").load()
+    val dim = Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((lit(150000L) + col("c_custkey") % 12500L).as("k"))
+    fact.join(dim.hint("broadcast"), fact.col("id") === col("k"))
+      .groupBy("plan")
+      .agg(count(lit(1)).as("n"), round(sum("spend"), 2).as("total_spend"),
+        round(avg("age"), 4).as("avg_age"))
+      .orderBy("plan")
+  }
+
   /** DSv2 WRITE path end-to-end: push the orders reconciliation digests
     * ([[CurationOps.orderDigest]] — the `q_table_checksum` format) through
     * the custom `graft-audit` sink (TableProvider → WriteBuilder →

@@ -208,7 +208,8 @@ class GenAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
 }
 
 class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -217,9 +218,39 @@ class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filte
       s"PushedFilters: [${pushed.mkString(", ")}]"
   }
 
+  /** RUNTIME (dynamic) filtering — the third pushdown dimension after the
+    * static filter/column tier and the aggregate tier: when this scan sits
+    * under an equi-join on `id` whose other side is selective, Spark's
+    * dynamic-partition-pruning machinery executes that side FIRST, hands
+    * the observed join keys here as an `In` filter, and re-plans the input
+    * partitions — so the fact scan reads only the slices the join can hit,
+    * decided at RUN time from data no static optimizer could see. Contract
+    * is best-effort (the join still verifies every row), so pruning only
+    * needs slice granularity, never row granularity. */
+  @volatile private var runtimeIds: Option[Set[Long]] = None
+
+  /** Planned-partition count of the LAST planInputPartitions call —
+    * spec-observable evidence that runtime pruning actually dropped
+    * slices (GenSourceSpec asserts 16 → 1 under a slice-local dim). */
+  @volatile private[graft] var lastPlanned: Int = -1
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case org.apache.spark.sql.sources.In("id", vs) =>
+        vs.collect { case l: Long => l }.toSet
+      case EqualTo("id", v: Long) => Set(v)
+    }
+    if (sets.nonEmpty) runtimeIds = Some(sets.reduce(_ intersect _))
+  }
+
   /** Partition pruning: slice the FULL id space evenly, then drop every
     * slice outside the pushed id range — the planning-time skip that makes
-    * a selective key predicate cost O(selected), not O(table). */
+    * a selective key predicate cost O(selected), not O(table) — and, when
+    * a runtime `In` set has arrived, every slice containing none of the
+    * runtime join keys. */
   override def planInputPartitions(): Array[InputPartition] = {
     val (lo, hi) = GenSource.idRange(rows, pushed)
     val per = math.max(1L, (rows + slices - 1) / slices)
@@ -229,9 +260,11 @@ class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filte
       val end = math.min(rows, start + per)
       val s = math.max(start, lo)
       val e = math.min(end, hi)
-      if (s < e) parts += GenInputPartition(s, e)
+      val hit = s < e && runtimeIds.forall(_.exists(id => id >= s && id < e))
+      if (hit) parts += GenInputPartition(s, e)
       start = end
     }
+    lastPlanned = parts.length
     parts.toArray
   }
 

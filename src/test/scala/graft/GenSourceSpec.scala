@@ -125,4 +125,26 @@ class GenSourceSpec extends SparkSpec {
     // keep the generator map total over the schema (throws on drift)
     GenSource.schema.fieldNames.foreach(f => colGen(f)(7L))
   }
+
+  test("runtime filtering: dim join keys prune fact slices 16 -> 1; values unchanged without it") {
+    import graft.sources.GenScan
+    def scanOf2(df: org.apache.spark.sql.DataFrame): GenScan =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case g: GenScan => g }.get
+    val df = SourceOps.genRuntime(spark, sf0001)
+    val withPruning = df.collect().toSeq
+    assert(withPruning.nonEmpty)
+    val s1 = scanOf2(df)
+    assert(s1.lastPlanned == 1,
+      s"expected the runtime In-set to collapse 16 slices to 1, got ${s1.lastPlanned}")
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      val df2 = SourceOps.genRuntime(spark, sf0001)
+      val noPruning = df2.collect().toSeq
+      assert(scanOf2(df2).lastPlanned == 16, "without DPP all 16 slices plan")
+      assert(withPruning == noPruning, "runtime pruning must not change values")
+    } finally
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+  }
 }
