@@ -31,6 +31,7 @@ object SparkEntry {
     "q_gen_source" -> (SourceOps.genSource _),
     "q_gen_agg" -> (SourceOps.genAgg _),
     "q_gen_runtime" -> (SourceOps.genRuntime _),
+    "q_gen_spj" -> (SourceOps.genSpj _),
     "q_audit_sink" -> (SourceOps.auditSink _),
     "q_filter_eq" -> (Relational.filterEq _),
     "q_filter_range" -> (Relational.filterRange _),
@@ -518,6 +519,22 @@ object SparkEntry {
         |SELECT plan, count(*) AS n, round(sum(spend), 2) AS total_spend,
         |  round(avg(age), 4) AS avg_age
         |FROM g JOIN d ON g.id = d.k
+        |GROUP BY plan ORDER BY plan""".stripMargin,
+    // the storage-partitioned-join tier: values only (bucket equality is
+    // implied by id equality); the zero-shuffle plan is spec-pinned
+    "q_gen_spj" ->
+      """WITH g AS (
+        |  SELECT CAST(range AS BIGINT) AS id,
+        |    18 + (range * 37) % 83 AS age,
+        |    CAST((range * 97) % 100000 AS DOUBLE) / 100.0 AS spend,
+        |    CASE range % 3 WHEN 0 THEN 'Basic' WHEN 1 THEN 'Standard'
+        |      ELSE 'Premium' END AS plan
+        |  FROM range(200000)),
+        |a AS (SELECT id, plan, spend FROM g WHERE plan <> 'Basic'),
+        |b AS (SELECT id AS id2, age FROM g WHERE age > 60)
+        |SELECT plan, count(*) AS n, round(sum(spend), 2) AS total_spend,
+        |  round(avg(age), 4) AS avg_age
+        |FROM a JOIN b ON a.id = b.id2
         |GROUP BY plan ORDER BY plan""".stripMargin,
     // the completely-pushed aggregate path: count/min/max answered from the
     // id-range arithmetic, zero rows generated (GenAggScan)

@@ -199,6 +199,33 @@ object SourceOps {
       .orderBy("plan")
   }
 
+  /** STORAGE-PARTITIONED join over the custom source's bucket layout — the
+    * co-location tier of the DSv2 ladder: both sides report
+    * `KeyGroupedPartitioning(identity(bucket))` with per-partition
+    * `HasPartitionKey` values, so the fact-fact equi-join on (bucket, id)
+    * needs NO shuffle on either side (GenSourceSpec pins the zero-shuffle
+    * plan with AQE off; values are oracle-checked here). This is the DSv2
+    * form of what Iceberg/Hive bucketing buys at 100 TB: two co-bucketed
+    * fact tables join where they sit, the single biggest shuffle saving a
+    * warehouse layout can make. The two SPJ session flags are scoped to
+    * the plan-pinning spec; the declared query only contracts VALUES
+    * (bucket-key equality is implied by id equality, so the oracle join is
+    * on id alone). */
+  def genSpj(spark: SparkSession, sf: String): DataFrame = {
+    def fact = spark.read.format("graft-gen")
+      .option("rows", "200000").option("slices", "16")
+      .option("layout", "bucket").load()
+    val a = fact.filter(col("plan") =!= "Basic")
+      .select(col("id"), col("bucket"), col("plan"), col("spend"))
+    val b = fact.filter(col("age") > 60L)
+      .select(col("id").as("id2"), col("bucket").as("bucket2"), col("age"))
+    a.join(b, col("bucket") === col("bucket2") && col("id") === col("id2"))
+      .groupBy("plan")
+      .agg(count(lit(1)).as("n"), round(sum("spend"), 2).as("total_spend"),
+        round(avg("age"), 4).as("avg_age"))
+      .orderBy("plan")
+  }
+
   /** DSv2 WRITE path end-to-end: push the orders reconciliation digests
     * ([[CurationOps.orderDigest]] — the `q_table_checksum` format) through
     * the custom `graft-audit` sink (TableProvider → WriteBuilder →

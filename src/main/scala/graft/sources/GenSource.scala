@@ -47,20 +47,28 @@ object GenSource {
     StructField("gender", StringType, nullable = false),
     StructField("tenure", LongType, nullable = false),
     StructField("spend", DoubleType, nullable = false),
-    StructField("plan", StringType, nullable = false)))
+    StructField("plan", StringType, nullable = false),
+    // the storage-partition key, materialized as a real column so the
+    // reported KeyGroupedPartitioning can use an IDENTITY transform — a
+    // standalone TableProvider has no FunctionCatalog, so a bucket()
+    // transform cannot be resolved by V2ExpressionUtils (catalog sources
+    // like Iceberg provide it; here the precomputed column is the
+    // equivalent layout contract)
+    StructField("bucket", LongType, nullable = false)))
 
   private val genders = Array("Female", "Male").map(UTF8String.fromString)
   private val plans = Array("Basic", "Standard", "Premium").map(UTF8String.fromString)
 
   /** Column generators, indexed by field name. Mirrored EXACTLY by the
     * `q_gen_source` oracle SQL — change one, change both. */
-  private[graft] def gen(field: String): Long => Any = field match {
+  private[graft] def gen(field: String, slices: Int = 8): Long => Any = field match {
     case "id" => id => id
     case "age" => id => 18L + (id * 37L) % 83L
     case "gender" => id => genders((id % 2L).toInt)
     case "tenure" => id => (id * 13L) % 73L
     case "spend" => id => ((id * 97L) % 100000L).toDouble / 100.0
     case "plan" => id => plans((id % 3L).toInt)
+    case "bucket" => id => id % slices
   }
 
   /** Intersect the pushed id predicates with [0, rows) → the surviving
@@ -99,19 +107,21 @@ class GenDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new GenTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8),
+      Option(properties.get("layout")).getOrElse("range"))
 }
 
-class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
+class GenTable(rows: Long, slices: Int, layout: String = "range")
+    extends Table with SupportsRead {
   override def name(): String = s"${GenSource.ShortName}($rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices)
+    new GenScanBuilder(rows, slices, layout)
 }
 
-class GenScanBuilder(rows: Long, slices: Int)
+class GenScanBuilder(rows: Long, slices: Int, layout: String = "range")
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
@@ -169,7 +179,7 @@ class GenScanBuilder(rows: Long, slices: Int)
 
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new GenAggScan(rows, required, pushed, aggFuncs)
-    else new GenScan(rows, slices, required, pushed)
+    else new GenScan(rows, slices, required, pushed, layout)
 }
 
 /** One-partition, one-row scan answering a completely-pushed aggregation
@@ -207,9 +217,31 @@ class GenAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
     }
 }
 
-class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filter])
+class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filter],
+    layout: String = "range")
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED layout tier: with `layout=bucket` the id space is
+    * partitioned by `id % slices` (a hash-bucket class per input
+    * partition), each partition carries its bucket as a `HasPartitionKey`
+    * row, and the scan reports `KeyGroupedPartitioning(bucket(slices,
+    * id))`. Two bucket-layout tables joined on `id` then satisfy each
+    * other's distribution WITHOUT a shuffle (Spark's storage-partitioned
+    * join, `spark.sql.sources.v2.bucketing.enabled`) — the DSv2 form of
+    * what Iceberg/Hive bucketing buys at 100 TB: co-located fact-fact
+    * joins where neither side moves. `layout=range` keeps the contiguous
+    * slices the static range-pruning tier exploits; the generators are
+    * identical either way, only placement changes. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (layout == "bucket")
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(
+          "bucket")), slices)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(slices)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -253,38 +285,72 @@ class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filte
     * runtime join keys. */
   override def planInputPartitions(): Array[InputPartition] = {
     val (lo, hi) = GenSource.idRange(rows, pushed)
-    val per = math.max(1L, (rows + slices - 1) / slices)
     val parts = ArrayBuffer.empty[InputPartition]
-    var start = 0L
-    while (start < rows) {
-      val end = math.min(rows, start + per)
-      val s = math.max(start, lo)
-      val e = math.min(end, hi)
-      val hit = s < e && runtimeIds.forall(_.exists(id => id >= s && id < e))
-      if (hit) parts += GenInputPartition(s, e)
-      start = end
+    if (layout == "bucket") {
+      // one partition per bucket CLASS (id % slices == b over the surviving
+      // range); buckets are never dropped even when empty — the reported
+      // KeyGroupedPartitioning must list every partition value
+      var b = 0
+      while (b < slices) {
+        parts += GenBucketPartition(b, lo, hi, slices)
+        b += 1
+      }
+    } else {
+      val per = math.max(1L, (rows + slices - 1) / slices)
+      var start = 0L
+      while (start < rows) {
+        val end = math.min(rows, start + per)
+        val s = math.max(start, lo)
+        val e = math.min(end, hi)
+        val hit = s < e && runtimeIds.forall(_.exists(id => id >= s && id < e))
+        if (hit) parts += GenInputPartition(s, e)
+        start = end
+      }
     }
     lastPlanned = parts.length
     parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GenReaderFactory(required.fieldNames)
+    new GenReaderFactory(required.fieldNames, slices)
 }
 
 case class GenInputPartition(start: Long, end: Long) extends InputPartition
 
-class GenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GenInputPartition]
-    new PartitionReader[InternalRow] {
-      // Projection pushdown is real work-avoidance here: only the
-      // requested columns' generators run, the rest are never computed.
-      private val gens = fields.map(GenSource.gen)
-      private var id = p.start - 1
-      override def next(): Boolean = { id += 1; id < p.end }
-      override def get(): InternalRow = InternalRow.fromSeq(gens.map(g => g(id)).toSeq)
-      override def close(): Unit = ()
+/** One hash-bucket class of the id space: ids in [start, end) with
+  * id % step == bucket. Carries its bucket as the partition key so Spark
+  * can align the two sides of a storage-partitioned join. */
+case class GenBucketPartition(bucket: Int, start: Long, end: Long, step: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket.toLong)
+}
+
+class GenReaderFactory(fields: Array[String], slices: Int = 8)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GenInputPartition =>
+        new PartitionReader[InternalRow] {
+          // Projection pushdown is real work-avoidance here: only the
+          // requested columns' generators run, the rest are never computed.
+          private val gens = fields.map(GenSource.gen(_, slices))
+          private var id = p.start - 1
+          override def next(): Boolean = { id += 1; id < p.end }
+          override def get(): InternalRow = InternalRow.fromSeq(gens.map(g => g(id)).toSeq)
+          override def close(): Unit = ()
+        }
+      case p: GenBucketPartition =>
+        new PartitionReader[InternalRow] {
+          private val gens = fields.map(GenSource.gen(_, slices))
+          // first id >= start with id % step == bucket, then stride by step
+          private var id = {
+            val base = p.start + ((p.bucket - p.start % p.step) + p.step) % p.step
+            base - p.step
+          }
+          override def next(): Boolean = { id += p.step; id < p.end }
+          override def get(): InternalRow = InternalRow.fromSeq(gens.map(g => g(id)).toSeq)
+          override def close(): Unit = ()
+        }
     }
-  }
 }

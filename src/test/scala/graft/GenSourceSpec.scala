@@ -28,7 +28,7 @@ class GenSourceSpec extends SparkSpec {
   test("short name resolves via ServiceLoader and full scan has rows × schema") {
     val df = gen(rows = 1000L, slices = 4)
     assert(df.schema.fieldNames.toSeq ==
-      Seq("id", "age", "gender", "tenure", "spend", "plan"))
+      Seq("id", "age", "gender", "tenure", "spend", "plan", "bucket"))
     assert(df.count() == 1000L)
   }
 
@@ -123,7 +123,7 @@ class GenSourceSpec extends SparkSpec {
     assert(got == viaRange.collect().toSeq)
     assert(got.nonEmpty)
     // keep the generator map total over the schema (throws on drift)
-    GenSource.schema.fieldNames.foreach(f => colGen(f)(7L))
+    GenSource.schema.fieldNames.foreach(f => colGen(f, 8)(7L))
   }
 
   test("runtime filtering: dim join keys prune fact slices 16 -> 1; values unchanged without it") {
@@ -146,5 +146,56 @@ class GenSourceSpec extends SparkSpec {
       assert(withPruning == noPruning, "runtime pruning must not change values")
     } finally
       spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+  }
+
+  test("storage-partitioned join: two bucket-layout scans join with ZERO shuffle") {
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // AQE off for the PLAN assertion: AdaptiveSparkPlanExec has no children,
+    // so a collect over it finds nothing and a zero-shuffle assert would be
+    // vacuously green; the non-adaptive executedPlan shows real exchanges
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // join keys (bucket, id) are a SUPERSET of the partition key (bucket):
+    // co-partition elimination for the superset case is behind this flag
+    val prevReq = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      def bucketGen = spark.read.format("graft-gen")
+        .option("rows", "20000").option("slices", "8")
+        .option("layout", "bucket").load()
+      val a = bucketGen.filter(col("plan") =!= "Basic")
+        .select(col("id"), col("bucket"), col("spend"))
+      val b = bucketGen.filter(col("age") > 50L)
+        .select(col("id").as("id2"), col("bucket").as("bucket2"), col("age"))
+      val j = a.join(b, col("bucket") === col("bucket2") && col("id") === col("id2"))
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected a storage-partitioned join with zero shuffles, got\n${j.queryExecution.executedPlan}")
+      val joins = j.queryExecution.executedPlan.collect {
+        case jn: org.apache.spark.sql.execution.joins.BaseJoinExec => jn
+      }
+      assert(joins.nonEmpty, "the plan must actually contain the join node")
+      // same values as the range layout computes (placement must not matter)
+      val viaRange = {
+        val g = gen(20000L, 8)
+        val ra = g.filter(col("plan") =!= "Basic").select(col("id"), col("spend"))
+        val rb = g.filter(col("age") > 50L).select(col("id").as("id2"), col("age"))
+        ra.join(rb, col("id") === col("id2")).agg(
+          count(lit(1)), round(sum("spend"), 2), sum("age")).head()
+      }
+      // round the double sum: partition-order changes its fp association
+      val got = j.agg(count(lit(1)), round(sum("spend"), 2), sum("age")).head()
+      assert(got == viaRange)
+    } finally {
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevReq)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
   }
 }
