@@ -221,7 +221,31 @@ class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filte
     layout: String = "range")
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Post-pushdown statistics — rows surviving the pushed id range × the
+    * pruned row width. Without this a DSv2 relation defaults to
+    * `spark.sql.defaultSizeInBytes` (effectively "huge"), so a
+    * genuinely-small scan side never auto-broadcasts and every join
+    * against it pays a shuffle; with it, Catalyst's broadcast decision
+    * and AQE's re-planning see the real size (spec: a small gen table
+    * joins as BroadcastHashJoin with NO hint). Reported AFTER pushdown,
+    * as the contract requires — a filtered scan reports the filtered
+    * size. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val (lo, hi) = GenSource.idRange(rows, pushed)
+    val n = math.max(0L, hi - lo)
+    // fixed-width longs/doubles + short dictionary strings: ~16 B/col is
+    // the honest order of magnitude for this schema
+    val width = 16L * math.max(1, required.fields.length)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
+  }
 
   /** STORAGE-PARTITIONED layout tier: with `layout=bucket` the id space is
     * partitioned by `id % slices` (a hash-bucket class per input

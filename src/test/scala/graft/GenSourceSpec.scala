@@ -160,6 +160,11 @@ class GenSourceSpec extends SparkSpec {
     // co-partition elimination for the superset case is behind this flag
     val prevReq = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // reported stats (SupportsReportStatistics) would auto-broadcast this
+    // small fixture and the zero-shuffle assert would pass for the WRONG
+    // reason — force the shuffle-family join so the test proves SPJ
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       def bucketGen = spark.read.format("graft-gen")
         .option("rows", "20000").option("slices", "8")
@@ -178,6 +183,9 @@ class GenSourceSpec extends SparkSpec {
         case jn: org.apache.spark.sql.execution.joins.BaseJoinExec => jn
       }
       assert(joins.nonEmpty, "the plan must actually contain the join node")
+      assert(joins.forall(
+        !_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        "must be the shuffle-family join riding key-grouped partitions, not a broadcast")
       // same values as the range layout computes (placement must not matter)
       val viaRange = {
         val g = gen(20000L, 8)
@@ -190,6 +198,7 @@ class GenSourceSpec extends SparkSpec {
       val got = j.agg(count(lit(1)), round(sum("spend"), 2), sum("age")).head()
       assert(got == viaRange)
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevReq)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       prev match {
@@ -197,5 +206,29 @@ class GenSourceSpec extends SparkSpec {
         case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       }
     }
+  }
+
+  test("reported statistics drive the broadcast decision: small scan auto-broadcasts, no hint") {
+    // 2,000 rows x ~96 B reported ~ 200 KB << the 10 MB broadcast
+    // threshold; without SupportsReportStatistics a DSv2 relation weighs
+    // in at spark.sql.defaultSizeInBytes and would sort-merge join
+    val small = gen(rows = 2000L, slices = 4)
+    val big = spark.range(100000L).toDF("k")
+    val j = big.join(small, col("k") === col("id"))
+    val bhj = j.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, s"expected an UNHINTED broadcast join from reported stats, got\n${j.queryExecution.sparkPlan}")
+    // and the pushed range shrinks the estimate: a filtered scan reports
+    // the filtered size (contract: stats are post-pushdown)
+    import graft.sources.GenScan
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case g: GenScan => g }.get.estimateStatistics()
+    val full = stats(gen(rows = 2000L, slices = 4).filter(col("age") > 0L))
+    val pruned = stats(gen(rows = 2000L, slices = 4).filter(col("id") < 100L))
+    assert(full.numRows.getAsLong == 2000L)
+    assert(pruned.numRows.getAsLong == 100L)
+    assert(pruned.sizeInBytes.getAsLong < full.sizeInBytes.getAsLong)
   }
 }
