@@ -32,6 +32,7 @@ object SparkEntry {
     "q_gen_agg" -> (SourceOps.genAgg _),
     "q_gen_runtime" -> (SourceOps.genRuntime _),
     "q_gen_spj" -> (SourceOps.genSpj _),
+    "q_gen_limit" -> (SourceOps.genLimit _),
     "q_audit_sink" -> (SourceOps.auditSink _),
     "q_filter_eq" -> (Relational.filterEq _),
     "q_filter_range" -> (Relational.filterRange _),
@@ -536,6 +537,17 @@ object SparkEntry {
         |  round(avg(age), 4) AS avg_age
         |FROM a JOIN b ON a.id = b.id2
         |GROUP BY plan ORDER BY plan""".stripMargin,
+    // the TopN-pushdown tier: the scan generates 5 rows, Spark keeps the
+    // authoritative sort+limit (partial pushdown)
+    "q_gen_limit" ->
+      """WITH g AS (
+        |  SELECT CAST(range AS BIGINT) AS id,
+        |    CAST((range * 97) % 100000 AS DOUBLE) / 100.0 AS spend,
+        |    CASE range % 3 WHEN 0 THEN 'Basic' WHEN 1 THEN 'Standard'
+        |      ELSE 'Premium' END AS plan
+        |  FROM range(200000))
+        |SELECT id, plan, spend FROM g
+        |WHERE id < 150000 ORDER BY id DESC LIMIT 5""".stripMargin,
     // the completely-pushed aggregate path: count/min/max answered from the
     // id-range arithmetic, zero rows generated (GenAggScan)
     "q_gen_agg" ->

@@ -199,6 +199,22 @@ object SourceOps {
       .orderBy("plan")
   }
 
+  /** TopN-pushdown query over the custom source: ORDER BY id DESC LIMIT 5
+    * under a pushed range — the scan narrows its id range to the LAST 5
+    * surviving ids before partition planning (one partition, five rows
+    * generated; spec pins `ids=[149995,150000)` and `PushedLimit: 5 DESC`
+    * in the scan description). Pushdown is declared PARTIAL, so Spark
+    * keeps the authoritative sort+limit on top — the source reduces rows,
+    * it never owns result order. The row-reduction analog of the
+    * reference's server-side `find(...).limit(n)`. */
+  def genLimit(spark: SparkSession, sf: String): DataFrame =
+    spark.read.format("graft-gen")
+      .option("rows", "200000").option("slices", "16").load()
+      .where(col("id") < 150000L)
+      .orderBy(col("id").desc)
+      .limit(5)
+      .select(col("id"), col("plan"), col("spend"))
+
   /** STORAGE-PARTITIONED join over the custom source's bucket layout — the
     * co-location tier of the DSv2 ladder: both sides report
     * `KeyGroupedPartitioning(identity(bucket))` with per-partition

@@ -123,10 +123,42 @@ class GenTable(rows: Long, slices: Int, layout: String = "range")
 
 class GenScanBuilder(rows: Long, slices: Int, layout: String = "range")
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GenSource.schema
   private var aggFuncs: Array[AggregateFunc] = Array.empty
+  private var limit: Option[Int] = None
+  private var limitDesc = false
+
+  /** LIMIT / TopN-on-id pushdown — the row-reduction tier: a LIMIT n (or
+    * ORDER BY id [DESC] LIMIT n) narrows the surviving id range to its
+    * first (last) n ids BEFORE partition planning, so the scan reads n
+    * rows, not the table. Declared PARTIAL (the default) on purpose:
+    * Spark keeps its own sort/limit on top — the source only reduces
+    * rows, it never takes over result ordering, which keeps the contract
+    * airtight for the DESC case (readers emit ascending ids). Range
+    * layout only: bucket partitions interleave the id space, so a range
+    * cut would be wrong there. */
+  override def pushLimit(n: Int): Boolean =
+    layout == "range" && { limit = Some(n); true }
+
+  // both parent traits carry this Java default; Scala requires one
+  // explicit resolution — always PARTIAL, see the tier scaladoc above
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean =
+    layout == "range" && orders.length == 1 && (orders(0).expression() match {
+      case r: NamedReference if r.fieldNames.sameElements(Array("id")) =>
+        limit = Some(n)
+        limitDesc = orders(0).direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+        true
+      case _ => false
+    })
 
   /** Split: accepted id predicates are handled FULLY inside the source
     * (range intersection — no post-scan re-check needed), the rest are
@@ -179,7 +211,7 @@ class GenScanBuilder(rows: Long, slices: Int, layout: String = "range")
 
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new GenAggScan(rows, required, pushed, aggFuncs)
-    else new GenScan(rows, slices, required, pushed, layout)
+    else new GenScan(rows, slices, required, pushed, layout, limit, limitDesc)
 }
 
 /** One-partition, one-row scan answering a completely-pushed aggregation
@@ -218,7 +250,7 @@ class GenAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
 }
 
 class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filter],
-    layout: String = "range")
+    layout: String = "range", limit: Option[Int] = None, limitDesc: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -234,7 +266,7 @@ class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filte
     * as the contract requires — a filtered scan reports the filtered
     * size. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val (lo, hi) = GenSource.idRange(rows, pushed)
+    val (lo, hi) = effectiveRange
     val n = math.max(0L, hi - lo)
     // fixed-width longs/doubles + short dictionary strings: ~16 B/col is
     // the honest order of magnitude for this schema
@@ -269,9 +301,10 @@ class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filte
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
-    val (lo, hi) = GenSource.idRange(rows, pushed)
+    val (lo, hi) = effectiveRange
     s"GenScan rows=$rows ids=[$lo,$hi) cols=${required.fieldNames.mkString(",")} " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}] " +
+      s"PushedLimit: ${limit.map(n => s"$n${if (limitDesc) " DESC" else ""}").getOrElse("none")}"
   }
 
   /** RUNTIME (dynamic) filtering — the third pushdown dimension after the
@@ -307,8 +340,19 @@ class GenScan(rows: Long, slices: Int, required: StructType, pushed: Array[Filte
     * a selective key predicate cost O(selected), not O(table) — and, when
     * a runtime `In` set has arrived, every slice containing none of the
     * runtime join keys. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The pushed id range, additionally cut to the first (last) `limit`
+    * ids when a LIMIT / TopN-on-id was pushed. */
+  private def effectiveRange: (Long, Long) = {
     val (lo, hi) = GenSource.idRange(rows, pushed)
+    limit match {
+      case Some(n) if limitDesc => (math.max(lo, hi - n), hi)
+      case Some(n) => (lo, math.min(hi, lo + n))
+      case None => (lo, hi)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (lo, hi) = effectiveRange
     val parts = ArrayBuffer.empty[InputPartition]
     if (layout == "bucket") {
       // one partition per bucket CLASS (id % slices == b over the surviving

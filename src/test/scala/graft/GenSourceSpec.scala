@@ -231,4 +231,22 @@ class GenSourceSpec extends SparkSpec {
     assert(pruned.numRows.getAsLong == 100L)
     assert(pruned.sizeInBytes.getAsLong < full.sizeInBytes.getAsLong)
   }
+
+  test("TopN pushdown narrows the scan to the last n surviving ids") {
+    val df = SourceOps.genLimit(spark, sf0001)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("ids=[149995,150000)"), desc)
+    assert(desc.contains("PushedLimit: 5 DESC"), desc)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(149999L, 149998L, 149997L, 149996L, 149995L))
+    // plain LIMIT (no sort) narrows from the front instead
+    val lim = gen(rows = 1000L, slices = 4).limit(7)
+    assert(scanOf(lim).scan.description().contains("ids=[0,7)"))
+    assert(lim.count() == 7L)
+    // bucket layout refuses the cut (interleaved ids): full range planned
+    val b = spark.read.format("graft-gen").option("rows", "1000")
+      .option("slices", "4").option("layout", "bucket").load().limit(7)
+    assert(b.count() == 7L)
+    assert(!scanOf(b).scan.description().contains("PushedLimit: 7"))
+  }
 }
