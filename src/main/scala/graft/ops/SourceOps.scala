@@ -205,8 +205,9 @@ object SourceOps {
     * generated; spec pins `ids=[149995,150000)` and `PushedLimit: 5 DESC`
     * in the scan description). Pushdown is declared PARTIAL, so Spark
     * keeps the authoritative sort+limit on top — the source reduces rows,
-    * it never owns result order. The row-reduction analog of the
-    * reference's server-side `find(...).limit(n)`. */
+    * it never owns result order. The reference's `find({}, projection)`
+    * (`app_test.py:53`) ships the whole collection; a cursor `.limit(n)`
+    * is the Mongo form of this server-side row cut. */
   def genLimit(spark: SparkSession, sf: String): DataFrame =
     spark.read.format("graft-gen")
       .option("rows", "200000").option("slices", "16").load()

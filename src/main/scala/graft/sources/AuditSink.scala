@@ -14,9 +14,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * of the custom-source tier ([[GenSource]] covers scan + filter/column/
   * aggregate pushdown; this covers TableProvider → WriteBuilder →
   * BatchWrite → DataWriterFactory → DataWriter with the task-commit
-  * protocol). The reference's write surface is a Mongo
-  * `insert_many` (`app_test.py:60-71`); the DSv2 analog adds what a 100 TB
-  * publish actually needs — a transactional commit: per-task partial
+  * protocol). The reference has NO write surface at all — it reads a Mongo
+  * snapshot and scores it (`app_test.py:36-57`) — so this rung is part of
+  * the beyond-reference pipeline tier: any engine that curates 100 TB must
+  * also PUBLISH, and a publish needs a transactional commit: per-task partial
   * digests travel as [[WriterCommitMessage]]s, ONLY positively-committed
   * tasks reach `commit()` (Spark's output-commit coordinator discards
   * speculative/retried attempts, so the aggregated digest is exactly-once
