@@ -374,4 +374,36 @@ class PropertySpec extends SparkSpec {
       finally spark.conf.unset("spark.graft.topk.maxHeapKeys")
     }
   }
+
+  test("dupSpanCoverage: lag-window union equals brute-force interval union on random corpora") {
+    // small vocab + short docs force heavy cross-doc 13-gram collisions,
+    // exercising overlap, containment, and adjacent-hit coalescing
+    val K = TextOps.NgramK
+    val docGen = Gen.listOfN(5,
+      Gen.chooseNum(K, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))
+    forAll(docGen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextOps.dupSpanCoverageFrom(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // brute force: per doc, the union of [i, i+K) over grams seen in
+      // ANOTHER doc, computed with plain position sets
+      val grams = docs.zipWithIndex.map { case (toks, i) =>
+        i.toLong -> toks.sliding(K).zipWithIndex
+          .map { case (g, p) => (g.mkString(" "), p + 1) }.toSeq
+      }.toMap
+      val docsOf = grams.toSeq.flatMap { case (d, gs) => gs.map { case (g, _) => (g, d) } }
+        .groupBy(_._1).map { case (g, ds) => g -> ds.map(_._2).distinct.size }
+      val expect = grams.flatMap { case (d, gs) =>
+        val hits = gs.filter { case (g, _) => docsOf(g) > 1 }
+        if (hits.isEmpty) None
+        else {
+          val covered = hits.flatMap { case (_, p) => p until (p + K) }.distinct.size
+          Some(d -> ((docs(d.toInt).size.toLong, hits.size.toLong, covered.toLong)))
+        }
+      }
+      assert(got == expect, s"docs=${docs.map(_.mkString(" "))}")
+    }
+  }
 }
