@@ -93,6 +93,25 @@ object Bench {
       graft.ops.EventOps.thetaSetsFrom(ev)
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[bench] hll/theta/kll warmup failed: ${e.getMessage}") }
+    // JSON reader/writer warmup (q_json_roundtrip / q_json_extract /
+    // q_variant_extract): Jackson init + the JSON datasource's parse
+    // codegen are one-time session costs (profiled 5.3 s cold vs 0.6 s
+    // warm on q_json_roundtrip; the r9 clean-window bench showed the pair
+    // reading 4.4 + 3.6 s when the cost landed timed). A 128-row
+    // round-trip pays them untimed.
+    try {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json_warm").toString
+      val ev = graft.ops.EventOps.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("props")).limit(128)
+      ev.coalesce(1).write.mode("overwrite").json(tmp)
+      spark.read.schema(ev.schema).json(tmp)
+        .selectExpr("get_json_object(props, '$.k') AS k")
+        .write.format("noop").mode("overwrite").save()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+    } catch { case e: Throwable => System.err.println(s"[bench] json warmup failed: ${e.getMessage}") }
     // Per-corpus memo timing asymmetry (ADVICE r8, documented not hidden):
     // the FIRST alphabetical consumer of a memoized artifact pays its build
     // inside its timed region and later consumers read the memo — BPE
