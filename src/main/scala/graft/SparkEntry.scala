@@ -169,6 +169,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_dedup_spans" -> (TextOps.dupSpanCoverage _),
     "q_source_overlap" -> (TextOps.sourceOverlap _),
+    "q_quality_prune" -> (TextOps.qualityPrune _),
     "q_dedup_canonical" -> (TextOps.dedupCanonical _),
     "q_dedup_canonical_lsh" -> (TextOps.dedupCanonicalLsh _),
     "q_corpus_mix" -> (TextOps.corpusMix _),
@@ -1405,6 +1406,16 @@ object SparkEntry {
          |            ELSE CAST(0 AS DOUBLE) END), 4) AS stopword_ratio
          |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_quality_prune" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+         |       CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT *, percent_rank() OVER (
+         |        PARTITION BY source ORDER BY n_tokens, doc_id) AS pr FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs_total,
+         |  CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         |  CAST(sum(CASE WHEN pr >= 0.5 THEN n_chars END) AS BIGINT) AS chars_kept,
+         |  min(CASE WHEN pr >= 0.5 THEN n_tokens END) AS threshold_tokens
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_lang_id" -> langIdSql,

@@ -439,6 +439,41 @@ object TextOps {
           .as("stopword_ratio"))
       .orderBy("doc_id")
 
+  /** Per-SOURCE quality-stratified pruning — keep each corpus's own top
+    * half by token count (percent_rank ≥ 0.5 within source) and report the
+    * per-source audit: total/kept docs, kept chars, and the REALIZED
+    * threshold (min kept token count). The point, versus the fixed-rule
+    * [[qualityFilter]]: the cut adapts to each source's own distribution —
+    * a curated-books corpus and a crawl dump should not share one absolute
+    * threshold (the FineWeb-style per-domain discipline). One shuffle on
+    * source + one window sort; at 100 TB the exact per-source rank is
+    * replaced by a KLL quantile threshold per source (the
+    * `q_kll_merge`/`q_sketch_store` blob family — probe the sketch for the
+    * 0.5-quantile, filter with a plain predicate, no global sort). The
+    * (n_tokens, doc_id) ordering makes percent_rank a total order, so the
+    * kept set is deterministic and percent_rank's (rank-1)/(n-1) division
+    * is bit-identical across engines. */
+  def qualityPrune(spark: SparkSession, sf: String): DataFrame =
+    qualityPruneFrom(Tables.load(spark, sf, "documents"))
+
+  /** Core over any (doc_id, source, n_chars, text) relation. */
+  private[graft] def qualityPruneFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))
+    val kept = col("pr") >= 0.5
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(kept, col("n_chars"))).as("chars_kept"),
+        min(when(kept, col("n_tokens"))).as("threshold_tokens"))
+      .orderBy("source")
+  }
+
   /** Document fingerprint — md5 of the raw text, the join/shuffle key a
     * 100 TB dedup uses instead of the text itself. md5 is identical across
     * engines, so this one is oracle-checkable (unlike xxhash64). */

@@ -87,6 +87,24 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0).getDouble(3) == 1.0, "containment = shared / min-side = 2/2")
   }
 
+  test("qualityPrune: per-source adaptive cut keeps each corpus's own top half") {
+    def doc(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", doc(2)), (2L, "srcA", doc(3)),
+      (3L, "srcA", doc(4)), (4L, "srcA", doc(5)),
+      (5L, "srcB", doc(7)), (6L, "srcB", doc(8)))
+      .map { case (id, src, t) => (id, src, t.length.toLong, t) }
+      .toDF("doc_id", "source", "n_chars", "text")
+    val r = TextOps.qualityPruneFrom(docs).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(4)))).toMap
+    // srcA percent_ranks over 4 docs: 0, 1/3, 2/3, 1 -> keeps the two
+    // longest; its threshold (4 tokens) differs from srcB's (8) — the
+    // adaptive property a global cut cannot have
+    assert(r("srcA") == ((4L, 2L, 4L)))
+    assert(r("srcB") == ((2L, 1L, 8L)))
+  }
+
   test("bpeMerges learns the classic low/lower/newest merges in order") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
