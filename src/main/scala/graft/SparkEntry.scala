@@ -147,6 +147,7 @@ object SparkEntry {
     "q_stream_compact" -> (graft.streaming.StreamOps.streamCompact _),
     "q_stream_attrib" -> (graft.streaming.StreamOps.streamAttrib _),
     "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
+    "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_funnel" -> (EventOps.funnel _),
     "q_cohort_retention" -> (EventOps.cohortRetention _),
@@ -1613,6 +1614,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // append mode emits exactly the windows the FINAL watermark (max ts −
+    // 1 h) closed, independent of batch slicing — so the oracle is the
+    // batch hourly aggregate restricted to closed windows
+    "q_stream_window" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |        CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, sum_value
+        |FROM w, mx WHERE h + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+        |ORDER BY hour, event_type""".stripMargin,
     // the stream-stream interval join, drained through a real two-source
     // micro-batched run: inner join => each matched pair exactly once, so
     // the batch SQL join IS the full-value oracle

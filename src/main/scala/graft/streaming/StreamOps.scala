@@ -307,6 +307,64 @@ object StreamOps {
     out
   }
 
+  /** Declared query for the WINDOWED-aggregation tier — the canonical
+    * Structured Streaming shape ([[hourlyEventCounts]]) drained end to
+    * end: plain events staged as a multi-file source, tumbling 1 h windows
+    * under a 1 h watermark, append-mode parquet sink, `AvailableNow`.
+    * Append mode only emits windows the FINAL watermark (global max event
+    * time − delay) has closed, and intermediate emissions are subsets of
+    * that set — so the drained output is batching-independent and equals
+    * the batch group-by restricted to closed windows, which is exactly the
+    * DuckDB oracle's WHERE clause. The windows still open at drain end
+    * (the last hour of history) are deliberately absent: that is append
+    * mode's contract, not an artifact — a production pipeline reads them
+    * from the NEXT run, or runs update mode. */
+  def streamWindow(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    // Replay discipline: a 1 h-watermark window agg DROPS rows arriving
+    // > 1 h late, so a hash-scattered staging (each file spanning the whole
+    // history) would lose data nondeterministically as the watermark
+    // advances across micro-batches. A real backfill feeds history in
+    // EVENT-TIME order — staged here as disjoint ts ranges
+    // (repartitionByRange) replayed oldest-first (file mtimes force the
+    // source's modified-time ordering): no row is ever late, state stays
+    // bounded to the open windows, and the drained result is
+    // batching-independent.
+    val inDir = graft.ops.SourceOps.materialize(s"stream_window_in_$sf") { d =>
+      graft.ops.EventOps.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartitionByRange(6, col("ts")).write.parquet(s"$d/in")
+      val parts = new java.io.File(s"$d/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    val base = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(base)
+    val run = java.nio.file.Files.createTempDirectory(base, "stream_window_run_").toString
+    val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = hourlyEventCounts(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val out = spark.read.parquet(s"$run/out")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per
     * key by (event time, batch id) — one aggregate, map-side combinable. */
   def latestState(spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame =

@@ -349,6 +349,23 @@ class StreamingSpec extends SparkSpec {
       "staging must plant each purchase twice")
   }
 
+  test("streamWindow: drained windowed agg equals the batch agg on watermark-closed windows") {
+    val out = StreamOps.streamWindow(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val ev = graft.ops.EventOps.events(spark, sf0001)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .filter(col("hour") + expr("INTERVAL 1 HOUR") <= lit(mx) - expr("INTERVAL 1 HOUR"))
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out.nonEmpty, "the drained sink must contain closed windows")
+    assert(out == batch, s"stream ${out.size} rows vs batch ${batch.size}")
+  }
+
   test("checkpointed parquet sink with AvailableNow drains the stream exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
