@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{BucketOps, CurationOps, EventOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, TextOps, TpchOps, TypedOps, VectorOps}
+import graft.ops.{BucketOps, CurationOps, EventOps, GeoOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, TextOps, TpchOps, TypedOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -171,6 +171,7 @@ object SparkEntry {
     "q_dedup_spans" -> (TextOps.dupSpanCoverage _),
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     "q_quality_prune" -> (TextOps.qualityPrune _),
+    "q_geo_join" -> (GeoOps.geoJoin _),
     "q_dedup_canonical" -> (TextOps.dedupCanonical _),
     "q_dedup_canonical_lsh" -> (TextOps.dedupCanonicalLsh _),
     "q_corpus_mix" -> (TextOps.corpusMix _),
@@ -1417,6 +1418,23 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN pr >= 0.5 THEN n_chars END) AS BIGINT) AS chars_kept,
          |  min(CASE WHEN pr >= 0.5 THEN n_tokens END) AS threshold_tokens
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // brute-force cross join + filter IS the oracle; the Spark side must
+    // reproduce it exactly through cell blocking (incl. antimeridian wrap)
+    "q_geo_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |       -60.0 + (c_custkey * 97 % 12000) / 100.0 AS clat,
+        |       -180.0 + (c_custkey * 131 % 36000) / 100.0 AS clon FROM customer),
+        |s AS (SELECT s_suppkey,
+        |       -60.0 + (s_suppkey * 97 % 12000) / 100.0 AS slat,
+        |       -180.0 + (s_suppkey * 131 % 36000) / 100.0 AS slon FROM supplier)
+        |SELECT * FROM (
+        |  SELECT c_custkey, s_suppkey,
+        |    round(2 * 6371.0088 * asin(sqrt(
+        |      pow(sin(radians(slat - clat) / 2), 2) +
+        |      cos(radians(clat)) * cos(radians(slat)) *
+        |        pow(sin(radians(slon - clon) / 2), 2))), 4) AS dist_km
+        |  FROM c CROSS JOIN s)
+        |WHERE dist_km <= 300.0 ORDER BY c_custkey, s_suppkey""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_lang_id" -> langIdSql,
