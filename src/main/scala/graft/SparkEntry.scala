@@ -172,6 +172,7 @@ object SparkEntry {
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     "q_quality_prune" -> (TextOps.qualityPrune _),
     "q_geo_join" -> (GeoOps.geoJoin _),
+    "q_geo_nearest" -> (GeoOps.geoNearest _),
     "q_dedup_canonical" -> (TextOps.dedupCanonical _),
     "q_dedup_canonical_lsh" -> (TextOps.dedupCanonicalLsh _),
     "q_corpus_mix" -> (TextOps.corpusMix _),
@@ -1435,6 +1436,25 @@ object SparkEntry {
         |        pow(sin(radians(slon - clon) / 2), 2))), 4) AS dist_km
         |  FROM c CROSS JOIN s)
         |WHERE dist_km <= 300.0 ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "q_geo_nearest" ->
+      """WITH c AS (SELECT c_custkey,
+        |       -60.0 + (c_custkey * 97 % 12000) / 100.0 AS clat,
+        |       -180.0 + (c_custkey * 131 % 36000) / 100.0 AS clon FROM customer),
+        |s AS (SELECT s_suppkey,
+        |       -60.0 + (s_suppkey * 97 % 12000) / 100.0 AS slat,
+        |       -180.0 + (s_suppkey * 131 % 36000) / 100.0 AS slon FROM supplier),
+        |p AS (SELECT * FROM (
+        |  SELECT c_custkey, s_suppkey,
+        |    round(2 * 6371.0088 * asin(sqrt(
+        |      pow(sin(radians(slat - clat) / 2), 2) +
+        |      cos(radians(clat)) * cos(radians(slat)) *
+        |        pow(sin(radians(slon - clon) / 2), 2))), 4) AS dist_km
+        |  FROM c CROSS JOIN s)
+        | WHERE dist_km <= 300.0),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rk FROM p)
+        |SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rk = 1
+        |ORDER BY c_custkey""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_lang_id" -> langIdSql,

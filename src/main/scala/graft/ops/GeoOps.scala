@@ -71,6 +71,30 @@ object GeoOps {
       .orderBy("c_custkey", "s_suppkey")
   }
 
+  /** Nearest-supplier ASSIGNMENT — each customer's closest supplier
+    * within [[ThresholdKm]] (the store-coverage / facility-assignment
+    * shape). One conditional-free argmin (`min_by` on (dist, key) — ties
+    * break toward the smaller supplier key) over the SAME blocked
+    * candidate set as [[geoJoin]]: blocking exactness transfers, because
+    * the true nearest inside the threshold is by definition inside the
+    * covered neighborhood. Customers with no supplier in range are
+    * absent — the honest semantics for "assign if covered". */
+  def geoNearest(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("a_key"),
+        latOf(col("c_custkey")).as("a_lat"), lonOf(col("c_custkey")).as("a_lon"))
+    val supp = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey").as("b_key"),
+        latOf(col("s_suppkey")).as("b_lat"), lonOf(col("s_suppkey")).as("b_lon"))
+    geoJoinFrom(cust, supp)
+      .groupBy(col("a_key").as("c_custkey"))
+      .agg(min_by(struct(col("b_key"), col("dist_km")),
+        struct(col("dist_km"), col("b_key"))).as("b"))
+      .select(col("c_custkey"), col("b.b_key").as("s_suppkey"),
+        col("b.dist_km").as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
   /** The blocking core over arbitrary keyed point frames, for the
     * exactness spec (cell-blocked == brute force). */
   private[graft] def geoJoinFrom(a: DataFrame, b: DataFrame): DataFrame = {

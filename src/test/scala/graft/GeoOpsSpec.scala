@@ -47,4 +47,16 @@ class GeoOpsSpec extends SparkSpec {
     val plan = df.queryExecution.sparkPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("geoNearest: one row per covered customer, the true argmin of its candidates") {
+    val pairs = GeoOps.geoJoin(spark, sf0001).collect()
+      .groupBy(_.getLong(0))
+    val nearest = GeoOps.geoNearest(spark, sf0001).collect()
+    assert(nearest.nonEmpty)
+    assert(nearest.map(_.getLong(0)).toSet == pairs.keySet, "exactly the covered customers")
+    nearest.foreach { r =>
+      val best = pairs(r.getLong(0)).minBy(p => (p.getDouble(2), p.getLong(1)))
+      assert((r.getLong(1), r.getDouble(2)) == ((best.getLong(1), best.getDouble(2))))
+    }
+  }
 }
