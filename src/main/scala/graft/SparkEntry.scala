@@ -103,6 +103,7 @@ object SparkEntry {
     // §2.9–2.10 LLM-data-pipeline extensions
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_jaccard" -> (TextOps.dedupJaccard _),
+    "q_dedup_prefix" -> (TextOps.dedupPrefix _),
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_dup_clusters" -> (TextOps.dupClusters _),
@@ -1368,6 +1369,15 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> (jaccardBase + """
+      |SELECT id_a, id_b,
+      |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin),
+    // prefix filtering is EXACT (prefix lemma), so the oracle is the same
+    // brute-force Jaccard-pair SQL as q_dedup_jaccard — that equality is
+    // the whole claim being checked
+    "q_dedup_prefix" -> (jaccardBase + """
       |SELECT id_a, id_b,
       |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
       |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b

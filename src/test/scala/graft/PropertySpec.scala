@@ -129,6 +129,34 @@ class PropertySpec extends SparkSpec {
       s"recall $observed below banding-bound expectation $expected over ${exact.size} pairs")
   }
 
+  test("prefix filtering is exact: dedupPrefix == brute-force jaccard on adversarial plants") {
+    // stresses every prune that could over-fire: varying doc lengths (the
+    // length filter), a boilerplate phrase in every doc (hot shingles the
+    // df-cap family must drop but prefix filtering must handle exactly),
+    // and overlap levels straddling the 0.8 threshold (the positional
+    // filter's α bound). Exactness means the FULL (pair -> jaccard) map
+    // matches the uncapped brute-force inverted-index form.
+    val rnd = new scala.util.Random(23L)
+    val docs = (0 until 18).flatMap { i =>
+      val len = 15 + 5 * (i % 5) // 15..35 tokens
+      val base = Array.fill(len)(s"u${i}_${rnd.nextInt(100000)}")
+      val m = i % 4 // 0..3 replacements: jaccard from 1.0 down past 0.8
+      val dup = base.clone()
+      (0 until m).foreach(_ => dup(rnd.nextInt(dup.length)) = s"x${rnd.nextInt(100000)}")
+      val boiler = "all rights reserved terms of service apply"
+      Seq((2L * i, boiler + " " + base.mkString(" ")),
+        (2L * i + 1, dup.mkString(" ") + " " + boiler))
+    }
+    val ex = TextOps.shingleRowsOf(docs.toDF("doc_id", "text")).persist()
+    val brute = TextOps.dedupJaccardFrom(ex, dfCap = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pfx = TextOps.dedupPrefixFrom(ex).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ex.unpersist()
+    assert(brute.size >= 8, s"planting failed: only ${brute.size} pairs >= 0.8")
+    assert(pfx == brute)
+  }
+
   test("planted near-dups still pair under a BINDING hot-shingle df-cap") {
     // 6 near-dup pairs of mostly-unique tokens, plus one boilerplate phrase
     // planted in EVERY doc — its shingles have df = 12, far above cap = 3.

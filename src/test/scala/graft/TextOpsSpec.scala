@@ -20,6 +20,32 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1).isEmpty)
   }
 
+  test("dedupPrefix equals dedupJaccard on the fixture and indexes only rare prefixes") {
+    val exact = TextOps.dedupJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pfx = TextOps.dedupPrefix(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(pfx == exact)
+    // the index the self-join runs on must be the ~20% prefix, not the full
+    // posting set: at t=0.8, |prefix(d)| = |d| - ceil(0.8|d|) + 1 <= 0.2|d| + 1
+    val ex = TextOps.shingleRows(spark, sf0001)
+    val total = ex.count()
+    val nDocs = ex.select("doc_id").distinct().count()
+    val prefixBound = 0.2 * total + nDocs
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id")
+    val prefixRows = ex
+      .join(ex.groupBy("s").agg(count(lit(1)).as("df")), "s")
+      .select(col("doc_id"),
+        row_number().over(byDoc.orderBy(col("df"), col("s"))).as("pos"),
+        count(lit(1)).over(byDoc).as("len"))
+      .filter(col("pos") <= col("len") - ceil(lit(0.8) * col("len")) + lit(1))
+      .count()
+    assert(prefixRows <= prefixBound,
+      s"prefix index $prefixRows exceeds the t=0.8 bound $prefixBound of $total postings")
+  }
+
   test("minhash-LSH candidates reproduce exact jaccard pairs on the fixture") {
     // the planted near-dups at sf0.001: LSH (16 bands x 8 rows) must find
     // every pair the exact inverted-index form finds at threshold 0.8
