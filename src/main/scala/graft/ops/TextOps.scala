@@ -187,9 +187,29 @@ object TextOps {
 
   /** Core over any distinct (doc_id, s) shingle relation; `t` is the
     * Jaccard threshold. Exact: equality with [[dedupJaccardFrom]] is
-    * spec-asserted on fixtures and planted-pair property tests. */
+    * spec-asserted on fixtures and planted-pair property tests.
+    *
+    * Two exactness subtleties (ADVICE r9), both fixed by deriving every
+    * prune from a SLACKED RATIONAL threshold t' = n/D, D = 100000,
+    * n = round(t·D) − 5, evaluated in pure integer cross-multiplication:
+    *
+    *  1. The verification filter (here, in [[dedupJaccardFrom]], and in the
+    *     shared SQL oracle) keeps pairs whose 4-dp HALF_UP-rounded jaccard
+    *     ≥ t — i.e. true J ≥ t − 0.00005. Prunes derived from t itself
+    *     would drop a pair with true J ∈ [t−0.00005, t) that verification
+    *     keeps (reachable once the shingle union exceeds ~4000). The −5
+    *     numerator slack makes every bound valid for the full kept set.
+    *  2. Double arithmetic over-tightens the bounds at exact-boundary
+    *     pairs: 0.8/1.8 in binary64 is 0.4444…45 > 4/9, so
+    *     ceil(0.8/1.8·(|a|+|b|)) over-computes the overlap bound α by 1
+    *     whenever 9 | 4(|a|+|b|) (e.g. a 28-shingle doc contained in a
+    *     35-shingle doc: J = 0.8 exactly, pruned by the float form).
+    *     Integer forms below have no representation error: for integer i,
+    *     i ≥ ⌈p/q⌉ ⟺ i·q ≥ p. */
   private[graft] def dedupPrefixFrom(ex: DataFrame, t: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val D = 100000L
+    val n = math.round(t * D) - 5 // t' = n/D: rounding-slacked threshold
     val dfs = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // rank each doc's tokens rarest-first under the GLOBAL (df, s) order;
     // the per-doc set size rides the same window partition (no extra join)
@@ -198,19 +218,20 @@ object TextOps {
       .select(col("doc_id"), col("s"),
         row_number().over(byDoc.orderBy(col("df"), col("s"))).as("pos"),
         count(lit(1)).over(byDoc).as("len"))
-    // prefix postings: pos ≤ |d| − ⌈t·|d|⌉ + 1
+    // prefix postings: pos ≤ |d| − ⌈t'·|d|⌉ + 1 ⟺ n·len ≤ D·(len − pos + 1)
     val prefix = ranked
-      .filter(col("pos") <= col("len") - ceil(lit(t) * col("len")) + lit(1))
+      .filter(lit(n) * col("len") <= lit(D) * (col("len") - col("pos") + lit(1)))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          // length filter: J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|)
-          greatest(col("a.len"), col("b.len")) * t <=
-            least(col("a.len"), col("b.len")) &&
+          // length filter: J ≥ t' ⇒ t'·max ≤ min ⟺ n·max ≤ D·min
+          lit(n) * greatest(col("a.len"), col("b.len")) <=
+            lit(D) * least(col("a.len"), col("b.len")) &&
           // positional filter: remaining-suffix overlap bound must reach
-          // α = ⌈t/(1+t)·(|a|+|b|)⌉ for at least the first common token
-          lit(1) + least(col("a.len") - col("a.pos"), col("b.len") - col("b.pos")) >=
-            ceil(lit(t / (1 + t)) * (col("a.len") + col("b.len"))))
+          // α = ⌈t'/(1+t')·(|a|+|b|)⌉ for at least the first common token
+          //   ⟺ (1 + min(|a|−pa, |b|−pb))·(D+n) ≥ n·(|a|+|b|)
+          (lit(1) + least(col("a.len") - col("a.pos"), col("b.len") - col("b.pos"))) *
+            lit(D + n) >= lit(n) * (col("a.len") + col("b.len")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val sets = ex.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))

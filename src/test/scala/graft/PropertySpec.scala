@@ -157,6 +157,35 @@ class PropertySpec extends SparkSpec {
     assert(pfx == brute)
   }
 
+  test("prefix filtering keeps threshold-boundary pairs: exact J=0.8 subset and round-up J<0.8") {
+    // The two ADVICE-r9 exactness traps, planted as raw shingle sets:
+    //  (0,1): 28-shingle doc contained in a 35-shingle doc — J = 28/35 = 0.8
+    //    EXACTLY and |a|+|b| = 63 with 9 | 4·63, the case where the double
+    //    form ceil(0.8/1.8·s) over-computed the positional bound α by 1 and
+    //    pruned the pair (0.8/1.8 in binary64 rounds UP from 4/9).
+    //  (10,11): 3203-shingle doc contained in a 4004-shingle one — true
+    //    J = 3203/4004 ≈ 0.799950 ∈ [0.79995, 0.8): kept by the rounded
+    //    (4-dp HALF_UP) verification filter but dropped by any prune derived
+    //    from t = 0.8 itself (0.8·4004 = 3203.2 > 3203 fails the unslacked
+    //    length filter). Both must survive every prune and match the
+    //    brute-force inverted-index form exactly.
+    val rows =
+      (1 to 28).map(s => (0L, s.toLong)) ++
+        (1 to 35).map(s => (1L, s.toLong)) ++
+        (1 to 3203).map(s => (10L, 100000L + s)) ++
+        (1 to 4004).map(s => (11L, 100000L + s))
+    val ex = rows.toDF("doc_id", "s").persist()
+    val brute = TextOps.dedupJaccardFrom(ex, dfCap = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pfx = TextOps.dedupPrefixFrom(ex).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ex.unpersist()
+    assert(brute.keySet == Set((0L, 1L), (10L, 11L)), s"planting failed: $brute")
+    assert(brute((0L, 1L)) == 0.8)
+    assert(brute((10L, 11L)) == 0.8) // 0.799950... rounds up to the threshold
+    assert(pfx == brute)
+  }
+
   test("planted near-dups still pair under a BINDING hot-shingle df-cap") {
     // 6 near-dup pairs of mostly-unique tokens, plus one boilerplate phrase
     // planted in EVERY doc — its shingles have df = 12, far above cap = 3.
