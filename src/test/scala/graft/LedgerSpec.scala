@@ -18,35 +18,43 @@ import scala.jdk.CollectionConverters._
   * in the returned DataFrame's tree — the call site is the only durable
   * evidence. Harness mains (Verify/Bench/Profile/ScaleSmoke/Plans) are out
   * of scope: running queries is their whole job.
+  *
+  * Justification is per-def AND per-SITE-COUNT (VERDICT r9 #4): a def row
+  * carries the number of action sites it is allowed, so a NEW action added
+  * under an already-justified def trips the ledger instead of inheriting
+  * the old rationale — previously only a def with zero rows was flagged.
+  * The planted-fixture test below proves the trip fires.
   */
 class LedgerSpec extends AnyFunSuite {
 
-  /** Every (file, enclosing def) allowed to invoke a driver action, with
-    * its justification. Adding an action site means adding a row HERE and
-    * its rationale to PLANS.md — that is the point. */
-  private val justified: Map[(String, String), String] = Map(
+  /** Every (file, enclosing def) allowed to invoke driver actions, with its
+    * justification and the EXACT number of action sites it may contain.
+    * Adding an action site — even inside an already-listed def — means
+    * bumping the count HERE and adding its rationale to PLANS.md; that is
+    * the point. */
+  private val justified: Map[(String, String), (String, Int)] = Map(
     ("ops/TextOps.scala", "dedupJaccardFrom") ->
-      "1-row max-df probe picks capped vs direct plan",
+      ("1-row max-df probe picks capped vs direct plan", 1),
     ("ops/TextOps.scala", "dedupNgramFrom") ->
-      "1-row max-df probe picks capped vs direct plan",
+      ("1-row max-df probe picks capped vs direct plan", 1),
     ("ops/TextOps.scala", "dupClustersFrom") ->
-      "edge materialization barrier + 1-row convergence scalar per round",
+      ("edge materialization barrier + 1-row convergence scalar per round", 2),
     ("ops/TextOps.scala", "bpeTrain") ->
-      "1-row argmax per merge round (BPE is inherently sequential) + cache handoff barrier",
+      ("1-row argmax per merge round (BPE is inherently sequential) + cache handoff barrier", 2),
     ("ops/VectorOps.scala", "semDedup") ->
-      "1-row n scalar drives the k=sqrt(n) cell count",
+      ("1-row n scalar drives the k=sqrt(n) cell count", 1),
     ("ops/GraphOps.scala", "graphMetrics") ->
-      "1-row edge-count scalar drives broadcast-vs-shuffle switchover",
+      ("1-row edge-count scalar drives broadcast-vs-shuffle switchover", 1),
     ("ops/GraphOps.scala", "pageRank") ->
-      "1-row node-count scalar drives the rank-state broadcast guard",
+      ("1-row node-count scalar drives the rank-state broadcast guard", 1),
     ("ops/GraphOps.scala", "trianglesKeyOriented") ->
-      "1-row triangle-count scalar (the metric itself is one number)",
+      ("1-row triangle-count scalar (the metric itself is one number)", 1),
     ("ops/GraphOps.scala", "kHop") ->
-      "1-row node-count scalar drives the frontier broadcast guard",
+      ("1-row node-count scalar drives the frontier broadcast guard", 1),
     ("ops/Relational.scala", "bomRollup") ->
-      "1-row frontier count is the recursion's termination test",
+      ("initial + per-round 1-row frontier count is the recursion's termination test", 2),
     ("ops/SourceOps.scala", "binaryFiles") ->
-      "bounded 5-row region dim read to stage binary fixtures")
+      ("bounded 5-row region dim read to stage binary fixtures", 1))
 
   private val actionPattern =
     raw"\.collect\(\)|\.head\(\)|\.count\(\)|\.first\(\)|\.toLocalIterator".r
@@ -62,98 +70,159 @@ class LedgerSpec extends AnyFunSuite {
       .toSeq.sortBy(_.toString)
   }
 
-  test("every driver action in library source is on the justified ledger") {
-    val found = scala.collection.mutable.Set.empty[(String, String)]
+  /** One detected driver-action site: enclosing def, 1-based line, text. */
+  private final case class Site(enclosingDef: String, line: Int, text: String)
+
+  /** Scope-aware scan of one source file for driver-action sites. Extracted
+    * from the assertion so the planted-fixture test can run it on synthetic
+    * source. Attribution notes (ADVICE r8 / review r9): each def is pushed
+    * with the brace depth it was declared at and popped once its body (the
+    * braces that opened beyond that depth) closes; an expression-body def
+    * that never opens a brace stays until an ENCLOSING scope closes (the
+    * conservative fallback — without it an unopened def leaked across
+    * object boundaries and claimed later actions). Comments are stripped
+    * with a real state machine so code sharing a line with `/*` or `*/`
+    * survives; braces inside "…" string literals are skipped (a brace in a
+    * triple-quoted string is the known remaining blind spot — none in lib
+    * sources today).
+    */
+  private def scanSource(lines: Seq[String]): Seq[Site] = {
+    final case class DefScope(name: String, declDepth: Int, var opened: Boolean)
+    val scopes = scala.collection.mutable.Stack.empty[DefScope]
+    def enclosingDef = scopes.headOption.map(_.name).getOrElse("<toplevel>")
+    val sites = scala.collection.mutable.ArrayBuffer.empty[Site]
+    var depth = 0
+    var inBlockComment = false
+    lines.zipWithIndex.foreach { case (line, i) =>
+      val code = {
+        val sb = new StringBuilder
+        var pos = 0
+        while (pos < line.length) {
+          if (inBlockComment) {
+            val end = line.indexOf("*/", pos)
+            if (end < 0) pos = line.length
+            else { inBlockComment = false; pos = end + 2 }
+          } else {
+            val blockStart = line.indexOf("/*", pos)
+            val lineStart = line.indexOf("//", pos)
+            if (lineStart >= 0 && (blockStart < 0 || lineStart < blockStart)) {
+              sb.append(line.substring(pos, lineStart)); pos = line.length
+            } else if (blockStart >= 0) {
+              sb.append(line.substring(pos, blockStart))
+              inBlockComment = true; pos = blockStart + 2
+            } else { sb.append(line.substring(pos)); pos = line.length }
+          }
+        }
+        sb.toString
+      }
+      defPattern.findFirstMatchIn(code).foreach(m =>
+        scopes.push(DefScope(m.group(1), depth, opened = false)))
+      if (actionPattern.findFirstIn(code).isDefined)
+        sites += Site(enclosingDef, i + 1, line.trim)
+      // walk the line's braces (string-literal-aware) and close any def
+      // whose body just ended
+      var ci = 0
+      var inStr = false
+      while (ci < code.length) {
+        val ch = code.charAt(ci)
+        if (inStr) {
+          if (ch == '\\') ci += 1
+          else if (ch == '"') inStr = false
+        } else ch match {
+          case '"' => inStr = true
+          case '{' =>
+            depth += 1
+            scopes.headOption.foreach(s => if (depth > s.declDepth) s.opened = true)
+          case '}' => depth -= 1
+          case _ =>
+        }
+        ci += 1
+      }
+      // brace-bodied defs die when their body closes (depth back AT the
+      // declaration); expression-body defs (never opened) die when their
+      // ENCLOSING scope closes (depth drops BELOW the declaration)
+      while (scopes.nonEmpty && (
+        (scopes.head.opened && depth <= scopes.head.declDepth) ||
+        (!scopes.head.opened && depth < scopes.head.declDepth)))
+        scopes.pop()
+    }
+    sites.toSeq
+  }
+
+  /** Ledger check over arbitrary (file → lines) sources; returns human-
+    * readable violations. Shared by the real scan and the planted fixture. */
+  private def ledgerViolations(
+      sources: Seq[(String, Seq[String])],
+      ledger: Map[(String, String), (String, Int)]): Seq[String] = {
+    val all = sources.flatMap { case (rel, lines) =>
+      scanSource(lines).map(s => (rel, s))
+    }
+    val byKey = all.groupBy { case (rel, s) => (rel, s.enclosingDef) }
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (p <- libSources) {
-      val rel = Paths.get("src/main/scala/graft").relativize(p).toString
-      // Scope-aware attribution (ADVICE r8): a bare `var enclosingDef`
-      // never reset on scope exit, so an action in a val initializer or a
-      // def-less region AFTER a justified def silently inherited its
-      // justification. Each def is pushed with the brace depth it was
-      // declared at and popped once its body (the braces that opened
-      // beyond that depth) closes; an expression-body def that never
-      // opens a brace stays until an enclosing scope closes — the old,
-      // conservative behavior. Braces inside "…" string literals are
-      // skipped; a brace inside a triple-quoted string is the known
-      // remaining blind spot (none in lib sources today).
-      final case class DefScope(name: String, declDepth: Int, var opened: Boolean)
-      val scopes = scala.collection.mutable.Stack.empty[DefScope]
-      def enclosingDef = scopes.headOption.map(_.name).getOrElse("<toplevel>")
-      var depth = 0
-      var inBlockComment = false
-      Files.readAllLines(p).asScala.zipWithIndex.foreach { case (line, i) =>
-        // strip comments with a real state machine: code SHARING a line
-        // with /* or */ must survive (`val n = df.count() /* probe */`
-        // silently escaped the blanket line-blank this replaces — review
-        // r8), while everything inside the block — including scaladoc
-        // continuation lines — is dropped. Known benign limitation: a //
-        // inside a string literal (e.g. a URL) truncates that line early,
-        // same as the previous regex form.
-        val code = {
-          val sb = new StringBuilder
-          var pos = 0
-          while (pos < line.length) {
-            if (inBlockComment) {
-              val end = line.indexOf("*/", pos)
-              if (end < 0) pos = line.length
-              else { inBlockComment = false; pos = end + 2 }
-            } else {
-              val blockStart = line.indexOf("/*", pos)
-              val lineStart = line.indexOf("//", pos)
-              if (lineStart >= 0 && (blockStart < 0 || lineStart < blockStart)) {
-                sb.append(line.substring(pos, lineStart)); pos = line.length
-              } else if (blockStart >= 0) {
-                sb.append(line.substring(pos, blockStart))
-                inBlockComment = true; pos = blockStart + 2
-              } else { sb.append(line.substring(pos)); pos = line.length }
-            }
+    byKey.toSeq.sortBy(_._1).foreach { case (key @ (rel, d), sites) =>
+      ledger.get(key) match {
+        case None =>
+          sites.foreach { case (_, s) =>
+            violations += s"$rel:${s.line} in def $d: ${s.text}"
           }
-          sb.toString
-        }
-        defPattern.findFirstMatchIn(code).foreach(m =>
-          scopes.push(DefScope(m.group(1), depth, opened = false)))
-        if (actionPattern.findFirstIn(code).isDefined) {
-          val key = (rel, enclosingDef)
-          found += key
-          if (!justified.contains(key))
-            violations += s"$rel:${i + 1} in def $enclosingDef: ${line.trim}"
-        }
-        // walk the line's braces (string-literal-aware) and close any def
-        // whose body just ended
-        var ci = 0
-        var inStr = false
-        while (ci < code.length) {
-          val ch = code.charAt(ci)
-          if (inStr) {
-            if (ch == '\\') ci += 1
-            else if (ch == '"') inStr = false
-          } else ch match {
-            case '"' => inStr = true
-            case '{' =>
-              depth += 1
-              scopes.headOption.foreach(s => if (depth > s.declDepth) s.opened = true)
-            case '}' => depth -= 1
-            case _ =>
-          }
-          ci += 1
-        }
-        // brace-bodied defs die when their body closes (depth back AT the
-        // declaration); expression-body defs (never opened) die when their
-        // ENCLOSING scope closes (depth drops BELOW the declaration) —
-        // without the second arm an unopened def leaked across object
-        // boundaries and claimed later actions (review r9)
-        while (scopes.nonEmpty && (
-          (scopes.head.opened && depth <= scopes.head.declDepth) ||
-          (!scopes.head.opened && depth < scopes.head.declDepth)))
-          scopes.pop()
+        case Some((_, allowed)) if sites.size > allowed =>
+          violations += s"$rel def $d has ${sites.size} action sites but the " +
+            s"ledger allows $allowed — a NEW driver action was added under a " +
+            s"justified def; bump the ledger row (and PLANS.md) or rewrite it:\n" +
+            sites.map { case (_, s) => s"  $rel:${s.line}: ${s.text}" }.mkString("\n")
+        case _ => ()
       }
     }
+    // the ledger must not rot: every row still matches its real site count
+    (ledger.keySet -- byKey.keySet).toSeq.sorted.foreach(k =>
+      violations += s"ledger row with no surviving call site: $k")
+    ledger.foreach { case (key, (_, allowed)) =>
+      byKey.get(key).filter(_.size < allowed).foreach(sites =>
+        violations += s"ledger row $key allows $allowed sites but only " +
+          s"${sites.size} remain — shrink the row")
+    }
+    violations.toSeq
+  }
+
+  test("every driver action in library source is on the justified ledger, at its exact site count") {
+    val sources = libSources.map { p =>
+      val rel = Paths.get("src/main/scala/graft").relativize(p).toString
+      rel -> Files.readAllLines(p).asScala.toSeq
+    }
+    val violations = ledgerViolations(sources, justified)
     assert(violations.isEmpty,
-      "driver actions OFF the ledger (add a justified row or rewrite " +
+      "driver-action ledger violations (add/bump a justified row or rewrite " +
         s"declaratively):\n${violations.mkString("\n")}")
-    // the ledger must not rot: every entry still corresponds to real code
-    val stale = justified.keySet -- found
-    assert(stale.isEmpty, s"ledger rows with no surviving call site: $stale")
+  }
+
+  test("planted fixture: a second action under a justified def trips the ledger") {
+    // VERDICT r9 #4's acceptance case: `probe` is justified for ONE 1-row
+    // scalar; someone adds a second `.collect()` deeper in the same def.
+    // Under per-def-only attribution this inherited the justification;
+    // per-site counting must flag it.
+    val planted = Seq(
+      "object Fixture {",
+      "  def probe(df: DataFrame): Long = {",
+      "    val n = df.agg(max(\"df\")).head().getLong(0) // justified probe",
+      "    val extra = df.filter(col(\"x\") > n).collect() // NEW, unjustified",
+      "    extra.length.toLong",
+      "  }",
+      "}")
+    val ledger = Map(("Fixture.scala", "probe") -> ("1-row max probe", 1))
+    val vs = ledgerViolations(Seq("Fixture.scala" -> planted), ledger)
+    assert(vs.exists(_.contains("2 action sites but the ledger allows 1")),
+      s"planted violation not caught: $vs")
+    // and the clean form (one site, count 1) stays green
+    val clean = planted.patch(3, Nil, 1)
+    assert(ledgerViolations(Seq("Fixture.scala" -> clean), ledger).isEmpty)
+  }
+
+  test("planted fixture: an action in a def absent from the ledger is flagged with its line") {
+    val planted = Seq(
+      "object Fixture {",
+      "  def sneaky(df: DataFrame): Array[Row] = df.collect()",
+      "}")
+    val vs = ledgerViolations(Seq("Fixture.scala" -> planted), Map.empty)
+    assert(vs.exists(v => v.contains("Fixture.scala:2") && v.contains("sneaky")), vs.toString)
   }
 }
