@@ -103,15 +103,23 @@ object StreamOps {
     val writer = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.groupBy("user_id")
-          .agg(max_by(struct(col("ts"), col("value")),
-            struct(col("ts"), col("event_id"))).as("b"))
-          .select(col("user_id"), col("b.ts").as("ts"),
-            col("b.value").as("value"), lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(logDir)
-        ()
+        mergeBatch(batch, batchId, logDir)
       }
     trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** The per-micro-batch body of [[foreachBatchMerge]], exposed so the
+    * checkpoint-restart spec can wrap it with an injected crash AFTER the
+    * append (the write-succeeded-commit-lost window that the
+    * idempotent-compaction contract exists for). */
+  private[graft] def mergeBatch(batch: DataFrame, batchId: Long, logDir: String): Unit = {
+    batch.groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("b"))
+      .select(col("user_id"), col("b.ts").as("ts"),
+        col("b.value").as("value"), lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(logDir)
+    ()
   }
 
   /** foreachBatch incremental-MV sink — the streaming twin of

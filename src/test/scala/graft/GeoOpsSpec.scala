@@ -16,6 +16,15 @@ class GeoOpsSpec extends SparkSpec {
   private def key(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getLong(1), r.getDouble(2))
 
+  private def bruteOf(a: org.apache.spark.sql.DataFrame,
+                      b: org.apache.spark.sql.DataFrame) =
+    a.crossJoin(b)
+      .select(col("a_key"), col("b_key"),
+        round(GeoOps.haversineKm(col("a_lat"), col("a_lon"),
+          col("b_lat"), col("b_lon")), 4).as("d"))
+      .filter(col("d") <= GeoOps.ThresholdKm)
+      .collect().map(key).toSet
+
   test("cell-blocked distance join equals brute force, antimeridian included") {
     val rnd = new scala.util.Random(7)
     def pts(n: Int) = (1 to n).map(i =>
@@ -25,16 +34,49 @@ class GeoOpsSpec extends SparkSpec {
     val a = (pts(120) :+ (999L, 10.0, -179.95)).toDF("a_key", "a_lat", "a_lon")
     val b = (pts(40) :+ (888L, 10.0, 179.95)).toDF("b_key", "b_lat", "b_lon")
     val blocked = GeoOps.geoJoinFrom(a, b).collect().map(key).toSet
-    val brute = a.crossJoin(b)
-      .select(col("a_key"), col("b_key"),
-        round(GeoOps.haversineKm(col("a_lat"), col("a_lon"),
-          col("b_lat"), col("b_lon")), 4).as("d"))
-      .filter(col("d") <= GeoOps.ThresholdKm)
-      .collect().map(key).toSet
+    val brute = bruteOf(a, b)
     assert(blocked == brute,
       s"missed: ${brute -- blocked}; extra: ${blocked -- brute}")
     assert(blocked.exists { case (ak, bk, d) => ak == 999L && bk == 888L && d < 15.0 },
       "the planted antimeridian pair must be found")
+  }
+
+  test("banded blocking stays exact pole to pole (VERDICT r9 #5 boundary)") {
+    // Full-sphere stress for the latitude-banded grid: uniform points over
+    // ±90 (where the old fixed 6°-lon grid's coverage proof broke past
+    // ±60), a polar cluster straddling the 1-cell bands, opposite-lon
+    // points near the pole that are km apart yet 180° of longitude apart
+    // (max lon-cell separation — only the collapsed polar band catches
+    // them), high-lat near-pairs straddling a band edge, and an
+    // antimeridian pair at 75°N.
+    val rnd = new scala.util.Random(31)
+    def pts(from: Int, n: Int) = (from until from + n).map(i =>
+      (i.toLong, -90.0 + rnd.nextDouble * 180.0, -180.0 + rnd.nextDouble * 360.0))
+    val aPlants = Seq(
+      (9001L, 89.8, 10.0),   // near north pole
+      (9002L, -89.9, -170.0), // near south pole
+      (9003L, 83.9, 45.0),   // just below the 84° band edge
+      (9004L, 75.0, -179.9), // antimeridian, high latitude
+      (9005L, 60.0, 0.0))    // exactly on the old proof's boundary
+    val bPlants = Seq(
+      (8001L, 89.7, -170.0), // ~40 km from 9001 but 180° of longitude away
+      (8002L, -89.8, 9.0),   // opposite-lon polar partner for 9002
+      (8003L, 84.1, 45.3),   // across the band edge from 9003
+      (8004L, 75.1, 179.9),  // antimeridian partner for 9004
+      (8005L, 62.0, 1.0))    // in-threshold partner for 9005 across 60°
+    val a = (pts(1, 150) ++ aPlants).toDF("a_key", "a_lat", "a_lon")
+    val b = (pts(500, 60) ++ bPlants).toDF("b_key", "b_lat", "b_lon")
+    val blocked = GeoOps.geoJoinFrom(a, b).collect().map(key).toSet
+    val brute = bruteOf(a, b)
+    assert(blocked == brute,
+      s"missed: ${brute -- blocked}; extra: ${blocked -- brute}")
+    for ((ak, bk) <- Seq((9001L, 8001L), (9002L, 8002L), (9003L, 8003L),
+        (9004L, 8004L), (9005L, 8005L)))
+      assert(blocked.exists(p => p._1 == ak && p._2 == bk),
+        s"planted boundary pair ($ak, $bk) must be found")
+    // no duplicate candidate leaks through the polar clamp + 1-cell bands
+    val pairs = GeoOps.geoJoinFrom(a, b).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length, "duplicate output pairs")
   }
 
   test("declared query: every reported pair is within threshold and plan is an equi-join") {

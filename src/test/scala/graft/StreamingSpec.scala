@@ -391,6 +391,143 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2, "checkpoint must prevent duplicates")
   }
 
+  /** Stage `rows` as ONE parquet file named `name` inside the watched dir,
+    * with a controlled mtime (the file source's processing order). */
+  private def stageFile[T <: Product : org.apache.spark.sql.Encoder](
+      rows: Seq[T], dir: String, name: String, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-")).head
+    val dest = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.copy(part.toPath, dest)
+    dest.toFile.setLastModified(mtime)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  test("checkpoint restart: stateful windowed agg resumes mid-drain with identical output") {
+    // VERDICT r9 #3 — the gap between "drained end to end" and production
+    // streaming: stop AFTER batch N, resume from the checkpoint, and the
+    // final sink must equal an uninterrupted drain's. The planted data makes
+    // the restart carry REAL state: window 11:00 holds two events when run 1
+    // stops and is only closed (and emitted) by run 2's data, so the output
+    // row for it is correct ONLY if the state store and watermark survive
+    // the restart.
+    // Watermark arithmetic: wm = max event time − 1 h; append emits a
+    // window once wm ≥ its END. After run 1 (files A+B) wm = 11:10, so
+    // exactly the 10:00 windows (end 11:00) are emitted and window 11:00
+    // holds the 11:10 click in STATE. Run 2's 11:45 click lands in that
+    // same (window, type) group, and 14:00 pushes wm to 13:00, closing
+    // 11:00 and 12:00 — so the (11:00, click, n=2, sum=8.0) row is correct
+    // only if run 2 recovered run 1's state AND watermark.
+    val fileA = Seq(
+      Ev(1, t("2024-01-01 10:05:00"), "click", 1.0),
+      Ev(2, t("2024-01-01 10:20:00"), "view", 2.0))
+    val fileB = Seq(
+      Ev(3, t("2024-01-01 11:10:00"), "click", 3.0),
+      Ev(4, t("2024-01-01 12:10:00"), "click", 4.0))
+    val fileC = Seq(
+      Ev(5, t("2024-01-01 11:45:00"), "click", 5.0),
+      Ev(6, t("2024-01-01 14:00:00"), "click", 6.0)) // advances wm to 13:00; stays open itself
+    val schema = fileA.toDF().schema
+    def drain(in: String, out: String, cp: String): Unit = {
+      val q = StreamOps.hourlyEventCounts(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sinkRows(out: String) = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    // interrupted path: drain A+B, STOP, add C, resume from the same checkpoint
+    val in1 = java.nio.file.Files.createTempDirectory("graft_rst_in1").toString
+    val out1 = java.nio.file.Files.createTempDirectory("graft_rst_out1").toString
+    val cp1 = java.nio.file.Files.createTempDirectory("graft_rst_cp1").toString
+    stageFile(fileA, in1, "f0.parquet", 1700000000000L)
+    stageFile(fileB, in1, "f1.parquet", 1700000060000L)
+    drain(in1, out1, cp1) // run 1 ends: window 10:00 emitted, 11:00 open in state
+    val afterRun1 = sinkRows(out1)
+    assert(afterRun1.map(x => (x._1, x._2)).toSet ==
+      Set(("2024-01-01 10:00:00.0", "click"), ("2024-01-01 10:00:00.0", "view")),
+      s"run 1 should have emitted exactly the closed 10:00 windows: $afterRun1")
+    stageFile(fileC, in1, "f2.parquet", 1700000120000L)
+    drain(in1, out1, cp1) // run 2: resumes, closes 11:00 with state from BOTH runs
+    // uninterrupted reference: same files, one drain
+    val in2 = java.nio.file.Files.createTempDirectory("graft_rst_in2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_rst_out2").toString
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_rst_cp2").toString
+    stageFile(fileA, in2, "f0.parquet", 1700000000000L)
+    stageFile(fileB, in2, "f1.parquet", 1700000060000L)
+    stageFile(fileC, in2, "f2.parquet", 1700000120000L)
+    drain(in2, out2, cp2)
+    val finalRows = sinkRows(out1)
+    assert(finalRows == sinkRows(out2),
+      "restarted drain must equal the uninterrupted drain")
+    assert(finalRows == Seq(
+      ("2024-01-01 10:00:00.0", "click", 1L, 1.0),
+      ("2024-01-01 10:00:00.0", "view", 1L, 2.0),
+      ("2024-01-01 11:00:00.0", "click", 2L, 8.0), // run-1 state + run-2 event
+      ("2024-01-01 12:00:00.0", "click", 1L, 4.0)), finalRows.toString)
+  }
+
+  test("checkpoint restart: a batch crashing after its write replays and compaction stays exact") {
+    // The write-succeeded-commit-lost crash window: batch 2's foreachBatch
+    // body appends its rows to the log and THEN dies, so the checkpoint
+    // never commits it. On restart Spark re-runs batch 2 (same batchId,
+    // same data — the file source's offset log pins the slice), the log
+    // gains duplicate rows for it, and latestState's (ts, batch_id) argmax
+    // collapses them — the exactly-once contract the scaladoc promises,
+    // here exercised through a REAL crash + restart instead of prose.
+    val files = Seq(
+      Seq(EvU(1, 1L, t("2024-01-01 10:00:00"), 10.0), EvU(2, 2L, t("2024-01-01 10:01:00"), 20.0)),
+      Seq(EvU(3, 1L, t("2024-01-01 11:00:00"), 11.0)),
+      Seq(EvU(4, 2L, t("2024-01-01 12:00:00"), 22.0), EvU(5, 3L, t("2024-01-01 12:01:00"), 30.0)),
+      Seq(EvU(6, 1L, t("2024-01-01 13:00:00"), 13.0)))
+    val in = java.nio.file.Files.createTempDirectory("graft_crash_in").toString
+    val log = java.nio.file.Files.createTempDirectory("graft_crash_log").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_crash_cp").toString
+    files.zipWithIndex.foreach { case (rows, i) =>
+      stageFile(rows, in, s"f$i.parquet", 1700000000000L + i * 60000L)
+    }
+    val schema = files.head.toDF().schema
+    @volatile var crashOnce = true
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          StreamOps.mergeBatch(batch, batchId, log)
+          if (batchId == 2 && crashOnce) {
+            crashOnce = false
+            throw new RuntimeException("injected crash after write, before commit")
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run().awaitTermination()
+    }
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(failed).exists(_.contains("injected crash")), messages(failed).toString)
+    assert(!crashOnce, "the injected crash must actually have fired")
+    run().awaitTermination() // resume: re-runs batch 2, then batch 3
+    val logRows = spark.read.parquet(log)
+    // the crash path was genuinely exercised: batch 2's rows appear TWICE
+    assert(logRows.filter(col("batch_id") === 2).count() == 4,
+      "expected the failed attempt AND the replay of batch 2 in the log")
+    val compacted = StreamOps.latestState(spark, log)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      .toSeq.sorted
+    assert(compacted == Seq(
+      (1L, "2024-01-01 13:00:00.0", 13.0),
+      (2L, "2024-01-01 12:00:00.0", 22.0),
+      (3L, "2024-01-01 12:01:00.0", 30.0)))
+  }
+
   test("dedupEvents drops in-watermark duplicate ids on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
