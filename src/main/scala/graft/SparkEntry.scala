@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.MultimodalOps
-import graft.ops.{BucketOps, CurationOps, EventOps, GeoOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, TextOps, TpchOps, TypedOps, VectorOps}
+import graft.ops.{BucketOps, CurationOps, EventOps, GeoOps, GraphOps, LayoutOps, Relational, RuntimeFilterOps, Scoring, SkewOps, SourceOps, Sql4Ops, TextOps, TpchOps, TypedOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,10 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_sql_entry" -> (Relational.sqlEntry _),
+    "q_recursive_cte" -> (Sql4Ops.recursiveCte _),
+    "q_pipe_sql" -> (Sql4Ops.pipeSql _),
+    "q_collation" -> (Sql4Ops.collationCensus _),
+    "q_sql_udf" -> (Sql4Ops.sqlUdfBands _),
     "q_pivot" -> (Relational.pivotCounts _),
     "q_join_semi" -> (Relational.joinSemi _),
     "q_join_anti" -> (Relational.joinAnti _),
@@ -81,6 +85,8 @@ object SparkEntry {
     "q_ks_drift_sketch" -> (Relational.ksDriftSketch _),
     "q_gini" -> (Relational.gini _),
     "q_forget" -> (CurationOps.forgetCascade _),
+    "q_k_anonymity" -> (CurationOps.kAnonymity _),
+    "q_jaro_rank" -> (CurationOps.jaroRank _),
     "q_ewma" -> (EventOps.ewma _),
     "q_join_size" -> (SkewOps.joinSizeEstimate _),
     "q_chi2" -> (Relational.chi2 _),
@@ -138,6 +144,7 @@ object SparkEntry {
     "q_triplet_mine" -> (VectorOps.tripletMine _),
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
+    "q_ann_pq" -> ((s: SparkSession, d: String) => VectorOps.annPq(s, d)),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
     "q_schema_merge" -> (SourceOps.schemaMerge _),
     "q_binary_files" -> (SourceOps.binaryFiles _),
@@ -148,6 +155,7 @@ object SparkEntry {
     "q_stream_compact" -> (graft.streaming.StreamOps.streamCompact _),
     "q_stream_attrib" -> (graft.streaming.StreamOps.streamAttrib _),
     "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
+    "q_stream_running" -> (graft.streaming.StreamOps.streamRunning _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_funnel" -> (EventOps.funnel _),
@@ -242,6 +250,7 @@ object SparkEntry {
     "q_pmi" -> (TextOps.pmiCollocations _),
     "q_dedup_chunk" -> (TextOps.dedupChunks _),
     "q_khop" -> (GraphOps.kHop _),
+    "q_sssp" -> (GraphOps.sssp _),
     "q_also_bought" -> (GraphOps.alsoBought _),
     "q_lm_perplexity" -> (TextOps.lmPerplexity _),
     "q_semdedup" -> ((s, dir) => VectorOps.semDedup(s, dir)))
@@ -697,6 +706,37 @@ object SparkEntry {
         |  round(2.0 * sum(i * rev) / (count(*) * sum(rev)) -
         |    (count(*) + 1.0) / count(*), 6) AS gini
         |FROM ranked""".stripMargin,
+    "q_k_anonymity" -> {
+      val k = CurationOps.KAnonThreshold
+      s"""WITH banded AS (
+         |  SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+         |    CASE WHEN c_acctbal < 0.0 THEN 'debt'
+         |         WHEN c_acctbal < 3000.0 THEN 'low'
+         |         WHEN c_acctbal < 7000.0 THEN 'mid'
+         |         ELSE 'high' END AS bal_band
+         |  FROM customer)
+         |SELECT segment, nation, count(*) AS class_size,
+         |  count(DISTINCT bal_band) AS l_diversity,
+         |  count(*) >= $k AS k_anonymous,
+         |  count(DISTINCT bal_band) >= 2 AS l_diverse
+         |FROM banded GROUP BY segment, nation
+         |ORDER BY segment, nation""".stripMargin
+    },
+    // the Spark side evaluates the native graft `jaro_winkler` expression;
+    // DuckDB's jaro_winkler_similarity implements the same rapidfuzz
+    // formulation (integer-halved transpositions, 0.7 boost threshold,
+    // 0.1 prefix weight, prefix cap 4) — both filter on the ROUNDED score
+    "q_jaro_rank" ->
+      """WITH dirty AS (
+        |  SELECT n_nationkey AS dirty_key,
+        |    substr(n_name, 1, n_nationkey % length(n_name)) ||
+        |    substr(n_name, n_nationkey % length(n_name) + 2) AS dirty_name
+        |  FROM nation)
+        |SELECT dirty_key, dirty_name, n.n_name,
+        |  round(jaro_winkler_similarity(dirty_name, n.n_name), 4) AS jw
+        |FROM dirty CROSS JOIN nation n
+        |WHERE round(jaro_winkler_similarity(dirty_name, n.n_name), 4) >= 0.8
+        |ORDER BY dirty_key, n.n_name""".stripMargin,
     "q_forget" -> {
       val m = CurationOps.ForgetModulus
       s"""WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % $m = 0),
@@ -891,6 +931,47 @@ object SparkEntry {
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         |ORDER BY c_custkey""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal, CAST(1 AS BIGINT) AS depth
+        |  FROM customer WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_acctbal, t.depth + 1
+        |  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.k
+        |  WHERE c.c_custkey <> 0
+        |)
+        |SELECT depth, count(*) AS n_nodes, round(sum(bal), 4) AS sum_bal
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
+    "q_pipe_sql" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY c_mktsegment, o_orderstatus
+        |HAVING count(*) > 0
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q_collation" ->
+      """WITH mixed AS (
+        |  SELECT CASE c_custkey % 3
+        |           WHEN 0 THEN upper(c_mktsegment)
+        |           WHEN 1 THEN lower(c_mktsegment)
+        |           ELSE concat(upper(substr(c_mktsegment, 1, 1)),
+        |                       lower(substr(c_mktsegment, 2)))
+        |         END AS seg
+        |  FROM customer)
+        |SELECT lower(seg) AS seg_lc,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT seg) AS n_variants_binary,
+        |  count(DISTINCT lower(seg)) AS n_variants_ci
+        |FROM mixed GROUP BY lower(seg) ORDER BY seg_lc""".stripMargin,
+    "q_sql_udf" ->
+      """SELECT CASE WHEN o_totalprice < 150000.0 THEN 'low'
+        |            WHEN o_totalprice < 300000.0 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders WHERE o_totalprice > 50000.0
+        |GROUP BY 1 ORDER BY band""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
@@ -1662,6 +1743,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // transformWithState drain: the processor's per-user fold over
+    // (ts, event_id)-ordered replay equals the batch window functions; the
+    // xor digest value-checks EVERY intermediate (seq, cum) row. DuckDB's
+    // windowed sum(BIGINT) is HUGEINT — cast back; round(value*100) is the
+    // same positive-half-away rounding in both engines.
+    "q_stream_running" ->
+      """WITH seqd AS (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS seq,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |      AS cum_cents
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, max(seq) AS n_events,
+        |  max_by(cum_cents, seq) AS cents_total,
+        |  bit_xor(('0x' || substr(md5(
+        |    CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR) ||
+        |    '|' || CAST(seq AS VARCHAR) || '|' || CAST(cum_cents AS VARCHAR)
+        |  ), 1, 15))::BIGINT) AS xor_digest
+        |FROM seqd GROUP BY user_id ORDER BY user_id""".stripMargin,
     // append mode emits exactly the windows the FINAL watermark (max ts −
     // 1 h) closed, independent of batch slicing — so the oracle is the
     // batch hourly aggregate restricted to closed windows
@@ -2484,6 +2586,26 @@ object SparkEntry {
         |SELECT lvl, count(*) AS n_nodes
         |FROM (SELECT node, min(lvl) AS lvl FROM r GROUP BY node) m
         |GROUP BY lvl ORDER BY lvl""".stripMargin,
+    // bounded-horizon Bellman-Ford == min over <= H-edge walks, which is
+    // exactly what the depth-bounded recursion enumerates; (node,dist,hop)
+    // state stays finite because UNION dedups and w,dist are small ints
+    "q_sssp" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |ew AS (SELECT u, v, 1 + (u + v) % 5 AS w FROM e),
+        |r AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+        |    0 AS hop
+        |  FROM part WHERE p_partkey % 100 = 0
+        |  UNION
+        |  SELECT ew.v, r.dist + ew.w, r.hop + 1
+        |  FROM r JOIN ew ON ew.u = r.node WHERE r.hop < 4)
+        |SELECT dist, count(*) AS n_nodes
+        |FROM (SELECT node, min(dist) AS dist FROM r GROUP BY node) m
+        |GROUP BY dist ORDER BY dist""".stripMargin,
     "q_also_bought" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |deg AS (SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS orders

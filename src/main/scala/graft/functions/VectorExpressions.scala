@@ -132,6 +132,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("xgb_margin"),
       new ExpressionInfo(classOf[XgbMargin].getName, "xgb_margin"),
       (children: Seq[Expression]) => XgbMargin(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
     // KLL sketch surface (round 9): SQL-callable like Spark's own
     // hll_sketch_agg family — `kll_sketch_agg(value)`, `kll_union_agg(sk)`,
     // `kll_quantile(sk, 0.5)`; optional second arg on the aggs sets k

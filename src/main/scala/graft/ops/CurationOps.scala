@@ -372,4 +372,70 @@ object CurationOps {
       approx_count_distinct(col(keyCol)).as("n_key_approx_distinct"))
     (observed, obs)
   }
+
+  /** Jaro-Winkler record-linkage scoring over the [[fuzzyJoin]] corruption
+    * fixture — the SIMILARITY-graded tier of entity resolution next to
+    * fuzzyJoin's edit-distance verify: every (corrupted name, clean name)
+    * pair scoring ≥ 0.8 under the native codegen'd
+    * [[graft.functions.JaroWinkler]] expression, so near-misses rank by
+    * transposition-tolerant, prefix-boosted similarity instead of a hard
+    * edit radius. The clean side here is a 25-row dimension and broadcasts
+    * — all-pairs is dim × dim, the deliberate exact baseline; at 100 TB
+    * the pair stream comes from a blocking stage (deletion-variant index /
+    * sorted neighborhood / LSH, all implemented in this engine) and this
+    * expression is the verify, inside whole-stage codegen either way. The
+    * filter is on the ROUNDED score in both engines (the r10 prune
+    * lesson: never threshold on unrounded floats the oracle rounds). */
+  def jaroRank(spark: SparkSession, sf: String): DataFrame = {
+    val nation = Tables.load(spark, sf, "nation").select("n_nationkey", "n_name")
+    val dirty = nation.select(
+      col("n_nationkey").as("dirty_key"),
+      expr("""concat(substring(n_name, 1, CAST(n_nationkey % length(n_name) AS INT)),
+                     substring(n_name, CAST(n_nationkey % length(n_name) AS INT) + 2, 100))""")
+        .as("dirty_name"))
+    val jw = round(graft.functions.StringSimilarityFunctions
+      .jaro_winkler(col("dirty_name"), col("n_name")), 4)
+    dirty.join(broadcast(nation.select("n_name")))
+      .withColumn("jw", jw)
+      .filter(col("jw") >= 0.8)
+      .select(col("dirty_key"), col("dirty_name"), col("n_name"), col("jw"))
+      .orderBy("dirty_key", "n_name")
+  }
+
+  /** Minimum class size for [[kAnonymity]] — the release bar: an
+    * equivalence class smaller than this is re-identifiable. */
+  val KAnonThreshold = 5L
+
+  /** k-anonymity / l-diversity release audit — the privacy dual of the
+    * [[forgetCascade]] erasure audit: BEFORE a table leaves the warehouse,
+    * group it by its quasi-identifiers (here segment × nation — the
+    * attributes an attacker can link from public data) and measure each
+    * equivalence class. A class of size < k means its members are
+    * re-identifiable by QI linkage alone; a class whose SENSITIVE
+    * attribute (account-balance band) takes < l distinct values leaks the
+    * sensitive value even when k holds (homogeneity attack), so both
+    * numbers are reported per class with the release verdicts. At 100 TB
+    * this is one map-side-combined aggregate over the QI key — the same
+    * shuffle as any census; the remediation ladder (suppress failing
+    * classes, or generalize a QI — nation → region — and re-audit) just
+    * re-runs the same plan one level up, which is why the audit must be
+    * this cheap. Sensitive-band cuts are constants, so both engines bin
+    * identically; counts cast to BIGINT on both sides. */
+  def kAnonymity(spark: SparkSession, sf: String): DataFrame = {
+    val banded = Tables.load(spark, sf, "customer")
+      .withColumn("bal_band",
+        when(col("c_acctbal") < 0.0, "debt")
+          .when(col("c_acctbal") < 3000.0, "low")
+          .when(col("c_acctbal") < 7000.0, "mid")
+          .otherwise("high"))
+    banded
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("bigint").as("nation"))
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col("bal_band")).as("l_diversity"))
+      .withColumn("k_anonymous", col("class_size") >= KAnonThreshold)
+      .withColumn("l_diverse", col("l_diversity") >= 2L)
+      .orderBy("segment", "nation")
+  }
 }

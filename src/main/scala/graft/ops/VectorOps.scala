@@ -404,6 +404,120 @@ object VectorOps {
       .orderBy("probe_id", "rk")
   }
 
+  /** PQ geometry: 64-dim embeddings → [[PqSubspaces]] × [[PqSubDim]]-dim
+    * slices, [[PqCodes]] centroids per sub-codebook → one nibble-sized code
+    * per subspace, 8 codes per vector. */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  /** In-JVM codebook memo: fixed seeds + fixed data ⇒ k-means is
+    * deterministic, so re-fitting in another session reproduces the same
+    * centers bit-for-bit — no disk artifact needed (unlike the coarse
+    * quantizer, these eight 16×8 fits are sub-second). */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  /** Fit-or-recall the per-subspace PQ codebooks: [subspace][code][dim]. */
+  private[graft] def pqCodebooks(sf: String, emb: DataFrame): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(sf, _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      (0 until PqSubspaces).map { s =>
+        val sub = emb.select(
+          array_to_vector(slice(col("v"), s * PqSubDim + 1, PqSubDim)).as("fv"))
+        new KMeans().setK(PqCodes).setSeed(42L + s).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+    })
+
+  /** Squared L2 distance via the codegen'd dot products (‖a‖² − 2a·b + ‖b‖²). */
+  private def sqdist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** IVF-PQ ANN (Jégou et al., TPAMI'11 — the FAISS IVFPQ shape): the
+    * third approximate tier after [[annLsh]] (data-independent buckets)
+    * and [[ivfTopk]] (adaptive cells, raw-vector scan within probed
+    * cells). PQ adds the COMPRESSED-DOMAIN scan: each vector is encoded
+    * once as [[PqSubspaces]] sub-codebook ids (8 bytes here vs 256 bytes
+    * of float32 — the reason a 100 TB embedding corpus fits a PQ index in
+    * RAM-adjacent storage), and a probe scores candidates by Asymmetric
+    * Distance Computation — a broadcast (probe × subspace × code) lookup
+    * table of partial squared distances, summed per candidate with ZERO
+    * arithmetic on raw vectors. Plan: encode = one slice-explode ⋈
+    * broadcast codebook + min_by per (vector, subspace) — in production
+    * this table is MATERIALIZED once and re-scanned forever, which is the
+    * whole point; query = candidates from the probed IVF cells (equi-join
+    * on cell), ⋈ broadcast LUT on (s, code), one sum-aggregate per
+    * (probe, candidate), ADC shortlist, then exact re-rank of the top
+    * [[PqRerank]] by true cosine — touching raw floats for only
+    * shortlist-sized fetches. Recall < 1 by construction (quantization +
+    * cell probing); [[knnJoin]] is the oracled exact twin the spec
+    * measures against. */
+  val PqRerank = 20
+
+  def annPq(spark: SparkSession, sf: String, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+      .persist()
+    val km = coarseQuantizer(sf, 16, emb)
+    val books = pqCodebooks(sf, emb)
+    val cbRows = for (s <- books.indices; c <- books(s).indices)
+      yield (s, c, books(s)(c).toSeq)
+    val codebook = spark.createDataFrame(cbRows).toDF("s", "code", "centroid")
+    val assigned = km.transform(emb).select(col("vec_id"), col("v"), col("cell"))
+    // ENCODE: nearest sub-centroid per (vector, subspace) — 8 small ints
+    // per vector; the compressed table a production index materializes
+    val slices = assigned
+      .select(col("vec_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), i -> slice(v, i * $PqSubDim + 1, $PqSubDim))")))
+      .select(col("vec_id"), col("cell"), col("pos").as("s"), col("col").as("sv"))
+    val enc = slices.join(broadcast(codebook), Seq("s"))
+      .select(col("vec_id"), col("cell"), col("s"), col("code"),
+        sqdist(col("sv"), col("centroid")).as("d"))
+      .groupBy("vec_id", "cell", "s")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    // probes + their nprobe nearest IVF cells (the ivfTopk pattern)
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val centroids = spark.createDataFrame(
+      km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "ccent")
+    val wCell = Window.partitionBy("probe_id").orderBy(col("cdist"), col("cell"))
+    val probeCells = probes.join(broadcast(centroids))
+      .select(col("probe_id"), col("cell"), sqdist(col("pv"), col("ccent")).as("cdist"))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= nprobe)
+      .select("probe_id", "cell")
+    // ADC lookup table: probe × subspace × code partial distances (tiny)
+    val lut = probes.join(broadcast(codebook))
+      .select(col("probe_id"), col("s"), col("code"),
+        sqdist(slice(col("pv"), col("s") * PqSubDim + 1, lit(PqSubDim)),
+          col("centroid")).as("contrib"))
+    val cand = enc.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(lut), Seq("probe_id", "s", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("contrib").as("adc"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc"), col("vec_id"))
+    val shortlist = cand.withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= PqRerank).select("probe_id", "vec_id")
+    // exact re-rank of the ADC shortlist by true cosine
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(assigned.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("v"), col("pv")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "rk", "vec_id", "cos")
+      .orderBy("probe_id", "rk")
+  }
+
   /** Cosine threshold for [[semDedup]] — the same 0.45 that marks the
     * fixture's planted near-dups in [[dedupCosine]], so the exact all-pairs
     * form is directly the recall baseline. */

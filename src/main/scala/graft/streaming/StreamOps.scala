@@ -18,6 +18,53 @@ case class FunnelState(stage: Int, stageTsMs: Long)
 /** One funnel advancement (user reached `stage` at `ts`), emitted append-mode. */
 case class FunnelAdvance(user_id: Long, stage: String, ts: Timestamp)
 
+/** Input row for [[RunningTotalProcessor]]: value pre-scaled to integer
+  * cents so cross-batch accumulation is EXACT (no float-association drift
+  * between the streamed fold and the oracle's window sum); `tsMs` is event
+  * time in MICROseconds (full fixture resolution, so the within-batch sort
+  * key equals the oracle's ORDER BY ts). */
+case class TwsEvent(user_id: Long, event_id: Long, tsMs: Long, value_cents: Long)
+
+/** [[RunningTotalProcessor]] state: events seen + exact running total. */
+case class TwsRunning(n: Long, cum_cents: Long)
+
+/** One enriched output row: the event's per-user arrival index and the
+  * running total AFTER it. */
+case class TwsSeq(user_id: Long, event_id: Long, seq: Long, cum_cents: Long)
+
+/** `transformWithState` processor (Spark 4's arbitrary-stateful-processing
+  * API — the successor of `flatMapGroupsWithState`, used by [[StreamOps
+  * .sessionize]]/[[StreamOps.funnelAdvancements]]): per-user running event
+  * counter + exact cumulative value, one `ValueState` row per user managed
+  * by the RocksDB state store. Within a micro-batch the user's rows are
+  * sorted by (tsMs, event_id) — per-key-per-batch sized, never the batch —
+  * so with event-time-ordered replay (ties co-staged) the assigned sequence
+  * is the GLOBAL per-user (ts, event_id) order regardless of batch slicing,
+  * which is what makes the drained output oracle-checkable. */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsSeq] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var running: ValueState[TwsRunning] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    running = getHandle.getValueState[TwsRunning]("running",
+      E.product[TwsRunning], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsSeq] = {
+    val sorted = rows.toIndexedSeq.sortBy(r => (r.tsMs, r.event_id))
+    var st = if (running.exists()) running.get() else TwsRunning(0L, 0L)
+    val out = sorted.map { r =>
+      st = TwsRunning(st.n + 1L, st.cum_cents + r.value_cents)
+      TwsSeq(r.user_id, r.event_id, st.n, st.cum_cents)
+    }
+    running.update(st)
+    out.iterator
+  }
+}
+
 /** Structured Streaming forms of the batch event operators (SURVEY.md §2.10).
   *
   * The reference has no stream processing — its only "incremental" behavior is
@@ -366,6 +413,89 @@ object StreamOps {
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
+      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
+  /** `transformWithState` pipeline: typed event stream → per-user
+    * [[RunningTotalProcessor]] (ValueState in RocksDB). The state row is
+    * per-USER (two longs), so state volume is key-cardinality-bounded —
+    * the processor never buffers events, it folds them. */
+  def runningTotals(events: DataFrame): Dataset[TwsSeq] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMs"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Declared query for the `transformWithState` tier (round 10) — Spark
+    * 4's arbitrary-stateful-processing API drained end to end as a REAL
+    * multi-micro-batch stream: events staged in event-time-ordered files
+    * (the [[streamWindow]] replay discipline; ties co-staged because the
+    * range partitioner keeps equal keys together), `maxFilesPerTrigger=2`
+    * so per-user state provably crosses micro-batches, the RocksDB state
+    * store provider (required by transformWithState — also its production
+    * configuration), append parquet sink, `AvailableNow`. The processor
+    * assigns each event its per-user arrival index and EXACT running
+    * cents total; the declared output folds the per-event stream into one
+    * row per user — final count, final total, and a bit-xor md5 digest
+    * over EVERY intermediate (seq, cum) row, so the oracle's window
+    * functions value-check the full per-event history, not just the
+    * endpoint, while the result stays user-sized. */
+  def streamRunning(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val inDir = graft.ops.SourceOps.materialize(s"stream_running_in_$sf") { d =>
+      graft.ops.EventOps.events(spark, sf)
+        .select("event_id", "ts", "user_id", "value")
+        .repartitionByRange(6, col("ts")).write.parquet(s"$d/in")
+      val parts = new java.io.File(s"$d/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    val base = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(base)
+    val run = java.nio.file.Files.createTempDirectory(base, "stream_running_run_").toString
+    val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = runningTotals(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProvider.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+    def f(c: org.apache.spark.sql.Column) = c.cast("string")
+    val rowDigest = conv(substring(md5(concat_ws("|",
+      f(col("user_id")), f(col("event_id")), f(col("seq")),
+      f(col("cum_cents")))), 1, 15), 16, 10).cast("long")
+    val out = spark.read.parquet(s"$run/out")
+      .select(col("user_id"), col("seq"), col("cum_cents"),
+        rowDigest.as("digest"))
+      .groupBy("user_id")
+      .agg(max(col("seq")).as("n_events"),
+        max_by(col("cum_cents"), col("seq")).as("cents_total"),
+        expr("bit_xor(digest)").as("xor_digest"))
+      .orderBy("user_id")
       .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala

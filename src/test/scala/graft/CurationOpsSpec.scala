@@ -248,4 +248,21 @@ class CurationOpsSpec extends SparkSpec {
       CurationOps.tableChecksumFrom(df).collect().map(_.getLong(2)).toSeq
     assert(digest(frame(None, Some("P1"))) != digest(frame(Some("P1"), None)))
   }
+
+  test("kAnonymity: classes partition the table, verdicts consistent with the thresholds") {
+    val rows = CurationOps.kAnonymity(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.load(spark, sf001, "customer").count()
+    assert(rows.map(_.getAs[Long]("class_size")).sum == total)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("class_size")
+      val ldiv = r.getAs[Long]("l_diversity")
+      assert(r.getAs[Boolean]("k_anonymous") == (size >= CurationOps.KAnonThreshold))
+      assert(r.getAs[Boolean]("l_diverse") == (ldiv >= 2L))
+      assert(ldiv >= 1L && ldiv <= 4L && ldiv <= size)
+    }
+    // QI classes are unique — the audit is a census, not a sample
+    val keys = rows.map(r => (r.getAs[String]("segment"), r.getAs[Long]("nation")))
+    assert(keys.toSet.size == keys.length)
+  }
 }

@@ -157,4 +157,32 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(cooc == inter.toLong)
     assert(jac == math.rint(inter.toDouble / (op.size + oq.size - inter) * 10000) / 10000)
   }
+
+  test("ssspFrom matches hand-computed distances on a planted weighted graph") {
+    import spark.implicits._
+    // 1 --2--> 2 --1--> 3 --1--> 4 ; 1 --5--> 3 ; 5 isolated seedless node
+    // shortest: d(1)=0, d(2)=2, d(3)=3 (via 2, not the direct 5), d(4)=4
+    val dir = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = GraphOps.ssspFrom(spark, dir, seeds, hops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // horizon contract: with hops=1 only direct edges are reachable
+    val h1 = GraphOps.ssspFrom(spark, dir, seeds, hops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("sssp census: seeds at distance zero, distances bounded by hops x max weight") {
+    val rows = GraphOps.sssp(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byDist = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nSeeds = graft.sources.Tables.load(spark, sf0001, "part")
+      .filter(org.apache.spark.sql.functions.col("p_partkey") % GraphOps.KHopSeedMod === 0)
+      .count()
+    // every seed sits at dist 0 (no negative weights, so nothing beats 0)
+    assert(byDist.getOrElse(0L, 0L) == nSeeds)
+    assert(byDist.keys.forall(d => d >= 0L && d <= GraphOps.SsspHops * 5L))
+  }
 }

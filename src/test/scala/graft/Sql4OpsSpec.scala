@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{Relational, Sql4Ops}
+import org.apache.spark.sql.functions._
+
+/** Spark 4 SQL-surface operators (Sql4Ops): native recursive CTE, pipe
+  * syntax, collations, SQL-body UDF + session variable. Each is checked for
+  * value-equality against its classic-form twin so the sugar provably
+  * changes the SYNTAX, not the answer; the recursive CTE is additionally
+  * pinned to really use the native iterative executor (not our hand loop).
+  */
+class Sql4OpsSpec extends SparkSpec {
+
+  test("recursive CTE census equals the iterative BFS rollup") {
+    val rec = Sql4Ops.recursiveCte(spark, sf0001).collect().toSeq
+    val bfs = Relational.bomRollup(spark, sf0001).collect().toSeq
+    assert(rec == bfs)
+  }
+
+  test("recursive CTE runs through the native UnionLoop executor") {
+    val plan = Sql4Ops.recursiveCte(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop"), s"expected UnionLoop in:\n$plan")
+  }
+
+  test("pipe syntax is sugar: equals the DataFrame join+agg form") {
+    val piped = Sql4Ops.pipeSql(spark, sf0001).collect().toSeq
+    val classic = graft.sources.Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .join(graft.sources.Tables.load(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 4).as("revenue"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("c_mktsegment", "o_orderstatus")
+      .collect().toSeq
+    assert(piped == classic)
+  }
+
+  test("collation census: case-insensitive distinct collapses the variants") {
+    val rows = Sql4Ops.collationCensus(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // UTF8_LCASE sees one spelling per segment; binary sees the injected ones
+    assert(rows.forall(_.getAs[Long]("n_variants_ci") == 1L))
+    assert(rows.exists(_.getAs[Long]("n_variants_binary") >= 2L))
+    // census covers every segment exactly once
+    val segs = rows.map(_.getAs[String]("seg_lc")).toSeq
+    assert(segs == segs.distinct.sorted)
+  }
+
+  test("SQL-body UDF + session variable equal the inlined expression") {
+    val udf = Sql4Ops.sqlUdfBands(spark, sf0001).collect().toSeq
+    val inline = graft.sources.Tables.load(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 50000.0)
+      .withColumn("band",
+        when(col("o_totalprice") < 150000.0, "low")
+          .when(col("o_totalprice") < 300000.0, "mid")
+          .otherwise("high"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("band")
+      .collect().toSeq
+    assert(udf == inline)
+    assert(udf.map(_.getString(0)).toSet.subsetOf(Set("low", "mid", "high")))
+  }
+
+  test("SQL-body UDF stays declarative: no ScalaUDF in the optimized plan") {
+    val plan = Sql4Ops.sqlUdfBands(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"SQL UDF was not inlined:\n$plan")
+  }
+}

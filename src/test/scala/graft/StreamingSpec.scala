@@ -629,4 +629,38 @@ class StreamingSpec extends SparkSpec {
     assert(adv.length == 3, s"re-emission detected: ${adv.mkString(",")}")
     assert(adv.count(_._2 == "1_view") == 1)
   }
+
+  test("streamRunning: transformWithState drain equals the batch window fold, state crosses batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.streaming.StreamOps.streamRunning(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    // batch twin: per-user row_number + running exact-cents sum
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seqd = graft.ops.EventOps.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("seq"),
+        sum("cents").over(w).as("cum_cents"))
+    val digest = conv(substring(md5(concat_ws("|",
+      col("user_id").cast("string"), col("event_id").cast("string"),
+      col("seq").cast("string"), col("cum_cents").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val expected = seqd.select(col("user_id"), col("seq"), col("cum_cents"),
+        digest.as("digest"))
+      .groupBy("user_id")
+      .agg(max("seq").as("n_events"),
+        max_by(col("cum_cents"), col("seq")).as("cents_total"),
+        expr("bit_xor(digest)").as("xor_digest"))
+      .orderBy("user_id").collect()
+    assert(got.toSeq == expected.toSeq)
+    // multi-batch reality: 6 staged files at maxFilesPerTrigger=2 means at
+    // least one user's events span micro-batches; equality of the FULL
+    // per-event digest (not just endpoints) proves the ValueState carried
+    // seq/cum across those batches
+    val nUsersMultiEvent = expected.count(_.getAs[Long]("n_events") > 1L)
+    assert(nUsersMultiEvent > 0, "fixture has no multi-event user; spec is vacuous")
+  }
 }

@@ -103,6 +103,41 @@ class VectorOpsSpec extends SparkSpec {
     assert(hits >= 2, s"IVF top-1 recall too low: $hits/5 probes")
   }
 
+  test("annPq: deterministic, well-ranked, and the ADC shortlist recalls exact neighbors") {
+    val a = VectorOps.annPq(spark, sf0001).collect()
+    val b = VectorOps.annPq(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq) // fixed-seed quantizer + codebooks
+    assert(a.nonEmpty)
+    a.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      assert(!rs.map(_.getLong(2)).contains(pid)) // self excluded
+      assert(rs.map(_.getLong(1)).sorted.zipWithIndex.forall { case (r, i) => r == i + 1 })
+      // re-rank really ordered by cosine desc
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+    // recall floor vs the exact twin (near-random fixture embeddings: the
+    // IVF cells + PQ shortlist must still surface some true neighbors)
+    val exact = VectorOps.knnJoin(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = a.filter(_.getLong(1) == 1L)
+      .count(r => exact.getOrElse(r.getLong(0), Set.empty).contains(r.getLong(2)))
+    assert(hits >= 2, s"IVF-PQ top-1 recall too low: $hits/5 probes")
+  }
+
+  test("pqCodebooks: right geometry, centroids finite") {
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val books = VectorOps.pqCodebooks(sf0001, emb)
+    assert(books.length == VectorOps.PqSubspaces)
+    books.foreach { sub =>
+      assert(sub.length == VectorOps.PqCodes)
+      sub.foreach { c =>
+        assert(c.length == VectorOps.PqSubDim)
+        assert(c.forall(x => !x.isNaN && !x.isInfinite))
+      }
+    }
+  }
+
   test("typed CentroidAggregator matches the posexplode centroid query") {
     import graft.functions.CentroidAggregator
     val ds = graft.sources.Tables.load(spark, sf0001, "embeddings")
