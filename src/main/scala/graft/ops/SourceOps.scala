@@ -38,7 +38,10 @@ object SourceOps {
     "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
     "q_partition_prune", "q_schema_merge", "q_binary_files", "q_bucket_join",
     "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_dedup",
-    "q_stream_window", "q_stream_running")
+    "q_stream_window", "q_stream_running",
+    // cheapest edges()-memo user: constructing it stages the shared graph
+    // edge table for the whole traversal family (GraphOps.edges scaladoc)
+    "q_also_bought")
 
   private[graft] def materialize(key: String)(write: String => Unit): String =
     staged.computeIfAbsent(key, _ => {
