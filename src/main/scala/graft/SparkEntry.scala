@@ -87,6 +87,9 @@ object SparkEntry {
     "q_forget" -> (CurationOps.forgetCascade _),
     "q_k_anonymity" -> (CurationOps.kAnonymity _),
     "q_jaro_rank" -> (CurationOps.jaroRank _),
+    "q_aqp_sample" -> (Relational.aqpSample _),
+    "q_forecast" -> (Relational.forecastBacktest _),
+    "q_mutual_info" -> (Relational.mutualInfo _),
     "q_ewma" -> (EventOps.ewma _),
     "q_join_size" -> (SkewOps.joinSizeEstimate _),
     "q_chi2" -> (Relational.chi2 _),
@@ -722,6 +725,66 @@ object SparkEntry {
          |FROM banded GROUP BY segment, nation
          |ORDER BY segment, nation""".stripMargin
     },
+    "q_aqp_sample" ->
+      """WITH keyed AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 16 AS bucket
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n_sample,
+        |        sum(l_quantity) AS s_qty
+        |      FROM keyed WHERE bucket = 0 GROUP BY 1),
+        |e AS (SELECT l_returnflag, count(*) AS exact_rows,
+        |        round(sum(l_quantity), 4) AS exact_qty
+        |      FROM keyed GROUP BY 1)
+        |SELECT s.l_returnflag, n_sample,
+        |  n_sample * 16 AS est_rows, exact_rows,
+        |  round(1.96 * sqrt(CAST(n_sample AS DOUBLE) * 240.0), 4) AS rows_ci95,
+        |  round(s_qty * 16, 4) AS est_qty, exact_qty
+        |FROM s JOIN e ON s.l_returnflag = e.l_returnflag
+        |ORDER BY s.l_returnflag""".stripMargin,
+    "q_forecast" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT rev,
+        |    lag(rev, 1) OVER (ORDER BY day) AS naive1,
+        |    lag(rev, 7) OVER (ORDER BY day) AS seasonal7
+        |  FROM daily),
+        |stacked AS (
+        |  SELECT rev, 'naive1' AS model, naive1 AS pred
+        |  FROM lagged WHERE seasonal7 IS NOT NULL
+        |  UNION ALL
+        |  SELECT rev, 'seasonal7', seasonal7
+        |  FROM lagged WHERE seasonal7 IS NOT NULL)
+        |SELECT model, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(abs(rev - pred) / rev), 4) AS mape,
+        |  round(avg(abs(rev - pred) * 2.0 / (abs(rev) + abs(pred))), 4)
+        |    AS smape
+        |FROM stacked GROUP BY model ORDER BY model""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT CAST(o AS DOUBLE) AS o,
+        |    CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS rt,
+        |    CAST(sum(o) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS ct,
+        |    CAST(sum(o) OVER () AS DOUBLE) AS n
+        |  FROM cells),
+        |mi AS (SELECT sum((o / n) * log2(o * n / (rt * ct))) AS mi FROM m),
+        |hx AS (SELECT log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h_segment
+        |       FROM (SELECT CAST(sum(o) AS DOUBLE) AS c FROM cells
+        |             GROUP BY c_mktsegment)),
+        |hy AS (SELECT log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h_priority
+        |       FROM (SELECT CAST(sum(o) AS DOUBLE) AS c FROM cells
+        |             GROUP BY o_orderpriority))
+        |SELECT round(mi, 4) AS mi, round(h_segment, 4) AS h_segment,
+        |  round(h_priority, 4) AS h_priority,
+        |  round(mi / sqrt(h_segment * h_priority), 4) AS nmi
+        |FROM mi, hx, hy""".stripMargin,
     // the Spark side evaluates the native graft `jaro_winkler` expression;
     // DuckDB's jaro_winkler_similarity implements the same rapidfuzz
     // formulation (integer-halved transpositions, 0.7 boost threshold,

@@ -985,6 +985,116 @@ object Relational {
         round(corr(col("rev"), col("prev")), 4).as("acf1"))
   }
 
+  /** 1-in-N sampling denominator for [[aqpSample]]. */
+  val AqpBuckets = 16L
+
+  /** Approximate query processing from a deterministic hash sample — the
+    * interactive-analytics tier: answer a scan-heavy aggregate from a
+    * 1/16 Bernoulli sample with a 95% error bar instead of reading 100 TB.
+    * The sample is md5-bucketed on the row key (the [[TextOps
+    * .weightedSample]] draw discipline), so it is reproducible in any
+    * engine — which is also what makes the estimate DuckDB-oracled
+    * exactly, not statistically. Estimates scale by 1/p; the count CI
+    * uses Var(N̂) ≈ n·(1/p)(1/p−1) (Bernoulli sampling variance with the
+    * sample count standing in for pN). The exact columns make this the
+    * AUDIT form — production materializes the sample as its own table
+    * (one-time pass, then every interactive query reads 6% of the bytes)
+    * and never computes them. */
+  def aqpSample(spark: SparkSession, sf: String): DataFrame = {
+    val keyed = Tables.load(spark, sf, "lineitem").select(
+      col("l_returnflag"), col("l_quantity"),
+      (conv(substring(md5(concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % AqpBuckets).as("bucket"))
+    val sample = keyed.filter(col("bucket") === 0L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sample"), sum("l_quantity").as("s_qty"))
+    val exact = keyed.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("exact_rows"),
+        round(sum("l_quantity"), 4).as("exact_qty"))
+    sample.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_sample"),
+        (col("n_sample") * AqpBuckets).as("est_rows"),
+        col("exact_rows"),
+        round(lit(1.96) * sqrt(col("n_sample").cast("double") *
+          (AqpBuckets * (AqpBuckets - 1)).toDouble), 4).as("rows_ci95"),
+        round(col("s_qty") * AqpBuckets, 4).as("est_qty"),
+        col("exact_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Walk-forward forecast backtest over the daily revenue series — the
+    * capacity-planning loop: score the two standard zero-parameter
+    * baselines (naive-1 = yesterday, seasonal-7 = same weekday last week)
+    * against every realized day, reporting MAPE and sMAPE per model. Any
+    * real forecaster must beat these numbers; producing them IS the
+    * pipeline's job. Plan: the daily rollup is the only fact-sized
+    * shuffle; lags and scoring run over the |days|-row series (the
+    * [[autocorr]] bounded-window argument, same physical-series lag
+    * convention — [[EventOps.gapFill]] composes upstream for calendar
+    * lags). Both models score only days where the 7-lag exists, so they
+    * are compared on the SAME eval window. */
+  def forecastBacktest(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum("o_totalprice").as("rev"))
+    val lagged = daily.select(col("rev"),
+      lag("rev", 1).over(w).as("naive1"),
+      lag("rev", 7).over(w).as("seasonal7"))
+      .filter(col("seasonal7").isNotNull)
+    lagged
+      .select(col("rev"), explode(map(
+        lit("naive1"), col("naive1"),
+        lit("seasonal7"), col("seasonal7"))).as(Seq("model", "pred")))
+      .groupBy("model")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        round(avg(abs(col("rev") - col("pred")) / col("rev")), 4).as("mape"),
+        round(avg(abs(col("rev") - col("pred")) * lit(2.0) /
+          (abs(col("rev")) + abs(col("pred")))), 4).as("smape"))
+      .orderBy("model")
+  }
+
+  /** Mutual information between customer segment and order priority — the
+    * information-theoretic companion of [[chi2]] (same one-pass cell
+    * census, same window margins): I(X;Y) = Σ p(x,y)·log2(p(x,y)/(p(x)p(y))),
+    * plus the marginal entropies and the normalized score
+    * I/√(H(X)H(Y)) — the feature-relevance number a curation pipeline
+    * ranks candidate features by (MI sees non-linear association that
+    * correlation misses; χ² tests significance, MI measures magnitude).
+    * All log chains are written in the same operand order as the oracle
+    * so IEEE rounding agrees. Independent-ish fixture columns score ≈ 0,
+    * which is itself the point of the audit. */
+  def mutualInfo(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    val m = cells.select(
+      col("o").cast("double").as("o"),
+      sum("o").over(Window.partitionBy("c_mktsegment")).cast("double").as("rt"),
+      sum("o").over(Window.partitionBy("o_orderpriority")).cast("double").as("ct"),
+      sum("o").over(Window.partitionBy()).cast("double").as("n"))
+    val mi = m.agg(
+      sum((col("o") / col("n")) *
+        log2(col("o") * col("n") / (col("rt") * col("ct")))).as("mi"))
+    // marginal entropies from the margin relations (distinct x / y rows)
+    val hx = cells.groupBy("c_mktsegment").agg(sum("o").as("c"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("c"))).as("slc"))
+      .select((log2(col("n")) - col("slc") / col("n")).as("h_segment"))
+    val hy = cells.groupBy("o_orderpriority").agg(sum("o").as("c"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("c"))).as("slc"))
+      .select((log2(col("n")) - col("slc") / col("n")).as("h_priority"))
+    mi.select(col("mi")).join(hx).join(hy)
+      .select(round(col("mi"), 4).as("mi"),
+        round(col("h_segment"), 4).as("h_segment"),
+        round(col("h_priority"), 4).as("h_priority"),
+        round(col("mi") / sqrt(col("h_segment") * col("h_priority")), 4)
+          .as("nmi"))
+  }
+
   /** Hierarchy (BOM-style) rollup — the recursive-traversal shape every
     * warehouse needs for org charts / bills of material / category trees,
     * which plain SQL-on-Spark lacks (no recursive CTE): iterative

@@ -514,4 +514,44 @@ class RelationalSpec extends SparkSpec {
       li.filter(col("l_orderkey") % 1000 =!= 0L).count())
     assert(!r.getAs[Double]("avg_ratio").isNaN)
   }
+
+  test("aqpSample: estimates scale the sample, hash draw is reproducible, error sane") {
+    val a = Relational.aqpSample(spark, sf001).collect()
+    val b = Relational.aqpSample(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq) // md5 draw — no RNG, any engine reproduces it
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Long]("est_rows") == r.getAs[Long]("n_sample") * Relational.AqpBuckets)
+      val est = r.getAs[Long]("est_rows").toDouble
+      val exact = r.getAs[Long]("exact_rows").toDouble
+      // a uniform hash at n≈20k/flag keeps the estimate well inside ±50%
+      assert(math.abs(est - exact) / exact < 0.5, s"est $est vs exact $exact")
+      assert(r.getAs[Double]("rows_ci95") > 0.0)
+    }
+  }
+
+  test("forecastBacktest: both models score the same eval window, errors positive") {
+    val rows = Relational.forecastBacktest(spark, sf001).collect()
+    assert(rows.map(_.getAs[String]("model")).sorted.toSeq == Seq("naive1", "seasonal7"))
+    val n = rows.map(_.getAs[Long]("n_days")).distinct
+    assert(n.length == 1 && n.head > 0) // shared eval window
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mape") > 0.0)
+      val s = r.getAs[Double]("smape")
+      assert(s > 0.0 && s <= 2.0) // sMAPE is bounded by construction
+    }
+  }
+
+  test("mutualInfo: nonnegative, entropies bounded, nmi in unit range") {
+    val r = Relational.mutualInfo(spark, sf001).collect().head
+    val mi = r.getAs[Double]("mi")
+    val hx = r.getAs[Double]("h_segment")
+    val hy = r.getAs[Double]("h_priority")
+    assert(mi >= 0.0) // finite-sample MI is a KL divergence
+    assert(mi <= math.min(hx, hy) + 1e-9)
+    assert(hx > 0.0 && hx <= math.log(5.0) / math.log(2.0) + 1e-9) // ≤ log2(5 segments)
+    assert(hy > 0.0 && hy <= math.log(5.0) / math.log(2.0) + 1e-9)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= 0.0 && nmi <= 1.0)
+  }
 }
