@@ -181,6 +181,7 @@ object SparkEntry {
     "q_media_dedup_lsh" -> (MultimodalOps.mediaDedupLsh _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_dedup_spans" -> (TextOps.dupSpanCoverage _),
+    "q_dedup_span_cut" -> (TextOps.dedupSpanCut _),
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     "q_quality_prune" -> (TextOps.qualityPrune _),
     "q_geo_join" -> (GeoOps.geoJoin _),
@@ -725,24 +726,28 @@ object SparkEntry {
          |FROM banded GROUP BY segment, nation
          |ORDER BY segment, nation""".stripMargin
     },
-    "q_aqp_sample" ->
-      """WITH keyed AS (
-        |  SELECT l_returnflag, l_quantity,
-        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
-        |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 16 AS bucket
-        |  FROM lineitem),
-        |s AS (SELECT l_returnflag, count(*) AS n_sample,
-        |        sum(l_quantity) AS s_qty
-        |      FROM keyed WHERE bucket = 0 GROUP BY 1),
-        |e AS (SELECT l_returnflag, count(*) AS exact_rows,
-        |        round(sum(l_quantity), 4) AS exact_qty
-        |      FROM keyed GROUP BY 1)
-        |SELECT s.l_returnflag, n_sample,
-        |  n_sample * 16 AS est_rows, exact_rows,
-        |  round(1.96 * sqrt(CAST(n_sample AS DOUBLE) * 240.0), 4) AS rows_ci95,
-        |  round(s_qty * 16, 4) AS est_qty, exact_qty
-        |FROM s JOIN e ON s.l_returnflag = e.l_returnflag
-        |ORDER BY s.l_returnflag""".stripMargin,
+    "q_aqp_sample" -> {
+      // interpolated, not hardcoded: editing Relational.AqpBuckets must not
+      // silently desync oracle and implementation (ADVICE r10)
+      val b = Relational.AqpBuckets
+      s"""WITH keyed AS (
+         |  SELECT l_returnflag, l_quantity,
+         |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+         |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % $b AS bucket
+         |  FROM lineitem),
+         |s AS (SELECT l_returnflag, count(*) AS n_sample,
+         |        sum(l_quantity) AS s_qty
+         |      FROM keyed WHERE bucket = 0 GROUP BY 1),
+         |e AS (SELECT l_returnflag, count(*) AS exact_rows,
+         |        round(sum(l_quantity), 4) AS exact_qty
+         |      FROM keyed GROUP BY 1)
+         |SELECT s.l_returnflag, n_sample,
+         |  n_sample * $b AS est_rows, exact_rows,
+         |  round(1.96 * sqrt(CAST(n_sample AS DOUBLE) * ${b * (b - 1)}.0), 4) AS rows_ci95,
+         |  round(s_qty * $b, 4) AS est_qty, exact_qty
+         |FROM s JOIN e ON s.l_returnflag = e.l_returnflag
+         |ORDER BY s.l_returnflag""".stripMargin
+    },
     "q_forecast" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
@@ -1903,6 +1908,40 @@ object SparkEntry {
          |  round(CAST(sum(c) AS DOUBLE) / n_tokens, 4) AS dup_frac
          |FROM hits GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
     },
+    // the action half: same gram relation, keep each duplicated gram's
+    // global first occurrence, cut every token position a non-first
+    // occurrence covers, rebuild and md5 the cleaned text
+    "q_dedup_span_cut" -> {
+      val k = TextOps.NgramK
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+         |gr AS (SELECT doc_id, i, array_to_string(toks[i:i+${k - 1}], ' ') AS g
+         |       FROM t, UNNEST(range(1, len(toks) - ${k - 2})) AS r(i)
+         |       WHERE len(toks) >= $k),
+         |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+         |                       FROM gr GROUP BY g) WHERE nd > 1),
+         |docc AS (SELECT * FROM gr WHERE g IN (SELECT g FROM dup)),
+         |firsts AS (SELECT g, doc_id AS f_doc, i AS f_i FROM (
+         |    SELECT g, doc_id, i,
+         |      row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+         |    FROM docc) WHERE rn = 1),
+         |cut AS (SELECT DISTINCT d.doc_id, CAST(d.i + o AS BIGINT) AS j
+         |        FROM docc d, firsts f, UNNEST(range(0, $k)) AS r(o)
+         |        WHERE d.g = f.g AND NOT (d.doc_id = f.f_doc AND d.i = f.f_i)),
+         |tok AS (SELECT doc_id, CAST(j AS BIGINT) AS j, toks[j] AS tok
+         |        FROM base, UNNEST(range(1, len(toks) + 1)) AS r(j)),
+         |kept AS (SELECT tk.doc_id, tk.j, tk.tok FROM tok tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |                           WHERE c.doc_id = tk.doc_id AND c.j = tk.j)),
+         |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+         |          string_agg(tok, ' ' ORDER BY j) AS cleaned
+         |        FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(a.kept_tokens, 0) AS kept_tokens,
+         |  b.n_tokens - coalesce(a.kept_tokens, 0) AS cut_tokens,
+         |  md5(coalesce(a.cleaned, '')) AS clean_md5
+         |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
+    },
     "q_source_overlap" -> {
       val k = TextOps.NgramK
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
@@ -2635,40 +2674,42 @@ object SparkEntry {
          |    ORDER BY idx), '')) AS clean_md5
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_khop" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-        |  GROUP BY 1, 2),
-        |r AS (
-        |  SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS lvl
-        |  FROM part WHERE p_partkey % 100 = 0
-        |  UNION
-        |  SELECT e.v, r.lvl + 1 FROM r JOIN e ON e.u = r.node
-        |  WHERE r.lvl < 3)
-        |SELECT lvl, count(*) AS n_nodes
-        |FROM (SELECT node, min(lvl) AS lvl FROM r GROUP BY node) m
-        |GROUP BY lvl ORDER BY lvl""".stripMargin,
+      // seed mod + depth interpolated from GraphOps so a constant edit
+      // cannot desync oracle and implementation (ADVICE r10)
+      s"""WITH RECURSIVE e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS lvl
+         |  FROM part WHERE p_partkey % ${GraphOps.KHopSeedMod} = 0
+         |  UNION
+         |  SELECT e.v, r.lvl + 1 FROM r JOIN e ON e.u = r.node
+         |  WHERE r.lvl < ${GraphOps.KHopDepth})
+         |SELECT lvl, count(*) AS n_nodes
+         |FROM (SELECT node, min(lvl) AS lvl FROM r GROUP BY node) m
+         |GROUP BY lvl ORDER BY lvl""".stripMargin,
     // bounded-horizon Bellman-Ford == min over <= H-edge walks, which is
     // exactly what the depth-bounded recursion enumerates; (node,dist,hop)
     // state stays finite because UNION dedups and w,dist are small ints
     "q_sssp" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-        |  GROUP BY 1, 2),
-        |ew AS (SELECT u, v, 1 + (u + v) % 5 AS w FROM e),
-        |r AS (
-        |  SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
-        |    0 AS hop
-        |  FROM part WHERE p_partkey % 100 = 0
-        |  UNION
-        |  SELECT ew.v, r.dist + ew.w, r.hop + 1
-        |  FROM r JOIN ew ON ew.u = r.node WHERE r.hop < 4)
-        |SELECT dist, count(*) AS n_nodes
-        |FROM (SELECT node, min(dist) AS dist FROM r GROUP BY node) m
-        |GROUP BY dist ORDER BY dist""".stripMargin,
+      s"""WITH RECURSIVE e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2),
+         |ew AS (SELECT u, v, 1 + (u + v) % 5 AS w FROM e),
+         |r AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+         |    0 AS hop
+         |  FROM part WHERE p_partkey % ${GraphOps.KHopSeedMod} = 0
+         |  UNION
+         |  SELECT ew.v, r.dist + ew.w, r.hop + 1
+         |  FROM r JOIN ew ON ew.u = r.node WHERE r.hop < ${GraphOps.SsspHops})
+         |SELECT dist, count(*) AS n_nodes
+         |FROM (SELECT node, min(dist) AS dist FROM r GROUP BY node) m
+         |GROUP BY dist ORDER BY dist""".stripMargin,
     "q_also_bought" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |deg AS (SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS orders

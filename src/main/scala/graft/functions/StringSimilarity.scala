@@ -20,9 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * over matched sequences, Winkler prefix boost `+ ℓ·0.1·(1−jaro)` with
   * ℓ = common prefix capped at 4, applied only when jaro > 0.7. Both
   * engines evaluate in IEEE doubles over the same few ratios, so rounded-4
-  * outputs hash-match. Comparison is per UTF-16 code unit, which equals
-  * DuckDB's per-byte comparison on ASCII — the harness's domain; documented
-  * limitation for astral-plane text.
+  * outputs hash-match. Comparison is per Unicode CODE POINT (ADVICE r10:
+  * per-UTF-16-code-unit counted supplementary-plane characters twice), so
+  * every user-perceived character weighs 1 across the whole BMP+astral
+  * range; on ASCII — the oracle's domain — this is character-identical to
+  * DuckDB's evaluation, which is what the declared query pins.
   *
   * The expression is codegen'd ([[doGenCode]] emits one static call — the
   * same shape as Spark's own `levenshtein`), so a 100 TB entity-resolution
@@ -34,13 +36,17 @@ object JaroWinklerImpl {
   /** Pure-JVM Jaro-Winkler similarity; public static so generated code can
     * call it. */
   def similarity(left: UTF8String, right: UTF8String): Double = {
-    val a = left.toString
-    val b = right.toString
+    val sa = left.toString
+    val sb = right.toString
+    // iterate CODE POINTS, not UTF-16 units: a surrogate pair is one
+    // character for matching/transposition/prefix purposes
+    val a = sa.codePoints().toArray
+    val b = sb.codePoints().toArray
     val la = a.length
     val lb = b.length
     // empty-first, THEN the identity shortcut: DuckDB scores "" vs "" as 0
     if (la == 0 || lb == 0) return 0.0
-    if (a == b) return 1.0
+    if (sa == sb) return 1.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)
     val aMatched = new Array[Boolean](la)
     val bMatched = new Array[Boolean](lb)
@@ -52,7 +58,7 @@ object JaroWinklerImpl {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!bMatched(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatched(j) && a(i) == b(j)) {
           aMatched(i) = true; bMatched(j) = true; matches += 1; found = true
         }
         j += 1
@@ -66,7 +72,7 @@ object JaroWinklerImpl {
     while (i < la) {
       if (aMatched(i)) {
         while (!bMatched(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) transpositions += 1
+        if (a(i) != b(k)) transpositions += 1
         k += 1
       }
       i += 1
@@ -76,7 +82,7 @@ object JaroWinklerImpl {
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(la, lb))
-    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    while (prefix < maxPrefix && a(prefix) == b(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 }

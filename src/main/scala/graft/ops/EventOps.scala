@@ -88,25 +88,59 @@ object EventOps {
     * to timestamp-encoding differences between engines. */
   /** As-of join — for each event, the most recent order at-or-before the
     * event time for that user (SURVEY.md custom-op family; composed per the
-    * preference ladder: equi+range join then per-event latest via MAX_BY,
-    * no custom operator needed). The equi key bounds the fan-out to each
-    * user's own orders; at 100 TB the range side would be bucketed by key
-    * and date so the join prunes partitions instead of scanning history.
+    * preference ladder: built-in union + ordered window, no custom operator
+    * needed).
     *
-    * `max_by(payload, (o_orderdate, o_orderkey))` replaces the original
-    * window-rank formulation: the aggregate partially combines MAP-SIDE, so
-    * the shuffle carries one candidate row per (event, partition) instead of
-    * the full joined fan-out, and no per-event sort runs. The unique
-    * o_orderkey in the ordering struct makes the argmax deterministic. */
+    * UNION + ORDERED-WINDOW plan (the merge-join formulation every native
+    * as-of implementation uses), replacing the earlier equi-join-with-
+    * inequality-residual + `max_by` form: that join materializes
+    * Σ_u (events_u × orders_u) intermediate rows — multiplicative PER KEY,
+    * so one hot user with 10k events and 10k orders costs 10⁸ rows before
+    * the aggregate sees them (the classic as-of scale trap; flagged weak in
+    * round-10 review). Here both sides are unioned on (user, time) with
+    * order rows sorting BEFORE event rows at equal timestamps (the `<=`
+    * tie rule), and `last(payload, ignoreNulls)` over an ordered running
+    * window carries the latest order forward onto each event row: one
+    * shuffle + one sort, O((|ev|+|ord|)·log) per user, NO fan-out — a
+    * 10k×10k hot key costs 20k rows, not 10⁸ (hot-key decade measured in
+    * EventOpsSpec / PLANS.md). Same pattern as [[gapFill]]. Within equal
+    * (user, t): orders sort by o_orderkey ascending so the running last
+    * is the max-orderkey argmax the previous form (and the DuckDB oracle's
+    * `ORDER BY o_orderdate DESC, o_orderkey DESC` rank) picked; event rows
+    * tie-break by event_id and contribute null payloads that `ignoreNulls`
+    * skips, so co-timed events never disturb the carried order. */
   def asofJoin(spark: SparkSession, sf: String): DataFrame = {
     val ev = events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
     val ord = Tables.load(spark, sf, "orders")
       .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-    ev.join(ord, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .groupBy("event_id", "user_id")
-      .agg(max_by(
-        struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
-        struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+    asofJoinFrom(ev, ord)
+  }
+
+  /** Core over any (event_id, user_id, ts) × (o_custkey, o_orderkey,
+    * o_orderdate, o_totalprice) pair of relations, for spec-level hot-key
+    * planting. Inner-join semantics: events with no at-or-before order for
+    * their user are dropped (`best` stays null → filtered). */
+  private[graft] def asofJoinFrom(ev: DataFrame, ord: DataFrame): DataFrame = {
+    val orders = ord.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"),
+      struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")).as("payload"))
+    val eventRows = ev.select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast(orders.schema("payload").dataType).as("payload"))
+    // running frame, not the default RANGE frame: with rows-between the
+    // window is computed in one pass over the sorted partition
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("is_event"), col("payload.o_orderkey"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(eventRows)
+      .withColumn("best", last(col("payload"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("best").isNotNull)
       .select(col("event_id"), col("user_id"), col("best.o_orderkey").as("o_orderkey"),
         date_format(col("best.o_orderdate"), "yyyy-MM-dd").as("asof_date"),
         col("best.o_totalprice").as("o_totalprice"))

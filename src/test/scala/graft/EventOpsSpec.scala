@@ -475,6 +475,52 @@ class EventOpsSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
+  test("asofJoinFrom: latest at-or-before order per event, ties and misses handled") {
+    import java.sql.{Date, Timestamp}
+    def ts(s: String) = Timestamp.valueOf(s)
+    def d(s: String) = Date.valueOf(s)
+    val ev = Seq(
+      (10L, 1L, ts("2024-03-05 12:00:00")), // after two orders → latest (3/03)
+      (11L, 1L, ts("2024-03-01 00:00:00")), // exactly midnight of order date → <= includes it
+      (12L, 1L, ts("2024-02-28 23:59:59")), // before every order → dropped
+      (13L, 2L, ts("2024-03-10 00:00:00")), // two orders SAME date → max orderkey wins
+      (14L, 3L, ts("2024-03-10 00:00:00"))  // user with no orders at all → dropped
+    ).toDF("event_id", "user_id", "ts")
+    val ord = Seq(
+      (1L, 100L, d("2024-03-01"), 10.0),
+      (1L, 101L, d("2024-03-03"), 20.0),
+      (2L, 200L, d("2024-03-02"), 30.0),
+      (2L, 201L, d("2024-03-02"), 40.0)
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = graft.ops.EventOps.asofJoinFrom(ev, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (10L, 101L, "2024-03-03", 20.0),
+      (11L, 100L, "2024-03-01", 10.0),
+      (13L, 201L, "2024-03-02", 40.0)))
+  }
+
+  test("asofJoinFrom: hot key (1 user x 10k events x 10k orders) stays linear, no fanout") {
+    // the pre-round-11 equi-join+max_by plan materializes 10^8 intermediate
+    // rows on this fixture; the union+ordered-window plan sorts 20k rows.
+    // Completing inside the suite's timeout IS the assertion of shape; the
+    // value checks pin the carried-forward semantics on a dense tie-scape.
+    val n = 10000
+    val ev = spark.range(n).select(
+      col("id").as("event_id"), lit(7L).as("user_id"),
+      to_timestamp(date_add(lit("2020-01-01").cast("date"), col("id").cast("int")))
+        .as("ts"))
+    val ord = spark.range(n).select(
+      lit(7L).as("o_custkey"), col("id").as("o_orderkey"),
+      date_add(lit("2020-01-01").cast("date"), col("id").cast("int")).as("o_orderdate"),
+      (col("id") * 1.5).as("o_totalprice"))
+    val out = graft.ops.EventOps.asofJoinFrom(ev, ord)
+    val rows = out.collect()
+    assert(rows.length == n) // every event has an order at exactly its ts (<=)
+    val byEvent = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byEvent(0L) == 0L && byEvent(9999L) == 9999L && byEvent(1234L) == 1234L)
+  }
+
   test("cms SQL registration answers point frequencies end to end") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate returns the shared test session (ignoring extensions)

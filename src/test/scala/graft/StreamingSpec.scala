@@ -663,4 +663,99 @@ class StreamingSpec extends SparkSpec {
     val nUsersMultiEvent = expected.count(_.getAs[Long]("n_events") > 1L)
     assert(nUsersMultiEvent > 0, "fixture has no multi-event user; spec is vacuous")
   }
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("transformWithState TTL: an idle key's state expires and the count restarts") {
+    import graft.streaming.{TimedEvent, TtlCount}
+    // Two single-batch (Trigger.Once) drains over a shared checkpoint,
+    // 300 ms of real processing time apart. NOT processAllAvailable or
+    // AvailableNow on a long-lived query: in TimeMode.ProcessingTime the
+    // engine self-triggers timer-check batches forever, so neither ever
+    // settles — Once() is the deterministic way to run exactly one batch
+    // per drain (each staged file fits one batch: no maxFilesPerTrigger).
+    def run(ttlMs: Long): Set[(Long, Long, Long)] = withRocksDb {
+      val in = java.nio.file.Files.createTempDirectory("graft_ttl_in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_ttl_out").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft_ttl_cp").toString
+      val f0 = Seq(
+        TimedEvent(7L, 1L, t("2024-01-01 10:00:00")),
+        TimedEvent(7L, 2L, t("2024-01-01 10:01:00")))
+      val f1 = Seq(TimedEvent(7L, 3L, t("2024-01-01 10:02:00")))
+      val schema = f0.toDF().schema
+      def drain(): Unit = {
+        val q = StreamOps.ttlCounts(
+            spark.readStream.schema(schema).parquet(in).as[TimedEvent], ttlMs)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination()
+      }
+      stageFile(f0, in, "f0.parquet", 1700000000000L)
+      drain()
+      Thread.sleep(300) // real processing time passes far beyond a 1 ms TTL
+      stageFile(f1, in, "f1.parquet", 1700000060000L)
+      drain()
+      spark.read.schema(org.apache.spark.sql.Encoders.product[TtlCount].schema)
+        .parquet(out).as[TtlCount].collect()
+        .map(c => (c.user_id, c.batch_n, c.total_n)).toSet
+    }
+    // control arm, no TTL: run 2's single event lands ON TOP of run 1's 2
+    assert(run(0L) == Set((7L, 2L, 2L), (7L, 1L, 3L)))
+    // 1 ms TTL: the 300 ms idle gap expires the key between the runs — the
+    // second run must observe NO prior state and restart the count
+    assert(run(1L) == Set((7L, 2L, 2L), (7L, 1L, 1L)))
+  }
+
+  test("transformWithState event-time timer fires across a checkpoint restart") {
+    import graft.streaming.{TimedEvent, IdleFlush}
+    // user 1's session ends at 10:10 in RUN 1, arming a flush timer at 11:10
+    // (gap 1 h). Run 1's watermark never reaches it. Run 2 adds only USER-2
+    // data; the recovered watermark sweeps past 11:10 and the timer fires —
+    // with zero new user-1 input — proving timers and their state survive
+    // the checkpoint restart.
+    val f0 = Seq(
+      TimedEvent(1L, 1L, t("2024-01-01 10:00:00")),
+      TimedEvent(1L, 2L, t("2024-01-01 10:10:00")))
+    val f1 = Seq(TimedEvent(2L, 3L, t("2024-01-01 10:30:00")))
+    val f2 = Seq(TimedEvent(2L, 4L, t("2024-01-01 23:00:00")))
+    val f3 = Seq(TimedEvent(2L, 5L, t("2024-01-01 23:05:00")))
+    val in = java.nio.file.Files.createTempDirectory("graft_tws_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_tws_cp").toString
+    val schema = f0.toDF().schema
+    def drain(): Unit = withRocksDb {
+      val q = StreamOps.idleFlush(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(in).as[TimedEvent],
+          gapMs = 3600L * 1000L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sinkRows(): Seq[IdleFlush] = spark.read.schema(
+        org.apache.spark.sql.Encoders.product[IdleFlush].schema)
+      .parquet(out).as[IdleFlush].collect().toSeq
+    stageFile(f0, in, "f0.parquet", 1700000000000L)
+    stageFile(f1, in, "f1.parquet", 1700000060000L)
+    drain() // run 1: timers armed (user 1 @ 11:10, user 2 @ 11:30), none fired
+    // run 1's watermark tops out at 10:20 — nothing may flush yet (the
+    // sink does hold empty per-batch part files; rows are what matter)
+    val afterRun1 = sinkRows()
+    assert(afterRun1.isEmpty, s"run 1 must not flush anything: $afterRun1")
+    stageFile(f2, in, "f2.parquet", 1700000120000L)
+    stageFile(f3, in, "f3.parquet", 1700000180000L)
+    drain() // run 2: f2 pushes the watermark to 22:50; f3's batch fires user 1's timer
+    assert(sinkRows() == Seq(IdleFlush(1L, 2L, t("2024-01-01 11:10:00").getTime)),
+      s"flushes=${sinkRows()}")
+  }
 }

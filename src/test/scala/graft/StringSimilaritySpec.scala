@@ -33,6 +33,22 @@ class StringSimilaritySpec extends SparkSpec {
     assert(jw("ABCDEFGH", "ABZZZZZZ") == 0.5)
   }
 
+  test("supplementary-plane code points count as ONE character (ADVICE r10)") {
+    // U+1D400 MATHEMATICAL BOLD CAPITAL A is a surrogate pair in UTF-16.
+    // Per-code-unit iteration scored these as length-2 strings; per-code-
+    // point they are single characters.
+    val bold = new String(Character.toChars(0x1D400)) // 𝐀
+    val boldB = new String(Character.toChars(0x1D401)) // 𝐁
+    assert(jw(bold, bold) == 1.0)
+    assert(jw(bold, boldB) == 0.0) // disjoint single chars: no match at all
+    // "𝐀x" vs "𝐀y": 1 match of 2 chars each, jaro = (1/2+1/2+1)/3 = 2/3
+    assert(r4(jw(bold + "x", bold + "y")) == r4(2.0 / 3.0))
+    // astral char mixed with ASCII behaves exactly like a BMP char would:
+    // same score as the all-ASCII analog of identical shape
+    assert(jw(bold + "bc", bold + "bc") == 1.0)
+    assert(r4(jw(bold + "bcd", bold + "bce")) == r4(jw("abcd", "abce")))
+  }
+
   test("symmetry and range on fixture names") {
     val names = graft.sources.Tables.load(spark, sf0001, "nation")
       .select("n_name").collect().map(_.getString(0))

@@ -76,6 +76,53 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupSpanCut: first occurrence kept, later spans cut, internal repeats untouched") {
+    val share = (1 to 15).map("s" + _).mkString(" ")
+    val rep = (1 to 13).map("r" + _).mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 5).map("u" + _).mkString(" ") + " " + share),
+      (2L, share + " " + (1 to 5).map("v" + _).mkString(" ")),
+      (3L, rep + " z1 " + rep)).toDF("doc_id", "text")
+    val r = TextOps.dedupSpanCutFrom(docs).collect()
+      .map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3), row.getString(4)))).toMap
+    // doc 1 holds every shared gram's FIRST occurrence -> nothing cut
+    assert(r(1L) == ((20L, 20L, 0L, md5Hex((1 to 5).map("u" + _).mkString(" ") + " " + share))))
+    // doc 2's three occurrences are all non-first; their window union is
+    // tokens 1..15 -> only the v-suffix survives
+    assert(r(2L) == ((20L, 5L, 15L, md5Hex((1 to 5).map("v" + _).mkString(" ")))))
+    // doc 3 repeats only INTERNALLY (one distinct doc per gram) -> untouched
+    assert(r(3L)._3 == 0L && r(3L)._2 == 27L)
+  }
+
+  test("dedupSpanCut reconciles with dupSpanCoverage on the fixture corpus") {
+    val cov = TextOps.dupSpanCoverage(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> covered_tokens
+    val cut = TextOps.dedupSpanCut(spark, sf0001).collect()
+    assert(cut.nonEmpty)
+    var totalCut = 0L
+    cut.foreach { r =>
+      val (doc, n, kept, cutT) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept + cutT == n, s"doc $doc token mass")
+      // a doc can only lose tokens covered by CROSS-DOC duplicated spans,
+      // and keeps at least the spans where it holds the first occurrence
+      assert(cutT <= cov.getOrElse(doc, 0L), s"doc $doc cut $cutT > covered")
+      totalCut += cutT
+    }
+    // the fixture plants near-dup docs, so the corpus must actually shrink
+    assert(totalCut > 0L, "planted duplicates should produce cuts")
+    // and first occurrences really survive: the min-doc_id covered doc
+    // holds its grams' global firsts, whose earliest position can never be
+    // cut — so for some covered doc, cut is STRICTLY below coverage
+    assert(cut.exists { r =>
+      val c = cov.getOrElse(r.getLong(0), 0L); c > 0L && r.getLong(3) < c
+    })
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("dupSpanCoverage plan: ONE window, and the final per-doc aggregate reuses its partitioning") {
     val df = TextOps.dupSpanCoverage(spark, sf0001)
     val opt = df.queryExecution.optimizedPlan

@@ -124,10 +124,12 @@ class VectorOpsSpec extends SparkSpec {
     assert(hits >= 2, s"IVF-PQ top-1 recall too low: $hits/5 probes")
   }
 
-  test("pqCodebooks: right geometry, centroids finite") {
-    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-    val books = VectorOps.pqCodebooks(sf0001, emb)
+  test("pqCodebooks: right geometry, centroids finite, disk round-trip identical") {
+    val books = VectorOps.pqCodebooks(spark, sf0001)
+    // the first call persisted to target/models; a reload must reproduce
+    // the in-memory fit bit-for-bit (full Double.toString precision)
+    val path = java.nio.file.Paths.get("target/models/pq-_root_testdata_sf0.001.txt")
+    assert(java.nio.file.Files.exists(path), s"codebook artifact missing: $path")
     assert(books.length == VectorOps.PqSubspaces)
     books.foreach { sub =>
       assert(sub.length == VectorOps.PqCodes)
@@ -136,6 +138,14 @@ class VectorOpsSpec extends SparkSpec {
         assert(c.forall(x => !x.isNaN && !x.isInfinite))
       }
     }
+    import scala.jdk.CollectionConverters._
+    val reloaded = Array.ofDim[Array[Double]](VectorOps.PqSubspaces, VectorOps.PqCodes)
+    java.nio.file.Files.readAllLines(path).asScala.filter(_.nonEmpty).foreach { line =>
+      val f = line.trim.split("\\s+")
+      reloaded(f(0).toInt)(f(1).toInt) = f.drop(2).map(_.toDouble)
+    }
+    for (s <- books.indices; c <- books(s).indices)
+      assert(books(s)(c).sameElements(reloaded(s)(c)), s"codebook ($s,$c) drifted on disk")
   }
 
   test("typed CentroidAggregator matches the posexplode centroid query") {
