@@ -65,7 +65,8 @@ class LedgerSpec extends AnyFunSuite {
   private def libSources: Seq[java.nio.file.Path] = {
     val root = Paths.get("src/main/scala/graft")
     val mains = Set("Verify.scala", "Bench.scala", "Profile.scala",
-      "ScaleSmoke.scala", "GeoSmoke.scala", "AsofSmoke.scala", "Plans.scala")
+      "ScaleSmoke.scala", "GeoSmoke.scala", "AsofSmoke.scala",
+      "DeepSmoke.scala", "Plans.scala")
     Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .filterNot(p => mains.contains(p.getFileName.toString))
