@@ -25,6 +25,7 @@ object SparkEntry {
     // §2.1–2.2 scans / projections / filters
     "q_scan_project" -> (Relational.scanProject _),
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
+    "q_excel_roundtrip" -> (SourceOps.excelRoundtrip _),
     "q_json_roundtrip" -> (SourceOps.jsonRoundtrip _),
     "q_orc_roundtrip" -> (SourceOps.orcRoundtrip _),
     "q_text_source" -> (SourceOps.textSource _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "q_gap_fill" -> (EventOps.gapFill _),
     "q_window_frames" -> (EventOps.windowFrames _),
     "q_asof_join" -> (EventOps.asofJoin _),
+    "q_asof_nearest" -> (EventOps.asofNearest _),
     "q_range_join" -> (EventOps.rangeJoin _),
     "q_media_meta" -> (MultimodalOps.mediaMeta _),
     "q_media_dedup" -> (MultimodalOps.mediaDedup _),
@@ -496,6 +498,12 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    // the .xlsx write->parse->cast cycle is lossless, so the aggregate
+    // equals the same aggregate over the original parquet
+    "q_excel_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 4) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1760,6 +1768,22 @@ object SparkEntry {
         |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // nearest member of the as-of family: rank the per-event fan-out by
+    // (whole-second gap, backward-first, the per-direction orderkey
+    // tie-break the window form uses: max for back, min for fwd)
+    "q_asof_nearest" ->
+      """SELECT event_id, user_id, o_orderkey, direction, sec_diff, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    CASE WHEN o.o_orderdate <= e.ts THEN 'back' ELSE 'fwd' END AS direction,
+        |    abs(date_diff('second', CAST(o.o_orderdate AS TIMESTAMP), e.ts)) AS sec_diff,
+        |    o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |      abs(date_diff('second', CAST(o.o_orderdate AS TIMESTAMP), e.ts)),
+        |      CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+        |      CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey ELSE o.o_orderkey END) AS rn
+        |  FROM events e JOIN orders o ON o.o_custkey = e.user_id)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_window_frames" ->
       """SELECT user_id, event_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -144,6 +144,70 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("best.o_orderkey").as("o_orderkey"),
         date_format(col("best.o_orderdate"), "yyyy-MM-dd").as("asof_date"),
         col("best.o_totalprice").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest-in-time join — the `direction='nearest'` member of the as-of
+    * family ([[asofJoin]] is `backward`): for each event, the order whose
+    * date is CLOSEST to the event time in either direction, ties preferring
+    * the backward candidate (the already-known-at-event-time one — the
+    * leakage-safe default). Same union + ordered-window machinery as
+    * [[asofJoin]], ONE shuffle + ONE sort serving BOTH directions: the
+    * running `last(payload, ignoreNulls)` carries the latest at-or-before
+    * order forward, and a `first(payload, ignoreNulls)` over the mirrored
+    * (currentRow, unboundedFollowing) frame of the SAME sort carries the
+    * earliest strictly-after order backward — equal-date orders sort before
+    * the event, so the forward frame is strictly `>`. Emits the direction
+    * and the absolute gap in seconds, so the pandas `merge_asof
+    * tolerance=...` form is a one-predicate filter on this output. */
+  def asofNearest(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    asofNearestFrom(ev, ord)
+  }
+
+  /** Core over the same relations as [[asofJoinFrom]]. Tie-breaks: backward
+    * = latest date then MAX orderkey (the [[asofJoinFrom]] argmax); forward
+    * = earliest date then MIN orderkey; equidistant → backward. Events
+    * whose user has no orders at all drop (inner semantics). */
+  private[graft] def asofNearestFrom(ev: DataFrame, ord: DataFrame): DataFrame = {
+    val orders = ord.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"),
+      struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")).as("payload"))
+    val eventRows = ev.select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast(orders.schema("payload").dataType).as("payload"))
+    val order = Seq(col("t"), col("is_event"), col("payload.o_orderkey"), col("event_id"))
+    val wPrev = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // whole-second gap on TRUNCATED seconds (unix_seconds floors), matching
+    // DuckDB's boundary-counting date_diff('second', …) on fractional ts
+    def gap(o: Column) =
+      abs(unix_seconds(col("t")) - unix_seconds(o.getField("o_orderdate").cast("timestamp")))
+    val marked = orders.unionByName(eventRows)
+      .withColumn("prev", last(col("payload"), ignoreNulls = true).over(wPrev))
+      .withColumn("nxt", first(col("payload"), ignoreNulls = true).over(wNext))
+      .filter(col("is_event") === 1 && (col("prev").isNotNull || col("nxt").isNotNull))
+      .withColumn("back_s", gap(col("prev")))
+      .withColumn("fwd_s", gap(col("nxt")))
+      .withColumn("take_back",
+        col("nxt").isNull || (col("prev").isNotNull && col("back_s") <= col("fwd_s")))
+    val best = when(col("take_back"), col("prev")).otherwise(col("nxt"))
+    marked.select(
+        col("event_id"), col("user_id"),
+        best.getField("o_orderkey").as("o_orderkey"),
+        when(col("take_back"), "back").otherwise("fwd").as("direction"),
+        when(col("take_back"), col("back_s")).otherwise(col("fwd_s")).as("sec_diff"),
+        best.getField("o_totalprice").as("o_totalprice"))
       .orderBy("event_id")
   }
 

@@ -12,8 +12,10 @@ import graft.sources.Tables
   * parquet. Lossless round-trip ⇒ identical aggregates.
   *
   * Environment note: spark-avro's datasource jar is absent from
-  * /opt/spark/jars (only core avro-*), so Avro joins Excel as a documented
-  * environment gap — the read/write call shape would be identical to ORC.
+  * /opt/spark/jars (only core avro-*), so Avro is a documented environment
+  * gap — the read/write call shape would be identical to ORC. Excel,
+  * formerly the same kind of gap, is covered since round 11 by the
+  * self-contained [[graft.sources.Xlsx]] (no jar needed).
   */
 object SourceOps {
 
@@ -36,6 +38,7 @@ object SourceOps {
     * silently stale. */
   val stagedQueries: Seq[String] = Seq(
     "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
+    "q_excel_roundtrip",
     "q_partition_prune", "q_schema_merge", "q_binary_files", "q_bucket_join",
     "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_dedup",
     "q_stream_window", "q_stream_running",
@@ -114,6 +117,38 @@ object SourceOps {
         regexp_extract(col("path"), "r(\\d+)\\.bin$", 1).cast("int").as("r_regionkey"),
         col("length").cast("long").as("n_bytes"))
       .orderBy("r_regionkey")
+  }
+
+  /** Excel round-trip — the reference's OTHER upload format
+    * (`pd.read_excel`, `app_test.py:264-265`), previously SURVEY §2's one
+    * declared gap (S3): stage the customer table as a real .xlsx via the
+    * self-contained JDK-only writer ([[graft.sources.Xlsx]] — an .xlsx is
+    * a ZIP of SpreadsheetML, no external jar needed), read it back with
+    * the declared schema (header-matched by name, ANSI casts — the same
+    * corrupted-upload-fails contract as [[Tables.loadCsv]]), and aggregate
+    * per segment so the oracle checks the whole write→parse→cast cycle
+    * against the original parquet. `Double.toString` round-trips acctbal
+    * bit-exactly, so the aggregate hash-matches. */
+  def excelRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType), StructField("c_acctbal", DoubleType)))
+    val path = materialize(s"xlsx_$sf") { d =>
+      // staging only: an .xlsx is an upload-sized single file (the format
+      // caps at 2^20 rows), written driver-side like a user's export would
+      // be — the fixture generator, not a query-path pattern
+      val rows = Tables.load(spark, sf, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey").collect()
+      graft.sources.Xlsx.write(s"$d/customers.xlsx",
+        schema.fields.toSeq.map(_.name),
+        rows.iterator.map(_.toSeq))
+    } + "/customers.xlsx"
+    graft.sources.Xlsx.read(spark, path, schema)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy("c_mktsegment")
   }
 
   /** JSON-lines round-trip: the interchange format of most LLM-data-pipeline

@@ -500,6 +500,40 @@ class EventOpsSpec extends SparkSpec {
       (13L, 201L, "2024-03-02", 40.0)))
   }
 
+  test("asofNearestFrom: direction choice, per-direction tie-breaks, equidistant prefers back") {
+    import java.sql.{Date, Timestamp}
+    def ts(s: String) = Timestamp.valueOf(s)
+    def d(s: String) = Date.valueOf(s)
+    val ev = Seq(
+      (10L, 1L, ts("2024-03-02 12:00:00")), // back 1.5d vs fwd 0.5d -> fwd
+      (11L, 1L, ts("2024-03-01 00:00:00")), // exact hit -> back, gap 0
+      (12L, 1L, ts("2024-02-28 00:00:00")), // only fwd candidates exist
+      (13L, 2L, ts("2024-03-03 00:00:00")), // back tie on date -> MAX orderkey
+      (14L, 3L, ts("2024-03-03 00:00:00")), // equidistant 2d/2d -> back wins
+      (15L, 5L, ts("2024-03-08 00:00:00")), // fwd tie on date -> MIN orderkey
+      (16L, 4L, ts("2024-03-03 00:00:00"))  // user with no orders -> dropped
+    ).toDF("event_id", "user_id", "ts")
+    val ord = Seq(
+      (1L, 100L, d("2024-03-01"), 10.0),
+      (1L, 101L, d("2024-03-03"), 20.0),
+      (2L, 200L, d("2024-03-02"), 30.0),
+      (2L, 201L, d("2024-03-02"), 40.0),
+      (3L, 300L, d("2024-03-01"), 50.0),
+      (3L, 301L, d("2024-03-05"), 60.0),
+      (5L, 500L, d("2024-03-10"), 70.0),
+      (5L, 501L, d("2024-03-10"), 80.0)
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = graft.ops.EventOps.asofNearestFrom(ev, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (10L, 101L, "fwd", 43200L),
+      (11L, 100L, "back", 0L),
+      (12L, 100L, "fwd", 2L * 86400L),
+      (13L, 201L, "back", 86400L),
+      (14L, 300L, "back", 2L * 86400L),
+      (15L, 500L, "fwd", 2L * 86400L)))
+  }
+
   test("asofJoinFrom: hot key (1 user x 10k events x 10k orders) stays linear, no fanout") {
     // the pre-round-11 equi-join+max_by plan materializes 10^8 intermediate
     // rows on this fixture; the union+ordered-window plan sorts 20k rows.

@@ -56,7 +56,9 @@ class LedgerSpec extends AnyFunSuite {
     ("ops/Relational.scala", "bomRollup") ->
       ("initial + per-round 1-row frontier count is the recursion's termination test", 2),
     ("ops/SourceOps.scala", "binaryFiles") ->
-      ("bounded 5-row region dim read to stage binary fixtures", 1))
+      ("bounded 5-row region dim read to stage binary fixtures", 1),
+    ("ops/SourceOps.scala", "excelRoundtrip") ->
+      ("upload-sized customer read to stage the .xlsx fixture (format caps at 2^20 rows)", 1))
 
   private val actionPattern =
     raw"\.collect\(\)|\.head\(\)|\.count\(\)|\.first\(\)|\.toLocalIterator".r
