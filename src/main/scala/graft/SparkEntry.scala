@@ -26,6 +26,7 @@ object SparkEntry {
     "q_scan_project" -> (Relational.scanProject _),
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
     "q_excel_roundtrip" -> (SourceOps.excelRoundtrip _),
+    "q_avro_roundtrip" -> (SourceOps.avroRoundtrip _),
     "q_json_roundtrip" -> (SourceOps.jsonRoundtrip _),
     "q_orc_roundtrip" -> (SourceOps.orcRoundtrip _),
     "q_text_source" -> (SourceOps.textSource _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "q_doc_shards" -> (TextOps.docShards _),
     "q_bucket_join" -> (BucketOps.bucketJoin _),
     "q_bloom_join" -> (RuntimeFilterOps.bloomJoin _),
+    "q_dpp_join" -> (RuntimeFilterOps.dppJoin _),
     "q_regression" -> (Relational.regression _),
     "q_histogram_eqdepth" -> (Relational.histogramEqDepth _),
     "q_inverted_index" -> (TextOps.invertedIndex _),
@@ -504,6 +506,10 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_cust,
         |  round(sum(c_acctbal), 4) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_avro_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -2094,6 +2100,12 @@ object SparkEntry {
         |  round(o_totalprice, 4) AS o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""".stripMargin,
+    // q_dpp_join's oracle is the STATIC day rule: the dynamically-pruned
+    // star join must reproduce exactly what a fact-side predicate computes
+    "q_dpp_join" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events WHERE day(CAST(ts AS DATE)) % 7 = 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_regression" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

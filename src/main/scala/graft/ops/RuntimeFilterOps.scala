@@ -92,4 +92,31 @@ object RuntimeFilterOps {
         round(col("o_totalprice"), 4).as("o_totalprice"))
       .orderBy("o_orderkey")
   }
+
+  /** Dynamic partition pruning — the PARTITION-level sibling of
+    * [[bloomSemiFilter]]'s row-level prune, and the built-in feature that
+    * makes a 100 TB star join feasible when the selective predicate lives
+    * on the DIM side: the fact is partitioned by `day`, the calendar dim
+    * carries the `is_campaign` filter, and Catalyst plants a
+    * `dynamicpruning` subquery on the fact scan's PartitionFilters — the
+    * dim's surviving days are computed first (reusing its broadcast) and
+    * only those partition DIRECTORIES are listed and read. Static pruning
+    * (`SourceOps.partitionPrune`) needs the predicate on the fact's own
+    * column; DPP covers the join-shaped case every star schema actually
+    * has. Declared result = the same aggregate the static day rule
+    * computes (the oracle), so pruning is proven to change IO, not
+    * answers; the plan pin lives in SinkSpec. */
+  def dppJoin(spark: SparkSession, sf: String): DataFrame = {
+    val fact = spark.read.parquet(SourceOps.eventsDayDir(spark, sf))
+    // calendar dim built from a range (NOT from the fact — a real date dim
+    // table): campaign days are a pure day-of-month rule so the DuckDB
+    // oracle reproduces membership without seeing the dim
+    val dim = spark.range(0, 1095).select(
+        date_add(lit("2023-06-01").cast("date"), col("id").cast("int")).as("day"))
+      .withColumn("is_campaign", dayofmonth(col("day")) % 7 === 3)
+    fact.join(dim.filter(col("is_campaign")), Seq("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
 }

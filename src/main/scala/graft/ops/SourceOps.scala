@@ -11,11 +11,11 @@ import graft.sources.Tables
   * aggregated so the oracle can check the result against the original
   * parquet. Lossless round-trip ⇒ identical aggregates.
   *
-  * Environment note: spark-avro's datasource jar is absent from
-  * /opt/spark/jars (only core avro-*), so Avro is a documented environment
-  * gap — the read/write call shape would be identical to ORC. Excel,
-  * formerly the same kind of gap, is covered since round 11 by the
-  * self-contained [[graft.sources.Xlsx]] (no jar needed).
+  * Environment note: both former "jar gaps" are closed as of round 11 —
+  * Excel by the self-contained [[graft.sources.Xlsx]] (JDK zip + StAX, no
+  * jar needed) and Avro by the thin distributed [[graft.sources.Avro]]
+  * over the BUNDLED avro-core (spark-avro's datasource jar is absent, but
+  * avro-1.12.1.jar ships in /opt/spark/jars).
   */
 object SourceOps {
 
@@ -38,8 +38,8 @@ object SourceOps {
     * silently stale. */
   val stagedQueries: Seq[String] = Seq(
     "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
-    "q_excel_roundtrip",
-    "q_partition_prune", "q_schema_merge", "q_binary_files", "q_bucket_join",
+    "q_excel_roundtrip", "q_avro_roundtrip",
+    "q_partition_prune", "q_dpp_join", "q_schema_merge", "q_binary_files", "q_bucket_join",
     "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_dedup",
     "q_stream_window", "q_stream_running",
     // cheapest edges()-memo user: constructing it stages the shared graph
@@ -54,6 +54,16 @@ object SourceOps {
       tmp
     })
 
+  /** The day-partitioned events layout, staged once per sf — shared by
+    * [[partitionPrune]] (static pruning) and
+    * [[RuntimeFilterOps.dppJoin]] (dynamic pruning). */
+  private[graft] def eventsDayDir(spark: SparkSession, sf: String): String =
+    materialize(s"events_day_$sf") { d =>
+      EventOps.events(spark, sf)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(d)
+    }
+
   /** Partition-pruned day scan — the 100 TB `events` layout as a DECLARED
     * query, not just a plan test: stage the table day-partitioned (one-time,
     * memoized), then aggregate a single day. The day predicate binds as a
@@ -61,11 +71,7 @@ object SourceOps {
     * difference between reading 3 TB and 100 TB every morning. SinkSpec
     * asserts the pruned-partition count on the same layout. */
   def partitionPrune(spark: SparkSession, sf: String): DataFrame = {
-    val dir = materialize(s"events_day_$sf") { d =>
-      EventOps.events(spark, sf)
-        .withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(d)
-    }
+    val dir = eventsDayDir(spark, sf)
     spark.read.parquet(dir)
       .filter(col("day") === lit("2024-01-03").cast("date"))
       .groupBy("event_type")
@@ -149,6 +155,30 @@ object SourceOps {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("sum_bal"))
       .orderBy("c_mktsegment")
+  }
+
+  /** Avro round-trip — closes the OTHER packaging gap (spark-avro's
+    * datasource jar is absent, but avro-core ships in /opt/spark/jars):
+    * the orders fact goes out as deflate-compressed Avro container files —
+    * one per Spark partition, written executor-side — and comes back
+    * through the distributed [[graft.sources.Avro]] reader (one task per
+    * file, declared schema, fields matched by name). Avro's binary
+    * encoding carries IEEE doubles bit-exactly, so the aggregate
+    * hash-matches the original parquet. */
+  def avroRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderpriority", StringType), StructField("o_totalprice", DoubleType)))
+    val dir = materialize(s"avro_$sf") { d =>
+      graft.sources.Avro.write(
+        Tables.load(spark, sf, "orders")
+          .select(schema.fields.toSeq.map(f => col(f.name)): _*), d)
+    }
+    graft.sources.Avro.read(spark, dir, schema)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("revenue"))
+      .orderBy("o_orderpriority")
   }
 
   /** JSON-lines round-trip: the interchange format of most LLM-data-pipeline

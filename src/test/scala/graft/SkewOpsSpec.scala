@@ -94,6 +94,23 @@ class SkewOpsSpec extends SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("dppJoin: the fact scan carries a dynamicpruning partition filter, result = static rule") {
+    val df = graft.ops.RuntimeFilterOps.dppJoin(spark, sf0001)
+    // the DPP subquery is planted at planning time on the partitioned scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter on the fact scan:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = graft.ops.EventOps.events(spark, sf0001)
+      .filter(dayofmonth(to_date(col("ts"))) % 7 === 3)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("skewAudit: shares sum below 1, ordered by weight, straggler factor >= 1") {
     val rows = graft.ops.SkewOps.skewAudit(spark, sf0001).collect()
     assert(rows.length == 10)
