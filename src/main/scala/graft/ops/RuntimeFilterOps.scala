@@ -110,9 +110,13 @@ object RuntimeFilterOps {
     val fact = spark.read.parquet(SourceOps.eventsDayDir(spark, sf))
     // calendar dim built from a range (NOT from the fact — a real date dim
     // table): campaign days are a pure day-of-month rule so the DuckDB
-    // oracle reproduces membership without seeing the dim
-    val dim = spark.range(0, 1095).select(
-        date_add(lit("2023-06-01").cast("date"), col("id").cast("int")).as("day"))
+    // oracle reproduces membership without seeing the dim. The span
+    // (2000–2054, 20k rows — still trivially broadcast) deliberately
+    // over-covers any fixture calendar, because the oracle carries NO
+    // range restriction: a fact day outside the dim would silently drop
+    // here while the oracle kept it.
+    val dim = spark.range(0, 20000).select(
+        date_add(lit("2000-01-01").cast("date"), col("id").cast("int")).as("day"))
       .withColumn("is_campaign", dayofmonth(col("day")) % 7 === 3)
     fact.join(dim.filter(col("is_campaign")), Seq("day"))
       .groupBy("event_type")
