@@ -161,6 +161,7 @@ object SparkEntry {
     "q_stream_attrib" -> (graft.streaming.StreamOps.streamAttrib _),
     "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
     "q_stream_running" -> (graft.streaming.StreamOps.streamRunning _),
+    "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_funnel" -> (EventOps.funnel _),
@@ -1766,6 +1767,19 @@ object SparkEntry {
         | AND epoch_us(b.ts) >= epoch_us(a.ts)
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS asof_date, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // the streamed foreachBatch as-of drain is batching-independent (each
+    // event's answer depends only on the static side), so its oracle is
+    // q_asof_join's verbatim
+    "q_stream_asof" ->
       """SELECT event_id, user_id, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS asof_date, o_totalprice
         |FROM (

@@ -41,7 +41,7 @@ object SourceOps {
     "q_excel_roundtrip", "q_avro_roundtrip",
     "q_partition_prune", "q_dpp_join", "q_schema_merge", "q_binary_files", "q_bucket_join",
     "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_dedup",
-    "q_stream_window", "q_stream_running",
+    "q_stream_window", "q_stream_running", "q_stream_asof",
     // cheapest edges()-memo user: constructing it stages the shared graph
     // edge table for the whole traversal family (GraphOps.edges scaladoc)
     "q_also_bought")

@@ -243,6 +243,50 @@ object StreamOps {
     events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
       .select(col("event_id"), col("user_id"), col("value"), col("c_mktsegment"))
 
+  /** Declared query for the STREAM-ENRICHMENT as-of tier (round 11): the
+    * event file stream drained through `foreachBatch`, each micro-batch
+    * as-of-joined — the same union + ordered-window core the batch
+    * `q_asof_join` runs — against the STATIC orders table. Each event's
+    * answer depends only on the static side, so the drained output is
+    * batching-independent and equals the batch as-of join exactly, which
+    * is why the DuckDB oracle is `q_asof_join`'s SQL verbatim: the whole
+    * streaming pipeline (file source → micro-batches → per-batch window →
+    * append sink) sits under the batch hash check. At 100 TB this is the
+    * standard "enrich the live stream against the warehouse" shape; the
+    * static side re-resolves per batch, so a slowly-changing orders table
+    * picks up new snapshots between batches (the [[enrichStream]] note). */
+  def streamAsof(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val inDir = graft.ops.SourceOps.materialize(s"stream_asof_in_$sf") { d =>
+      graft.ops.EventOps.events(spark, sf)
+        .select("event_id", "ts", "user_id")
+        .repartition(4).write.parquet(s"$d/in")
+    }
+    withRunDir("stream_asof_run_") { run =>
+      val ord = graft.sources.Tables.load(spark, sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$inDir/in").schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$run/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.ops.EventOps
+              .asofJoinFrom(batch.select("event_id", "user_id", "ts"), ord)
+              .write.mode("append").parquet(s"$run/out")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.read.parquet(s"$run/out")
+        .orderBy("event_id")
+        .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted on exit
+    }
+  }
+
   /** foreachBatch merge sink — the no-transactional-format upsert pattern:
     * each micro-batch appends its per-key latest rows to an immutable log
     * tagged with the batch id; [[latestState]] is the compaction view that

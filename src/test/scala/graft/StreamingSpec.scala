@@ -664,6 +664,16 @@ class StreamingSpec extends SparkSpec {
     assert(nUsersMultiEvent > 0, "fixture has no multi-event user; spec is vacuous")
   }
 
+  test("streamAsof: the foreachBatch as-of drain equals the batch as-of join") {
+    // batching-independence is the claim: each event's answer depends only
+    // on the static orders side, so HOWEVER the file source slices batches,
+    // the drained union equals the one-shot batch as-of
+    val got = graft.streaming.StreamOps.streamAsof(spark, sf0001).collect().toSeq
+    val want = graft.ops.EventOps.asofJoin(spark, sf0001).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   private def withRocksDb[A](body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
