@@ -463,4 +463,65 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"docs=${docs.map(_.mkString(" "))}")
     }
   }
+
+  test("as-of family == brute force on random relations (ties, misses, fractional seconds)") {
+    import java.sql.{Date, Timestamp}
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    // 8 seeded instances; each compares BOTH declared as-of semantics
+    // against a plain-Scala oracle over the same in-memory relations
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(1234L + seed)
+      val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val day = 86400000L
+      val nEv = 3 + rnd.nextInt(13)
+      val nOrd = rnd.nextInt(13) // may be 0: every event then drops
+      val events = (0 until nEv).map { i =>
+        val millis = base + rnd.nextInt(40) * day +
+          (if (rnd.nextBoolean()) 0L else rnd.nextInt(86400) * 1000L + (if (rnd.nextBoolean()) 500L else 0L))
+        (i.toLong, 1L + rnd.nextInt(3), new Timestamp(millis))
+      }
+      val orders = (0 until nOrd).map { i =>
+        // duplicate dates are likely (40-day span) → same-date tie-breaks fire
+        (1L + rnd.nextInt(3), 100L + i, new Date(base + rnd.nextInt(40) * day), rnd.nextInt(1000) / 10.0)
+      }
+      val evDf = events.toDF("event_id", "user_id", "ts")
+      val ordDf = orders.toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+      def floorSec(ms: Long) = Math.floorDiv(ms, 1000L)
+      // plain-Scala oracle
+      val expBack = events.flatMap { case (eid, u, ts) =>
+        val cand = orders.filter(o => o._1 == u && o._3.getTime <= ts.getTime)
+        if (cand.isEmpty) None
+        else {
+          val b = cand.maxBy(o => (o._3.getTime, o._2))
+          Some((eid, u, b._2, fmt.format(b._3), b._4))
+        }
+      }.sortBy(_._1)
+      val expNear = events.flatMap { case (eid, u, ts) =>
+        val mine = orders.filter(_._1 == u)
+        val back = mine.filter(_._3.getTime <= ts.getTime)
+          .sortBy(o => (o._3.getTime, o._2)).lastOption
+        val fwd = mine.filter(_._3.getTime > ts.getTime)
+          .sortBy(o => (o._3.getTime, o._2)).headOption
+        (back, fwd) match {
+          case (None, None) => None
+          case (b, f) =>
+            val backS = b.map(o => floorSec(ts.getTime) - floorSec(o._3.getTime))
+            val fwdS = f.map(o => floorSec(o._3.getTime) - floorSec(ts.getTime))
+            val takeBack = f.isEmpty || (b.nonEmpty && backS.get <= fwdS.get)
+            val (o, dir, gap) =
+              if (takeBack) (b.get, "back", backS.get) else (f.get, "fwd", fwdS.get)
+            Some((eid, u, o._2, dir, gap, o._4))
+        }
+      }.sortBy(_._1)
+
+      val gotBack = graft.ops.EventOps.asofJoinFrom(evDf, ordDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+      assert(gotBack == expBack, s"seed=$seed backward\nev=$events\nord=$orders")
+      val gotNear = graft.ops.EventOps.asofNearestFrom(evDf, ordDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getDouble(5))).toSeq
+      assert(gotNear == expNear, s"seed=$seed nearest\nev=$events\nord=$orders")
+    }
+  }
 }
