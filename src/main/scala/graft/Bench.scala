@@ -202,7 +202,7 @@ object Bench {
     val envelope: Option[String] =
       if (reps > 1) {
         val e = s"""{"reps":$reps,"min":${fmt3(sweepTotals.head)},"median":${fmt3(
-          sweepTotals(sweepTotals.size / 2))},"max":${fmt3(sweepTotals.last)},"note":"per-sweep totals; sweep 1 includes one-time memo builds"}"""
+          sweepTotals(sweepTotals.size / 2))},"max":${fmt3(sweepTotals.last)},"note":"per-sweep totals; sweep 1 includes one-time codegen JIT (all per-corpus artifacts pre-build untimed)"}"""
         try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_ENVELOPE.json"), e + "\n")
         catch { case ex: Throwable => System.err.println(s"[bench] envelope write failed: ${ex.getMessage}") }
         Some(e)
