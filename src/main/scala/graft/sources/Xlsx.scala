@@ -128,6 +128,9 @@ object Xlsx {
                 val v = cellType match {
                   case "s"         => shared(text.toString.trim.toInt)
                   case "inlineStr" => text.toString
+                  // booleans are stored as 0/1; surface them as the words
+                  // so BOTH boolean and string schema targets read sanely
+                  case "b"         => if (text.toString.trim == "1") "true" else "false"
                   case _           => text.toString
                 }
                 if (cur != null && v.nonEmpty) cur(cellCol) = v

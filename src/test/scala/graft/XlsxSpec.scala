@@ -83,6 +83,43 @@ class XlsxSpec extends SparkSpec {
     assert(got.toSeq == Seq((7L, "rich"), (8L, "sp ace")))
   }
 
+  test("foreign numeric/boolean cells: scientific notation and t=\"b\" flags") {
+    // Excel writers emit large doubles in scientific notation and booleans
+    // as t="b" 0/1 cells — neither shape our own writer produces
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_nb").toString
+    val path = s"$dir/nb.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    part("[Content_Types].xml",
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+      "</Types>")
+    part("_rels/.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      s"""<workbook xmlns="$m"><sheets><sheet name="S" sheetId="1"/></sheets></workbook>""")
+    part("xl/worksheets/sheet1.xml",
+      s"""<worksheet xmlns="$m"><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c>""" +
+      """<c r="B1" t="inlineStr"><is><t>ok</t></is></c></row>""" +
+      """<row r="2"><c r="A2"><v>1.5E8</v></c><c r="B2" t="b"><v>1</v></c></row>""" +
+      """<row r="3"><c r="A3"><v>-3.25e-2</v></c><c r="B3" t="b"><v>0</v></c></row>""" +
+      "</sheetData></worksheet>")
+    zos.close()
+    val s2 = StructType(Seq(StructField("x", DoubleType), StructField("ok", BooleanType)))
+    val got = Xlsx.read(spark, path, s2).orderBy(col("x").desc).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    assert(got.toSeq == Seq((1.5e8, true), (-0.0325, false)))
+  }
+
   test("declared schema is enforced: missing header field fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_m").toString
     val path = s"$dir/m.xlsx"
