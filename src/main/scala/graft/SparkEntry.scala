@@ -61,6 +61,7 @@ object SparkEntry {
     "q_pipe_sql" -> (Sql4Ops.pipeSql _),
     "q_collation" -> (Sql4Ops.collationCensus _),
     "q_sql_udf" -> (Sql4Ops.sqlUdfBands _),
+    "q_sql_table_udf" -> (Sql4Ops.sqlTableUdf _),
     "q_pivot" -> (Relational.pivotCounts _),
     "q_join_semi" -> (Relational.joinSemi _),
     "q_join_anti" -> (Relational.joinAnti _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "q_cms_freq" -> (EventOps.cmsFreq _),
     "q_monthly_median" -> (EventOps.monthlyMedian _),
     "q_kll_merge" -> (EventOps.kllMerge _),
+    "q_tdigest_merge" -> (EventOps.tdigestMerge _),
     "q_sketch_store" -> (EventOps.sketchStore _),
     "q_gap_fill" -> (EventOps.gapFill _),
     "q_window_frames" -> (EventOps.windowFrames _),
@@ -260,6 +262,7 @@ object SparkEntry {
     "q_dedup_chunk" -> (TextOps.dedupChunks _),
     "q_khop" -> (GraphOps.kHop _),
     "q_sssp" -> (GraphOps.sssp _),
+    "q_communities" -> (GraphOps.communities _),
     "q_also_bought" -> (GraphOps.alsoBought _),
     "q_lm_perplexity" -> (TextOps.lmPerplexity _),
     "q_semdedup" -> ((s, dir) => VectorOps.semDedup(s, dir)))
@@ -1055,6 +1058,17 @@ object SparkEntry {
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders WHERE o_totalprice > 50000.0
         |GROUP BY 1 ORDER BY band""".stripMargin,
+    // the table-function body inlined by hand: per-segment top-3 via a rank
+    // window — the classic SQL spelling of what the lateral TVF expresses
+    "q_sql_table_udf" ->
+      """SELECT seg, c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM (
+        |  SELECT c_mktsegment AS seg, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3
+        |ORDER BY seg, c_acctbal DESC, c_custkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
@@ -2760,6 +2774,7 @@ object SparkEntry {
          |SELECT dist, count(*) AS n_nodes
          |FROM (SELECT node, min(dist) AS dist FROM r GROUP BY node) m
          |GROUP BY dist ORDER BY dist""".stripMargin,
+    "q_communities" -> lpaSql,
     "q_also_bought" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |deg AS (SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS orders
@@ -2825,6 +2840,37 @@ object SparkEntry {
         |    AS mean_winsor
         |FROM lineitem JOIN b USING (l_returnflag)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  /** DuckDB twin of [[GraphOps.communities]]: the same [[GraphOps.LpaRounds]]
+    * synchronous label-propagation vote rounds mechanically unrolled as CTEs
+    * (the bounded-recursion discipline of the khop/bpe oracles — rounds and
+    * top-k interpolated from the GraphOps constants so an edit cannot desync
+    * oracle and implementation). Each round: count neighbor+self labels per
+    * node, keep the (count desc, label asc) winner via row_number — the SQL
+    * spelling of the Spark side's `max_by(label, (cnt, -label))`. */
+  private def lpaSql: String = {
+    val rounds = (1 to GraphOps.LpaRounds).map { r =>
+      s"""l$r AS (SELECT src AS node, label FROM (
+         |  SELECT src, label,
+         |    row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+         |  FROM (SELECT ws.src, l.label, count(*) AS cnt
+         |    FROM ws JOIN l${r - 1} l ON l.node = ws.dst GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dir AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM dir),
+       |ws AS (SELECT src, dst FROM dir UNION ALL SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds
+       |SELECT label AS community, count(*) AS n_members
+       |FROM l${GraphOps.LpaRounds}
+       |GROUP BY 1 ORDER BY n_members DESC, community
+       |LIMIT ${GraphOps.LpaTopK}""".stripMargin
+  }
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit
     * Morton interleave, generated from the same loop so the bit layout

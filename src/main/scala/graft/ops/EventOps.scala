@@ -719,6 +719,36 @@ object EventOps {
       .orderBy("month")
   }
 
+  /** t-digest tail-quantile rollup — [[kllMerge]]'s discipline (per-day
+    * blobs, monthly merge, no fact rescan) carried by the TAIL-accurate
+    * sketch: per-day t-digest(200) blobs over `value`
+    * (`TDigestFunctions.td_sketch_agg`, DataSketches), monthly
+    * `td_union_agg` merge, and the month's p50/p99 read off the merged
+    * digest — the latency-SLO shape, where the reported quantile lives in
+    * the tail KLL's uniform ±1.65% rank error is weakest at and the
+    * t-digest's scale function is strongest at (its centroid resolution
+    * grows toward the extremes, ~1 KB blob vs KLL's ~5 KB). `max_val`
+    * rides along because the digest tracks the exact maximum — a
+    * deterministic cross-check in an otherwise order-dependent sketch.
+    * Declared no-oracle (centroid merging is input-order dependent); the
+    * contract is rank-error bounds vs the exact twin [[monthlyMedian]]
+    * (EventOpsSpec "tdigestMerge"). */
+  def tdigestMerge(spark: SparkSession, sf: String): DataFrame = {
+    import graft.functions.TDigestFunctions._
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(td_sketch_agg(col("value")).as("sk"))
+    daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(td_union_agg(col("sk")).as("mk"), count(lit(1)).as("n_days"))
+      .select(col("month"),
+        round(td_quantile(col("mk"), 0.5), 4).as("p50_est"),
+        round(td_quantile(col("mk"), 0.99), 4).as("p99_est"),
+        round(td_quantile(col("mk"), 1.0), 4).as("max_val"),
+        col("n_days"))
+      .orderBy("month")
+  }
+
   /** The LITERAL sketch store — [[hllMerge]]/[[kllMerge]] demonstrate the
     * merge algebra in-plan; THIS persists the per-day blob table (day,
     * HLL blob, KLL blob, row count) to parquet ONCE (SourceOps staging

@@ -342,6 +342,64 @@ object GraphOps {
     dist
   }
 
+  /** Synchronous vote rounds in [[communities]] — fixed so the DuckDB
+    * oracle can unroll them as materialized CTEs (the [[kHop]]/bpe-merges
+    * bounded-recursion discipline). */
+  val LpaRounds = 4
+
+  /** Community sizes reported by [[communities]]. */
+  val LpaTopK = 20
+
+  /** Community detection via synchronous label propagation (Raghavan et
+    * al., Phys. Rev. E 76, 2007) over the co-purchase graph: every node
+    * starts labeled with its own key, and each round adopts the most
+    * frequent label among its neighbors plus ITSELF (the self-vote damps
+    * the 2-coloring oscillation plain synchronous LPA is prone to), ties
+    * broken toward the smallest label. [[LpaRounds]] fixed rounds with a
+    * deterministic tie-break make the result exactly reproducible — the
+    * property that lets a DuckDB oracle value-check a community algorithm
+    * most engines can only smoke-test — and the declared query reports
+    * the [[LpaTopK]] largest communities. LPA is the community detector
+    * that survives 100 TB where modularity methods (Louvain) don't
+    * shard: per round it is ONE equi-join of the node-sized label table
+    * against the standing edge list (guarded broadcast, the
+    * [[pageRank]] rank-table discipline) and two map-side-combined
+    * aggregations whose shuffle volume is bounded by Σ deg = 2m — no
+    * global modularity state, no sequential vertex sweeps.
+    * `localCheckpoint` per round keeps the iterated plan flat (the
+    * dup-clusters lineage lesson). The per-node argmax is a single
+    * `max_by(label, (cnt, -label))` — highest count, then smallest
+    * label — instead of a rank window, so round state never needs a
+    * per-node sort, only a combinable max. */
+  def communities(spark: SparkSession, sf: String): DataFrame = {
+    val e = edges(spark, sf)
+    val dir = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val nodes = dir.select(col("src").as("node")).distinct()
+    // self-vote = one extra (node, node) edge per node
+    val votesTo = dir
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .persist()
+    val n = votesTo.select(count_distinct(col("src"))).head().getLong(0)
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (n <= broadcastMaxEdges(spark)) broadcast else identity
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      labels = votesTo
+        .join(maybeBroadcast(labels), labels("node") === votesTo("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    votesTo.unpersist()
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(LpaTopK)
+  }
+
   /** Neighbors reported per target part in [[alsoBought]]. */
   val AlsoBoughtK = 3
 

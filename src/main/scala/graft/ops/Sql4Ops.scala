@@ -110,6 +110,46 @@ object Sql4Ops {
     * how shared business logic (banding rules, thresholds) is centralized
     * across a warehouse's queries without shipping jars. The oracle inlines
     * both by hand; matching output proves the inlining semantics. */
+  /** SQL-body TABLE function (SPARK-46246's table half, `RETURNS TABLE`)
+    * applied LATERALLY: `s4_top_spenders(seg)` — top-3 customers by
+    * account balance in one market segment — is declared once and joined
+    * laterally against the distinct-segment dim, the reusable-parameterized-
+    * report shape (one vetted definition, many correlated invocations).
+    * The analyzer's `ResolveSQLTableFunctions` rewrites each call into a
+    * correlated lateral subquery and then plain operators — the executed
+    * plan is the same per-segment top-k window/join tree a hand-written
+    * query gets (no black-box UDTF row-at-a-time iterator anywhere), so
+    * broadcast, pushdown, and codegen all still apply; the spec pins
+    * equality with the DataFrame window form, and the oracle inlines the
+    * function by hand. At 100 TB the segment dim stays dim-sized and each
+    * invocation is the rank-pruned per-group top-k, not a fact re-scan per
+    * call.
+    *
+    * Engine caveat (measured on 4.1.2, probe in this round's PLANS note):
+    * an `ORDER BY … LIMIT n` TVF body decorrelates WRONG under a lateral
+    * call — the limit is applied before the correlated equality joins back,
+    * returning the global top-n instead of the per-invocation top-n (a
+    * plain lateral SUBQUERY with the same body is planned correctly). The
+    * body below therefore uses the `row_number() ≤ n` window spelling,
+    * which inlines correctly — and is the same plan the decorrelator would
+    * have produced. */
+  def sqlTableUdf(spark: SparkSession, sf: String): DataFrame = {
+    val c = view(spark, sf, "customer")
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY FUNCTION s4_top_spenders(seg STRING)
+      RETURNS TABLE(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+      RETURN SELECT c_custkey, c_name, c_acctbal
+             FROM (SELECT c_custkey, c_name, c_acctbal,
+                     row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+                   FROM $c WHERE c_mktsegment = seg)
+             WHERE rn <= 3""")
+    spark.sql(s"""
+      SELECT s.seg, t.c_custkey, t.c_name, round(t.c_acctbal, 4) AS c_acctbal
+      FROM (SELECT DISTINCT c_mktsegment AS seg FROM $c) s,
+           LATERAL s4_top_spenders(s.seg) t
+      ORDER BY seg, c_acctbal DESC, c_custkey""")
+  }
+
   def sqlUdfBands(spark: SparkSession, sf: String): DataFrame = {
     val o = view(spark, sf, "orders")
     spark.sql("DECLARE OR REPLACE s4_floor DOUBLE DEFAULT 50000.0")

@@ -52,6 +52,7 @@ class ContractSmokeSpec extends SparkSpec {
     "q_heavy_hitters" -> "q_ngram_top",
     "q_hll_merge" -> "q_monthly_uniques",
     "q_kll_merge" -> "q_monthly_median",
+    "q_tdigest_merge" -> "q_monthly_median",
     "q_ks_drift_sketch" -> "q_ks_drift",
     "q_sketch_store" -> "q_monthly_uniques",
     "q_cms_freq" -> "q_user_freq")

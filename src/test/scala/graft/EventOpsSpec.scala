@@ -416,6 +416,59 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 90003.0) < 4000, s"p90 ${r.getDouble(1)}")
   }
 
+  test("tdigestMerge: merged daily digests answer quantiles in bounds, max exactly") {
+    // t-digest centroid merging is input-order dependent (like KLL's
+    // randomized compaction), so the contract is rank error vs the exact
+    // twin: ±5% at the median (same slack as kllMerge), ±1% at p99 — the
+    // tail is where the t-digest's scale function concentrates resolution,
+    // so the TIGHTER tail bound is the point of the sketch. The digest's
+    // maximum is tracked exactly, so max_val must EQUAL the true month max.
+    val est = graft.ops.EventOps.tdigestMerge(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(est.nonEmpty && est.forall(_._5 > 0))
+    val vals = monthValues(sf001)
+    def rankOf(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    assert(est.map(_._1).toSet == vals.keySet)
+    est.foreach { case (m, p50, p99, mx, _) =>
+      val s = vals(m)
+      assert(math.abs(rankOf(s, p50) - 0.5) <= 0.05,
+        s"$m: p50 est $p50 has true rank ${rankOf(s, p50)}")
+      assert(math.abs(rankOf(s, p99) - 0.99) <= 0.01,
+        s"$m: p99 est $p99 has true rank ${rankOf(s, p99)}")
+      // max_val is round(true max, 4) — compare within rounding radius
+      assert(math.abs(mx - s.last) <= 5e-5,
+        s"$m: max_val $mx vs true max ${s.last}")
+    }
+    // and the oracled exact twin covers the same months (the pairing the
+    // no-oracle ledger in ContractSmokeSpec records)
+    val exactMonths = graft.ops.EventOps.monthlyMedian(spark, sf001).collect()
+      .map(_.getDate(0).toString).toSet
+    assert(exactMonths == est.map(_._1).toSet)
+  }
+
+  test("td aggregates: 97-group union over 8 partitions, tail ranks tighter than bulk") {
+    // same serialize/merge hardening shape as the KLL 97-group case, plus
+    // the t-digest's own claim: the p999 estimate's rank error must come in
+    // far under the bulk envelope
+    import graft.functions.TDigestFunctions._
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(100000).repartition(8)
+      .select((col("id") % 97).as("g"),
+        ((col("id") * 7) % 100003).cast("double").as("v"))
+    val r = df.groupBy("g").agg(td_sketch_agg(col("v")).as("sk"))
+      .agg(td_quantile(td_union_agg(col("sk")), 0.5).as("med"),
+        td_quantile(td_union_agg(col("sk")), 0.999).as("p999"),
+        td_rank(td_union_agg(col("sk")), lit(50001.0)).as("rank_mid"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 50001.0) < 4000, s"median ${r.getDouble(0)}")
+    // true p999 of (id*7) % 100003 over 100k ids ≈ 99903; tail rank error
+    // at k=200 is ~1e-4 ⇒ ±~10 ranks ⇒ ±~10 in value; ±200 is generous
+    assert(math.abs(r.getDouble(1) - 99903.0) < 200, s"p999 ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.04, s"rank_mid ${r.getDouble(2)}")
+  }
+
   test("cmsFreq: merged daily blobs == direct month sketch, bounds hold vs exact twin") {
     import graft.functions.CmsFunctions._
     val est = graft.ops.EventOps.cmsFreq(spark, sf001).collect()

@@ -185,4 +185,34 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(byDist.getOrElse(0L, 0L) == nSeeds)
     assert(byDist.keys.forall(d => d >= 0L && d <= GraphOps.SsspHops * 5L))
   }
+
+  test("communities: two disjoint cliques each collapse to their min-key label") {
+    import spark.implicits._
+    // K4 on parts 1-4 (one 4-item order) + K3 on parts 10-12: round 1 every
+    // node's vote set is all-distinct labels, so the min-label tie-break
+    // hands each clique its smallest key; later rounds are stable
+    val li = (Seq(1L, 2L, 3L, 4L).map((100L, _)) ++ Seq(10L, 11L, 12L).map((200L, _)))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lpa_cliques"
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.communities(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 10L -> 3L), s"got $got")
+  }
+
+  test("communities: the self-vote damps the 4-cycle 2-coloring oscillation") {
+    import spark.implicits._
+    // C4: 1-2, 2-3, 3-4, 4-1. Without the self-vote synchronous LPA
+    // oscillates between the two bipartition colorings forever; with it the
+    // min label wins a strict majority by round 3 and the cycle is ONE
+    // community of 4 at the fixed round count
+    val li = Seq((100L, 1L), (100L, 2L), (200L, 2L), (200L, 3L),
+      (300L, 3L), (300L, 4L), (400L, 4L), (400L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lpa_cycle"
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.communities(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L), s"got $got")
+  }
 }

@@ -51,6 +51,8 @@ class LedgerSpec extends AnyFunSuite {
       ("1-row triangle-count scalar (the metric itself is one number)", 1),
     ("ops/GraphOps.scala", "kHop") ->
       ("1-row node-count scalar drives the frontier broadcast guard", 1),
+    ("ops/GraphOps.scala", "communities") ->
+      ("1-row node-count scalar drives the label-state broadcast guard", 1),
     ("ops/GraphOps.scala", "ssspFrom") ->
       ("1-row node-count scalar drives the distance-state broadcast guard", 1),
     ("ops/Relational.scala", "bomRollup") ->

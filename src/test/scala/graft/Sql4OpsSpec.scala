@@ -70,4 +70,28 @@ class Sql4OpsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("ScalaUDF"), s"SQL UDF was not inlined:\n$plan")
   }
+
+  test("SQL table function equals the DataFrame per-segment top-k window form") {
+    import org.apache.spark.sql.expressions.Window
+    val tvf = Sql4Ops.sqlTableUdf(spark, sf0001).collect().toSeq
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val window = graft.sources.Tables.load(spark, sf0001, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 4).as("c_acctbal"))
+      .orderBy(col("seg"), col("c_acctbal").desc, col("c_custkey"))
+      .collect().toSeq
+    assert(tvf == window)
+    assert(tvf.size >= 3) // at least one segment's full top-3
+  }
+
+  test("SQL table function resolves to plain operators: no unresolved TVF, no ScalaUDF") {
+    val plan = Sql4Ops.sqlTableUdf(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"table UDF left a black-box UDF:\n$plan")
+    assert(!plan.contains("SQLTableFunction"),
+      s"table UDF was not rewritten to plain operators:\n$plan")
+  }
 }
