@@ -263,6 +263,7 @@ object SparkEntry {
     "q_khop" -> (GraphOps.kHop _),
     "q_sssp" -> (GraphOps.sssp _),
     "q_communities" -> (GraphOps.communities _),
+    "q_kcore" -> (GraphOps.kcore _),
     "q_also_bought" -> (GraphOps.alsoBought _),
     "q_lm_perplexity" -> (TextOps.lmPerplexity _),
     "q_semdedup" -> ((s, dir) => VectorOps.semDedup(s, dir)))
@@ -2775,6 +2776,7 @@ object SparkEntry {
          |FROM (SELECT node, min(dist) AS dist FROM r GROUP BY node) m
          |GROUP BY dist ORDER BY dist""".stripMargin,
     "q_communities" -> lpaSql,
+    "q_kcore" -> kcoreSql,
     "q_also_bought" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |deg AS (SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS orders
@@ -2870,6 +2872,38 @@ object SparkEntry {
        |FROM l${GraphOps.LpaRounds}
        |GROUP BY 1 ORDER BY n_members DESC, community
        |LIMIT ${GraphOps.LpaTopK}""".stripMargin
+  }
+
+  /** DuckDB twin of [[GraphOps.kcore]]: the same [[GraphOps.KCoreRounds]]
+    * peel rounds unrolled as CTEs, with the identical integer-arithmetic
+    * threshold k = 2E//N + 1 derived from the data in-query — both engines
+    * compute k, the survivor sets, and the census from first principles. */
+  private def kcoreSql: String = {
+    val rounds = (1 to GraphOps.KCoreRounds).map { r =>
+      s"""n$r AS (SELECT src AS node FROM e${r - 1}
+         |  GROUP BY src HAVING count(*) >= (SELECT k FROM kv)),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN n$r a ON e.src = a.node JOIN n$r b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    val census = (1 to GraphOps.KCoreRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT count(*) FROM n$r) AS n_nodes,
+         |  (SELECT count(*) // 2 FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |kv AS (SELECT count(*) // (SELECT count(DISTINCT src) FROM e0) + 1 AS k
+       |  FROM e0),
+       |$rounds
+       |SELECT CAST(0 AS BIGINT) AS round,
+       |  (SELECT count(DISTINCT src) FROM e0) AS n_nodes,
+       |  (SELECT count(*) // 2 FROM e0) AS n_edges
+       |UNION ALL
+       |$census
+       |ORDER BY round""".stripMargin
   }
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit

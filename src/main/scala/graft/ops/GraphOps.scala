@@ -400,6 +400,57 @@ object GraphOps {
       .limit(LpaTopK)
   }
 
+  /** Peel rounds in [[kcore]] — fixed so the DuckDB oracle can unroll them
+    * (the same bounded-iteration contract as [[kHop]]/[[communities]]). */
+  val KCoreRounds = 4
+
+  /** Bounded k-core peeling census (Seidman 1983; distributed peeling à la
+    * Montresor et al. 2013): repeatedly delete nodes of degree < k, where
+    * k = ⌊2E/N⌋ + 1 — one above the initial average degree, computed with
+    * INTEGER arithmetic so both engines derive the identical threshold from
+    * the data and the query self-adapts across scales (a fixed absolute k
+    * is meaningless on a co-purchase graph whose density grows with sf).
+    * Reports (round, n_nodes, n_edges) after each of [[KCoreRounds]] peels,
+    * round 0 = the initial graph — the densification census that shows how
+    * much of the graph survives each peel and whether the fixpoint was
+    * reached (consecutive equal rows). Deterministic by construction, so
+    * the oracle VALUE-checks it with mechanically unrolled peel rounds.
+    * Per round: one degree aggregation (shuffle ≤ Σ deg with map-side
+    * combine) and two semi-joins of the edge list against the node-sized
+    * survivor set (guarded broadcast, the family discipline; past the
+    * threshold they become hash joins reusing the edge list's
+    * partitioning); `localCheckpoint` per round keeps lineage flat. The
+    * census rows are LAZY 1-row aggregates unioned at the end — no
+    * per-round driver action, only the one k/N probe. */
+  def kcore(spark: SparkSession, sf: String): DataFrame = {
+    val e = edges(spark, sf)
+    var cur = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint()
+    // one probe returns N and 2E: k = 2E/N + 1 and the broadcast guard
+    val probe = cur.agg(count_distinct(col("src")), count(lit(1))).head()
+    val (n, twoE) = (probe.getLong(0), probe.getLong(1))
+    val k = twoE / n + 1
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (n <= broadcastMaxEdges(spark)) broadcast else identity
+    var census = Seq(
+      spark.range(1).select(lit(0L).as("round"), lit(n).as("n_nodes"),
+        lit(twoE / 2).as("n_edges")))
+    for (r <- 1 to KCoreRounds) {
+      val surv = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+        .localCheckpoint()
+      cur = cur
+        .join(maybeBroadcast(surv.select(col("node").as("src"))), Seq("src"), "left_semi")
+        .join(maybeBroadcast(surv.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      census = census :+ surv.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(cur.agg((count(lit(1)) / lit(2)).cast("long").as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    census.reduce(_ unionAll _).orderBy("round")
+  }
+
   /** Neighbors reported per target part in [[alsoBought]]. */
   val AlsoBoughtK = 3
 

@@ -200,6 +200,22 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(got == Map(1L -> 4L, 10L -> 3L), s"got $got")
   }
 
+  test("kcore: peel census matches the hand trace and reaches its fixpoint") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 on 3 + isolated pair {5,6}:
+    // N=6, E=5 ⇒ k = 2·5/6 + 1 = 2. Peel 1 drops the degree-1 nodes
+    // {4,5,6} → the triangle (3 nodes, 3 edges); every later round is the
+    // fixpoint — consecutive equal rows prove peeling idempotence
+    val li = Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 3L), (200L, 4L),
+      (300L, 5L), (300L, 6L)).toDF("l_orderkey", "l_partkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_kcore_fixture"
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.kcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (0L, 6L, 5L) +: (1L to GraphOps.KCoreRounds.toLong).map(r => (r, 3L, 3L))
+    assert(got == want, s"got $got")
+  }
+
   test("communities: the self-vote damps the 4-cycle 2-coloring oscillation") {
     import spark.implicits._
     // C4: 1-2, 2-3, 3-4, 4-1. Without the self-vote synchronous LPA
