@@ -27,6 +27,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
     "q_excel_roundtrip" -> (SourceOps.excelRoundtrip _),
     "q_avro_roundtrip" -> (SourceOps.avroRoundtrip _),
+    "q_jdbc_roundtrip" -> (SourceOps.jdbcRoundtrip _),
     "q_json_roundtrip" -> (SourceOps.jsonRoundtrip _),
     "q_orc_roundtrip" -> (SourceOps.orcRoundtrip _),
     "q_text_source" -> (SourceOps.textSource _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "q_collation" -> (Sql4Ops.collationCensus _),
     "q_sql_udf" -> (Sql4Ops.sqlUdfBands _),
     "q_sql_table_udf" -> (Sql4Ops.sqlTableUdf _),
+    "q_sql_script" -> (Sql4Ops.sqlScript _),
     "q_pivot" -> (Relational.pivotCounts _),
     "q_join_semi" -> (Relational.joinSemi _),
     "q_join_anti" -> (Relational.joinAnti _),
@@ -264,6 +266,7 @@ object SparkEntry {
     "q_sssp" -> (GraphOps.sssp _),
     "q_communities" -> (GraphOps.communities _),
     "q_kcore" -> (GraphOps.kcore _),
+    "q_link_predict" -> (GraphOps.linkPredict _),
     "q_also_bought" -> (GraphOps.alsoBought _),
     "q_lm_perplexity" -> (TextOps.lmPerplexity _),
     "q_semdedup" -> ((s, dir) => VectorOps.semDedup(s, dir)))
@@ -515,6 +518,14 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 4) AS revenue
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the JDBC write->partitioned-read cycle through embedded Derby is
+    // lossless (VARCHAR + IEEE DOUBLE), so the filtered aggregate equals
+    // the same aggregate over the original parquet
+    "q_jdbc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 4) AS sum_bal
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1070,6 +1081,15 @@ object SparkEntry {
         |  FROM customer)
         |WHERE rn <= 3
         |ORDER BY seg, c_acctbal DESC, c_custkey""".stripMargin,
+    // the WHILE sweep flattened: the same thresholds from a range lateral
+    "q_sql_script" ->
+      s"""SELECT CAST(k * ${Sql4Ops.ScriptStep} AS BIGINT) AS threshold,
+         |  (SELECT count(*) FROM orders
+         |   WHERE o_totalprice > k * ${Sql4Ops.ScriptStep}) AS n_orders,
+         |  (SELECT round(coalesce(sum(o_totalprice), 0.0), 4) FROM orders
+         |   WHERE o_totalprice > k * ${Sql4Ops.ScriptStep}) AS revenue
+         |FROM range(1, ${Sql4Ops.ScriptSteps} + 1) t(k)
+         |ORDER BY threshold""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
@@ -2777,6 +2797,23 @@ object SparkEntry {
          |GROUP BY dist ORDER BY dist""".stripMargin,
     "q_communities" -> lpaSql,
     "q_kcore" -> kcoreSql,
+    "q_link_predict" ->
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |adj AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
+         |c AS (SELECT w, 1.0 / ln(count(*)) AS wt FROM adj GROUP BY w
+         |  HAVING count(*) BETWEEN 2 AND ${GraphOps.LinkPredDegCap}),
+         |nb AS (SELECT adj.w, adj.x, c.wt FROM adj JOIN c USING (w)),
+         |s AS (SELECT a.x AS u, b.x AS v, count(*) AS n_common,
+         |    round(sum(a.wt), 4) AS aa_score
+         |  FROM nb a JOIN nb b ON a.w = b.w AND a.x < b.x
+         |  GROUP BY 1, 2)
+         |SELECT u, v, n_common, aa_score
+         |FROM s ANTI JOIN e ON s.u = e.u AND s.v = e.v
+         |ORDER BY aa_score DESC, u, v LIMIT ${GraphOps.LinkPredTopK}""".stripMargin,
     "q_also_bought" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |deg AS (SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS orders

@@ -150,6 +150,53 @@ object Sql4Ops {
       ORDER BY seg, c_acctbal DESC, c_custkey""")
   }
 
+  /** Threshold sweep steps in [[sqlScript]] — interpolated into BOTH the
+    * script and the DuckDB oracle so the loop bound cannot drift. */
+  val ScriptSteps = 5
+
+  /** Threshold increment per step in [[sqlScript]]. */
+  val ScriptStep = 100000L
+
+  /** SQL scripting (SPARK-48338, Spark 4's procedural front door): a
+    * `BEGIN … END` compound with local `DECLARE`d variables and a `WHILE`
+    * loop sweeping [[ScriptSteps]] revenue thresholds, each iteration
+    * folding one aggregate row into an ARRAY<STRUCT> accumulator via
+    * `SET var = (scalar subquery)`; the final statement explodes the
+    * accumulator back to rows, and a script's RESULT is its last
+    * statement's result — so the whole control-flow construct sits under
+    * the DuckDB hash check (oracle: the same sweep as a lateral over
+    * `range(1, steps+1)`). This is the migration path for stored-procedure
+    * logic (parameter sweeps, retry loops, conditional DDL) that
+    * previously forced a driver program. Scale note: control flow runs on
+    * the DRIVER — each iteration plans one ordinary aggregate (here a
+    * single map-combined scan term), so the loop adds scheduling constant,
+    * not data volume; the empty top threshold exercises the empty-guard
+    * (`coalesce(sum, 0)`) the reference's A7 demands. */
+  def sqlScript(spark: SparkSession, sf: String): DataFrame = {
+    val o = view(spark, sf, "orders")
+    val key = "spark.sql.scripting.enabled"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      spark.sql(s"""
+        BEGIN
+          DECLARE k INT DEFAULT 1;
+          DECLARE acc ARRAY<STRUCT<threshold: BIGINT, n_orders: BIGINT,
+            revenue: DOUBLE>> DEFAULT array();
+          WHILE k <= $ScriptSteps DO
+            SET acc = (SELECT array_append(acc, named_struct(
+                'threshold', CAST(k * $ScriptStep AS BIGINT),
+                'n_orders', count(*),
+                'revenue', round(coalesce(sum(o_totalprice), 0.0), 4)))
+              FROM $o WHERE o_totalprice > k * $ScriptStep);
+            SET k = k + 1;
+          END WHILE;
+          SELECT r.threshold, r.n_orders, r.revenue
+          FROM (SELECT explode(acc) AS r) ORDER BY r.threshold;
+        END""")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   def sqlUdfBands(spark: SparkSession, sf: String): DataFrame = {
     val o = view(spark, sf, "orders")
     spark.sql("DECLARE OR REPLACE s4_floor DOUBLE DEFAULT 50000.0")

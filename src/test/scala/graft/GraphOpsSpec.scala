@@ -216,6 +216,28 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(got == want, s"got $got")
   }
 
+  test("linkPredict: Adamic-Adar hand trace on the square, hub center capped out") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus hub 100 adjacent to 1, 3 and 66 pendants:
+    // deg(100) = 68 > cap ⇒ it centers NO wedge, so (1,3) keeps its
+    // two-center score 2/ln2 = 2.8854 (an uncapped run would add 1/ln68);
+    // nodes 1 and 3 gain degree 3, so their centered pairs score 1/ln3 each
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 100L), (3L, 100L))
+    val hub = (0 until 66).map(i => (100L, 200L + i))
+    val li = (square ++ hub).zipWithIndex.flatMap { case ((u, v), o) =>
+      Seq((o.toLong, u), (o.toLong, v))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_linkpred_fixture"
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.linkPredict(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = Seq(
+      (1L, 3L, 2L, 2.8854),  // centers 2 and 4 (deg 2): 2/ln2; hub capped out
+      (2L, 4L, 2L, 1.8205),  // centers 1 and 3 (deg 3): 2/ln3
+      (2L, 100L, 2L, 1.8205), (4L, 100L, 2L, 1.8205))
+    assert(got == want, s"got $got")
+  }
+
   test("communities: the self-vote damps the 4-cycle 2-coloring oscillation") {
     import spark.implicits._
     // C4: 1-2, 2-3, 3-4, 4-1. Without the self-vote synchronous LPA

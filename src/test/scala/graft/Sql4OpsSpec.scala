@@ -49,6 +49,22 @@ class Sql4OpsSpec extends SparkSpec {
     assert(segs == segs.distinct.sorted)
   }
 
+  test("SQL script: WHILE sweep equals the DataFrame threshold sweep") {
+    val script = Sql4Ops.sqlScript(spark, sf0001).collect().toSeq
+    val orders = graft.sources.Tables.load(spark, sf0001, "orders")
+    val classic = (1 to Sql4Ops.ScriptSteps).map { k =>
+      val t = k * Sql4Ops.ScriptStep
+      orders.filter(col("o_totalprice") > t)
+        .agg(count(lit(1)).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("revenue"))
+        .select(lit(t).as("threshold"), col("n_orders"), col("revenue"))
+        .collect().head
+    }
+    assert(script == classic, s"got $script")
+    // the top threshold must actually exercise the empty guard at sf0.001
+    assert(script.last.getLong(1) == 0L && script.last.getDouble(2) == 0.0)
+  }
+
   test("SQL-body UDF + session variable equal the inlined expression") {
     val udf = Sql4Ops.sqlUdfBands(spark, sf0001).collect().toSeq
     val inline = graft.sources.Tables.load(spark, sf0001, "orders")
