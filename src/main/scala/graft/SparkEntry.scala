@@ -143,6 +143,7 @@ object SparkEntry {
     "q_leakage_split" -> (TextOps.leakageSplit _),
     "q_stratified" -> (TextOps.stratifiedSample _),
     "q_embed_norm" -> (VectorOps.embedNorm _),
+    "q_embed_cov" -> (VectorOps.embedCov _),
     "q_quantize" -> (VectorOps.quantizeErr _),
     "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "q_regression" -> (Relational.regression _),
     "q_histogram_eqdepth" -> (Relational.histogramEqDepth _),
     "q_inverted_index" -> (TextOps.invertedIndex _),
+    "q_phrase_search" -> (TextOps.phraseSearch _),
     "q_weighted_sample" -> (TextOps.weightedSample _),
     "q_zorder" -> (LayoutOps.zorderAudit _),
     "q_compact_files" -> (LayoutOps.compactFiles _),
@@ -1701,6 +1703,18 @@ object SparkEntry {
         |SELECT vec_id, round(max(abs(e)), 4) AS max_abs_err,
         |  round(sqrt(avg(e * e)), 4) AS rmse
         |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // same Σxy/n − (Σx/n)(Σy/n) spelling as the Spark side so the only
+    // difference is double summation order (absorbed by round 6)
+    "q_embed_cov" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT a.i, b.i AS j,
+        |  round(sum(a.v * b.v) / count(*)
+        |    - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY a.i, j""".stripMargin,
     "q_centroid" ->
       """SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c FROM (
         |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
@@ -2182,6 +2196,7 @@ object SparkEntry {
          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
          |FROM ranked JOIN df USING (term) WHERE rk <= ${TextOps.PostingHeadK}
          |GROUP BY term, df ORDER BY term""".stripMargin,
+    "q_phrase_search" -> phraseSql,
     "q_weighted_sample" ->
       s"""WITH k AS (
          |  SELECT source, doc_id, n_chars,
@@ -2941,6 +2956,29 @@ object SparkEntry {
        |UNION ALL
        |$census
        |ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextOps.phraseSearch]]: the identical chain join over
+    * `generate_subscripts` postings, generated from the same
+    * [[TextOps.PhraseTerms]] list so phrase and offsets cannot drift. */
+  private def phraseSql: String = {
+    val terms = TextOps.PhraseTerms
+    val joins = terms.indices.tail.map { k =>
+      s"JOIN x t$k ON t$k.doc_id = t0.doc_id AND t$k.p = t0.p + $k"
+    }.mkString("\n")
+    val preds = terms.zipWithIndex
+      .map { case (t, k) => s"t$k.term = '$t'" }.mkString(" AND ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '') AS a
+       |  FROM documents),
+       |x AS (SELECT doc_id, CAST(generate_subscripts(a, 1) AS BIGINT) AS p,
+       |    unnest(a) AS term FROM toks)
+       |SELECT t0.doc_id, count(*) AS n_occ, min(t0.p) AS first_pos
+       |FROM x t0
+       |$joins
+       |WHERE $preds
+       |GROUP BY 1 ORDER BY t0.doc_id""".stripMargin
   }
 
   /** DuckDB twin of [[LayoutOps.zValue]] — the same [[LayoutOps.ZBits]]-bit

@@ -1580,6 +1580,41 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** The phrase [[phraseSearch]] looks for, in order — interpolated into
+    * the DuckDB oracle's chain join so the two cannot drift. */
+  val PhraseTerms = Seq("join", "part", "filter")
+
+  /** Exact PHRASE search over a positional posting list — the proximity
+    * half of the IR tier [[invertedIndex]] opens (and the exact-substring
+    * probe an LLM-data pipeline runs for contamination/attribution
+    * spot-checks): tokenize with positions, keep only the postings of the
+    * [[PhraseTerms]] (the selective index-fetch — at 100 TB the posting
+    * store is the standing table and this filter is a key lookup, never a
+    * corpus scan), then CHAIN-join term k's postings onto the phrase start
+    * at offset k (p₀ = p − k). Every join after the first shuffle is
+    * co-partitioned on (doc_id, p₀), and candidate volume after step 1 is
+    * bounded by the RAREST prefix term's posting list, not the corpus.
+    * Reports per-doc occurrence counts and the first match position
+    * (1-based, as a posting store would publish); overlapping occurrences
+    * count separately. Deterministic ⇒ VALUE-checked by the oracle's
+    * identical chain join over `generate_subscripts` postings. */
+  def phraseSearch(spark: SparkSession, sf: String): DataFrame = {
+    val post = fannedDocs(spark, sf)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "term")))
+      .filter(col("term").isin(PhraseTerms: _*))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("p"), col("term"))
+    val first = post.filter(col("term") === PhraseTerms.head)
+      .select(col("doc_id"), col("p").as("p0"))
+    val matched = PhraseTerms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, k)) =>
+      acc.join(post.filter(col("term") === t)
+          .select(col("doc_id"), (col("p") - k).as("p0")),
+        Seq("doc_id", "p0"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"), min("p0").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Mask threshold for [[tokenMask]]: first md5 hex digit of
     * (doc_id:pos) < 3 → masked, i.e. 3/16 ≈ 19% masking rate. */
   val MaskHexLt = 3

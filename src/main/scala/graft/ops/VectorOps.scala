@@ -592,6 +592,38 @@ object VectorOps {
     * why this is declared no-oracle with a measured recall bound against
     * the oracled exact twin ([[dedupCosine]]) in VectorOpsSpec. Pass k > 0
     * to pin the cell count (tests, the smoke's fixed-k arm). */
+  /** One-pass covariance rollup over the embedding corpus — the
+    * distributed-linear-algebra primitive under PCA / whitening / Mahalanobis
+    * outlier scoring in an embedding-curation pipeline: cov(i,j) =
+    * Σxᵢxⱼ/n − x̄ᵢx̄ⱼ over the d×d symmetric HALF (i ≤ j; the mirror is free
+    * at read). The outer products are ROW-LOCAL (a nested transform over the
+    * vector — no self-join, no per-row shuffle), so the plan is one
+    * generate + one hash aggregate with map-side combine: each partition
+    * collapses to ≤ d(d+1)/2 cells before the shuffle, and the shuffle
+    * volume is d² × partitions regardless of corpus size — the property
+    * that makes a covariance pass viable over 100 TB of embeddings (d=64 ⇒
+    * 2080 cells ≈ 100 KB per partition). Floats widen to double BEFORE the
+    * multiply so both engines do identical double arithmetic; both sides
+    * use the same Σxy/n − (Σx/n)(Σy/n) spelling and round to 6. */
+  def embedCov(spark: SparkSession, sf: String): DataFrame = {
+    val cells = Tables.load(spark, sf, "embeddings")
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(embedding) - 1), i ->
+          |  transform(sequence(i, size(embedding) - 1), j ->
+          |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+          |      CAST(element_at(embedding, i + 1) AS DOUBLE) AS xi,
+          |      CAST(element_at(embedding, j + 1) AS DOUBLE) AS xj))))"""
+          .stripMargin)).as("c"))
+      .select("c.i", "c.j", "c.xi", "c.xj")
+    cells.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxy"),
+        sum("xi").as("sx"), sum("xj").as("sy"))
+      .select(col("i"), col("j"),
+        round(col("sxy") / col("n") -
+          (col("sx") / col("n")) * (col("sy") / col("n")), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+
   def semDedup(spark: SparkSession, sf: String, k: Int = 0): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.load(spark, sf, "embeddings")

@@ -12,6 +12,20 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Seq("hello", "world", "foo", "bar", "42"))
   }
 
+  test("phraseSearch: overlap counting, offset discipline, and the no-match doc") {
+    // doc 1 matches twice (back to back), doc 2 breaks the phrase with a
+    // gap token, doc 3 has the terms out of order — only doc 1 reports
+    val docs = Seq(
+      (1L, "join part filter join part filter"),
+      (2L, "join part x filter"),
+      (3L, "filter part join")).toDF("doc_id", "text")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phrase_fixture"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.phraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"got $got")
+  }
+
   test("shingles3: distinct 3-grams; short docs -> empty") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextOps.shingles3(TextOps.tokens(col("text"))).as("sh"))

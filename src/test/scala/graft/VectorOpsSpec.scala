@@ -6,6 +6,25 @@ import graft.ops.VectorOps
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("embedCov: hand trace on a 2-vector fixture; symmetric half only") {
+    // vectors (1,2) and (3,4): per-dim mean (2,3); var(0)=var(1)=cov(0,1)=1
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cov_fixture"
+    Seq((0L, Seq(1f, 2f)), (1L, Seq(3f, 4f))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.embedCov(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 1L, 1.0)), s"got $got")
+  }
+
+  test("embedCov: diagonal is nonnegative and the cell count is d(d+1)/2") {
+    val got = VectorOps.embedCov(spark, sf0001).collect()
+    val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(got.length == d * (d + 1) / 2)
+    got.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getDouble(2) >= 0.0, s"negative variance: $r"))
+  }
+
   test("tripletMine: hardest pos shares the label, hardest neg doesn't; window-rank A/B agrees") {
     val out = VectorOps.tripletMine(spark, sf0001).collect()
     assert(out.length == 32)
