@@ -76,6 +76,8 @@ object SparkEntry {
     "q_cdc_apply" -> (Relational.cdcApply _),
     "q_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q_scd2" -> (Relational.scd2 _),
+    "q_scd2_asof" -> (Relational.scd2Asof _),
+    "q_dp_release" -> (CurationOps.dpRelease _),
     "q_snapshot_diff" -> (Relational.snapshotDiff _),
     "q_regex_extract" -> (Relational.regexExtract _),
     "q_array_agg" -> (Relational.arrayAgg _),
@@ -1255,6 +1257,45 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY custkey, version""".stripMargin,
+    "q_scd2_asof" -> {
+      val dates = Relational.Scd2Snapshots.map(d => s"('$d')").mkString(", ")
+      s"""WITH scd AS (
+         |  SELECT o_custkey AS custkey,
+         |    CAST(row_number() OVER w AS BIGINT) AS version,
+         |    strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+         |    coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+         |      '9999-12-31') AS valid_to,
+         |    round(o_totalprice, 2) AS price
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         |dates(as_of) AS (VALUES $dates)
+         |SELECT as_of, count(*) AS n_active,
+         |  round(avg(version), 4) AS avg_version,
+         |  round(avg(price), 4) AS avg_price
+         |FROM scd JOIN dates ON valid_from <= as_of AND as_of < valid_to
+         |GROUP BY as_of ORDER BY as_of""".stripMargin
+    },
+    "q_dp_release" -> {
+      val (eps, hi) = (CurationOps.DpEpsilon, CurationOps.DpClampHi)
+      s"""WITH agg AS (
+         |  SELECT c_mktsegment AS segment,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    sum(greatest(0.0, least(c_acctbal, $hi))) AS s
+         |  FROM customer GROUP BY 1),
+         |u AS (
+         |  SELECT segment, n, s,
+         |    (('0x' || substr(md5('cnt|' || segment), 1, 8))::BIGINT + 0.5)
+         |      / 4294967296.0 AS uc,
+         |    (('0x' || substr(md5('sum|' || segment), 1, 8))::BIGINT + 0.5)
+         |      / 4294967296.0 AS us
+         |  FROM agg)
+         |SELECT segment,
+         |  round(n + (-(1.0 / $eps)) * sign(uc - 0.5)
+         |    * ln(1.0 - 2.0 * abs(uc - 0.5)), 4) AS n_released,
+         |  round(s + (-($hi / $eps)) * sign(us - 0.5)
+         |    * ln(1.0 - 2.0 * abs(us - 0.5)), 4) AS bal_released
+         |FROM u ORDER BY segment""".stripMargin
+    },
     "q_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

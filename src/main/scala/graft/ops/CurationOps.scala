@@ -438,4 +438,44 @@ object CurationOps {
       .withColumn("l_diverse", col("l_diversity") >= 2L)
       .orderBy("segment", "nation")
   }
+
+  /** Privacy budget ε for [[dpRelease]] (per released statistic). */
+  val DpEpsilon = 1.0
+
+  /** Per-record contribution clamp for [[dpRelease]]'s noisy sum — bounds
+    * the sum's sensitivity to this value (the contribution-bounding step
+    * every DP aggregate needs BEFORE noise is calibrated). */
+  val DpClampHi = 5000.0
+
+  /** Differentially-private release (Dwork et al. 2006, the Laplace
+    * mechanism) — the third rung of the privacy ladder after the
+    * [[kAnonymity]] audit and [[piiRedact]]: per-segment COUNT (sensitivity
+    * 1) and clamped SUM of balances (sensitivity [[DpClampHi]], enforced by
+    * clamping each record's contribution to [0, clamp] first) each released
+    * with additive Laplace(Δ/ε) noise via the exact inverse-CDF sampler
+    * −b·sign(u−½)·ln(1−2|u−½|). The uniform draw u is derived from the md5
+    * of (tag, release key) — DETERMINISTIC here so the whole mechanism
+    * (clamp → aggregate → calibrate b → sample → add) is value-checked by
+    * the oracle; a production release swaps in calibrated randomness and
+    * nothing else changes (the [[TextOps.weightedSampleFrom]] discipline).
+    * True aggregates never appear in the output. At 100 TB: one
+    * map-combined aggregate per QI key; noise is O(1) per released row. */
+  def dpRelease(spark: SparkSession, sf: String): DataFrame = {
+    def unif(tag: String): Column =
+      (conv(substring(md5(concat_ws("|", lit(tag), col("segment"))), 1, 8),
+        16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    def laplace(u: Column, b: Double): Column =
+      lit(-b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    Tables.load(spark, sf, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        greatest(lit(0.0), least(col("c_acctbal"), lit(DpClampHi))).as("bal"))
+      .groupBy("segment")
+      .agg(count(lit(1)).cast("double").as("n"), sum("bal").as("s"))
+      .select(col("segment"),
+        round(col("n") + laplace(unif("cnt"), 1.0 / DpEpsilon), 4)
+          .as("n_released"),
+        round(col("s") + laplace(unif("sum"), DpClampHi / DpEpsilon), 4)
+          .as("bal_released"))
+      .orderBy("segment")
+  }
 }

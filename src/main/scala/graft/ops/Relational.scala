@@ -283,6 +283,34 @@ object Relational {
       .orderBy("custkey", "version")
   }
 
+  /** Snapshot dates for [[scd2Asof]] — interpolated into the oracle's
+    * VALUES list so the report dates cannot drift between engines. */
+  val Scd2Snapshots = Seq("1996-01-01", "1997-07-01", "1999-01-01", "2000-07-01")
+
+  /** Point-in-time (AS OF) census over the [[scd2]] dimension — the query a
+    * type-2 dimension EXISTS for: for each snapshot date, stab the validity
+    * intervals (`valid_from ≤ d < valid_to`) and report how many customers
+    * had a live version, their mean version number (dimension churn up to
+    * that date), and the mean in-effect price. Plan: the 4-row date dim
+    * BROADCASTS into an interval-stabbing nested-loop join — at 100 TB this
+    * is D linear passes folded into one scan of a dim-sized table (never
+    * fact-sized), then one map-combined aggregate per date; no shuffle of
+    * the dimension at all. ISO-8601 strings compare lexicographically =
+    * chronologically, so both engines stab identically; at most one version
+    * per (customer, date) matches because [[scd2]]'s intervals tile the
+    * timeline. */
+  def scd2Asof(spark: SparkSession, sf: String): DataFrame = {
+    val dates = spark.createDataFrame(Scd2Snapshots.map(Tuple1(_))).toDF("as_of")
+    scd2(spark, sf)
+      .join(broadcast(dates),
+        col("valid_from") <= col("as_of") && col("as_of") < col("valid_to"))
+      .groupBy("as_of")
+      .agg(count(lit(1)).as("n_active"),
+        round(avg("version"), 4).as("avg_version"),
+        round(avg("price"), 4).as("avg_price"))
+      .orderBy("as_of")
+  }
+
   /** Pure-SQL surface: the engine's other front door. A correlated-free
     * scalar subquery (above-average filter) through `spark.sql` over a temp
     * view — proves a reference user can bring plain SQL, not just the

@@ -5,6 +5,47 @@ import org.apache.spark.sql.functions._
 
 class CurationOpsSpec extends SparkSpec {
 
+  test("dpRelease: neighboring datasets that differ only above the clamp release identically") {
+    import spark.implicits._
+    // two fixtures differing in ONE record's balance, both beyond DpClampHi:
+    // contribution bounding makes the released sum IDENTICAL — the
+    // sensitivity contract the Laplace scale was calibrated against
+    def fixture(bal: Double): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dp_fixture").toString
+      Seq((1L, "SEG-A", bal), (2L, "SEG-A", 100.0), (3L, "SEG-B", -50.0))
+        .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      dir
+    }
+    val a = CurationOps.dpRelease(spark, fixture(10000.0)).collect().toSeq
+    val b = CurationOps.dpRelease(spark, fixture(99999.0)).collect().toSeq
+    assert(a == b, s"neighboring releases differ: $a vs $b")
+    // and the noise is real: the released count is NOT the true count
+    assert(a.forall(r => r.getDouble(1) != 2.0 && r.getDouble(1) != 1.0))
+  }
+
+  test("dpRelease: noise reproduces the inverse-CDF Laplace sampler exactly") {
+    val rows = CurationOps.dpRelease(spark, sf0001).collect()
+    val truth = graft.sources.Tables.load(spark, sf0001, "customer")
+      .groupBy(org.apache.spark.sql.functions.col("c_mktsegment").as("segment"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cnt|$seg".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(md5, 16).toDouble + 0.5) / 4294967296.0
+      val noise = -(1.0 / CurationOps.DpEpsilon) * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val want = BigDecimal(truth(seg) + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(1) == want, s"$seg: ${r.getDouble(1)} != $want")
+    }
+  }
+
   test("piiRedact: every injected email and IP is found and redacted") {
     val rows = CurationOps.piiRedact(spark, sf0001).collect()
     assert(rows.length == 500)

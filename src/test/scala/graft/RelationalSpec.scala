@@ -5,6 +5,24 @@ import graft.ops.Relational
 
 class RelationalSpec extends SparkSpec {
 
+  test("scd2Asof: the stab census re-derives from raw orders per snapshot") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.scd2Asof(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Relational.Scd2Snapshots.toSet)
+    // active at d ⇔ first order ≤ d; the in-effect version number = the
+    // count of orders up to d (scd2 intervals tile the timeline)
+    val orders = graft.sources.Tables.load(spark, sf0001, "orders")
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+    Relational.Scd2Snapshots.foreach { snap =>
+      val per = orders.filter(col("d") <= snap)
+        .groupBy("o_custkey").agg(count(lit(1)).as("v"))
+      val n = per.count()
+      val avgV = per.agg(round(avg("v"), 4)).head().getDouble(0)
+      assert(got(snap) == ((n, avgV)), s"$snap: ${got(snap)} != ($n, $avgV)")
+    }
+  }
+
   test("entry (flagship q_groupby_avg) returns one row per return flag") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 3) // A, N, R
