@@ -271,6 +271,8 @@ object SparkEntry {
     "q_communities" -> (GraphOps.communities _),
     "q_kcore" -> (GraphOps.kcore _),
     "q_link_predict" -> (GraphOps.linkPredict _),
+    "q_assortativity" -> (GraphOps.assortativity _),
+    "q_quantile_norm" -> (Relational.quantileNorm _),
     "q_also_bought" -> (GraphOps.alsoBought _),
     "q_lm_perplexity" -> (TextOps.lmPerplexity _),
     "q_semdedup" -> ((s, dir) => VectorOps.semDedup(s, dir)))
@@ -2853,6 +2855,39 @@ object SparkEntry {
          |GROUP BY dist ORDER BY dist""".stripMargin,
     "q_communities" -> lpaSql,
     "q_kcore" -> kcoreSql,
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  count(*) // 2 AS n_edges,
+        |  round(corr(CAST(a.deg AS DOUBLE), CAST(b.deg AS DOUBLE)), 4)
+        |    AS assortativity
+        |FROM sym JOIN deg a ON sym.u = a.node JOIN deg b ON sym.v = b.node"""
+        .stripMargin,
+    "q_quantile_norm" -> {
+      val ps = (1 to Relational.QNormBuckets)
+        .map(d => (d - 0.5) / Relational.QNormBuckets).mkString("[", ", ", "]")
+      s"""WITH g AS (SELECT quantile_cont(c_acctbal, $ps) AS qs FROM customer),
+         |grid AS (SELECT CAST(generate_subscripts(qs, 1) AS BIGINT) AS decile,
+         |    round(unnest(qs), 4) AS norm_value FROM g),
+         |r AS (SELECT c_mktsegment AS segment,
+         |    CAST(ntile(${Relational.QNormBuckets}) OVER (
+         |      PARTITION BY c_mktsegment
+         |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile,
+         |    c_acctbal
+         |  FROM customer),
+         |s AS (SELECT segment, decile, count(*) AS n,
+         |    round(avg(c_acctbal), 4) AS mean_raw
+         |  FROM r GROUP BY 1, 2)
+         |SELECT segment, decile, n, mean_raw, norm_value
+         |FROM s JOIN grid USING (decile)
+         |ORDER BY segment, decile""".stripMargin
+    },
     "q_link_predict" ->
       s"""WITH e AS (
          |  SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -451,6 +451,36 @@ object GraphOps {
     census.reduce(_ unionAll _).orderBy("round")
   }
 
+  /** Degree assortativity (Newman 2002, eq. 4 over the edge list): the
+    * Pearson correlation of endpoint degrees across all DIRECTED edge
+    * instances (each undirected edge counted in both orientations, the
+    * standard convention — corr is shift-invariant, so correlating raw
+    * degrees equals correlating Newman's excess degrees). r > 0: hubs link
+    * to hubs (social-network shape); r < 0: hubs link to leaves
+    * (technological/dependency shape) — the one-number diagnostic that
+    * tells you whether hub-targeted mitigations (salting, degree caps)
+    * will pay off on THIS graph. Plan: one degree aggregate (map-combined,
+    * ≤ Σ deg), two node-sized joins onto the edge endpoints (guarded
+    * broadcast, the family discipline), then a single `corr` aggregate —
+    * one row out, no per-node state beyond the degree table. Emitted with
+    * the edge/node counts so the row is self-describing. */
+  def assortativity(spark: SparkSession, sf: String): DataFrame = {
+    val e = edges(spark, sf)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (n <= broadcastMaxEdges(spark)) broadcast else identity
+    sym
+      .join(maybeBroadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+      .join(maybeBroadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      .agg(
+        lit(n).as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        round(corr(col("du").cast("double"), col("dv").cast("double")), 4)
+          .as("assortativity"))
+  }
+
   /** Wedge-CENTER degree cap in [[linkPredict]] — centers above it are
     * dropped before pair enumeration (they contribute ≤ 1/ln(cap) per pair
     * but deg² pair volume; the df-cap discipline of the dedup family). */

@@ -283,6 +283,41 @@ object Relational {
       .orderBy("custkey", "version")
   }
 
+  /** Quantile-grid resolution for [[quantileNorm]]. */
+  val QNormBuckets = 10
+
+  /** Grid-based quantile normalization — align each segment's balance
+    * distribution to the GLOBAL one (the feature/source-alignment step a
+    * multi-source training pipeline runs so no source's scale dominates;
+    * the discretized form of the bioinformatics quantile-normalization
+    * recipe): each row lands in its segment's ntile decile (deterministic:
+    * ordered by (value, key)), and the decile is re-valued at the global
+    * distribution's mid-decile quantile ((d−½)/Q, exact interpolated
+    * percentile). Reports per (segment, decile): population, raw mean, and
+    * the aligned value. Plan: one window per segment key (the sort shuffles
+    * segment-sized partitions), one map-combined aggregate, and the Q-row
+    * global grid BROADCAST into the result — at 100 TB the grid comes from
+    * a mergeable KLL sketch (`q_kll_merge`'s store) instead of the exact
+    * percentile, and nothing else changes; Q is a constant so the join adds
+    * no shuffle. Both engines interpolate percentiles identically
+    * (`percentile` / `quantile_cont`) and ntile identically over the same
+    * unique order key. */
+  def quantileNorm(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+    val grid = c.select(posexplode(percentile(col("c_acctbal"),
+        lit((1 to QNormBuckets).map(d => (d - 0.5) / QNormBuckets).toArray)))
+        .as(Seq("d0", "norm_value")))
+      .select((col("d0") + 1).cast("long").as("decile"),
+        round(col("norm_value"), 4).as("norm_value"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    c.withColumn("decile", ntile(QNormBuckets).over(w).cast("long"))
+      .groupBy(col("c_mktsegment").as("segment"), col("decile"))
+      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("mean_raw"))
+      .join(broadcast(grid), "decile")
+      .select("segment", "decile", "n", "mean_raw", "norm_value")
+      .orderBy("segment", "decile")
+  }
+
   /** Snapshot dates for [[scd2Asof]] — interpolated into the oracle's
     * VALUES list so the report dates cannot drift between engines. */
   val Scd2Snapshots = Seq("1996-01-01", "1997-07-01", "1999-01-01", "2000-07-01")

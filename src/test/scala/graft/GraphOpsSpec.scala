@@ -216,6 +216,18 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(got == want, s"got $got")
   }
 
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    // hub 1 — leaves 2,3,4: every directed edge instance pairs degree 3
+    // with degree 1, so the degree correlation is exactly -1
+    val li = Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 3L),
+      (300L, 1L), (300L, 4L)).toDF("l_orderkey", "l_partkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_assort_fixture"
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = GraphOps.assortativity(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 3L, -1.0)), s"got $r")
+  }
+
   test("linkPredict: Adamic-Adar hand trace on the square, hub center capped out") {
     import spark.implicits._
     // square 1-2-3-4-1 plus hub 100 adjacent to 1, 3 and 66 pendants:

@@ -55,6 +55,8 @@ class LedgerSpec extends AnyFunSuite {
       ("1-row node-count scalar drives the label-state broadcast guard", 1),
     ("ops/GraphOps.scala", "kcore") ->
       ("1-row (N, 2E) probe derives the peel threshold k and the broadcast guard", 1),
+    ("ops/GraphOps.scala", "assortativity") ->
+      ("1-row node-count scalar drives the degree-table broadcast guard", 1),
     ("ops/GraphOps.scala", "ssspFrom") ->
       ("1-row node-count scalar drives the distance-state broadcast guard", 1),
     ("ops/Relational.scala", "bomRollup") ->

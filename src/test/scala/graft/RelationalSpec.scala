@@ -5,6 +5,26 @@ import graft.ops.Relational
 
 class RelationalSpec extends SparkSpec {
 
+  test("quantileNorm: deciles balance within segments and the grid is monotone") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.quantileNorm(spark, sf0001).collect()
+    // aligned values are a nondecreasing function of the decile
+    val grid = rows.map(r => r.getLong(1) -> r.getDouble(4)).distinct.sortBy(_._1)
+    assert(grid.map(_._1).toSeq == (1L to Relational.QNormBuckets.toLong))
+    assert(grid.sliding(2).forall(p => p(0)._2 <= p(1)._2), s"grid not monotone: ${grid.toSeq}")
+    // ntile balance: within a segment, bucket sizes differ by at most 1,
+    // and they sum back to the segment's population
+    val bySeg = rows.groupBy(_.getString(0))
+    val truth = graft.sources.Tables.load(spark, sf0001, "customer")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySeg.foreach { case (seg, rs) =>
+      val ns = rs.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$seg buckets unbalanced: ${ns.toSeq}")
+      assert(ns.sum == truth(seg), s"$seg: ${ns.sum} != ${truth(seg)}")
+    }
+  }
+
   test("scd2Asof: the stab census re-derives from raw orders per snapshot") {
     import org.apache.spark.sql.functions._
     val got = Relational.scd2Asof(spark, sf0001).collect()
