@@ -64,6 +64,8 @@ object SparkEntry {
     "q_sql_udf" -> (Sql4Ops.sqlUdfBands _),
     "q_sql_table_udf" -> (Sql4Ops.sqlTableUdf _),
     "q_sql_script" -> (Sql4Ops.sqlScript _),
+    "q_param_sql" -> (Sql4Ops.paramSql _),
+    "q_observe" -> (Relational.observedAgg _),
     "q_pivot" -> (Relational.pivotCounts _),
     "q_join_semi" -> (Relational.joinSemi _),
     "q_join_anti" -> (Relational.joinAnti _),
@@ -1096,6 +1098,16 @@ object SparkEntry {
          |   WHERE o_totalprice > k * ${Sql4Ops.ScriptStep}) AS revenue
          |FROM range(1, ${Sql4Ops.ScriptSteps} + 1) t(k)
          |ORDER BY threshold""".stripMargin,
+    // the IDENTIFIER + named-parameter bindings inlined by hand
+    "q_param_sql" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  round(sum(o_totalprice), 4) AS revenue
+         |FROM orders WHERE o_totalprice > ${Sql4Ops.ParamSqlFloor}
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_observe" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,

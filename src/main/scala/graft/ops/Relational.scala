@@ -283,6 +283,35 @@ object Relational {
       .orderBy("custkey", "version")
   }
 
+  /** Aggregate report with an inline `observe` gate — Spark's observation
+    * API as the production ETL data-quality pattern: named metrics
+    * (`rows_seen`, `revenue_seen`, `null_keys`) accumulate ON the scan
+    * while the query runs (an `Observe` node is a zero-copy pass-through;
+    * no second scan, no extra action), and the job reads them after the
+    * sink commits to decide whether to promote the output — the inline
+    * alternative to a separate validation pass that would re-read 100 TB.
+    * The declared result is the ordinary aggregate (oracled); the spec
+    * runs the query through [[observedOrders]] directly and proves the
+    * observed metrics equal an independent aggregate of the same table,
+    * i.e. the instrumentation is free AND faithful. */
+  def observedAgg(spark: SparkSession, sf: String): DataFrame =
+    observedOrders(spark, sf)._1
+
+  /** The instrumented plan + its Observation handle (spec seam). */
+  private[graft] def observedOrders(spark: SparkSession, sf: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val df = Tables.load(spark, sf, "orders")
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        round(sum("o_totalprice"), 4).as("revenue_seen"),
+        count(when(col("o_custkey").isNull, 1)).as("null_keys"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("o_orderstatus")
+    (df, obs)
+  }
+
   /** Quantile-grid resolution for [[quantileNorm]]. */
   val QNormBuckets = 10
 

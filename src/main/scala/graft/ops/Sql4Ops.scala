@@ -150,6 +150,30 @@ object Sql4Ops {
       ORDER BY seg, c_acctbal DESC, c_custkey""")
   }
 
+  /** Parameterized SQL + `IDENTIFIER()` (SPARK-44680 / SPARK-43205): the
+    * injection-safe templating front door — the table name binds through
+    * `IDENTIFIER(:tbl)` (an identifier, never string-spliced SQL) and the
+    * predicate threshold through a typed named parameter. This is how a
+    * governed platform exposes "same vetted query, N tables / N tenants"
+    * without concatenating SQL: parameters are typed literals to the
+    * analyzer, so constant folding and pushdown see them exactly like
+    * hand-written constants (same plan, same scan filters). The oracle
+    * inlines both bindings by hand — matching output proves the binding
+    * semantics. */
+  def paramSql(spark: SparkSession, sf: String): DataFrame = {
+    val o = view(spark, sf, "orders")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue
+        |FROM IDENTIFIER(:tbl) WHERE o_totalprice > :floor
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("tbl" -> o, "floor" -> ParamSqlFloor))
+  }
+
+  /** Price floor bound into [[paramSql]]'s named parameter — interpolated
+    * into the oracle so the binding and the hand-inlined twin agree. */
+  val ParamSqlFloor = 100000.0
+
   /** Threshold sweep steps in [[sqlScript]] — interpolated into BOTH the
     * script and the DuckDB oracle so the loop bound cannot drift. */
   val ScriptSteps = 5

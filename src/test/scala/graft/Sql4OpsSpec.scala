@@ -49,6 +49,30 @@ class Sql4OpsSpec extends SparkSpec {
     assert(segs == segs.distinct.sorted)
   }
 
+  test("paramSql: bindings behave exactly like hand-written constants") {
+    val bound = Sql4Ops.paramSql(spark, sf0001).collect().toSeq
+    val inlined = graft.sources.Tables.load(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > Sql4Ops.ParamSqlFloor)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 4).as("revenue"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(bound == inlined)
+  }
+
+  test("observe: the inline gate metrics equal an independent aggregate") {
+    val (df, obs) = graft.ops.Relational.observedOrders(spark, sf0001)
+    val main = df.collect()
+    assert(main.nonEmpty)
+    val m = obs.get
+    val truth = graft.sources.Tables.load(spark, sf0001, "orders")
+      .agg(count(lit(1)), round(sum("o_totalprice"), 4),
+        count(when(col("o_custkey").isNull, 1))).head()
+    assert(m("rows_seen") == truth.getLong(0))
+    assert(m("revenue_seen") == truth.getDouble(1))
+    assert(m("null_keys") == truth.getLong(2))
+  }
+
   test("SQL script: WHILE sweep equals the DataFrame threshold sweep") {
     val script = Sql4Ops.sqlScript(spark, sf0001).collect().toSeq
     val orders = graft.sources.Tables.load(spark, sf0001, "orders")
