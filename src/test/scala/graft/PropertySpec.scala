@@ -524,4 +524,78 @@ class PropertySpec extends SparkSpec {
       assert(gotNear == expNear, s"seed=$seed nearest\nev=$events\nord=$orders")
     }
   }
+
+  /** Random co-purchase graph staged as a lineitem fixture in a FRESH dir
+    * (the edges memo keys on the dir, so reuse would serve a stale graph).
+    * Returns (dir, canonical u<v edge set). */
+  private def randomGraphFixture(seed: Long): (String, Set[(Long, Long)]) = {
+    val rnd = new scala.util.Random(seed)
+    val edges = (0 until (8 + rnd.nextInt(16))).map { _ =>
+      val u = 1L + rnd.nextInt(12); val v = 1L + rnd.nextInt(12)
+      (math.min(u, v), math.max(u, v))
+    }.filter(e => e._1 != e._2).toSet
+    val li = edges.toSeq.sorted.zipWithIndex.flatMap { case ((u, v), o) =>
+      Seq((o.toLong, u), (o.toLong, v))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_prop").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (dir, edges)
+  }
+
+  test("kcore census equals an in-memory peel on random graphs") {
+    (0 until 6).foreach { seed =>
+      val (dir, edges) = randomGraphFixture(1000L + seed)
+      whenever(edges.nonEmpty) {
+        // brute-force peel, mirroring the declared semantics exactly:
+        // surv = deg >= k on the CURRENT edges; census counts survivors
+        // (even those left edgeless by the restriction) + restricted edges
+        var sym = edges.flatMap(e => Seq(e, e.swap))
+        val nodes = sym.map(_._1).size.toLong
+        val twoE = sym.size.toLong
+        val k = twoE / nodes + 1
+        var want = Vector((0L, nodes, twoE / 2))
+        (1 to graft.ops.GraphOps.KCoreRounds).foreach { r =>
+          val deg = sym.groupBy(_._1).map { case (nd, es) => nd -> es.size.toLong }
+          val surv = deg.filter(_._2 >= k).keySet
+          sym = sym.filter(e => surv(e._1) && surv(e._2))
+          want :+= ((r.toLong, surv.size.toLong, sym.size.toLong / 2))
+        }
+        val got = graft.ops.GraphOps.kcore(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+        assert(got == want, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("linkPredict equals a brute-force Adamic-Adar ranking on random graphs") {
+    (0 until 6).foreach { seed =>
+      val (dir, edges) = randomGraphFixture(2000L + seed)
+      whenever(edges.nonEmpty) {
+        val nbrs = edges.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+        val acc = scala.collection.mutable.Map
+          .empty[(Long, Long), (Long, Double)].withDefaultValue((0L, 0.0))
+        nbrs.foreach { case (_, ns) =>
+          val d = ns.size
+          if (d >= 2 && d <= graft.ops.GraphOps.LinkPredDegCap) {
+            val wt = 1.0 / math.log(d.toDouble)
+            val sorted = ns.toSeq.sorted
+            for (i <- sorted.indices; j <- i + 1 until sorted.size) {
+              val key = (sorted(i), sorted(j))
+              val (c, s) = acc(key); acc(key) = (c + 1, s + wt)
+            }
+          }
+        }
+        val want = acc.toSeq.collect {
+          case ((u, v), (c, s)) if !edges((u, v)) =>
+            val r = BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (u, v, c, r)
+        }.sortBy { case (u, v, _, s) => (-s, u, v) }
+          .take(graft.ops.GraphOps.LinkPredTopK)
+        val got = graft.ops.GraphOps.linkPredict(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        assert(got == want, s"seed=$seed edges=$edges")
+      }
+    }
+  }
 }
