@@ -167,6 +167,7 @@ object SparkEntry {
     "q_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
     "q_stream_compact" -> (graft.streaming.StreamOps.streamCompact _),
     "q_stream_attrib" -> (graft.streaming.StreamOps.streamAttrib _),
+    "q_stream_attrib_outer" -> (graft.streaming.StreamOps.streamAttribOuter _),
     "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
     "q_stream_running" -> (graft.streaming.StreamOps.streamRunning _),
     "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
@@ -2004,6 +2005,31 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY p.user_id, purchase_ts, click_ts""".stripMargin,
+    // outer tier: matched pairs from the batch join; expired-unmatched
+    // purchases bounded by the final join watermark wm = min(max click ts,
+    // max purchase ts) - delay (Spark's min-of-sources watermark rule)
+    "q_stream_attrib_outer" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+        |         - INTERVAL 1 HOUR AS w),
+        |m AS (SELECT p.user_id, count(*) AS n_matched
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |      GROUP BY 1),
+        |u AS (SELECT p.user_id, count(*) AS n_expired,
+        |        round(sum(p.value), 4) AS value_at_risk
+        |      FROM p, wm
+        |      WHERE p.ts < wm.w AND NOT EXISTS (
+        |        SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+        |      GROUP BY 1)
+        |SELECT coalesce(m.user_id, u.user_id) AS user_id,
+        |  coalesce(n_matched, 0) AS n_matched,
+        |  coalesce(n_expired, 0) AS n_expired,
+        |  coalesce(value_at_risk, 0.0) AS value_at_risk
+        |FROM m FULL JOIN u ON m.user_id = u.user_id
+        |ORDER BY user_id""".stripMargin,
     // session_window twin of q_sessionize: same gap-split grouping, but the
     // native operator's session END is last event time + gap (half-open
     // [first, last + gap) range), so the oracle shifts the end by 1 hour.

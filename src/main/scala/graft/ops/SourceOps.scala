@@ -40,7 +40,8 @@ object SourceOps {
     "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip", "q_text_source",
     "q_excel_roundtrip", "q_avro_roundtrip", "q_jdbc_roundtrip",
     "q_partition_prune", "q_dpp_join", "q_schema_merge", "q_binary_files", "q_bucket_join",
-    "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_dedup",
+    "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_attrib_outer",
+    "q_stream_dedup",
     "q_stream_window", "q_stream_running", "q_stream_asof",
     // edges()-memo user that stages the shared graph edge table for the
     // whole traversal family AT CONSTRUCTION (GraphOps.edges scaladoc);

@@ -233,6 +233,100 @@ object StreamOps {
       .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** LEFT OUTER form of [[purchaseAttribution]] — the semantics tier inner
+    * joins cannot express: a purchase with NO qualifying click must still
+    * emit (with a null click), and in a stream that answer is only safe
+    * once the WATERMARK proves no matching click can ever arrive — outer
+    * rows are watermark-triggered state evictions, not row-driven output.
+    * Both sides carry watermarks and the condition bounds click_ts by
+    * purchase_ts, so Spark can evict purchase state (emitting the null
+    * row) once the join watermark passes the purchase time. */
+  def purchaseAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                               delay: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"), "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("value"))
+  }
+
+  /** Declared query for the OUTER stream-stream tier: [[purchaseAttributionOuter]]
+    * drained as a real two-source file stream. Two disciplines make the
+    * result deterministic where the inner drain ([[streamAttrib]]) needed
+    * only one:
+    *  - EVENT-TIME-ORDERED replay on BOTH sources (range-staged files,
+    *    mtime-forced order — the [[streamWindow]] backfill discipline) with
+    *    a LIVE 1 h watermark: no row is ever late, so the watermark sweeps
+    *    forward and outer rows actually emit (a span-covering delay would
+    *    hold the watermark before all data and silently degrade the outer
+    *    join to its inner half).
+    *  - a FLUSH RESTART: outer emissions run one watermark commit behind
+    *    the data, so after the first `AvailableNow` drain the final
+    *    tranche is still pending in state; re-starting the SAME checkpoint
+    *    with no new input processes that commit and emits it. This is the
+    *    deploy-safe "every pending answer eventually flushes across a
+    *    restart" contract the TWS timer spec already proves, applied to
+    *    join state — and it makes the emitted set a pure function of the
+    *    final watermark, independent of file slicing.
+    * The drained output folds per user: matched pairs, expired-unmatched
+    * purchases (click null — only emitted for purchases the final
+    * watermark passed), and the unmatched value at risk. The DuckDB twin
+    * computes both halves from the batch tables, with the watermark
+    * boundary wm = min(max click ts, max purchase ts) − delay written into
+    * the predicate — the exact min-of-sources rule Spark's multi-input
+    * watermark tracker applies. */
+  def streamAttribOuter(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val inDir = graft.ops.SourceOps.materialize(s"stream_attrib_outer_in_$sf") { d =>
+      val ev = graft.ops.EventOps.events(spark, sf)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      def stage(df: DataFrame, sub: String): Unit = {
+        df.repartitionByRange(3, col("ts")).write.parquet(s"$d/$sub")
+        val parts = new java.io.File(s"$d/$sub").listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 60000L)
+        }
+      }
+      stage(ev.filter(col("event_type") === "click").select("user_id", "ts"), "clicks")
+      stage(ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value"), "purch")
+    }
+    withRunDir("stream_attrib_outer_run_") { run =>
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        // second identical drain = the flush restart (see scaladoc)
+        (1 to 2).foreach { _ =>
+          val cs = spark.readStream
+            .schema(spark.read.parquet(s"$inDir/clicks").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$inDir/clicks")
+          val ps = spark.readStream
+            .schema(spark.read.parquet(s"$inDir/purch").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$inDir/purch")
+          val q = purchaseAttributionOuter(cs, ps, delay = "1 hour")
+            .writeStream.format("parquet")
+            .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.read.parquet(s"$run/out")
+        .groupBy("user_id")
+        .agg(count(col("click_ts")).as("n_matched"),
+          count(when(col("click_ts").isNull, 1)).as("n_expired"),
+          round(sum(when(col("click_ts").isNull, col("value"))
+            .otherwise(0.0)), 4).as("value_at_risk"))
+        .orderBy("user_id")
+        .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted on exit
+    }
+  }
+
   /** Stream-static (dimension) enrichment join — the most common production
     * streaming shape: each micro-batch of the fact stream joins a static
     * dimension snapshot. The dim side is broadcast, so NO shuffle and no

@@ -326,6 +326,38 @@ class StreamingSpec extends SparkSpec {
     assert(leftover.isEmpty, s"staging left behind: $leftover")
   }
 
+  test("streamAttribOuter: watermark-evicted null rows equal the batch anti-join below the boundary") {
+    val out = StreamOps.streamAttribOuter(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ev = graft.ops.EventOps.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val wm = p.agg(max("pts")).head().getTimestamp(0).getTime
+      .min(c.agg(max("cts")).head().getTimestamp(0).getTime) - 3600 * 1000L
+    val joined = p.join(c, col("user_id") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") <= col("pts"), "left_outer")
+    val matched = joined.filter(col("cts").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n_matched"))
+    val expired = joined.filter(col("cts").isNull &&
+        col("pts") < lit(new java.sql.Timestamp(wm)))
+      .groupBy(col("user_id").as("uu"))
+      .agg(count(lit(1)).as("n_expired"),
+        round(sum("value"), 4).as("value_at_risk"))
+    val batch = matched.join(expired, col("user_id") === col("uu"), "full_outer")
+      .select(coalesce(col("user_id"), col("uu")),
+        coalesce(col("n_matched"), lit(0L)),
+        coalesce(col("n_expired"), lit(0L)),
+        coalesce(col("value_at_risk"), lit(0.0)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == batch, s"stream ${out.size} vs batch ${batch.size}")
+    // the outer half must be non-vacuous: nulls really were emitted
+    assert(out.exists(_._3 > 0), "no watermark-evicted outer rows emitted")
+  }
+
   test("streamDedup: planted duplicates flow through the stream and are removed") {
     val out = StreamOps.streamDedup(spark, sf0001).collect()
     val batch = graft.ops.EventOps.events(spark, sf0001)
