@@ -178,6 +178,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
+    // one-pass covariance buffer over a vector column (CovFunctions)
+    ext.injectFunction((
+      new FunctionIdentifier("cov_accum_agg"),
+      new ExpressionInfo(classOf[CovAccumAgg].getName, "cov_accum_agg"),
+      (children: Seq[Expression]) => CovAccumAgg(children.head).toAggregateExpression()))
   }
 
   /** The k parameter must be a literal int at registration time (it sizes

@@ -604,8 +604,29 @@ object VectorOps {
     * that makes a covariance pass viable over 100 TB of embeddings (d=64 ⇒
     * 2080 cells ≈ 100 KB per partition). Floats widen to double BEFORE the
     * multiply so both engines do identical double arithmetic; both sides
-    * use the same Σxy/n − (Σx/n)(Σy/n) spelling and round to 6. */
-  def embedCov(spark: SparkSession, sf: String): DataFrame = {
+    * use the same Σxy/n − (Σx/n)(Σy/n) spelling and round to 6.
+    *
+    * Round-11 tier descent (measured, the ladder's rule): the declarative
+    * explode+groupBy spelling ([[embedCovDeclarative]]) was the only
+    * round-11 addition with a visible decade term (exponent 0.45 — it
+    * materializes n·d(d+1)/2 rows through a hash aggregate). The declared
+    * form now runs [[graft.functions.CovFunctions.cov_accum_agg]], a
+    * `TypedImperativeAggregate` whose buffer IS the packed triangle: per
+    * row a tight d²/2 fused multiply-add, per partition ONE ~17 KB buffer
+    * shuffled, and the final cov arithmetic stays in SQL so the DuckDB
+    * twin is unchanged. Equality with the declarative form is spec'd. */
+  def embedCov(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "embeddings")
+      .agg(graft.functions.CovFunctions.cov_accum_agg(col("embedding")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        round(col("c.sxy") / col("c.n") -
+          (col("c.sx") / col("c.n")) * (col("c.sy") / col("c.n")), 6).as("cov"))
+      .orderBy("i", "j")
+
+  /** The declarative explode+groupBy twin of [[embedCov]] (spec seam; see
+    * the tier-descent note above). */
+  private[graft] def embedCovDeclarative(spark: SparkSession, sf: String): DataFrame = {
     val cells = Tables.load(spark, sf, "embeddings")
       .select(explode(expr(
         """flatten(transform(sequence(0, size(embedding) - 1), i ->

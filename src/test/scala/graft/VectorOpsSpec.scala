@@ -16,6 +16,12 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 1L, 1.0)), s"got $got")
   }
 
+  test("embedCov: the buffer aggregate equals the declarative explode+groupBy form") {
+    val fast = VectorOps.embedCov(spark, sf0001).collect().toSeq
+    val slow = VectorOps.embedCovDeclarative(spark, sf0001).collect().toSeq
+    assert(fast == slow)
+  }
+
   test("embedCov: diagonal is nonnegative and the cell count is d(d+1)/2") {
     val got = VectorOps.embedCov(spark, sf0001).collect()
     val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
