@@ -148,6 +148,7 @@ object SparkEntry {
     "q_stratified" -> (TextOps.stratifiedSample _),
     "q_embed_norm" -> (VectorOps.embedNorm _),
     "q_embed_cov" -> (VectorOps.embedCov _),
+    "q_embed_cov_label" -> (VectorOps.embedCovByLabel _),
     "q_quantize" -> (VectorOps.quantizeErr _),
     "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
@@ -1771,6 +1772,17 @@ object SparkEntry {
         |    - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY a.i, j""".stripMargin,
+    "q_embed_cov_label" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT a.label, a.i, b.i AS j,
+        |  round(sum(a.v * b.v) / count(*)
+        |    - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2, 3 ORDER BY a.label, a.i, j""".stripMargin,
     "q_centroid" ->
       """SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c FROM (
         |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,

@@ -624,6 +624,23 @@ object VectorOps {
           (col("c.sx") / col("c.n")) * (col("c.sy") / col("c.n")), 6).as("cov"))
       .orderBy("i", "j")
 
+  /** Per-LABEL covariance — [[embedCov]] grouped by class, the form
+    * per-class Mahalanobis scoring and LDA-style analysis actually
+    * consume: one [[graft.functions.CovAccumAgg]] buffer per (partition,
+    * label) with map-side partial aggregation, so the shuffle is
+    * n_labels × ~17 KB buffers per partition — class cardinality bounds
+    * state, corpus size never does. Same SQL-visible cov arithmetic and
+    * DuckDB twin as the global form, plus the label key. */
+  def embedCovByLabel(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(graft.functions.CovFunctions.cov_accum_agg(col("embedding")).as("cells"))
+      .select(col("label"), explode(col("cells")).as("c"))
+      .select(col("label"), col("c.i").as("i"), col("c.j").as("j"),
+        round(col("c.sxy") / col("c.n") -
+          (col("c.sx") / col("c.n")) * (col("c.sy") / col("c.n")), 6).as("cov"))
+      .orderBy("label", "i", "j")
+
   /** The declarative explode+groupBy twin of [[embedCov]] (spec seam; see
     * the tier-descent note above). */
   private[graft] def embedCovDeclarative(spark: SparkSession, sf: String): DataFrame = {

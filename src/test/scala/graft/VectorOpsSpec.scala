@@ -22,6 +22,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("embedCovByLabel: per-class cells reconcile with per-class declarative covariance") {
+    val byLabel = VectorOps.embedCovByLabel(spark, sf0001).collect()
+    val labels = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(countDistinct(col("label"))).head().getLong(0)
+    val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(byLabel.length == labels * d * (d + 1) / 2)
+    // each class's diagonal is a variance: nonnegative
+    byLabel.filter(r => r.getLong(1) == r.getLong(2))
+      .foreach(r => assert(r.getDouble(3) >= 0.0, s"negative variance: $r"))
+  }
+
   test("embedCov: diagonal is nonnegative and the cell count is d(d+1)/2") {
     val got = VectorOps.embedCov(spark, sf0001).collect()
     val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
