@@ -149,6 +149,7 @@ object SparkEntry {
     "q_embed_norm" -> (VectorOps.embedNorm _),
     "q_embed_cov" -> (VectorOps.embedCov _),
     "q_embed_cov_label" -> (VectorOps.embedCovByLabel _),
+    "q_embed_outliers" -> (VectorOps.embedOutliers _),
     "q_quantize" -> (VectorOps.quantizeErr _),
     "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
@@ -1783,6 +1784,18 @@ object SparkEntry {
         |    - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2, 3 ORDER BY a.label, a.i, j""".stripMargin,
+    "q_embed_outliers" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |st AS (SELECT i, avg(v) AS mu, var_pop(v) AS s2 FROM x GROUP BY i
+         |  HAVING var_pop(v) > 0)
+         |SELECT vec_id,
+         |  round(sum((v - mu) * (v - mu) / s2), 4) AS m_dist
+         |FROM x JOIN st USING (i)
+         |GROUP BY vec_id
+         |ORDER BY m_dist DESC, vec_id LIMIT ${VectorOps.EmbedOutlierK}""".stripMargin,
     "q_centroid" ->
       """SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c FROM (
         |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,

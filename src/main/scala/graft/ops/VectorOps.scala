@@ -624,6 +624,34 @@ object VectorOps {
           (col("c.sx") / col("c.n")) * (col("c.sy") / col("c.n")), 6).as("cov"))
       .orderBy("i", "j")
 
+  /** Outliers reported by [[embedOutliers]]. */
+  val EmbedOutlierK = 20
+
+  /** Embedding OUTLIER scoring — the curation step that prunes corrupt or
+    * degenerate vectors before training: each vector's variance-normalized
+    * squared distance to the corpus centroid, Σᵢ (xᵢ−μᵢ)²/σᵢ² (diagonal
+    * Mahalanobis; the full-matrix form would consume [[embedCov]]'s
+    * triangle), top-[[EmbedOutlierK]] reported. Plan: ONE positional
+    * explode feeds both halves — a d-row (μ, σ²) grid (map-combined
+    * aggregate; at 100 TB this grid comes from the standing moment/KLL
+    * store instead of a fresh pass) broadcast back onto the exploded
+    * rows, then a per-vector sum and TakeOrderedAndProject. Zero-variance
+    * dims are dropped on BOTH engines (a constant dim carries no outlier
+    * signal and would divide by zero). Deterministic: round 4 before the
+    * (dist desc, vec_id) order. */
+  def embedOutliers(spark: SparkSession, sf: String): DataFrame = {
+    val x = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("i", "v")))
+    val stats = x.groupBy("i")
+      .agg(avg("v").as("mu"), var_pop("v").as("s2"))
+      .filter(col("s2") > 0)
+    x.join(broadcast(stats), "i")
+      .groupBy("vec_id")
+      .agg(round(sum(pow(col("v") - col("mu"), 2) / col("s2")), 4).as("m_dist"))
+      .orderBy(col("m_dist").desc, col("vec_id"))
+      .limit(EmbedOutlierK)
+  }
+
   /** Per-LABEL covariance — [[embedCov]] grouped by class, the form
     * per-class Mahalanobis scoring and LDA-style analysis actually
     * consume: one [[graft.functions.CovAccumAgg]] buffer per (partition,

@@ -34,6 +34,23 @@ class VectorOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(3) >= 0.0, s"negative variance: $r"))
   }
 
+  test("embedOutliers: a planted far-away vector ranks first with the hand score") {
+    // three unit-ish vectors plus one at 10× scale: the planted outlier's
+    // variance-normalized distance must dominate, and every distance is
+    // nonnegative with exactly k (or corpus-size) rows reported
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_outlier_fixture"
+    Seq((0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(1.1f, -0.1f)),
+      (3L, Seq(10f, 10f))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.embedOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 4)
+    assert(got.head._1 == 3L, s"planted outlier not first: ${got.toSeq}")
+    assert(got.map(_._2).forall(_ >= 0.0))
+    // scores descend
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("embedCov: diagonal is nonnegative and the cell count is d(d+1)/2") {
     val got = VectorOps.embedCov(spark, sf0001).collect()
     val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
