@@ -509,6 +509,9 @@ object SparkEntry {
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
   private def normSql(a: String) = s"sqrt(list_sum(list_transform($a, x -> x * x)))"
+  /** The cov quantization grid (2^24) — interpolated from the single
+    * source of truth so the oracle can never drift from the buffer. */
+  private val covGrid = graft.functions.CovFunctions.CovGridScale
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -1761,29 +1764,35 @@ object SparkEntry {
         |SELECT vec_id, round(max(abs(e)), 4) AS max_abs_err,
         |  round(sqrt(avg(e * e)), 4) AS rmse
         |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    // same Σxy/n − (Σx/n)(Σy/n) spelling as the Spark side so the only
-    // difference is double summation order (absorbed by round 6)
+    // round 6 does NOT absorb summation-order jitter over raw double sums
+    // (r11 driver failure: fixture cov values sit ON the half-boundaries),
+    // so both engines sum EXACT floor(term * 2^24) Longs — float*float*2^24
+    // is exactly representable in double, so the floor is tie-free and
+    // engine-identical — and the identical (s/2^24)/n arithmetic runs on
+    // exact integers: the pre-round double is a pure function of the data.
     "q_embed_cov" ->
-      """WITH x AS (
-        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings)
-        |SELECT a.i, b.i AS j,
-        |  round(sum(a.v * b.v) / count(*)
-        |    - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
-        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY 1, 2 ORDER BY a.i, j""".stripMargin,
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings)
+         |SELECT a.i, b.i AS j,
+         |  round(CAST(sum(CAST(floor(a.v * b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)
+         |    - (CAST(sum(CAST(floor(a.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*))
+         |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)), 6) AS cov
+         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |GROUP BY 1, 2 ORDER BY a.i, j""".stripMargin,
     "q_embed_cov_label" ->
-      """WITH x AS (
-        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings)
-        |SELECT a.label, a.i, b.i AS j,
-        |  round(sum(a.v * b.v) / count(*)
-        |    - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
-        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY 1, 2, 3 ORDER BY a.label, a.i, j""".stripMargin,
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings)
+         |SELECT a.label, a.i, b.i AS j,
+         |  round(CAST(sum(CAST(floor(a.v * b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)
+         |    - (CAST(sum(CAST(floor(a.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*))
+         |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)), 6) AS cov
+         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |GROUP BY 1, 2, 3 ORDER BY a.label, a.i, j""".stripMargin,
     "q_embed_outliers" ->
       s"""WITH x AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -21,24 +21,65 @@ import org.apache.spark.sql.types._
   * only round-11 addition with a visible data term (decade exponent 0.45);
   * this buffer makes the per-row cost a d²/2 fused multiply-add and the
   * shuffle ONE buffer per partition (~17 KB at d=64) instead of d² rows.
-  * Merge is element-wise vector addition — fully associative/commutative,
-  * so the result is partitioning-independent up to double rounding.
+  *
+  * ORDER-INDEPENDENCE (the round-12 fix for the r11 oracle failures): the
+  * r11 buffer summed raw doubles, so the result depended on shuffle-arrival
+  * merge order "up to double rounding" — and the fixture's true cov values
+  * sit ON round-6 half-boundaries (sf0.01 cell (42,54) = 5.98499975e-4,
+  * 2.5e-11 from the half-point), so the SAME query flipped digits draw to
+  * draw and failed the driver's oracle after passing locally. The fix
+  * quantizes once per row to a fixed binary grid and accumulates EXACT
+  * Long sums, which are associative/commutative with no rounding at all:
+  *
+  *   qx  = floor(x  · 2²⁴)        (per element)
+  *   qxy = floor(xᵢ·xⱼ · 2²⁴)     (per product)
+  *
+  * Why this is engine-identical with zero tie ambiguity: the input elements
+  * are float32, so as doubles they carry ≤24-bit mantissas; xᵢ·xⱼ needs
+  * ≤48 bits — EXACT in double — and multiplying by 2²⁴ is a pure exponent
+  * shift, also exact. `floor` is then applied to an exactly-representable
+  * value, so there is no round-half rule to mirror and no representation
+  * divergence: any engine computing floor(xᵢ·xⱼ·2²⁴) over the same parquet
+  * floats produces the same integer. (A decimal grid like 1e9 would NOT
+  * have this property — the ·1e9 step rounds, and a half-rule would need
+  * pinning across engines.) The DuckDB twin spells the identical floor.
+  *
+  * Overflow headroom (documented per the r11 verdict): with |x| ≤ c the
+  * per-row |qxy| ≤ c²·2²⁴, so a signed-64 sum holds n ≤ 2⁶³/(c²·2²⁴) rows —
+  * at c = 1 (unit-ish embeddings; the fixture's |x| < 0.6) that is
+  * ~5.5e11 rows ≈ 140 TB of d=64 float32, and per PARTITION (where the
+  * unchecked `+=` runs) a 128 MB split holds ~5e5 rows, 6 orders of
+  * magnitude below the bound. Cross-partition `merge` and the final
+  * `eval` use `Math.addExact`, so a corpus that does exceed the headroom
+  * fails loudly instead of wrapping; past that scale, widen the buffer to
+  * 128-bit (two-long) lanes — the grid and contract are unchanged.
   *
   * Contract: non-null fixed-width vectors (float or double elements, no
   * null elements); mixed dimensions throw. Evaluates to
-  * `array<struct<i,j,sxy,sx,sy,n>>` of RAW sums over the symmetric half
-  * (i ≤ j) — the caller derives cov = sxy/n − (sx/n)(sy/n) in SQL, so the
-  * final arithmetic stays visible to (and identical with) the DuckDB twin.
+  * `array<struct<i,j,sxy,sx,sy,n>>` of RAW quantized Long sums over the
+  * symmetric half (i ≤ j) — the caller derives
+  * cov = (sxy/2²⁴)/n − ((sx/2²⁴)/n)·((sy/2²⁴)/n) in SQL, so the final
+  * arithmetic stays visible to (and identical with) the DuckDB twin, and
+  * because the integer inputs are exact the pre-round double is a pure
+  * function of the data — partitioning cannot move it.
   */
 object CovFunctions {
+  /** The binary quantization grid (2²⁴) shared by the buffer aggregate,
+    * the declarative twin, and the DuckDB oracle SQL — interpolated, never
+    * retyped. Binary so that float32·float32·grid is exact in double (see
+    * class doc); 2²⁴ keeps quantization error ≤ 2⁻²⁴ ≈ 6e-8 per term
+    * (invisible at the declared round-6) with Long headroom to ~140 TB. */
+  val CovGridScale: Long = 1L << 24
+
   def cov_accum_agg(c: Column): Column =
     Bridge.column(CovAccumAgg(Bridge.expression(c)).toAggregateExpression())
 }
 
-/** Mutable buffer: dimension (-1 until first row), row count, Σx (d), and
-  * packed upper-triangle Σ xᵢxⱼ (i ≤ j, row-major from the diagonal). */
+/** Mutable buffer: dimension (-1 until first row), row count, Σ floor(x·2²⁴)
+  * (d lanes), and packed upper-triangle Σ floor(xᵢxⱼ·2²⁴) (i ≤ j, row-major
+  * from the diagonal). All Long — exact, order-independent. */
 final class CovBuffer(var d: Int, var n: Long,
-                      var sx: Array[Double], var sxy: Array[Double])
+                      var sx: Array[Long], var sxy: Array[Long])
 
 case class CovAccumAgg(
     child: Expression,
@@ -51,9 +92,9 @@ case class CovAccumAgg(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("i", LongType, nullable = false),
     StructField("j", LongType, nullable = false),
-    StructField("sxy", DoubleType, nullable = false),
-    StructField("sx", DoubleType, nullable = false),
-    StructField("sy", DoubleType, nullable = false),
+    StructField("sxy", LongType, nullable = false),
+    StructField("sx", LongType, nullable = false),
+    StructField("sy", LongType, nullable = false),
     StructField("n", LongType, nullable = false))), containsNull = false)
 
   private lazy val elemIsDouble: Boolean = child.dataType match {
@@ -76,15 +117,16 @@ case class CovAccumAgg(
       val d = arr.numElements()
       if (buffer.d < 0) {
         buffer.d = d
-        buffer.sx = new Array[Double](d)
-        buffer.sxy = new Array[Double](d * (d + 1) / 2)
+        buffer.sx = new Array[Long](d)
+        buffer.sxy = new Array[Long](d * (d + 1) / 2)
       }
       require(d == buffer.d, s"cov_accum_agg: mixed dimensions $d vs ${buffer.d}")
+      val grid = CovFunctions.CovGridScale.toDouble
       val x = new Array[Double](d)
       var i = 0
       while (i < d) {
         x(i) = if (elemIsDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
-        buffer.sx(i) += x(i)
+        buffer.sx(i) += math.floor(x(i) * grid).toLong
         i += 1
       }
       var p = 0
@@ -92,7 +134,10 @@ case class CovAccumAgg(
       while (i < d) {
         val xi = x(i)
         var j = i
-        while (j < d) { buffer.sxy(p) += xi * x(j); p += 1; j += 1 }
+        while (j < d) {
+          buffer.sxy(p) += math.floor(xi * x(j) * grid).toLong
+          p += 1; j += 1
+        }
         i += 1
       }
       buffer.n += 1L
@@ -108,9 +153,13 @@ case class CovAccumAgg(
       } else {
         require(buffer.d == other.d, "cov_accum_agg: mixed dimensions across partitions")
         var i = 0
-        while (i < buffer.sx.length) { buffer.sx(i) += other.sx(i); i += 1 }
+        while (i < buffer.sx.length) {
+          buffer.sx(i) = Math.addExact(buffer.sx(i), other.sx(i)); i += 1
+        }
         i = 0
-        while (i < buffer.sxy.length) { buffer.sxy(i) += other.sxy(i); i += 1 }
+        while (i < buffer.sxy.length) {
+          buffer.sxy(i) = Math.addExact(buffer.sxy(i), other.sxy(i)); i += 1
+        }
         buffer.n += other.n
       }
     }
@@ -138,8 +187,8 @@ case class CovAccumAgg(
     if (buffer.d < 0) return Array.emptyByteArray
     val bb = ByteBuffer.allocate(4 + 8 + 8 * buffer.sx.length + 8 * buffer.sxy.length)
     bb.putInt(buffer.d).putLong(buffer.n)
-    buffer.sx.foreach(bb.putDouble)
-    buffer.sxy.foreach(bb.putDouble)
+    buffer.sx.foreach(bb.putLong)
+    buffer.sxy.foreach(bb.putLong)
     bb.array()
   }
 
@@ -148,8 +197,8 @@ case class CovAccumAgg(
     val bb = ByteBuffer.wrap(bytes)
     val d = bb.getInt
     val n = bb.getLong
-    val sx = Array.fill(d)(bb.getDouble)
-    val sxy = Array.fill(d * (d + 1) / 2)(bb.getDouble)
+    val sx = Array.fill(d)(bb.getLong)
+    val sxy = Array.fill(d * (d + 1) / 2)(bb.getLong)
     new CovBuffer(d, n, sx, sxy)
   }
 

@@ -602,27 +602,47 @@ object VectorOps {
     * collapses to ≤ d(d+1)/2 cells before the shuffle, and the shuffle
     * volume is d² × partitions regardless of corpus size — the property
     * that makes a covariance pass viable over 100 TB of embeddings (d=64 ⇒
-    * 2080 cells ≈ 100 KB per partition). Floats widen to double BEFORE the
-    * multiply so both engines do identical double arithmetic; both sides
-    * use the same Σxy/n − (Σx/n)(Σy/n) spelling and round to 6.
+    * 2080 cells ≈ 100 KB per partition).
+    *
+    * DRAW-STABILITY (round-12 fix): the r11 form summed raw doubles and
+    * failed the driver's oracle — summation order is shuffle-arrival-
+    * dependent, and the fixture's cov values sit ON round-6 half-boundaries
+    * (cell (42,54) at sf0.01 is 2.5e-11 from one). The sums are now EXACT:
+    * every term is floor-quantized once to the binary 2²⁴ grid
+    * ([[graft.functions.CovFunctions.CovGridScale]]; float·float·2²⁴ is
+    * exactly representable in double, so floor has no tie rule and no
+    * engine divergence) and accumulated as Longs. The declared cov is
+    * therefore a pure function of the data — byte-identical across
+    * partitionings (spec'd at 7 vs 31 shuffle partitions) — and the final
+    * cov = (sxy/2²⁴)/n − ((sx/2²⁴)/n)·((sy/2²⁴)/n) arithmetic stays in SQL,
+    * spelled identically in the DuckDB twin.
     *
     * Round-11 tier descent (measured, the ladder's rule): the declarative
     * explode+groupBy spelling ([[embedCovDeclarative]]) was the only
     * round-11 addition with a visible decade term (exponent 0.45 — it
     * materializes n·d(d+1)/2 rows through a hash aggregate). The declared
-    * form now runs [[graft.functions.CovFunctions.cov_accum_agg]], a
+    * form runs [[graft.functions.CovFunctions.cov_accum_agg]], a
     * `TypedImperativeAggregate` whose buffer IS the packed triangle: per
-    * row a tight d²/2 fused multiply-add, per partition ONE ~17 KB buffer
-    * shuffled, and the final cov arithmetic stays in SQL so the DuckDB
-    * twin is unchanged. Equality with the declarative form is spec'd. */
+    * row a tight d²/2 multiply-floor loop, per partition ONE ~17 KB buffer
+    * shuffled. Equality with the declarative form is spec'd — and because
+    * both sides are exact, the spec demands BIT equality, not tolerance. */
   def embedCov(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "embeddings")
       .agg(graft.functions.CovFunctions.cov_accum_agg(col("embedding")).as("cells"))
       .select(explode(col("cells")).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"),
-        round(col("c.sxy") / col("c.n") -
-          (col("c.sx") / col("c.n")) * (col("c.sy") / col("c.n")), 6).as("cov"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), covFromSums(col("c")))
       .orderBy("i", "j")
+
+  /** The shared final-arithmetic spelling over [[graft.functions.CovAccumAgg]]'s
+    * exact quantized sums: cov = (sxy/2²⁴)/n − ((sx/2²⁴)/n)·((sy/2²⁴)/n),
+    * round 6 — mirrored verbatim in the DuckDB oracle. Long→double
+    * conversions and the division order are IEEE-identical across engines
+    * because the integer inputs are exact. */
+  private def covFromSums(c: Column): Column = {
+    val g = lit(graft.functions.CovFunctions.CovGridScale.toDouble)
+    round(c("sxy") / g / c("n") -
+      (c("sx") / g / c("n")) * (c("sy") / g / c("n")), 6).as("cov")
+  }
 
   /** Outliers reported by [[embedOutliers]]. */
   val EmbedOutlierK = 20
@@ -657,21 +677,22 @@ object VectorOps {
     * consume: one [[graft.functions.CovAccumAgg]] buffer per (partition,
     * label) with map-side partial aggregation, so the shuffle is
     * n_labels × ~17 KB buffers per partition — class cardinality bounds
-    * state, corpus size never does. Same SQL-visible cov arithmetic and
-    * DuckDB twin as the global form, plus the label key. */
+    * state, corpus size never does. Same SQL-visible exact-quantized cov
+    * arithmetic and DuckDB twin as the global form ([[embedCov]]'s
+    * draw-stability note applies verbatim), plus the label key. */
   def embedCovByLabel(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "embeddings")
       .groupBy(col("label").cast("long").as("label"))
       .agg(graft.functions.CovFunctions.cov_accum_agg(col("embedding")).as("cells"))
       .select(col("label"), explode(col("cells")).as("c"))
-      .select(col("label"), col("c.i").as("i"), col("c.j").as("j"),
-        round(col("c.sxy") / col("c.n") -
-          (col("c.sx") / col("c.n")) * (col("c.sy") / col("c.n")), 6).as("cov"))
+      .select(col("label"), col("c.i").as("i"), col("c.j").as("j"), covFromSums(col("c")))
       .orderBy("label", "i", "j")
 
   /** The declarative explode+groupBy twin of [[embedCov]] (spec seam; see
-    * the tier-descent note above). */
+    * the tier-descent note above). Same 2²⁴ floor-quantized Long sums, so
+    * the spec can demand BIT equality with the buffer aggregate. */
   private[graft] def embedCovDeclarative(spark: SparkSession, sf: String): DataFrame = {
+    val g = graft.functions.CovFunctions.CovGridScale
     val cells = Tables.load(spark, sf, "embeddings")
       .select(explode(expr(
         """flatten(transform(sequence(0, size(embedding) - 1), i ->
@@ -682,11 +703,12 @@ object VectorOps {
           .stripMargin)).as("c"))
       .select("c.i", "c.j", "c.xi", "c.xj")
     cells.groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxy"),
-        sum("xi").as("sx"), sum("xj").as("sy"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(floor(xi * xj * $g.0D) AS BIGINT)")).as("sxy"),
+        sum(expr(s"CAST(floor(xi * $g.0D) AS BIGINT)")).as("sx"),
+        sum(expr(s"CAST(floor(xj * $g.0D) AS BIGINT)")).as("sy"))
       .select(col("i"), col("j"),
-        round(col("sxy") / col("n") -
-          (col("sx") / col("n")) * (col("sy") / col("n")), 6).as("cov"))
+        covFromSums(struct(col("sxy"), col("sx"), col("sy"), col("n"))))
       .orderBy("i", "j")
   }
 

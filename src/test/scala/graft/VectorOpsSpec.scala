@@ -17,9 +17,36 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("embedCov: the buffer aggregate equals the declarative explode+groupBy form") {
+    // both sides accumulate exact 2^24-grid Long sums, so two DIFFERENT
+    // implementations must agree BIT-exactly — no tolerance
     val fast = VectorOps.embedCov(spark, sf0001).collect().toSeq
     val slow = VectorOps.embedCovDeclarative(spark, sf0001).collect().toSeq
     assert(fast == slow)
+  }
+
+  test("embedCov/embedCovByLabel: rounded output is bit-identical across perturbed partitionings") {
+    // the r11 driver-oracle failure mode: shuffle-arrival merge order moved
+    // a double sum across a round-6 half-boundary. With exact quantized Long
+    // sums the declared values must be a pure function of the data — drive
+    // the merge tree through coprime partition counts and demand equality
+    // of the full rounded output, doubles compared by BITS (0.0 vs -0.0 and
+    // last-ulp flips both count as failures here)
+    def bits(rows: Seq[org.apache.spark.sql.Row]): Seq[Seq[Long]] = rows.map(
+      _.toSeq.map {
+        case d: Double => java.lang.Double.doubleToRawLongBits(d)
+        case l: Long => l
+        case other => other.hashCode.toLong
+      })
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val runs = Seq("7", "31", "2").map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        (bits(VectorOps.embedCov(spark, sf0001).collect().toSeq),
+          bits(VectorOps.embedCovByLabel(spark, sf0001).collect().toSeq))
+      }
+      assert(runs.distinct.size == 1,
+        "cov output moved under partitioning perturbation — order-dependent sum leaked back in")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("embedCovByLabel: per-class cells reconcile with per-class declarative covariance") {
