@@ -184,11 +184,22 @@ object Bench {
             name -> -1.0
         }
       }
+    // ambient-load context (verdict r11 #4): repeated idle-repo draws have
+    // measured ~35 % uniform inflation when the shared VM is loaded, which
+    // costs a diff investigation every round it happens. Recording the
+    // 1-minute load average before and after the timed region makes an
+    // environmental window machine-attributable from the JSON alone.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val sweeps = (1 to reps).map { r =>
       if (reps > 1) System.err.println(s"[bench] === sweep $r/$reps ===")
       sweep()
     }
+    val loadAfter = loadavg()
     // per-query: min over sweeps (a query failing in EVERY sweep stays -1)
     val results = sweeps.transpose.map { ts =>
       val name = ts.head._1
@@ -218,7 +229,8 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$envField,"sf":"$sfDir"}"""
+    val loadField = s""","loadavg_before":${fmt3(loadBefore)},"loadavg_after":${fmt3(loadAfter)}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$envField$loadField,"sf":"$sfDir"}"""
     // full-precision artifact with every query — the machine-readable record
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
@@ -238,6 +250,6 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed,"queries":$slow,"queries_note":"slowest 20; all ${results.size} in target/bench.json","reps":$reps$envField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed,"queries":$slow,"queries_note":"slowest 20; all ${results.size} in target/bench.json","reps":$reps$envField$loadField,"sf":"$sfDir"}""")
   }
 }

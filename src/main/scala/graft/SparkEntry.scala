@@ -692,13 +692,16 @@ object SparkEntry {
         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits,
         |  round(max(c) * 1.0 / sum(c), 4) AS top_share
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // monetary as exact cent Longs (the margin audit found a segment avg
+    // sitting exactly ON the round-4 half-boundary over the raw double sum)
     "q_rfm" ->
       """WITH pc AS (
         |  SELECT o_custkey,
         |    date_diff('day', CAST(max(o_orderdate) AS DATE),
         |      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
         |      AS recency,
-        |    count(*) AS frequency, sum(o_totalprice) AS monetary
+        |    count(*) AS frequency,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
         |  FROM orders GROUP BY o_custkey),
         |cuts AS (SELECT
         |    quantile_cont(CAST(recency AS DOUBLE), 0.25) AS r25,
@@ -707,9 +710,9 @@ object SparkEntry {
         |    quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
         |    quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f50,
         |    quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
-        |    quantile_cont(monetary, 0.25) AS m25,
-        |    quantile_cont(monetary, 0.5) AS m50,
-        |    quantile_cont(monetary, 0.75) AS m75
+        |    quantile_cont(CAST(cents AS DOUBLE), 0.25) AS m25,
+        |    quantile_cont(CAST(cents AS DOUBLE), 0.5) AS m50,
+        |    quantile_cont(CAST(cents AS DOUBLE), 0.75) AS m75
         |  FROM pc),
         |scored AS (SELECT
         |    5 - (CASE WHEN CAST(recency AS DOUBLE) > r75 THEN 4
@@ -720,12 +723,13 @@ object SparkEntry {
         |         WHEN CAST(frequency AS DOUBLE) > f50 THEN 3
         |         WHEN CAST(frequency AS DOUBLE) > f25 THEN 2
         |         ELSE 1 END AS f_score,
-        |    CASE WHEN monetary > m75 THEN 4 WHEN monetary > m50 THEN 3
-        |         WHEN monetary > m25 THEN 2 ELSE 1 END AS m_score,
-        |    monetary
+        |    CASE WHEN CAST(cents AS DOUBLE) > m75 THEN 4
+        |         WHEN CAST(cents AS DOUBLE) > m50 THEN 3
+        |         WHEN CAST(cents AS DOUBLE) > m25 THEN 2 ELSE 1 END AS m_score,
+        |    cents
         |  FROM pc, cuts)
         |SELECT r_score, f_score, m_score, count(*) AS n_customers,
-        |  round(avg(monetary), 4) AS avg_monetary
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 4) AS avg_monetary
         |FROM scored GROUP BY r_score, f_score, m_score
         |ORDER BY r_score, f_score, m_score""".stripMargin,
     "q_ks_drift" ->

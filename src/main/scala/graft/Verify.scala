@@ -2,13 +2,44 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * `--stability` is the DRAW-STABILITY GATE (round-12 process fix): the r11
+  * cov failure showed that one matching local draw proves nothing when a
+  * declared value rounds an order-dependent float sum — the builder's run
+  * passed, the driver's next draw didn't. With the flag, each dumped query
+  * is re-executed under deliberately perturbed partitioning (13 shuffle
+  * partitions + 1 MB input splits, vs the dump run's defaults — different
+  * map-side split boundaries AND a different merge tree) and the two result
+  * multisets are compared with doubles at BIT granularity (−0.0 vs 0.0 and
+  * last-ulp flips are failures). A query may not enter the ledger as
+  * "oracled" until this gate passes — see SURVEY §2.0's verify recipe. */
 object Verify {
+
+  /** Canonical string for one value: floating types by raw bits, nested
+    * rows/arrays/maps recursively, bytes base64 — so two collects compare
+    * at exactly the granularity the driver's parquet hash sees. */
+  private def canon(v: Any): String = v match {
+    case null => "null"
+    case d: java.lang.Double => "d" + java.lang.Double.doubleToRawLongBits(d)
+    case f: java.lang.Float => "f" + java.lang.Float.floatToRawIntBits(f)
+    case b: Array[Byte] => "b" + java.util.Base64.getEncoder.encodeToString(b)
+    case r: org.apache.spark.sql.Row => r.toSeq.map(canon).mkString("(", ",", ")")
+    case s: Seq[_] => s.map(canon).mkString("[", ",", "]")
+    case m: Map[_, _] =>
+      m.map { case (k, x) => canon(k) + "->" + canon(x) }.toSeq.sorted.mkString("{", ",", "}")
+    case other => other.getClass.getSimpleName + ":" + other.toString
+  }
+
+  /** Sorted canonical multiset of a DataFrame's rows. */
+  private def canonRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(canon).sorted
+
   def main(args: Array[String]): Unit = {
     // flags never fill positional slots: `Verify <sf> --sql-only` must not
     // silently use "--sql-only" as the output directory
     val positional = args.filterNot(_.startsWith("--"))
-    require(positional.length >= 2, s"usage: Verify <sfDir> <outDir> [--sql-only] [--only=a,b]; got ${args.mkString(" ")}")
+    require(positional.length >= 2, s"usage: Verify <sfDir> <outDir> [--sql-only] [--only=a,b] [--stability]; got ${args.mkString(" ")}")
     val Array(sfDir, outDir) = positional.take(2)
     // --sql-only: refresh oracle_sql.json without re-running the queries
     // (iterating on an oracle against already-dumped parquet results)
@@ -23,6 +54,7 @@ object Verify {
       require(unknown.isEmpty, s"--only names not in SparkEntry.queries: ${unknown.mkString(",")}")
     }
     new java.io.File(outDir).mkdirs()
+    var unstable = List.empty[String]
     val toRun =
       if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
       else SparkEntry.queries.view.filterKeys(k => only.forall(_.contains(k))).toMap
@@ -37,9 +69,44 @@ object Verify {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      val stability = args.contains("--stability")
       toRun.foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          if (stability) {
+            spark.catalog.clearCache()
+            // the dump above ran at the session defaults; the re-run gets a
+            // different merge tree (13 reducers) AND different map-side
+            // split boundaries (1 MB input splits), so any order-dependent
+            // float sum feeding a rounded output moves here if it can move
+            // hash-oracled queries must be BIT-stable (the driver hashes
+            // their values); declared no-oracle queries (sketch blobs with
+            // spec'd error bounds) are draw-dependent by contract — the
+            // driver records rows-only for them, so gate rows only
+            val hashOracled = SparkEntry.oracleSql.contains(name)
+            def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+              if (hashOracled) canonRows(df) else Seq(df.count().toString)
+            val dumped = snap(spark.read.parquet(s"$outDir/$name"))
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+            val perturbed =
+              try snap(fn(spark, sfDir))
+              finally {
+                spark.conf.set("spark.sql.shuffle.partitions", cpus)
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+              }
+            if (dumped != perturbed) {
+              unstable ::= name
+              val firstDiff = dumped.zipAll(perturbed, "<missing>", "<missing>")
+                .find { case (a, b) => a != b }
+              System.err.println(s"[stability] $name UNSTABLE under perturbed " +
+                s"partitioning (${dumped.length} vs ${perturbed.length} rows); " +
+                s"first diff: ${firstDiff}")
+            } else System.err.println(
+              s"[stability] $name ok${if (hashOracled) "" else " (no-oracle: rows only)"}")
+          }
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
@@ -64,5 +131,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (unstable.nonEmpty) {
+      System.err.println(s"[stability] ${unstable.size} UNSTABLE: ${unstable.sorted.mkString(",")}")
+      sys.exit(3)
+    }
   }
 }

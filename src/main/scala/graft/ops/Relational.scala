@@ -1236,7 +1236,17 @@ object Relational {
     * the cuts bit-identical). Output is the 4³-cell segment census, not
     * per-customer rows: the decision table a marketing pipeline actually
     * consumes. Recency is measured against the fixture's global max
-    * order date so the query is deterministic, not wall-clock-relative. */
+    * order date so the query is deterministic, not wall-clock-relative.
+    *
+    * DRAW-STABILITY (round-12; found by the tools_margin audit): monetary
+    * was a raw double sum of prices, and one segment's avg landed EXACTLY
+    * on a round-4 half-boundary — the q_embed_cov failure mode latent. The
+    * money column carries 2-decimal values, so it quantizes losslessly:
+    * monetary accumulates as exact cent Longs (round(price·100) is ~1e-10
+    * from an integer, nowhere near a tie), the quantile cuts and score
+    * comparisons run on the exact cent values, and the declared average is
+    * (Σcents/100)/n over the exact Long sum — a pure function of the data,
+    * identically spelled in the DuckDB twin. */
   def rfm(spark: SparkSession, sf: String): DataFrame = {
     val o = Tables.load(spark, sf, "orders")
     val maxDate = o.agg(max("o_orderdate").as("max_date"))
@@ -1244,7 +1254,7 @@ object Relational {
       .agg(
         max("o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
-        sum("o_totalprice").as("monetary"))
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
       .join(broadcast(maxDate))
       .withColumn("recency",
         datediff(col("max_date"), col("last_order")))
@@ -1255,9 +1265,9 @@ object Relational {
       percentile(col("frequency").cast("double"), lit(0.25)).as("f25"),
       percentile(col("frequency").cast("double"), lit(0.5)).as("f50"),
       percentile(col("frequency").cast("double"), lit(0.75)).as("f75"),
-      percentile(col("monetary"), lit(0.25)).as("m25"),
-      percentile(col("monetary"), lit(0.5)).as("m50"),
-      percentile(col("monetary"), lit(0.75)).as("m75"))
+      percentile(col("cents").cast("double"), lit(0.25)).as("m25"),
+      percentile(col("cents").cast("double"), lit(0.5)).as("m50"),
+      percentile(col("cents").cast("double"), lit(0.75)).as("m75"))
     def score(v: Column, c25: Column, c50: Column, c75: Column): Column =
       when(v > c75, 4).when(v > c50, 3).when(v > c25, 2).otherwise(1)
     perCust.join(broadcast(cuts))
@@ -1267,12 +1277,13 @@ object Relational {
           col("r25"), col("r50"), col("r75"))).as("r_score"),
         score(col("frequency").cast("double"),
           col("f25"), col("f50"), col("f75")).as("f_score"),
-        score(col("monetary"), col("m25"), col("m50"), col("m75"))
+        score(col("cents").cast("double"), col("m25"), col("m50"), col("m75"))
           .as("m_score"),
-        col("monetary"))
+        col("cents"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
-        round(avg("monetary"), 4).as("avg_monetary"))
+        round(sum("cents").cast("double") / 100.0 / count(lit(1)), 4)
+          .as("avg_monetary"))
       .orderBy("r_score", "f_score", "m_score")
   }
 

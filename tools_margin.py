@@ -1,0 +1,281 @@
+"""Boundary-margin audit (round-12 verdict item 3).
+
+For every oracled query whose declared output rounds a computed value, this
+tool re-derives the PRE-round values at full precision in DuckDB and measures
+each one's distance to the nearest rounding half-boundary. A rounded value
+whose pre-round double sits within jitter range of a half-boundary is a
+knife-edge: if the Spark side computes it through an ORDER-DEPENDENT float
+sum, shuffle-arrival order can flip the rounded digit draw to draw (the r11
+q_embed_cov failure). This audit catches the next one at build time.
+
+Method: in each oracle's FINAL select list, every `round(expr, d)` occurrence
+gets a sibling margin column appended (same expression, same grouping, same
+ORDER BY/LIMIT, so the row population is exactly the declared one):
+    margin_value = abs((expr*10^d - floor(expr*10^d)) - 0.5) / 10^d
+The per-query minimum margin must exceed JITTER (1e-9 in value units) for
+queries classified ORDER-DEPENDENT (the round argument contains a float
+aggregate over double data). Queries whose rounded aggregate is exact on the
+Spark side (integer/long/quantized-Long sums - summation order cannot move
+them) are classified EXACT_BACKED with a per-entry justification: their
+margins are reported but not gated, because determinism, not margin, is
+their stability argument.
+
+Queries the rewriter cannot handle (top-level set ops, SELECT DISTINCT
+finals, positional GROUP BY on a round item) are listed as SKIPPED with the
+reason - silent non-coverage would read as "audited" when it wasn't.
+
+Usage: python3 tools_margin.py [sfdir] [verify_dir]
+Exit 1 if any ORDER-DEPENDENT query has min margin <= JITTER (whitelist: empty).
+"""
+import duckdb, json, re, sys
+
+JITTER = 1e-9  # value-units distance to a half-boundary that summation-order
+               # jitter could plausibly cross (r11 failing cell: 2.5e-11)
+
+# Rounded aggregates that are EXACT on the Spark side - summation order
+# cannot move the pre-round value, so the margin is informational only (the
+# textual float-agg classifier cannot see Spark-side types, so these are
+# reviewed corrections). Every entry carries its exactness argument; this is
+# NOT a failure whitelist - an entry without a valid argument is a bug.
+EXACT_BACKED = {
+    'q_embed_cov': 'sums are floor-quantized 2^24-grid Longs (CovAccumAgg); pre-round double is a pure function of the data',
+    'q_embed_cov_label': 'same exact quantized-Long sums as q_embed_cov, grouped by label',
+    'q_rfm': 'monetary accumulates as exact cent Longs (round-12 fix); the declared avg divides an exact Long sum',
+    'q_bpe_encode': 'units_per_word divides a Spark Long sum of integer unit counts by count(*) - one deterministic division',
+    'q_dedup_spans': 'dup_frac divides a Spark Long sum of integer coverage counts by n_tokens - one deterministic division',
+    'q_quality_score': 'avg over 0/1 indicator doubles and integer token lengths: integer-valued double sums are exact in IEEE below 2^53 in ANY order',
+}
+
+# ORDER-DEPENDENT queries whose measured margin is below JITTER but has been
+# reviewed against the query's actual jitter bound: each entry records the
+# floor below which the audit DOES fail (margin eroding toward the boundary
+# must be caught). Review argument lives here, next to the number.
+THIN_MARGIN_REVIEWED = {
+    # ~531 exp() terms per grid cell, each <= 1: reordering jitter on the
+    # mean is <= n*eps ~ 1e-13 before the /1253 scaling; the measured
+    # 1.7e-10 margin is ~3 orders above it. Floor set 10x over the bound.
+    'q_kde': 1e-12,
+}
+
+# float aggregate over data -> order-dependent double sum on the Spark side
+FLOAT_AGG = re.compile(r'\b(sum|avg|var_pop|var_samp|stddev\w*|covar\w*|corr|regr_\w+)\s*\(', re.I)
+# any aggregate at all (decides whether a margin column binds at group level)
+ANY_AGG = re.compile(r'\b(count|sum|avg|min|max|stddev\w*|var_\w+|quantile\w*|median|'
+                     r'covar\w*|corr|regr_\w+|string_agg|array_agg|list|first|last|'
+                     r'bool_and|bool_or|arg_min|arg_max|bit_\w+|mode|product|entropy)\s*\(', re.I)
+# ...unless the aggregated operand is an integer 0/1 CASE or a count ratio,
+# which Spark sums as exact Longs. Conservative: only the patterns we audit.
+INT_BACKED = re.compile(r'\b(sum|avg)\s*\(\s*(CASE\s+WHEN[^()]*THEN\s+1\s+ELSE\s+0\s+END|CAST\s*\([^()]*AS\s+(BIG)?INT(EGER)?\s*\))\s*\)', re.I)
+
+
+def depth0_scan(sql):
+    """Yield (index, char) at paren depth 0, skipping quoted strings."""
+    depth, i, n = 0, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and not (sql[i] == "'" and (i + 1 >= n or sql[i+1] != "'")):
+                i += 2 if sql[i] == "'" else 1
+        elif c == '(':
+            depth += 1
+        elif c == ')':
+            depth -= 1
+        elif depth == 0:
+            yield i, c
+        i += 1
+
+
+def find_final_select(sql):
+    """Index just past the last depth-0 SELECT keyword, or None."""
+    last = None
+    for i, c in depth0_scan(sql):
+        if c in 'sS' and re.match(r'select\b', sql[i:i+7], re.I):
+            last = i
+    return last
+
+
+def matching_paren(sql, open_idx):
+    depth = 0
+    i = open_idx
+    while i < len(sql):
+        if sql[i] == "'":
+            i += 1
+            while i < len(sql) and sql[i] != "'":
+                i += 1
+        elif sql[i] == '(':
+            depth += 1
+        elif sql[i] == ')':
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError('unbalanced parens')
+
+
+def split_top_comma(s):
+    parts, depth, start = [], 0, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < len(s) and s[i] != "'":
+                i += 1
+        elif c == '(':
+            depth += 1
+        elif c == ')':
+            depth -= 1
+        elif c == ',' and depth == 0:
+            parts.append(s[start:i]); start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def audit_one(sql):
+    """Return (rewritten_sql, n_margins, order_dependent, skip_reason)."""
+    sel = find_final_select(sql)
+    if sel is None:
+        return None, 0, False, 'no depth-0 SELECT found'
+    tail = sql[sel:]
+    if any(re.match(r'(union|except|intersect)\b', sql[i:i+10], re.I)
+           for i, c in depth0_scan(sql) if c in 'ueiUEI'):
+        return None, 0, False, 'depth-0 set operation (margin column would break branch arity)'
+    m = re.match(r'select\s+(distinct\b)?', tail, re.I)
+    if m.group(1):
+        return None, 0, False, 'SELECT DISTINCT final'
+    # select list = from end of SELECT keyword to the depth-0 FROM
+    list_start = sel + m.end()
+    from_idx = None
+    for i, c in depth0_scan(sql[list_start:]):
+        if c in 'fF' and re.match(r'from\b', sql[list_start+i:list_start+i+5], re.I):
+            from_idx = list_start + i
+            break
+    if from_idx is None:
+        return None, 0, False, 'no depth-0 FROM in final SELECT'
+    select_list = sql[list_start:from_idx]
+
+    # every round(expr, d) occurrence in the final select list OUTSIDE any
+    # nested (SELECT ...) - a round inside a scalar subquery sees a
+    # different FROM scope, so rewriting it there would mis-bind columns;
+    # rounds inside plain function wrappers (coalesce, CASE, ...) are fine
+    def inside_subquery(pos):
+        stack = []
+        i = 0
+        while i < pos:
+            c = select_list[i]
+            if c == "'":
+                i += 1
+                while i < len(select_list) and select_list[i] != "'":
+                    i += 1
+            elif c == '(':
+                stack.append(i)
+            elif c == ')':
+                if stack:
+                    stack.pop()
+            i += 1
+        return any(re.match(r'\s*select\b', select_list[p+1:], re.I) for p in stack)
+
+    nested_rounds = 0
+    margins = []
+    for rm in re.finditer(r'\bround\s*\(', select_list, re.I):
+        if inside_subquery(rm.start()):
+            nested_rounds += 1
+            continue
+        op = list_start + rm.end() - 1
+        cp = matching_paren(sql, op)
+        args = split_top_comma(sql[op+1:cp])
+        if len(args) != 2:
+            continue  # round(x) single-arg: integer rounding, audited as d=0? rare; skip
+        expr, d = args[0].strip(), args[1].strip()
+        if not re.fullmatch(r'\d+', d):
+            continue
+        scale = f'1e{d}'
+        mexpr = f'abs((({expr}) * {scale} - floor(({expr}) * {scale})) - 0.5) / {scale}'
+        # in a grouped final select, a margin over a non-aggregate expr
+        # (e.g. a rounded GROUP BY key) must itself aggregate to bind
+        grouped = any(re.match(r'group\s+by\b', sql[i:i+9], re.I)
+                      for i, c in depth0_scan(sql[from_idx:]) for i in [i + from_idx] if c in 'gG')
+        if grouped and not ANY_AGG.search(expr):
+            mexpr = f'min({mexpr})'
+        margins.append(mexpr)
+    if not margins:
+        if nested_rounds:
+            return None, 0, False, f'{nested_rounds} round(s) only in nested subqueries of the final select'
+        return None, 0, False, None  # nothing rounded in the final select
+    mcols = ', '.join(f'{m} AS __m{i}' for i, m in enumerate(margins))
+    inner = sql[:from_idx].rstrip()
+    if inner.rstrip().endswith(','):
+        inner = inner.rstrip()[:-1]
+    rewritten = inner + ', ' + mcols + ' ' + sql[from_idx:]
+    mexpr = 'least(' + ', '.join(f'__m{i}' for i in range(len(margins))) + ')' \
+        if len(margins) > 1 else '__m0'
+    wrapped = f'SELECT min({mexpr}) AS min_margin FROM ({rewritten}) __t'
+    return wrapped, len(margins), None, None
+
+
+def classify(sql):
+    """True if any final-select round arg contains a float aggregate."""
+    sel = find_final_select(sql)
+    if sel is None:
+        return False
+    for rm in re.finditer(r'\bround\s*\(', sql[sel:], re.I):
+        op = sel + rm.end() - 1
+        try:
+            cp = matching_paren(sql, op)
+        except ValueError:
+            continue
+        args = split_top_comma(sql[op+1:cp])
+        if len(args) == 2 and FLOAT_AGG.search(args[0]) \
+                and not INT_BACKED.fullmatch(args[0].strip()):
+            return True
+    return False
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+    vdir = sys.argv[2] if len(sys.argv) > 2 else 'target/verify'
+    con = duckdb.connect()
+    for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+              'lineitem', 'events', 'documents', 'embeddings']:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracles = json.load(open(f'{vdir}/oracle_sql.json'))
+    failures, skipped, audited = [], [], 0
+    for name, sql in sorted(oracles.items()):
+        if 'round' not in sql.lower():
+            continue
+        wrapped, n, _, reason = audit_one(sql)
+        if wrapped is None:
+            if reason:
+                skipped.append((name, reason))
+            continue
+        try:
+            margin = con.execute(wrapped).fetchone()[0]
+        except Exception as e:
+            skipped.append((name, f'rewritten SQL failed: {str(e)[:120]}'))
+            continue
+        audited += 1
+        order_dep = classify(sql)
+        tag = 'ORDER-DEP' if order_dep else 'exact/int'
+        if name in EXACT_BACKED:
+            tag = 'EXACT_BACKED'
+        status = 'ok'
+        if margin is not None and tag == 'ORDER-DEP':
+            floor = THIN_MARGIN_REVIEWED.get(name, JITTER)
+            if margin <= floor:
+                status = 'KNIFE-EDGE'
+                failures.append((name, margin))
+            elif name in THIN_MARGIN_REVIEWED:
+                status = 'thin-margin-reviewed'
+        print(f'{name}: min_margin={margin!r} rounds={n} [{tag}] {status}')
+    print('---')
+    for name, reason in skipped:
+        print(f'SKIPPED {name}: {reason}')
+    print(f'audited {audited} queries; {len(skipped)} skipped; '
+          f'{len(failures)} knife-edges: {[f[0] for f in failures]}')
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == '__main__':
+    main()
