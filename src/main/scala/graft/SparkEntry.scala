@@ -160,6 +160,7 @@ object SparkEntry {
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => VectorOps.annPq(s, d)),
+    "q_ann_append" -> ((s: SparkSession, d: String) => VectorOps.annAppend(s, d)),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
     "q_schema_merge" -> (SourceOps.schemaMerge _),
     "q_binary_files" -> (SourceOps.binaryFiles _),
@@ -173,6 +174,7 @@ object SparkEntry {
     "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
     "q_stream_running" -> (graft.streaming.StreamOps.streamRunning _),
     "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
+    "q_stream_update" -> (graft.streaming.StreamOps.streamUpdate _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
     "q_zscore" -> (EventOps.zscoreOutliers _),
     "q_funnel" -> (EventOps.funnel _),
@@ -274,6 +276,7 @@ object SparkEntry {
     "q_khop" -> (GraphOps.kHop _),
     "q_sssp" -> (GraphOps.sssp _),
     "q_communities" -> (GraphOps.communities _),
+    "q_modularity" -> (GraphOps.modularity _),
     "q_kcore" -> (GraphOps.kcore _),
     "q_link_predict" -> (GraphOps.linkPredict _),
     "q_assortativity" -> (GraphOps.assortativity _),
@@ -2019,6 +2022,15 @@ object SparkEntry {
         |    '|' || CAST(seq AS VARCHAR) || '|' || CAST(cum_cents AS VARCHAR)
         |  ), 1, 15))::BIGINT) AS xor_digest
         |FROM seqd GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // update mode's final upsert state per key reflects EVERY input row
+    // for that key (cumulative state, no watermark eviction), so the latest
+    // update per key equals the batch aggregate for any file slicing;
+    // counts and cents are exact Longs, so no float-order drift either
+    "q_stream_update" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // append mode emits exactly the windows the FINAL watermark (max ts −
     // 1 h) closed, independent of batch slicing — so the oracle is the
     // batch hourly aggregate restricted to closed windows
@@ -2930,6 +2942,7 @@ object SparkEntry {
          |FROM (SELECT node, min(dist) AS dist FROM r GROUP BY node) m
          |GROUP BY dist ORDER BY dist""".stripMargin,
     "q_communities" -> lpaSql,
+    "q_modularity" -> modularitySql,
     "q_kcore" -> kcoreSql,
     "q_assortativity" ->
       """WITH e AS (
@@ -3054,7 +3067,10 @@ object SparkEntry {
     * oracle and implementation). Each round: count neighbor+self labels per
     * node, keep the (count desc, label asc) winner via row_number — the SQL
     * spelling of the Spark side's `max_by(label, (cnt, -label))`. */
-  private def lpaSql: String = {
+  /** The unrolled-LPA CTE prefix ([[GraphOps.lpaLabels]]'s vote rounds as
+    * materialized CTEs) — shared by the `q_communities` census and the
+    * `q_modularity` quality oracle so both score the same label table. */
+  private def lpaCtes: String = {
     val rounds = (1 to GraphOps.LpaRounds).map { r =>
       s"""l$r AS (SELECT src AS node, label FROM (
          |  SELECT src, label,
@@ -3071,12 +3087,48 @@ object SparkEntry {
        |nodes AS (SELECT DISTINCT src AS node FROM dir),
        |ws AS (SELECT src, dst FROM dir UNION ALL SELECT node, node FROM nodes),
        |l0 AS (SELECT node, node AS label FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def lpaSql: String =
+    s"""$lpaCtes
        |SELECT label AS community, count(*) AS n_members
        |FROM l${GraphOps.LpaRounds}
        |GROUP BY 1 ORDER BY n_members DESC, community
        |LIMIT ${GraphOps.LpaTopK}""".stripMargin
-  }
+
+  /** DuckDB twin of [[GraphOps.modularity]]: the same unrolled label table,
+    * then Q from exact integer aggregates — every rounded double is a
+    * single division of exact counts, spelled identically to the Spark
+    * side, so no summation-order jitter is possible (the round-12
+    * discipline). */
+  private def modularitySql: String =
+    s"""$lpaCtes,
+       |lab AS (SELECT node, label FROM l${GraphOps.LpaRounds}),
+       |e AS (SELECT src AS u, dst AS v FROM dir WHERE src < dst),
+       |mm AS (SELECT count(*) AS m FROM e),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM dir GROUP BY 1),
+       |dc AS (SELECT l.label AS community, count(*) AS n_members,
+       |         CAST(sum(d.deg) AS BIGINT) AS deg_sum
+       |       FROM lab l JOIN deg d USING (node) GROUP BY 1),
+       |ic AS (SELECT la.label AS community, count(*) AS intra_edges
+       |       FROM e JOIN lab la ON la.node = e.u JOIN lab lb ON lb.node = e.v
+       |       WHERE la.label = lb.label GROUP BY 1),
+       |c AS (SELECT dc.community, dc.n_members, dc.deg_sum,
+       |        coalesce(ic.intra_edges, 0) AS intra_edges
+       |      FROM dc LEFT JOIN ic USING (community)),
+       |t AS (SELECT c.*, mm.m,
+       |        CAST(sum(intra_edges) OVER () AS BIGINT) AS tot_intra,
+       |        CAST(sum(deg_sum * deg_sum) OVER () AS BIGINT) AS tot_d2
+       |      FROM c, mm)
+       |SELECT community, n_members, intra_edges, deg_sum,
+       |  round(CAST(intra_edges AS DOUBLE) / m
+       |    - (CAST(deg_sum AS DOUBLE) / (2.0 * m))
+       |      * (CAST(deg_sum AS DOUBLE) / (2.0 * m)), 6) AS q_contrib,
+       |  round(CAST(tot_intra AS DOUBLE) / m
+       |    - CAST(tot_d2 AS DOUBLE) / (4.0 * m * m), 6) AS modularity
+       |FROM t ORDER BY n_members DESC, community
+       |LIMIT ${GraphOps.LpaTopK}""".stripMargin
 
   /** DuckDB twin of [[GraphOps.kcore]]: the same [[GraphOps.KCoreRounds]]
     * peel rounds unrolled as CTEs, with the identical integer-arithmetic

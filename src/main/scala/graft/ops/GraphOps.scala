@@ -371,7 +371,17 @@ object GraphOps {
     * `max_by(label, (cnt, -label))` — highest count, then smallest
     * label — instead of a rank window, so round state never needs a
     * per-node sort, only a combinable max. */
-  def communities(spark: SparkSession, sf: String): DataFrame = {
+  def communities(spark: SparkSession, sf: String): DataFrame =
+    lpaLabels(spark, sf).groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(LpaTopK)
+
+  /** The final (node, label) table after [[LpaRounds]] synchronous vote
+    * rounds — the seam [[communities]] (census) and [[modularity]]
+    * (quality) both consume, so the two declared queries provably score
+    * the SAME partition of the graph. */
+  private[graft] def lpaLabels(spark: SparkSession, sf: String): DataFrame = {
     val e = edges(spark, sf)
     val dir = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
@@ -394,8 +404,64 @@ object GraphOps {
         .localCheckpoint()
     }
     votesTo.unpersist()
-    labels.groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("n_members"))
+    labels
+  }
+
+  /** Modularity of the LPA partition (Newman & Girvan 2004) — the quality
+    * number next to [[communities]]' census, answering "are these
+    * communities better than chance?": Q = Σ_c (e_c/m − (d_c/2m)²) where
+    * e_c = intra-community edges, d_c = Σ degree over the community's
+    * members, m = |edges|. Plan: the label table is read from the staged
+    * per-corpus artifact ([[lpaLabels]] materialized once — the evaluation
+    * never re-derives the detection), then ONE pass over the edge list for
+    * degrees, one (edges ⋈ node-sized labels ×2) for intra counts, one
+    * node-sized rollup per community — all map-combined, shuffle bounded
+    * by Σ deg;
+    * the Louvain comparison question answered WITHOUT Louvain's
+    * unshardable global state (LPA detects, modularity evaluates).
+    * Declared output: the [[LpaTopK]] largest communities with their
+    * intra/degree counts and per-community contribution, plus the GLOBAL
+    * Q repeated per row (computed over ALL communities before the limit).
+    *
+    * Draw-stability by construction (the round-12 discipline): every
+    * aggregate here is an exact integer (counts, degree sums, Σe_c,
+    * Σd_c²), so the rounded doubles are single divisions of exact Longs —
+    * deterministic in any order; the identical spelling runs in DuckDB.
+    * Σd_c² fits a Long while 2m < ~3e9 (d_c ≤ 2m); at a 100 TB edge count
+    * the evaluation would widen to decimal lanes — same query shape. */
+  def modularity(spark: SparkSession, sf: String): DataFrame = {
+    val e = edges(spark, sf)
+    // the label table is the standing artifact the quality evaluation
+    // reads (q_communities keeps timing the LPA derivation itself) —
+    // staged once per corpus, the dup-cluster-closure discipline
+    val labDir = graft.ops.SourceOps.materialize(s"lpa_labels_$sf") { d =>
+      lpaLabels(spark, sf).write.parquet(s"$d/labels")
+    }
+    val labels = spark.read.parquet(s"$labDir/labels")
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val mTot = e.agg(count(lit(1)).as("m"))
+    val byComm = labels.join(deg, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum("deg").as("deg_sum"))
+    val intra = e
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    byComm.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(mTot))
+      .withColumn("tot_intra", sum("intra_edges").over(w))
+      .withColumn("tot_d2", sum(col("deg_sum") * col("deg_sum")).over(w))
+      .select(col("community"), col("n_members"), col("intra_edges"), col("deg_sum"),
+        round(col("intra_edges").cast("double") / col("m") -
+          (col("deg_sum").cast("double") / (lit(2.0) * col("m"))) *
+            (col("deg_sum").cast("double") / (lit(2.0) * col("m"))), 6).as("q_contrib"),
+        round(col("tot_intra").cast("double") / col("m") -
+          col("tot_d2").cast("double") / (lit(4.0) * col("m") * col("m")), 6)
+          .as("modularity"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(LpaTopK)
   }

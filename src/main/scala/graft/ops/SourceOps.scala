@@ -42,7 +42,14 @@ object SourceOps {
     "q_partition_prune", "q_dpp_join", "q_schema_merge", "q_binary_files", "q_bucket_join",
     "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_attrib_outer",
     "q_stream_dedup",
-    "q_stream_window", "q_stream_running", "q_stream_asof",
+    "q_stream_window", "q_stream_running", "q_stream_asof", "q_stream_update",
+    // annAppend's construction stages the standing encoded-corpus index
+    // (and fits the frozen c80 quantizer + codebooks, disk-registered)
+    "q_ann_append",
+    // modularity reads the staged LPA label table (communities itself
+    // keeps deriving LPA inline — the census times the algorithm, the
+    // quality score times the evaluation)
+    "q_modularity",
     // edges()-memo user that stages the shared graph edge table for the
     // whole traversal family AT CONSTRUCTION (GraphOps.edges scaladoc);
     // q_also_bought re-derives from the fact and never touches the memo,

@@ -152,15 +152,24 @@ object Xlsx {
     val rows = rawRows(path)
     require(rows.nonEmpty, s"$path: empty sheet (no header row)")
     val header = rows.head.toSeq.sortBy(_._1).map(_._2)
+    // corrupted-upload-fails contract: a duplicated header name that the
+    // schema references would silently bind the field to ONE of the
+    // duplicate columns (map last-wins) and read the wrong column's data
+    // with no error — fail loudly instead, like every bad-cast does
+    val dups = header.groupBy(identity).collect {
+      case (name, occ) if occ.size > 1 && schema.fieldNames.contains(name) => name
+    }
+    require(dups.isEmpty,
+      s"$path: header $header has duplicated schema column(s) ${dups.mkString(", ")}")
     val colOf: Map[String, Int] =
       rows.head.map { case (i, name) => name -> i }.toMap
+    require(schema.fields.forall(f => colOf.contains(f.name)),
+      s"$path: header $header is missing schema fields " +
+        schema.fields.map(_.name).filterNot(colOf.contains).mkString(", "))
     val stringSchema = StructType(schema.fields.map(f => StructField(f.name, StringType, nullable = true)))
     val data: Seq[Row] = rows.tail.map { m =>
       Row.fromSeq(schema.fields.toSeq.map(f => colOf.get(f.name).flatMap(m.get).orNull))
     }
-    require(schema.fields.forall(f => colOf.contains(f.name)),
-      s"$path: header $header is missing schema fields " +
-        schema.fields.map(_.name).filterNot(colOf.contains).mkString(", "))
     spark.createDataFrame(data.asJava, stringSchema)
       .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }

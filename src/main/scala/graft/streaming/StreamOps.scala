@@ -644,6 +644,78 @@ object StreamOps {
     }
   }
 
+  /** The UPDATE-mode stateful aggregate a live dashboard runs: per
+    * (day, event_type) running count + exact cent total, NO watermark —
+    * every key stays updatable forever and each micro-batch emits the keys
+    * it changed (update mode's contract), which a dashboard upserts. Cents
+    * (Long) rather than a double sum so the accumulated totals are exact —
+    * the cross-batch fold cannot drift from the batch aggregate. */
+  def dailyDashboard(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+
+  /** Declared query for the UPDATE-mode output surface (round 12 — the one
+    * Structured Streaming output mode previously without a declared query):
+    * [[dailyDashboard]] drained through a `foreachBatch` upsert log — each
+    * micro-batch appends the keys it UPDATED tagged with the batch id (the
+    * dashboard-store shape: Kafka-compacted topic / KV upsert), and the
+    * declared output is the dashboard's FINAL state, i.e. the latest update
+    * per key.
+    *
+    * Batching-independence argument (why update mode can sit under the
+    * batch hash check): update mode re-emits a key every time new rows
+    * touch it, so WHICH intermediate rows the log holds depends on file
+    * slicing — but the latest update per key reflects every input row for
+    * that key (state is cumulative and never evicted: no watermark), so
+    * the final upsert state equals the batch GROUP BY over the whole input
+    * for ANY slicing. Values are exact Longs (counts + cents), so there is
+    * no float-order drift either ([[dailyDashboard]]). The DuckDB oracle is
+    * the plain batch aggregate; StreamingSpec additionally proves the drain
+    * was genuinely multi-update (log rows > final keys) — i.e. this
+    * exercises update semantics, not a disguised single append. */
+  def streamUpdate(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val inDir = graft.ops.SourceOps.materialize(s"stream_update_in_$sf") { d =>
+      graft.ops.EventOps.events(spark, sf)
+        .select("event_id", "ts", "event_type", "value")
+        .repartition(6).write.parquet(s"$d/in")
+    }
+    withRunDir("stream_update_run_") { run =>
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$inDir/in").schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = dailyDashboard(stream).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$run/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$run/log")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      dashboardFinalState(spark.read.parquet(s"$run/log"))
+        .localCheckpoint() // eager — the run dir (sink + ckpt) dies on exit
+    }
+  }
+
+  /** Compaction view over a [[streamUpdate]] upsert log: latest update per
+    * dashboard key — what the serving store holds after the drain. */
+  private[graft] def dashboardFinalState(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day", "event_type").orderBy(col("batch_id").desc)
+    log.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .orderBy("day", "event_type")
+  }
+
   /** `transformWithState` pipeline: typed event stream → per-user
     * [[RunningTotalProcessor]] (ValueState in RocksDB). The state row is
     * per-USER (two longs), so state volume is key-cardinality-bounded —

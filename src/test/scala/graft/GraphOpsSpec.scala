@@ -200,6 +200,23 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(got == Map(1L -> 4L, 10L -> 3L), s"got $got")
   }
 
+  test("modularity: two disjoint cliques score the hand-computed Q") {
+    import spark.implicits._
+    // same planted graph as the communities spec: K4 ∪ K3, m = 9.
+    // LPA → {1,2,3,4} and {10,11,12}; e_c = 6, 3 (all intra); d_c = 12, 6.
+    // Q = (6/9 − (12/18)²) + (3/9 − (6/18)²) = 2/9 + 2/9 = 0.444444
+    val li = (Seq(1L, 2L, 3L, 4L).map((100L, _)) ++ Seq(10L, 11L, 12L).map((200L, _)))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lpa_cliques"
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.modularity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 6L, 12L, 0.222222, 0.444444),
+      (10L, 3L, 3L, 6L, 0.222222, 0.444444)), s"got $got")
+  }
+
   test("kcore: peel census matches the hand trace and reaches its fixpoint") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 4 on 3 + isolated pair {5,6}:

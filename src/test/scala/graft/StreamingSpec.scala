@@ -398,6 +398,42 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch, s"stream ${out.size} rows vs batch ${batch.size}")
   }
 
+  test("streamUpdate: dashboard final state equals the batch aggregate and the drain is genuinely multi-update") {
+    // drive the update-mode pipeline at spec scale with 1-file triggers so
+    // keys are provably touched across SEVERAL micro-batches — then (a) the
+    // upsert log must hold more rows than final keys (update semantics, not
+    // a disguised single append) and (b) the latest update per key must
+    // equal the batch aggregate (the batching-independence claim)
+    val dir = java.nio.file.Files.createTempDirectory("graft_update_spec").toString
+    val ev = graft.ops.EventOps.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.repartition(4).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = StreamOps.dailyDashboard(stream).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$dir/log")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val log = spark.read.parquet(s"$dir/log")
+    val finalState = StreamOps.dashboardFinalState(log).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(log.count() > finalState.size,
+      "every key updated only once — the drain never exercised update mode")
+    val batchAgg = StreamOps.dailyDashboard(ev)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .orderBy("day", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(finalState.nonEmpty && finalState == batchAgg,
+      s"final upsert state ${finalState.size} rows vs batch ${batchAgg.size}")
+  }
+
   test("checkpointed parquet sink with AvailableNow drains the stream exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString

@@ -205,6 +205,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(hits >= 2, s"IVF-PQ top-1 recall too low: $hits/5 probes")
   }
 
+  test("annAppend: frozen-codebook append is reachable, deterministic, and recalls exact neighbors") {
+    val a = VectorOps.annAppend(spark, sf0001).collect()
+    val b = VectorOps.annAppend(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq) // frozen artifacts: fully deterministic
+    assert(a.nonEmpty)
+    a.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      assert(!rs.map(_.getLong(2)).contains(pid))
+      assert(rs.map(_.getLong(1)).sorted.zipWithIndex.forall { case (r, i) => r == i + 1 })
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+    // recall floor vs the exact twin over the SAME (union) corpus — the
+    // frozen-artifact index may not be weaker than q_ann_pq's floor
+    val exact = VectorOps.knnJoin(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = a.filter(_.getLong(1) == 1L)
+      .count(r => exact.getOrElse(r.getLong(0), Set.empty).contains(r.getLong(2)))
+    assert(hits >= 2, s"frozen-index top-1 recall too low: $hits/5 probes")
+    // APPENDED vectors are reachable: at least one append-partition vector
+    // (vec_id % 5 == 4) must appear in some probe's top-3 — with 20 % of
+    // the corpus appended, an unreachable append partition would mean the
+    // union never actually included the batch
+    assert(a.exists(_.getLong(2) % 5 == 4),
+      "no appended vector ever retrieved — the append batch is invisible to probes")
+  }
+
   test("pqCodebooks: right geometry, centroids finite, disk round-trip identical") {
     val books = VectorOps.pqCodebooks(spark, sf0001)
     // the first call persisted to target/models; a reload must reproduce

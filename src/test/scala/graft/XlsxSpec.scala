@@ -128,6 +128,23 @@ class XlsxSpec extends SparkSpec {
     assert(e.getMessage.contains("name"))
   }
 
+  test("duplicated header naming a schema field fails loudly, never reads the wrong column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_d").toString
+    val path = s"$dir/d.xlsx"
+    // two 'id' columns with different data: last-wins binding would
+    // silently read 99/98 — the corrupted-upload-fails contract says abort
+    Xlsx.write(path, Seq("id", "name", "score", "id"), Iterator(
+      Seq(1L, "a", 1.0, 99L), Seq(2L, "b", 2.0, 98L)))
+    val e = intercept[IllegalArgumentException] { Xlsx.read(spark, path, schema) }
+    assert(e.getMessage.contains("duplicated") && e.getMessage.contains("id"))
+    // a duplicate the schema does NOT reference stays readable (extra
+    // sheet columns are declared-ignored, duplicated or not)
+    val path2 = s"$dir/d2.xlsx"
+    Xlsx.write(path2, Seq("id", "name", "score", "extra", "extra"), Iterator(
+      Seq(1L, "a", 1.0, "x", "y")))
+    assert(Xlsx.read(spark, path2, schema).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("excelRoundtrip query equals the direct parquet aggregate") {
     val got = graft.ops.SourceOps.excelRoundtrip(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
