@@ -135,6 +135,7 @@ object SparkEntry {
     "q_quality_filter" -> (TextOps.qualityFilter _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_bm25" -> (TextOps.bm25 _),
+    "q_hybrid_retrieval" -> (TextOps.hybridRetrieval _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_bpe_merges" -> (TextOps.bpeMerges _),
     "q_bpe_encode" -> (TextOps.bpeEncode _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q_quantize" -> (VectorOps.quantizeErr _),
     "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
+    "q_pca_power" -> (VectorOps.pcaPower _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_dedup_cosine_lsh" -> (VectorOps.dedupCosineLsh _),
     "q_knn_join" -> (VectorOps.knnJoin _),
@@ -323,7 +325,7 @@ object SparkEntry {
   private val scaleSelect: String = {
     import Scoring.ModelConstants._
     numericCols.zip(means.zip(scales)).map { case (c, (m, s)) =>
-      s"round(($c - $m) / $s, 4) AS z_$c"
+      s"round(($c - $m) / $s, 4) + 0.0 AS z_$c"
     }.mkString(", ")
   }
 
@@ -667,7 +669,7 @@ object SparkEntry {
       } yield (Relational.CorrCols(i), Relational.CorrCols(j))
       pairs.map { case (a, b) =>
         s"""SELECT '$a' AS col_x, '$b' AS col_y,
-           |  round(corr($a, $b), 4) AS r, count(*) AS n FROM lineitem"""
+           |  round(corr($a, $b), 4) + 0.0 AS r, count(*) AS n FROM lineitem"""
           .stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
     },
@@ -938,7 +940,7 @@ object SparkEntry {
         |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
         |p AS (SELECT rev, lag(rev, 1) OVER (ORDER BY day) AS prev
         |      FROM daily)
-        |SELECT count(*) AS n_pairs, round(corr(rev, prev), 4) AS acf1
+        |SELECT count(*) AS n_pairs, round(corr(rev, prev), 4) + 0.0 AS acf1
         |FROM p WHERE prev IS NOT NULL""".stripMargin,
     "q_url_dedup" ->
       """WITH raw AS (SELECT doc_id,
@@ -987,13 +989,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // each Gaussian term floor-quantized to the 2^24 grid and summed as
+    // exact Longs (the cov discipline) — identical division chain on the
+    // Spark side, so the pre-round double is draw-stable by construction
     "q_kde" -> {
       val h = Relational.KdeBandwidth
       val norm = h * math.sqrt(2 * math.Pi)
       s"""WITH grid AS (SELECT CAST(unnest(range(-1000, 10001, 550)) AS DOUBLE) AS x),
          |v AS (SELECT c_acctbal AS v FROM customer)
-         |SELECT x, round(avg(exp(-((x - v) * (x - v)) / (2 * $h * $h))) / $norm, 8)
-         |  AS density
+         |SELECT x, round(CAST(sum(CAST(floor(
+         |    exp(-((x - v) * (x - v)) / (2 * $h * $h)) * $covGrid.0) AS BIGINT))
+         |  AS DOUBLE) / $covGrid.0 / count(*) / $norm, 8) AS density
          |FROM v CROSS JOIN grid GROUP BY x ORDER BY x""".stripMargin
     },
     "q_histogram" ->
@@ -1201,7 +1207,7 @@ object SparkEntry {
     "q_score_exact" -> scoreExactSql,
     "q_stats_pack" ->
       """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4)
@@ -1601,6 +1607,42 @@ object SparkEntry {
          |    / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
          |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
          |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // both arms' oracled SQL composed verbatim (bm25 CTEs + cosine CTEs)
+    // with integer-rank windows; the RRF sum is two IEEE divisions of
+    // integer ranks — exact-deterministic, no float aggregate anywhere
+    "q_hybrid_retrieval" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
+         |       FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+         |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |        FROM tf GROUP BY 1),
+         |lexs AS (SELECT doc_id,
+         |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+         |      * (tf * (1.2 + 1))
+         |      / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
+         |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |lex AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex FROM lexs),
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         |denses AS (SELECT e.vec_id,
+         |    round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) AS cos
+         |  FROM e, probe p WHERE e.vec_id <> 0
+         |  ORDER BY cos DESC, vec_id LIMIT ${TextOps.HybridTopN}),
+         |dense AS (SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_dense FROM denses)
+         |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |  CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+         |  CAST(coalesce(d.rank_dense, 0) AS BIGINT) AS rank_dense,
+         |  round(coalesce(1.0 / (${TextOps.RrfK} + l.rank_lex), 0.0)
+         |    + coalesce(1.0 / (${TextOps.RrfK} + d.rank_dense), 0.0), 6) AS rrf
+         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+         |ORDER BY rrf DESC, doc_id""".stripMargin,
     "q_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
@@ -1777,6 +1819,10 @@ object SparkEntry {
     // is exactly representable in double, so the floor is tie-free and
     // engine-identical — and the identical (s/2^24)/n arithmetic runs on
     // exact integers: the pre-round double is a pure function of the data.
+    // The `+ 0.0` after round canonicalizes the zero: DuckDB's round
+    // preserves −0.0 on tiny-negative inputs while Spark's (BigDecimal)
+    // always emits +0.0 (r12 driver failure — 4 zero cells diverged on
+    // sign alone). IEEE −0.0 + 0.0 = +0.0; spelled on both sides.
     "q_embed_cov" ->
       s"""WITH x AS (
          |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
@@ -1785,7 +1831,7 @@ object SparkEntry {
          |SELECT a.i, b.i AS j,
          |  round(CAST(sum(CAST(floor(a.v * b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)
          |    - (CAST(sum(CAST(floor(a.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*))
-         |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)), 6) AS cov
+         |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)), 6) + 0.0 AS cov
          |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
          |GROUP BY 1, 2 ORDER BY a.i, j""".stripMargin,
     "q_embed_cov_label" ->
@@ -1797,7 +1843,7 @@ object SparkEntry {
          |SELECT a.label, a.i, b.i AS j,
          |  round(CAST(sum(CAST(floor(a.v * b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)
          |    - (CAST(sum(CAST(floor(a.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*))
-         |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)), 6) AS cov
+         |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)), 6) + 0.0 AS cov
          |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
          |GROUP BY 1, 2, 3 ORDER BY a.label, a.i, j""".stripMargin,
     "q_embed_outliers" ->
@@ -1813,7 +1859,7 @@ object SparkEntry {
          |GROUP BY vec_id
          |ORDER BY m_dist DESC, vec_id LIMIT ${VectorOps.EmbedOutlierK}""".stripMargin,
     "q_centroid" ->
-      """SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c FROM (
+      """SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) + 0.0 AS c FROM (
         |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
         |    unnest(embedding) AS x
         |  FROM embeddings)
@@ -1856,7 +1902,7 @@ object SparkEntry {
       |        row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rk
       |      FROM s WHERE label <> a_label)
       |SELECT p.anchor_id, p.vec_id AS pos_id, p.cos AS pos_cos,
-      |  n.vec_id AS neg_id, n.cos AS neg_cos, round(p.cos - n.cos, 4) AS margin
+      |  n.vec_id AS neg_id, n.cos AS neg_cos, round(p.cos - n.cos, 4) + 0.0 AS margin
       |FROM p JOIN n ON p.anchor_id = n.anchor_id AND p.rk = 1 AND n.rk = 1
       |ORDER BY p.anchor_id""".stripMargin.trim,
     "q_binary_files" ->
@@ -2302,8 +2348,8 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_regression" ->
       """SELECT l_returnflag,
-        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept,
         |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -2484,7 +2530,7 @@ object SparkEntry {
          |    AND o_orderdate >= TIMESTAMP '${TpchOps.Q22IdleSince}')
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_tpch_q10" ->
-      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal, n_name,
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) + 0.0 AS c_acctbal, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM customer
         |  JOIN orders ON c_custkey = o_custkey
@@ -2553,7 +2599,7 @@ object SparkEntry {
          |  FROM lineitem GROUP BY l_partkey, l_suppkey)
          |SELECT n_name, year(o_orderdate) AS o_year,
          |  round(sum(l_extendedprice * (1 - l_discount)
-         |    - cost * l_quantity), 4) AS profit
+         |    - cost * l_quantity), 4) + 0.0 AS profit
          |FROM lineitem
          |  JOIN orders ON o_orderkey = l_orderkey
          |  JOIN ps ON pk = l_partkey AND sk = l_suppkey
@@ -2943,6 +2989,7 @@ object SparkEntry {
          |GROUP BY dist ORDER BY dist""".stripMargin,
     "q_communities" -> lpaSql,
     "q_modularity" -> modularitySql,
+    "q_pca_power" -> pcaPowerSql,
     "q_kcore" -> kcoreSql,
     "q_assortativity" ->
       """WITH e AS (
@@ -2954,7 +3001,7 @@ object SparkEntry {
         |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1)
         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
         |  count(*) // 2 AS n_edges,
-        |  round(corr(CAST(a.deg AS DOUBLE), CAST(b.deg AS DOUBLE)), 4)
+        |  round(corr(CAST(a.deg AS DOUBLE), CAST(b.deg AS DOUBLE)), 4) + 0.0
         |    AS assortativity
         |FROM sym JOIN deg a ON sym.u = a.node JOIN deg b ON sym.v = b.node"""
         .stripMargin,
@@ -3034,7 +3081,7 @@ object SparkEntry {
          |db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bo GROUP BY 1, 2, 3),
          |v AS (SELECT count(*) AS vsz FROM uc)
          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-         |  round(sum(n * lp) / sum(n), 4) AS avg_lp,
+         |  round(sum(n * lp) / sum(n), 4) + 0.0 AS avg_lp,
          |  round(pow(2.0, -sum(n * lp) / sum(n)), 4) AS ppl
          |FROM (SELECT db.doc_id, db.n,
          |    log2(CAST(bc.cxy + 1 AS DOUBLE) / (uc.cx + v.vsz)) AS lp
@@ -3102,6 +3149,43 @@ object SparkEntry {
     * single division of exact counts, spelled identically to the Spark
     * side, so no summation-order jitter is possible (the round-12
     * discipline). */
+  /** DuckDB twin of [[graft.ops.VectorOps.pcaPower]]: the exact-cov matrix
+    * derived in-query with the same quantized-Long arithmetic as the
+    * q_embed_cov oracle (UNROUNDED — the staged artifact's full-precision
+    * value), then [[graft.ops.VectorOps.PcaRounds]] power-iteration rounds
+    * mechanically unrolled as CTEs — each round a quantized-Long
+    * matrix-vector product and an ∞-norm normalization, spelled identically
+    * to the Spark side so the eigenpair is value-checked, not smoke-checked. */
+  private def pcaPowerSql: String = {
+    val k = VectorOps.PcaRounds
+    val rounds = (1 to k).map { r =>
+      val pv = s"v${r - 1}"
+      s"""y$r AS (SELECT f.i,
+         |    CAST(sum(CAST(floor(f.cov * $pv.v * $covGrid.0) AS BIGINT)) AS DOUBLE)
+         |      / $covGrid.0 AS y
+         |  FROM fm f JOIN $pv ON $pv.j = f.j GROUP BY f.i),
+         |m$r AS (SELECT max(abs(y)) AS m FROM y$r),
+         |v$r AS (SELECT y$r.i AS j, y$r.y / m$r.m AS v FROM y$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |tri AS (SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(floor(a.v * b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)
+       |    - (CAST(sum(CAST(floor(a.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*))
+       |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)) AS cov
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |fm AS (SELECT i, j, cov FROM tri
+       |  UNION ALL SELECT j AS i, i AS j, cov FROM tri WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS j, 1.0 AS v FROM fm),
+       |$rounds
+       |SELECT y$k.i, round(y$k.y / m$k.m, 6) + 0.0 AS comp,
+       |  round(m$k.m, 6) AS lambda
+       |FROM y$k, m$k ORDER BY y$k.i""".stripMargin
+  }
+
   private def modularitySql: String =
     s"""$lpaCtes,
        |lab AS (SELECT node, label FROM l${GraphOps.LpaRounds}),
@@ -3124,9 +3208,9 @@ object SparkEntry {
        |SELECT community, n_members, intra_edges, deg_sum,
        |  round(CAST(intra_edges AS DOUBLE) / m
        |    - (CAST(deg_sum AS DOUBLE) / (2.0 * m))
-       |      * (CAST(deg_sum AS DOUBLE) / (2.0 * m)), 6) AS q_contrib,
+       |      * (CAST(deg_sum AS DOUBLE) / (2.0 * m)), 6) + 0.0 AS q_contrib,
        |  round(CAST(tot_intra AS DOUBLE) / m
-       |    - CAST(tot_d2 AS DOUBLE) / (4.0 * m * m), 6) AS modularity
+       |    - CAST(tot_d2 AS DOUBLE) / (4.0 * m * m), 6) + 0.0 AS modularity
        |FROM t ORDER BY n_members DESC, community
        |LIMIT ${GraphOps.LpaTopK}""".stripMargin
 

@@ -79,7 +79,16 @@ object Verify {
             // the dump above ran at the session defaults; the re-run gets a
             // different merge tree (13 reducers) AND different map-side
             // split boundaries (1 MB input splits), so any order-dependent
-            // float sum feeding a rounded output moves here if it can move
+            // float sum feeding a rounded output moves here if it can move.
+            // KNOWN GAP (r12 advisor): the re-run shares this JVM's memoized
+            // staging artifacts and model caches (SourceOps.materialize,
+            // kmCache/pqCache, the edges memo), so partitioning-sensitivity
+            // inside artifact CONSTRUCTION (e.g. a KMeans fit) is NOT
+            // exercised here — the gate covers query evaluation over a fixed
+            // artifact. Construction determinism is gated separately by the
+            // artifacts' own specs (fixed seeds, single-partition fits,
+            // exact-integer LPA votes); a construction-order-dependent value
+            // would surface there, or in the driver's fresh-JVM draw.
             // hash-oracled queries must be BIT-stable (the driver hashes
             // their values); declared no-oracle queries (sketch blobs with
             // spec'd error bounds) are draw-dependent by contract — the

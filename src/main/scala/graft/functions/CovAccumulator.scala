@@ -124,9 +124,14 @@ case class CovAccumAgg(
       val grid = CovFunctions.CovGridScale.toDouble
       val x = new Array[Double](d)
       var i = 0
+      // addExact in the per-row loop too, not just merge: the documented
+      // ~140 TB headroom assumes |x| ≲ 1, which the aggregate never
+      // validates — large-magnitude inputs must fail LOUDLY, not wrap a
+      // partition-local Long into a silently wrong covariance. Cost is
+      // negligible next to the multiply-floor.
       while (i < d) {
         x(i) = if (elemIsDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
-        buffer.sx(i) += math.floor(x(i) * grid).toLong
+        buffer.sx(i) = Math.addExact(buffer.sx(i), math.floor(x(i) * grid).toLong)
         i += 1
       }
       var p = 0
@@ -135,7 +140,7 @@ case class CovAccumAgg(
         val xi = x(i)
         var j = i
         while (j < d) {
-          buffer.sxy(p) += math.floor(xi * x(j) * grid).toLong
+          buffer.sxy(p) = Math.addExact(buffer.sxy(p), math.floor(xi * x(j) * grid).toLong)
           p += 1; j += 1
         }
         i += 1

@@ -456,11 +456,12 @@ object GraphOps {
       .withColumn("tot_intra", sum("intra_edges").over(w))
       .withColumn("tot_d2", sum(col("deg_sum") * col("deg_sum")).over(w))
       .select(col("community"), col("n_members"), col("intra_edges"), col("deg_sum"),
-        round(col("intra_edges").cast("double") / col("m") -
+        (round(col("intra_edges").cast("double") / col("m") -
           (col("deg_sum").cast("double") / (lit(2.0) * col("m"))) *
-            (col("deg_sum").cast("double") / (lit(2.0) * col("m"))), 6).as("q_contrib"),
-        round(col("tot_intra").cast("double") / col("m") -
-          col("tot_d2").cast("double") / (lit(4.0) * col("m") * col("m")), 6)
+            (col("deg_sum").cast("double") / (lit(2.0) * col("m"))), 6) + lit(0.0))
+          .as("q_contrib"),
+        (round(col("tot_intra").cast("double") / col("m") -
+          col("tot_d2").cast("double") / (lit(4.0) * col("m") * col("m")), 6) + lit(0.0))
           .as("modularity"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(LpaTopK)
@@ -543,7 +544,7 @@ object GraphOps {
       .agg(
         lit(n).as("n_nodes"),
         (count(lit(1)) / 2).cast("long").as("n_edges"),
-        round(corr(col("du").cast("double"), col("dv").cast("double")), 4)
+        (round(corr(col("du").cast("double"), col("dv").cast("double")), 4) + lit(0.0))
           .as("assortativity"))
   }
 

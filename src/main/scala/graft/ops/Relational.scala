@@ -485,7 +485,7 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
-        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"))
+        (round(corr("l_quantity", "l_extendedprice"), 4) + lit(0.0)).as("corr_qty_price"))
       .orderBy("l_returnflag")
 
   /** Exact interpolated median per group — `percentile` (exact, sort-based
@@ -519,10 +519,20 @@ object Relational {
     val h = KdeBandwidth
     val norm = h * math.sqrt(2 * math.Pi)
     val d = col("x") - col("v")
+    // Each Gaussian term ∈ (0,1] is floor-quantized once to the 2²⁴ grid
+    // and summed as exact Longs (the cov draw-stability discipline): the
+    // r12 margin audit measured this cell mean 1.7e-10 from a round-8
+    // half-boundary — an order-dependent double sum there needed a
+    // reviewed-floor whitelist entry; the exact sum retires it. The final
+    // (S/2²⁴)/n/norm division chain is spelled identically in the DuckDB
+    // oracle, so the pre-round double is a pure function of the data.
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
     Tables.load(spark, sf, "customer").select(col("c_acctbal").as("v"))
       .join(broadcast(grid))
       .groupBy("x")
-      .agg(round(avg(exp(-(d * d) / (2 * h * h))) / norm, 8).as("density"))
+      .agg(round(
+        sum(floor(exp(-(d * d) / (2 * h * h)) * g).cast("long")).cast("double")
+          / g / count(lit(1)) / norm, 8).as("density"))
       .orderBy("x")
   }
 
@@ -1074,7 +1084,7 @@ object Relational {
     paired.filter(col("prev").isNotNull)
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(corr(col("rev"), col("prev")), 4).as("acf1"))
+        (round(corr(col("rev"), col("prev")), 4) + lit(0.0)).as("acf1"))
   }
 
   /** 1-in-N sampling denominator for [[aqpSample]]. */
@@ -1415,7 +1425,7 @@ object Relational {
       i <- CorrCols.indices; j <- CorrCols.indices if i < j
     } yield (CorrCols(i), CorrCols(j))
     val aggs = count(lit(1)).as("n") +:
-      pairs.map { case (a, b) => round(corr(col(a), col(b)), 4).as(s"${a}__$b") }
+      pairs.map { case (a, b) => (round(corr(col(a), col(b)), 4) + lit(0.0)).as(s"${a}__$b") }
     val wide = Tables.load(spark, sf, "lineitem")
       .select(CorrCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -1475,8 +1485,8 @@ object Relational {
     Tables.load(spark, sf, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
-        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        (round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4) + lit(0.0)).as("slope"),
+        (round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4) + lit(0.0)).as("intercept"),
         round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
         regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
       .orderBy("l_returnflag")

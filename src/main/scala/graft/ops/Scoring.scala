@@ -169,7 +169,7 @@ object Scoring {
 
   def scaleStandard(spark: SparkSession, sf: String): DataFrame =
     scale(impute(synthCustomers(spark, sf)))
-      .select(col("customer_id") +: numericCols.map(c => round(col(s"z_$c"), 4).as(s"z_$c")): _*)
+      .select(col("customer_id") +: numericCols.map(c => (round(col(s"z_$c"), 4) + lit(0.0)).as(s"z_$c")): _*)
       .orderBy("customer_id")
 
   def onehotQuery(spark: SparkSession, sf: String): DataFrame =

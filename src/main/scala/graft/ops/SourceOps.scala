@@ -46,6 +46,9 @@ object SourceOps {
     // annAppend's construction stages the standing encoded-corpus index
     // (and fits the frozen c80 quantizer + codebooks, disk-registered)
     "q_ann_append",
+    // pcaPower's construction stages the exact-cov matrix artifact
+    // (cov_cells_<sf>) its power iteration reads
+    "q_pca_power",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

@@ -1521,6 +1521,56 @@ object TextOps {
       .limit(20)
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009's
+    * standard k=60) and the per-arm candidate depth fused by
+    * [[hybridRetrieval]]. */
+  val RrfK = 60
+  val HybridTopN = 20
+
+  /** RRF fusion of two integer rank tables (doc_id, rank_lex) ⋈ (doc_id,
+    * rank_dense): score = Σ_arms 1/(k + rank), absent arm contributes 0.
+    * Exact-deterministic by construction — ranks are integers, so the two
+    * reciprocal terms are identical IEEE divisions in any engine and the
+    * two-term sum has a fixed spelling order; no float aggregate anywhere.
+    * Absent ranks surface as 0 (documented: "not in that arm's top-N")
+    * rather than null so the fused table is null-free for hashing. */
+  private[graft] def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame =
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_dense")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+
+  /** Hybrid retrieval — RRF fusion of the two existing retrieval arms
+    * (r12 verdict #7): [[bm25]]'s lexical top-20 and the exact-cosine
+    * dense top-[[HybridTopN]] ([[VectorOps.cosineTopkN]], probe vec_id 0,
+    * vec_id ≡ doc_id — the one-embedding-per-document contract of the
+    * fixture). The RAG front-door shape: each arm ranks independently
+    * (BM25 sees terms the embedding blurs, the embedding sees paraphrase
+    * BM25 misses), the fusion needs only the two rank tables — one ≤40-row
+    * join, no score calibration across arms (that is RRF's whole point:
+    * ranks are scale-free). At 100 TB each arm is already sub-linear
+    * (BM25 over the inverted-index discipline, dense over the IVF-PQ
+    * probe) and the fusion cost stays candidate-sized. Oracle: the two
+    * arms' own oracled SQL composed with the same integer-rank windows.
+    * Spec: on a planted relevance fixture, fusion ranks the
+    * both-arms-agree document above each arm's own top-1. */
+  def hybridRetrieval(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(spark, sf)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_lex")
+    val dense = VectorOps.cosineTopkN(spark, sf, HybridTopN)
+      .withColumn("rank_dense",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    rrfFuse(lex, dense)
+  }
+
   /** TF-IDF top-3 terms per document — keyword extraction. tf and df come
     * from the same exploded token relation (two aggregates over one scan);
     * the corpus size joins in as a broadcast 1-row frame; the per-document
@@ -1827,7 +1877,7 @@ object TextOps {
       .groupBy("doc_id")
       .agg(
         sum("n").as("n_bigrams"),
-        round(sum(col("n") * col("lp")) / sum("n"), 4).as("avg_lp"),
+        (round(sum(col("n") * col("lp")) / sum("n"), 4) + lit(0.0)).as("avg_lp"),
         round(pow(lit(2.0), -sum(col("n") * col("lp")) / sum("n")), 4).as("ppl"))
       .orderBy("doc_id")
   }

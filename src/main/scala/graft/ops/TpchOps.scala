@@ -260,7 +260,7 @@ object TpchOps {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("revenue"))
       .select(col("c_custkey"), col("c_name"),
-        round(col("c_acctbal"), 4).as("c_acctbal"), col("n_name"), col("revenue"))
+        (round(col("c_acctbal"), 4) + lit(0.0)).as("c_acctbal"), col("n_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -666,8 +666,8 @@ object TpchOps {
       .join(broadcast(Tables.load(spark, sf, "nation")),
         col("n_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-        col("cost") * col("l_quantity")), 4).as("profit"))
+      .agg((round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("cost") * col("l_quantity")), 4) + lit(0.0)).as("profit"))
       .orderBy(col("n_name"), col("o_year").desc)
   }
 

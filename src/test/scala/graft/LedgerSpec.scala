@@ -51,7 +51,7 @@ class LedgerSpec extends AnyFunSuite {
       ("1-row triangle-count scalar (the metric itself is one number)", 1),
     ("ops/GraphOps.scala", "kHop") ->
       ("1-row node-count scalar drives the frontier broadcast guard", 1),
-    ("ops/GraphOps.scala", "communities") ->
+    ("ops/GraphOps.scala", "lpaLabels") ->
       ("1-row node-count scalar drives the label-state broadcast guard", 1),
     ("ops/GraphOps.scala", "kcore") ->
       ("1-row (N, 2E) probe derives the peel threshold k and the broadcast guard", 1),

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, VectorOps}
+
+/** Specs for the round-13 additions: q_pca_power (power iteration over the
+  * staged exact-covariance matrix) and q_hybrid_retrieval (RRF fusion of
+  * the BM25 and exact-cosine arms). */
+class PcaHybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- pcaPower -----------------------------------------------------------
+
+  test("powerIterate: planted 2x2 [[2,1],[1,2]] — eigenpair is the hand-computed fixed point") {
+    // top eigenvector of [[2,1],[1,2]] is (1,1) with eigenvalue 3; the
+    // all-ones start IS the eigenvector, so every round is exact:
+    // y = (3,3), m = 3, v = (1,1) — a fixed point of the iteration
+    val cells = Seq(
+      (0L, 0L, 2.0), (0L, 1L, 1.0),
+      (1L, 0L, 1.0), (1L, 1L, 2.0)).toDF("i", "j", "cov")
+    val got = VectorOps.powerIterate(cells, VectorOps.PcaRounds)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, 1.0, 3.0), (1L, 1.0, 3.0)), s"got $got")
+  }
+
+  test("powerIterate: planted diagonal [[2,0],[0,1]] — geometric decay of the non-dominant component") {
+    // start (1,1): after k rounds v = (1, 2^-k), m = 2 every round; with
+    // PcaRounds = 8 the reported comp is (1, 2^-8 = 0.00390625 -> round 6
+    // = 0.003906) and lambda = 2. Every intermediate is a power of two, so
+    // the 2^24 quantization is EXACT at each step — the assertion is
+    // equality, not tolerance.
+    val cells = Seq(
+      (0L, 0L, 2.0), (0L, 1L, 0.0),
+      (1L, 0L, 0.0), (1L, 1L, 1.0)).toDF("i", "j", "cov")
+    val got = VectorOps.powerIterate(cells, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, 1.0, 2.0), (1L, 0.003906, 2.0)), s"got $got")
+  }
+
+  test("pcaPower: fixture eigenpair is deterministic bit-for-bit and unit-infinity-norm") {
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq
+    val a = bits(VectorOps.pcaPower(spark, sf0001))
+    val b = bits(VectorOps.pcaPower(spark, sf0001))
+    assert(a == b, "pcaPower must be a pure function of the data")
+    val rows = VectorOps.pcaPower(spark, sf0001).collect()
+    assert(rows.length == 64)
+    val comps = rows.map(_.getDouble(1))
+    assert(math.abs(comps.map(math.abs).max - 1.0) < 1e-6,
+      "infinity-norm normalization pins max |comp| to 1")
+    val lambdas = rows.map(_.getDouble(2)).distinct
+    assert(lambdas.length == 1 && lambdas.head > 0.0,
+      s"one positive eigenvalue estimate, got ${lambdas.toSeq}")
+  }
+
+  test("pcaPower: eigen-residual shrinks vs the start vector (it actually converges toward the top PC)") {
+    // ||A v - lambda v||_inf for the reported eigenpair must be far below
+    // the same residual for the all-ones START vector — i.e. iteration did
+    // real work. Uses the staged exact-cov matrix directly.
+    val cells = VectorOps.covCellsFull(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val d = 64
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => cells((i.toLong, j.toLong)) * v(j)).sum)
+    def residual(v: Array[Double]): Double = {
+      val y = matvec(v)
+      val lam = y.map(math.abs).max // same infinity-norm estimate
+      val vm = v.map(math.abs).max
+      (0 until d).map(i => math.abs(y(i) - lam * v(i) / vm)).max
+    }
+    val got = VectorOps.pcaPower(spark, sf0001).collect()
+    val vGot = Array.tabulate(d)(i => got(i).getDouble(1))
+    val ones = Array.fill(d)(1.0)
+    assert(residual(vGot) < residual(ones) / 10.0,
+      s"residual ${residual(vGot)} should be well below the start's ${residual(ones)}")
+  }
+
+  // ---- hybridRetrieval ----------------------------------------------------
+
+  test("rrfFuse: the both-arms-agree document outranks each arm's own top-1") {
+    // planted relevance: dRel is rank 2 in BOTH arms; each arm's top-1 is
+    // an arm-only distractor. RRF: dRel = 1/62 + 1/62 = 0.032258 beats
+    // 1/61 = 0.016393 — fusion finds what either arm alone would miss.
+    val lex = Seq((100L, 1L), (1L, 2L)).toDF("doc_id", "rank_lex")
+    val dense = Seq((200L, 1L), (1L, 2L)).toDF("doc_id", "rank_dense")
+    val fused = TextOps.rrfFuse(lex, dense).collect()
+    assert(fused.head.getLong(0) == 1L, s"fused top-1 should be doc 1, got ${fused.head}")
+    assert(fused.head.getDouble(3) == 0.032258)
+    // arm-only docs carry rank 0 on the absent side and exactly one term
+    val armOnly = fused.filter(_.getLong(0) == 100L).head
+    assert(armOnly.getLong(2) == 0L && armOnly.getDouble(3) == 0.016393)
+  }
+
+  test("hybridRetrieval: fused table is consistent with its two arms on the fixture") {
+    val out = TextOps.hybridRetrieval(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 2 * TextOps.HybridTopN)
+    // ranks bounded by the arm depths; at least one doc must appear in an arm
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 20 &&
+      r.getLong(2) >= 0 && r.getLong(2) <= TextOps.HybridTopN))
+    assert(out.forall(r => r.getLong(1) > 0 || r.getLong(2) > 0))
+    // the fused score is exactly the two-term RRF of the integer ranks
+    out.foreach { r =>
+      val expect = BigDecimal(
+        (if (r.getLong(1) > 0) 1.0 / (TextOps.RrfK + r.getLong(1)) else 0.0) +
+        (if (r.getLong(2) > 0) 1.0 / (TextOps.RrfK + r.getLong(2)) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect, s"row $r expected rrf $expect")
+    }
+    // output is (rrf desc, doc_id) sorted
+    val keys = out.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(keys == keys.sorted, "fused output must be (rrf desc, doc_id) ordered")
+  }
+}

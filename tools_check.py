@@ -1,4 +1,5 @@
 import duckdb, json, sys, glob, os
+import numpy as np
 import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
@@ -32,6 +33,15 @@ for name, sql in sorted(oracles.items()):
             if bad.any():
                 i = bad.idxmax()
                 neq.append(f'{c} differs at row {i}: oracle={a[i]!r} spark={b[i]!r} ({int(bad.sum())} rows)')
+        # pandas .equals treats 0.0 == -0.0 (r12 shipped-red cov pair passed
+        # this check twice) — the driver's hash is byte-level, so compare
+        # float sign bits explicitly.
+        if np.issubdtype(a.dtype, np.floating) and np.issubdtype(b.dtype, np.floating):
+            sb = np.signbit(a.to_numpy()) != np.signbit(b.to_numpy())
+            sb &= ~(pd.isna(a).to_numpy() & pd.isna(b).to_numpy())
+            if sb.any():
+                i = int(np.argmax(sb))
+                neq.append(f'{c} SIGNBIT differs at row {i}: oracle={a.iloc[i]!r} spark={b.iloc[i]!r} ({int(sb.sum())} rows)')
     if neq:
         print(f'{name}: VALUE MISMATCH {neq[:3]}'); fails.append(name)
     else:

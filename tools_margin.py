@@ -1,4 +1,4 @@
-"""Boundary-margin audit (round-12 verdict item 3).
+"""Boundary-margin + signed-zero exposure audit (round-12/13 verdict items).
 
 For every oracled query whose declared output rounds a computed value, this
 tool re-derives the PRE-round values at full precision in DuckDB and measures
@@ -24,8 +24,23 @@ Queries the rewriter cannot handle (top-level set ops, SELECT DISTINCT
 finals, positional GROUP BY on a round item) are listed as SKIPPED with the
 reason - silent non-coverage would read as "audited" when it wasn't.
 
+SIGNED-ZERO EXPOSURE (round-13, from the r12 driver failure): Spark's
+round(double, d) goes through BigDecimal and always emits +0.0, while
+DuckDB's round preserves -0.0 - so any rounded value whose full-precision
+input lies in (-0.5*10^-d, 0) hash-diverges on sign alone even when the
+pre-round doubles are bit-identical. The fix is to canonicalize the zero
+with `round(e, d) + 0.0` (IEEE: -0.0 + 0.0 = +0.0) spelled on BOTH engine
+sides. This audit treats a final-select round(e, d) as EXPOSED when its
+pre-round expression takes ANY negative value on the fixture (a future
+fixture/sf could then land one in the divergence interval) and the round is
+NOT followed by a zero-canonicalizing `+ 0.0`. Exposure is structural:
+it gates on can-be-negative, not on whether today's fixture happens to
+land in the interval (that near-miss count is reported as info). Exit 1
+on any non-canonicalized exposure.
+
 Usage: python3 tools_margin.py [sfdir] [verify_dir]
-Exit 1 if any ORDER-DEPENDENT query has min margin <= JITTER (whitelist: empty).
+Exit 1 if any ORDER-DEPENDENT query has min margin <= JITTER (whitelist:
+empty) or any negative-capable round lacks zero canonicalization.
 """
 import duckdb, json, re, sys
 
@@ -44,18 +59,16 @@ EXACT_BACKED = {
     'q_bpe_encode': 'units_per_word divides a Spark Long sum of integer unit counts by count(*) - one deterministic division',
     'q_dedup_spans': 'dup_frac divides a Spark Long sum of integer coverage counts by n_tokens - one deterministic division',
     'q_quality_score': 'avg over 0/1 indicator doubles and integer token lengths: integer-valued double sums are exact in IEEE below 2^53 in ANY order',
+    'q_kde': 'round-13: each Gaussian term floor-quantized to the 2^24 grid and summed as exact Longs (the cov discipline); the former 1.7e-10 reviewed-floor entry is retired',
 }
 
 # ORDER-DEPENDENT queries whose measured margin is below JITTER but has been
 # reviewed against the query's actual jitter bound: each entry records the
 # floor below which the audit DOES fail (margin eroding toward the boundary
 # must be caught). Review argument lives here, next to the number.
-THIN_MARGIN_REVIEWED = {
-    # ~531 exp() terms per grid cell, each <= 1: reordering jitter on the
-    # mean is <= n*eps ~ 1e-13 before the /1253 scaling; the measured
-    # 1.7e-10 margin is ~3 orders above it. Floor set 10x over the bound.
-    'q_kde': 1e-12,
-}
+# (q_kde's 1e-12 reviewed floor was retired in round 13: its terms are now
+# exact quantized-Long sums, so it moved to EXACT_BACKED.)
+THIN_MARGIN_REVIEWED = {}
 
 # float aggregate over data -> order-dependent double sum on the Spark side
 FLOAT_AGG = re.compile(r'\b(sum|avg|var_pop|var_samp|stddev\w*|covar\w*|corr|regr_\w+)\s*\(', re.I)
@@ -179,6 +192,10 @@ def audit_one(sql):
 
     nested_rounds = 0
     margins = []
+    zcols = []   # per-round signed-zero exposure probes
+    canon = []   # per-round: is this round followed by a canonicalizing `+ 0.0`?
+    grouped = any(re.match(r'group\s+by\b', sql[i:i+9], re.I)
+                  for i, c in depth0_scan(sql[from_idx:]) for i in [i + from_idx] if c in 'gG')
     for rm in re.finditer(r'\bround\s*\(', select_list, re.I):
         if inside_subquery(rm.start()):
             nested_rounds += 1
@@ -191,28 +208,39 @@ def audit_one(sql):
         expr, d = args[0].strip(), args[1].strip()
         if not re.fullmatch(r'\d+', d):
             continue
+        canon.append(bool(re.match(r'\s*\+\s*0\.0', sql[cp+1:])))
         scale = f'1e{d}'
         mexpr = f'abs((({expr}) * {scale} - floor(({expr}) * {scale})) - 0.5) / {scale}'
+        # can the pre-round value be negative at all (structural signed-zero
+        # exposure), and does any value land in the actual divergence
+        # interval (-0.5*10^-d, 0) today (near-miss, informational)?
+        nexpr = f'CASE WHEN ({expr}) < 0 THEN 1 ELSE 0 END'
+        iexpr = f'CASE WHEN ({expr}) < 0 AND ({expr}) > -0.5 / {scale} THEN 1 ELSE 0 END'
         # in a grouped final select, a margin over a non-aggregate expr
         # (e.g. a rounded GROUP BY key) must itself aggregate to bind
-        grouped = any(re.match(r'group\s+by\b', sql[i:i+9], re.I)
-                      for i, c in depth0_scan(sql[from_idx:]) for i in [i + from_idx] if c in 'gG')
         if grouped and not ANY_AGG.search(expr):
             mexpr = f'min({mexpr})'
+            nexpr = f'max({nexpr})'
+            iexpr = f'max({iexpr})'
         margins.append(mexpr)
+        zcols.append((nexpr, iexpr))
     if not margins:
         if nested_rounds:
-            return None, 0, False, f'{nested_rounds} round(s) only in nested subqueries of the final select'
-        return None, 0, False, None  # nothing rounded in the final select
+            return None, 0, [], f'{nested_rounds} round(s) only in nested subqueries of the final select'
+        return None, 0, [], None  # nothing rounded in the final select
     mcols = ', '.join(f'{m} AS __m{i}' for i, m in enumerate(margins))
+    mcols += ', ' + ', '.join(f'{n} AS __zn{i}, {x} AS __zi{i}'
+                              for i, (n, x) in enumerate(zcols))
     inner = sql[:from_idx].rstrip()
     if inner.rstrip().endswith(','):
         inner = inner.rstrip()[:-1]
     rewritten = inner + ', ' + mcols + ' ' + sql[from_idx:]
     mexpr = 'least(' + ', '.join(f'__m{i}' for i in range(len(margins))) + ')' \
         if len(margins) > 1 else '__m0'
-    wrapped = f'SELECT min({mexpr}) AS min_margin FROM ({rewritten}) __t'
-    return wrapped, len(margins), None, None
+    zsel = ', '.join(f'sum(__zn{i}) AS neg{i}, sum(__zi{i}) AS near{i}'
+                     for i in range(len(margins)))
+    wrapped = f'SELECT min({mexpr}) AS min_margin, {zsel} FROM ({rewritten}) __t'
+    return wrapped, len(margins), canon, None
 
 
 def classify(sql):
@@ -241,20 +269,21 @@ def main():
               'lineitem', 'events', 'documents', 'embeddings']:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracles = json.load(open(f'{vdir}/oracle_sql.json'))
-    failures, skipped, audited = [], [], 0
+    failures, zero_failures, skipped, audited = [], [], [], 0
     for name, sql in sorted(oracles.items()):
         if 'round' not in sql.lower():
             continue
-        wrapped, n, _, reason = audit_one(sql)
+        wrapped, n, canon, reason = audit_one(sql)
         if wrapped is None:
             if reason:
                 skipped.append((name, reason))
             continue
         try:
-            margin = con.execute(wrapped).fetchone()[0]
+            row = con.execute(wrapped).fetchone()
         except Exception as e:
             skipped.append((name, f'rewritten SQL failed: {str(e)[:120]}'))
             continue
+        margin = row[0]
         audited += 1
         order_dep = classify(sql)
         tag = 'ORDER-DEP' if order_dep else 'exact/int'
@@ -268,13 +297,27 @@ def main():
                 failures.append((name, margin))
             elif name in THIN_MARGIN_REVIEWED:
                 status = 'thin-margin-reviewed'
-        print(f'{name}: min_margin={margin!r} rounds={n} [{tag}] {status}')
+        # signed-zero exposure: a round whose input can be negative must be
+        # zero-canonicalized (`+ 0.0`) or a fixture shift can flip a 0.0
+        # cell's sign between engines (the r12 cov failure class)
+        zbits = []
+        for i in range(n):
+            neg, near = row[1 + 2 * i], row[2 + 2 * i]
+            if neg and not canon[i]:
+                zero_failures.append((name, i, int(neg), int(near or 0)))
+                zbits.append(f'round#{i} SIGNED-ZERO-EXPOSED neg={int(neg)} near={int(near or 0)}')
+            elif neg:
+                zbits.append(f'round#{i} neg={int(neg)} canonicalized')
+        zinfo = (' | ' + '; '.join(zbits)) if zbits else ''
+        print(f'{name}: min_margin={margin!r} rounds={n} [{tag}] {status}{zinfo}')
     print('---')
     for name, reason in skipped:
         print(f'SKIPPED {name}: {reason}')
     print(f'audited {audited} queries; {len(skipped)} skipped; '
-          f'{len(failures)} knife-edges: {[f[0] for f in failures]}')
-    sys.exit(1 if failures else 0)
+          f'{len(failures)} knife-edges: {[f[0] for f in failures]}; '
+          f'{len(zero_failures)} signed-zero exposures: '
+          f'{sorted(set(z[0] for z in zero_failures))}')
+    sys.exit(1 if failures or zero_failures else 0)
 
 
 if __name__ == '__main__':
