@@ -195,9 +195,15 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadavg()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // per-sweep load context (verdict r12 #8): the envelope is only an
+    // honest regression baseline if each sweep's ambient window is
+    // recorded next to its total
+    val sweepLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val sweeps = (1 to reps).map { r =>
       if (reps > 1) System.err.println(s"[bench] === sweep $r/$reps ===")
-      sweep()
+      val s = sweep()
+      sweepLoads += loadavg()
+      s
     }
     val loadAfter = loadavg()
     // per-query: min over sweeps (a query failing in EVERY sweep stays -1)
@@ -212,8 +218,12 @@ object Bench {
     // otherwise the checked-in record of the last reps>1 run, if any
     val envelope: Option[String] =
       if (reps > 1) {
+        val sweepDetail = sweeps.zip(sweepLoads).map { case (s, la) =>
+          s"""{"total":${fmt3(s.map(_._2).filter(_ >= 0).sum)},"loadavg_after":${fmt3(la)}}"""
+        }.mkString("[", ",", "]")
         val e = s"""{"reps":$reps,"min":${fmt3(sweepTotals.head)},"median":${fmt3(
-          sweepTotals(sweepTotals.size / 2))},"max":${fmt3(sweepTotals.last)},"note":"per-sweep totals; sweep 1 includes one-time codegen JIT (all per-corpus artifacts pre-build untimed)"}"""
+          sweepTotals(sweepTotals.size / 2))},"max":${fmt3(sweepTotals.last)},"loadavg_before":${fmt3(
+          loadBefore)},"sweeps":$sweepDetail,"note":"per-sweep totals in run order; sweep 1 includes one-time codegen JIT (all per-corpus artifacts pre-build untimed)"}"""
         try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_ENVELOPE.json"), e + "\n")
         catch { case ex: Throwable => System.err.println(s"[bench] envelope write failed: ${ex.getMessage}") }
         Some(e)

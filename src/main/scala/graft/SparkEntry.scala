@@ -155,6 +155,7 @@ object SparkEntry {
     "q_centroid" -> (VectorOps.centroids _),
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
     "q_pca_power" -> (VectorOps.pcaPower _),
+    "q_pca_project" -> (VectorOps.pcaProject _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_dedup_cosine_lsh" -> (VectorOps.dedupCosineLsh _),
     "q_knn_join" -> (VectorOps.knnJoin _),
@@ -2990,6 +2991,7 @@ object SparkEntry {
     "q_communities" -> lpaSql,
     "q_modularity" -> modularitySql,
     "q_pca_power" -> pcaPowerSql,
+    "q_pca_project" -> pcaProjectSql,
     "q_kcore" -> kcoreSql,
     "q_assortativity" ->
       """WITH e AS (
@@ -3156,34 +3158,61 @@ object SparkEntry {
     * mechanically unrolled as CTEs — each round a quantized-Long
     * matrix-vector product and an ∞-norm normalization, spelled identically
     * to the Spark side so the eigenpair is value-checked, not smoke-checked. */
-  private def pcaPowerSql: String = {
+  /** Shared CTE prefix of the pca oracles: the exact-cov matrix + the
+    * unrolled power-iteration rounds (ends at y<K>/m<K>/v<K>).
+    * `AS MATERIALIZED` on every chained CTE is load-bearing: DuckDB
+    * inlines CTEs by default, and each v_r references y_r twice (directly
+    * and through m_r), so inlining re-expands the whole chain 2^K times —
+    * the plain oracle ran minutes instead of seconds. Values are
+    * unaffected (the arithmetic is exact either way). */
+  private def pcaCtes: String = {
     val k = VectorOps.PcaRounds
     val rounds = (1 to k).map { r =>
       val pv = s"v${r - 1}"
-      s"""y$r AS (SELECT f.i,
+      s"""y$r AS MATERIALIZED (SELECT f.i,
          |    CAST(sum(CAST(floor(f.cov * $pv.v * $covGrid.0) AS BIGINT)) AS DOUBLE)
          |      / $covGrid.0 AS y
          |  FROM fm f JOIN $pv ON $pv.j = f.j GROUP BY f.i),
-         |m$r AS (SELECT max(abs(y)) AS m FROM y$r),
-         |v$r AS (SELECT y$r.i AS j, y$r.y / m$r.m AS v FROM y$r, m$r)""".stripMargin
+         |m$r AS MATERIALIZED (SELECT max(abs(y)) AS m FROM y$r),
+         |v$r AS MATERIALIZED (SELECT y$r.i AS j, y$r.y / m$r.m AS v FROM y$r, m$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH x AS (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
        |    CAST(unnest(embedding) AS DOUBLE) AS v
        |  FROM embeddings),
-       |tri AS (SELECT a.i, b.i AS j,
+       |tri AS MATERIALIZED (SELECT a.i, b.i AS j,
        |    CAST(sum(CAST(floor(a.v * b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)
        |    - (CAST(sum(CAST(floor(a.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*))
        |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)) AS cov
        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
        |  GROUP BY 1, 2),
-       |fm AS (SELECT i, j, cov FROM tri
+       |fm AS MATERIALIZED (SELECT i, j, cov FROM tri
        |  UNION ALL SELECT j AS i, i AS j, cov FROM tri WHERE i <> j),
        |v0 AS (SELECT DISTINCT i AS j, 1.0 AS v FROM fm),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def pcaPowerSql: String = {
+    val k = VectorOps.PcaRounds
+    s"""$pcaCtes
        |SELECT y$k.i, round(y$k.y / m$k.m, 6) + 0.0 AS comp,
        |  round(m$k.m, 6) AS lambda
        |FROM y$k, m$k ORDER BY y$k.i""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.VectorOps.pcaProject]]: joins the exploded
+    * elements (the shared `x` CTE) against the ROUNDED published
+    * eigenvector — the same values the Spark side broadcasts — and forms
+    * the identical quantized-Long dot product. */
+  private def pcaProjectSql: String = {
+    val k = VectorOps.PcaRounds
+    s"""$pcaCtes,
+       |pc AS (SELECT y$k.i, round(y$k.y / m$k.m, 6) + 0.0 AS comp FROM y$k, m$k)
+       |SELECT e.vec_id,
+       |  round(CAST(sum(CAST(floor(e.v * pc.comp * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |    / $covGrid.0, 4) + 0.0 AS proj
+       |FROM x e JOIN pc ON pc.i = e.i
+       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
   }
 
   private def modularitySql: String =

@@ -902,6 +902,32 @@ object VectorOps {
   def pcaPower(spark: SparkSession, sf: String): DataFrame =
     powerIterate(covCellsFull(spark, sf), PcaRounds)
 
+  /** Projection of every embedding onto the top principal component — the
+    * dimensionality-reduction / curation score the eigenpair exists for
+    * (rank-1 PCA features, low-variance-direction pruning). Consumes
+    * [[pcaPower]]'s declared eigenvector (the ROUNDED comp — both engines
+    * join against the identical published values). Plan: one positional
+    * explode, broadcast of the 64-row PC, then a per-vector quantized-Long
+    * dot product (each x·comp term floor-quantized to the 2²⁴ grid — the
+    * 64-term sum would otherwise be shuffle-order-dependent). The explode
+    * rows of one vector are generated contiguously, so the partial
+    * aggregate collapses them map-side: shuffle volume is n rows, not n×d
+    * (the [[embedOutliers]] plan shape). Projections are signed → round 4
+    * with zero canonicalization. */
+  def pcaProject(spark: SparkSession, sf: String): DataFrame = {
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val pc = pcaPower(spark, sf).select(col("i"), col("comp"))
+    Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"), col("x"))
+      .join(broadcast(pc), "i")
+      .groupBy("vec_id")
+      .agg((round(
+        sum(floor(col("x") * col("comp") * g).cast("long")).cast("double") / g, 4)
+        + lit(0.0)).as("proj"))
+      .orderBy("vec_id")
+  }
+
   def semDedup(spark: SparkSession, sf: String, k: Int = 0): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.load(spark, sf, "embeddings")

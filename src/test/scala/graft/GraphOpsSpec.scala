@@ -282,4 +282,23 @@ class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 4L), s"got $got")
   }
+
+  test("lpaLabels: artifact CONSTRUCTION is identical under perturbed partitioning") {
+    // the stability gate re-runs queries over MEMOIZED staging artifacts,
+    // so construction-order sensitivity is its documented blind spot (r12
+    // advisor). LPA's claim is determinism by integer-exact votes +
+    // deterministic tie-breaks — machine-check it: derive the label table
+    // at coprime shuffle-partition counts and demand set equality.
+    def labels(): Seq[(Long, Long)] = GraphOps.lpaLabels(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val a = labels()
+      spark.catalog.clearCache()
+      spark.conf.set("spark.sql.shuffle.partitions", "31")
+      val b = labels()
+      assert(a == b, "LPA label construction must be a pure function of the graph")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -77,6 +77,27 @@ class PcaHybridSpec extends SparkSpec {
       s"residual ${residual(vGot)} should be well below the start's ${residual(ones)}")
   }
 
+  test("pcaProject: equals a test-side quantized dot with the published eigenvector, bit-deterministically") {
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val comp = VectorOps.pcaPower(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect().map { r =>
+        val xs = r.getSeq[Float](1)
+        val s = xs.zipWithIndex.map { case (x, i) =>
+          math.floor(x.toDouble * comp(i.toLong) * g).toLong
+        }.sum
+        r.getLong(0) -> (BigDecimal(s.toDouble / g)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      }.toMap
+    val got = VectorOps.pcaProject(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+    val again = VectorOps.pcaProject(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got, "pcaProject must be a pure function of the data")
+  }
+
   // ---- hybridRetrieval ----------------------------------------------------
 
   test("rrfFuse: the both-arms-agree document outranks each arm's own top-1") {

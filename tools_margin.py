@@ -60,6 +60,7 @@ EXACT_BACKED = {
     'q_dedup_spans': 'dup_frac divides a Spark Long sum of integer coverage counts by n_tokens - one deterministic division',
     'q_quality_score': 'avg over 0/1 indicator doubles and integer token lengths: integer-valued double sums are exact in IEEE below 2^53 in ANY order',
     'q_kde': 'round-13: each Gaussian term floor-quantized to the 2^24 grid and summed as exact Longs (the cov discipline); the former 1.7e-10 reviewed-floor entry is retired',
+    'q_pca_project': 'the projection dot sums floor-quantized 2^24-grid Longs (the cov discipline); the eigenvector it consumes is itself exact-backed',
 }
 
 # ORDER-DEPENDENT queries whose measured margin is below JITTER but has been
