@@ -916,7 +916,14 @@ object VectorOps {
     * with zero canonicalization. */
   def pcaProject(spark: SparkSession, sf: String): DataFrame = {
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
-    val pc = pcaPower(spark, sf).select(col("i"), col("comp"))
+    // the eigenvector is a versioned artifact like the PQ codebooks: fit
+    // once per corpus (pure function of the staged cov matrix, so the
+    // artifact is draw-stable), consumed by every projection pass —
+    // re-iterating per query would bill the one-time fit to each consumer
+    val pcDir = graft.ops.SourceOps.materialize(s"pca_pc_$sf") { d =>
+      pcaPower(spark, sf).select(col("i"), col("comp")).write.parquet(s"$d/pc")
+    }
+    val pc = spark.read.parquet(s"$pcDir/pc")
     Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
       .select(col("vec_id"), col("i").cast("long").as("i"), col("x"))

@@ -2,6 +2,22 @@ import duckdb, json, sys, glob, os
 import numpy as np
 import pandas as pd
 
+# --selftest: prove the comparator catches the r12 blindness class — a
+# planted +0.0 vs -0.0 column must FAIL (pandas .equals alone passes it).
+if len(sys.argv) > 1 and sys.argv[1] == '--selftest':
+    a = pd.Series([0.0, 1.5, float('nan')])
+    b = pd.Series([-0.0, 1.5, float('nan')])
+    assert a.equals(b), 'precondition: pandas .equals is blind to the sign'
+    sb = np.signbit(a.to_numpy()) != np.signbit(b.to_numpy())
+    sb &= ~(pd.isna(a).to_numpy() & pd.isna(b).to_numpy())
+    assert sb.any() and int(sb.sum()) == 1 and int(np.argmax(sb)) == 0, \
+        'signbit comparator must flag exactly the planted -0.0 cell'
+    c = pd.Series([0.0, -1.5])
+    sb2 = np.signbit(c.to_numpy()) != np.signbit(c.to_numpy())
+    assert not sb2.any(), 'identical columns must not be flagged'
+    print('selftest OK: planted -0.0-vs-+0.0 fixture is caught, clean columns pass')
+    sys.exit(0)
+
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 vdir = sys.argv[2] if len(sys.argv) > 2 else 'target/verify'
 con = duckdb.connect()
