@@ -3194,10 +3194,15 @@ object SparkEntry {
 
   private def pcaPowerSql: String = {
     val k = VectorOps.PcaRounds
-    s"""$pcaCtes
+    s"""$pcaCtes,
+       |tr AS MATERIALIZED (SELECT
+       |    CAST(sum(CAST(floor(cov * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |      / $covGrid.0 AS trace
+       |  FROM fm WHERE i = j)
        |SELECT y$k.i, round(y$k.y / m$k.m, 6) + 0.0 AS comp,
-       |  round(m$k.m, 6) AS lambda
-       |FROM y$k, m$k ORDER BY y$k.i""".stripMargin
+       |  round(m$k.m, 6) AS lambda,
+       |  round(m$k.m / tr.trace, 6) AS var_explained
+       |FROM y$k, m$k, tr ORDER BY y$k.i""".stripMargin
   }
 
   /** DuckDB twin of [[graft.ops.VectorOps.pcaProject]]: joins the exploded

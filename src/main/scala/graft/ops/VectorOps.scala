@@ -886,7 +886,8 @@ object VectorOps {
     }
     last.select(col("i"),
         (round(col("y") / col("m"), 6) + lit(0.0)).as("comp"),
-        round(col("m"), 6).as("lambda"))
+        round(col("m"), 6).as("lambda"),
+        col("m").as("m_raw")) // unrounded ∞-norm estimate for downstream ratios
       .orderBy("i")
   }
 
@@ -899,8 +900,21 @@ object VectorOps {
     * whole eigenpair. Plan: 8 tiny jobs over a 4096-row matrix with a
     * broadcast 64-row iterate; at 100 TB the matrix is the same 4096 rows
     * (one standing artifact), so this query's cost is corpus-independent. */
-  def pcaPower(spark: SparkSession, sf: String): DataFrame =
-    powerIterate(covCellsFull(spark, sf), PcaRounds)
+  def pcaPower(spark: SparkSession, sf: String): DataFrame = {
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val cells = covCellsFull(spark, sf)
+    // trace of Σ as a quantized-Long sum of the 64 exact diagonal cells
+    // (a raw 64-double sum would be shuffle-order-dependent); λ/trace is
+    // the fraction of total variance the top PC explains — the number a
+    // curation pipeline actually reads off this query
+    val tr = cells.filter(col("i") === col("j"))
+      .agg((sum(floor(col("cov") * g).cast("long")).cast("double") / g).as("trace"))
+    powerIterate(cells, PcaRounds)
+      .crossJoin(broadcast(tr))
+      .select(col("i"), col("comp"), col("lambda"),
+        round(col("m_raw") / col("trace"), 6).as("var_explained"))
+      .orderBy("i")
+  }
 
   /** Projection of every embedding onto the top principal component — the
     * dimensionality-reduction / curation score the eigenpair exists for

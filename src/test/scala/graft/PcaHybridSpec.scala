@@ -53,6 +53,26 @@ class PcaHybridSpec extends SparkSpec {
     val lambdas = rows.map(_.getDouble(2)).distinct
     assert(lambdas.length == 1 && lambdas.head > 0.0,
       s"one positive eigenvalue estimate, got ${lambdas.toSeq}")
+    // λ/trace: the top PC explains a positive fraction of total variance,
+    // and never more than all of it
+    val ve = rows.map(_.getDouble(3)).distinct
+    assert(ve.length == 1 && ve.head > 0.0 && ve.head <= 1.0,
+      s"var_explained in (0,1], got ${ve.toSeq}")
+  }
+
+  test("powerIterate + trace: planted [[2,1],[1,2]] var_explained is lambda/trace = 3/4") {
+    // assembled the same way pcaPower does it, over the planted matrix
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val cells = Seq(
+      (0L, 0L, 2.0), (0L, 1L, 1.0),
+      (1L, 0L, 1.0), (1L, 1L, 2.0)).toDF("i", "j", "cov")
+    val tr = cells.filter(col("i") === col("j"))
+      .agg((sum(floor(col("cov") * g).cast("long")).cast("double") / g).as("trace"))
+    val got = VectorOps.powerIterate(cells, VectorOps.PcaRounds)
+      .crossJoin(broadcast(tr))
+      .select(col("i"), round(col("m_raw") / col("trace"), 6).as("ve"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((0L, 0.75), (1L, 0.75)), s"got $got")
   }
 
   test("pcaPower: eigen-residual shrinks vs the start vector (it actually converges toward the top PC)") {
