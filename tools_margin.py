@@ -20,9 +20,15 @@ them) are classified EXACT_BACKED with a per-entry justification: their
 margins are reported but not gated, because determinism, not margin, is
 their stability argument.
 
-Queries the rewriter cannot handle (top-level set ops, SELECT DISTINCT
-finals, positional GROUP BY on a round item) are listed as SKIPPED with the
-reason - silent non-coverage would read as "audited" when it wasn't.
+Queries the rewriter cannot handle are listed as SKIPPED with the reason -
+silent non-coverage would read as "audited" when it wasn't. Round 13
+shrank that set: depth-0 UNION ALL chains are audited branch-by-branch
+(margins merged by min, exposure counts summed positionally, canon flags
+ANDed), and FROM-less scalar-subquery selects append margin columns like
+any other select list. Remaining skips: EXCEPT/INTERSECT/plain-UNION
+finals (row semantics are whole-branch-dependent), SELECT DISTINCT, and
+rounds living only inside nested scalar subqueries (a rewrite there would
+mis-bind the outer FROM scope).
 
 SIGNED-ZERO EXPOSURE (round-13, from the r12 driver failure): Spark's
 round(double, d) goes through BigDecimal and always emits +0.0, while
@@ -147,15 +153,69 @@ def split_top_comma(s):
     return parts
 
 
+def split_union_all(sql):
+    """If sql is a depth-0 chain of UNION ALL branches (no EXCEPT/INTERSECT/
+    plain UNION, whose row semantics are whole-branch-dependent), return the
+    branch strings with any trailing depth-0 ORDER BY stripped; else None."""
+    setops = []
+    for i, c in depth0_scan(sql):
+        if c in 'ueiUEI':
+            m = re.match(r'(union\s+all|union|except|intersect)\b', sql[i:], re.I)
+            if m:
+                setops.append((i, re.sub(r'\s+', '', m.group(0)).lower()))
+    if not setops:
+        return None
+    if any(op != 'unionall' for _, op in setops):
+        return None
+    # strip one trailing depth-0 ORDER BY (it applies to the whole union)
+    body = sql
+    for i, c in depth0_scan(sql):
+        if c in 'oO' and re.match(r'order\s+by\b', sql[i:], re.I):
+            body = sql[:i]
+            break
+    cuts = [i for i, _ in setops if i < len(body)]
+    parts, prev = [], 0
+    for i in cuts:
+        parts.append(body[prev:i])
+        prev = i + len(re.match(r'union\s+all', body[i:], re.I).group(0))
+    parts.append(body[prev:])
+    return parts
+
+
 def audit_one(sql):
-    """Return (rewritten_sql, n_margins, order_dependent, skip_reason)."""
+    """Return (rewritten_sql, n_margins, canon_flags, skip_reason)."""
     sel = find_final_select(sql)
     if sel is None:
         return None, 0, False, 'no depth-0 SELECT found'
     tail = sql[sel:]
     if any(re.match(r'(union|except|intersect)\b', sql[i:i+10], re.I)
            for i, c in depth0_scan(sql) if c in 'ueiUEI'):
-        return None, 0, False, 'depth-0 set operation (margin column would break branch arity)'
+        # UNION ALL chains audit branch-by-branch: every branch is an
+        # independent SELECT whose rows all reach the declared output
+        branches = split_union_all(sql)
+        if branches is None:
+            return None, 0, False, 'depth-0 set operation (margin column would break branch arity)'
+        wrapped, canon_rows = [], []
+        for b in branches:
+            w, n, canon, reason = audit_one(b)
+            if reason:
+                return None, 0, False, f'union-all branch unauditable: {reason}'
+            if w is not None:
+                wrapped.append((w, n, canon))
+        if not wrapped:
+            return None, 0, False, None
+        ncols = wrapped[0][1]
+        if any(n != ncols for _, n, _ in wrapped):
+            return None, 0, False, 'union-all branches disagree on round count'
+        per = [f'SELECT * FROM ({w}) __b{k}' for k, (w, _, _) in enumerate(wrapped)]
+        zsel = ', '.join(f'sum(neg{i}) AS neg{i}, sum(near{i}) AS near{i}'
+                         for i in range(ncols))
+        u = ' UNION ALL '.join(per)
+        merged = f'SELECT min(min_margin) AS min_margin, {zsel} FROM ({u}) __u'
+        # positional rounds are the same expression shape in each branch;
+        # the merged flag is the AND (one non-canonicalized branch = exposed)
+        canon = [all(c[i] for _, _, c in wrapped) for i in range(ncols)]
+        return merged, ncols, canon, None
     m = re.match(r'select\s+(distinct\b)?', tail, re.I)
     if m.group(1):
         return None, 0, False, 'SELECT DISTINCT final'
@@ -167,7 +227,14 @@ def audit_one(sql):
             from_idx = list_start + i
             break
     if from_idx is None:
-        return None, 0, False, 'no depth-0 FROM in final SELECT'
+        # a FROM-less final select (scalar-subquery report shape): the
+        # select list runs to the depth-0 ORDER BY or end of string, and
+        # margin columns append the same way — each is one more scalar expr
+        from_idx = len(sql)
+        for i, c in depth0_scan(sql[list_start:]):
+            if c in 'oO' and re.match(r'order\s+by\b', sql[list_start+i:], re.I):
+                from_idx = list_start + i
+                break
     select_list = sql[list_start:from_idx]
 
     # every round(expr, d) occurrence in the final select list OUTSIDE any
