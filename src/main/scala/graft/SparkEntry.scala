@@ -156,6 +156,7 @@ object SparkEntry {
     "q_cosine_topk" -> (VectorOps.cosineTopk _),
     "q_pca_power" -> (VectorOps.pcaPower _),
     "q_pca_project" -> (VectorOps.pcaProject _),
+    "q_pca_deflate" -> (VectorOps.pcaDeflate _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_dedup_cosine_lsh" -> (VectorOps.dedupCosineLsh _),
     "q_knn_join" -> (VectorOps.knnJoin _),
@@ -2992,6 +2993,7 @@ object SparkEntry {
     "q_modularity" -> modularitySql,
     "q_pca_power" -> pcaPowerSql,
     "q_pca_project" -> pcaProjectSql,
+    "q_pca_deflate" -> pcaDeflateSql,
     "q_kcore" -> kcoreSql,
     "q_assortativity" ->
       """WITH e AS (
@@ -3218,6 +3220,41 @@ object SparkEntry {
        |    / $covGrid.0, 4) + 0.0 AS proj
        |FROM x e JOIN pc ON pc.i = e.i
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.VectorOps.pcaDeflate]]: the shared PCA CTE
+    * prefix publishes the top eigenpair, a deflation CTE forms
+    * A′ = A − λ·u uᵀ/(uᵀu) from the ROUNDED published values (identical on
+    * the Spark side, which reads the staged artifact), and the same
+    * unrolled quantized power iteration runs over A′ from the e₀ start. */
+  private def pcaDeflateSql: String = {
+    val k = VectorOps.PcaRounds
+    val rounds = (1 to k).map { r =>
+      val pv = s"w${r - 1}"
+      s"""z$r AS MATERIALIZED (SELECT f.i,
+         |    CAST(sum(CAST(floor(f.cov * $pv.v * $covGrid.0) AS BIGINT)) AS DOUBLE)
+         |      / $covGrid.0 AS y
+         |  FROM a2 f JOIN $pv ON $pv.j = f.j GROUP BY f.i),
+         |n$r AS MATERIALIZED (SELECT max(abs(y)) AS m FROM z$r),
+         |w$r AS MATERIALIZED (SELECT z$r.i AS j, z$r.y / n$r.m AS v FROM z$r, n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$pcaCtes,
+       |pc AS MATERIALIZED (SELECT y$k.i, round(y$k.y / m$k.m, 6) + 0.0 AS comp,
+       |  round(m$k.m, 6) AS lambda FROM y$k, m$k),
+       |sq AS MATERIALIZED (SELECT
+       |    CAST(sum(CAST(floor(comp * comp * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |      / $covGrid.0 AS s,
+       |    max(lambda) AS l
+       |  FROM pc),
+       |a2 AS MATERIALIZED (SELECT f.i, f.j,
+       |    f.cov - sq.l * pa.comp * pb.comp / sq.s AS cov
+       |  FROM fm f JOIN pc pa ON pa.i = f.i JOIN pc pb ON pb.i = f.j, sq),
+       |w0 AS (SELECT DISTINCT i AS j,
+       |  CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v FROM a2),
+       |$rounds
+       |SELECT z$k.i, round(z$k.y / n$k.m, 6) + 0.0 AS comp2,
+       |  round(n$k.m, 6) AS lambda2
+       |FROM z$k, n$k ORDER BY z$k.i""".stripMargin
   }
 
   private def modularitySql: String =

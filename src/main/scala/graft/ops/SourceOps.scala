@@ -47,9 +47,9 @@ object SourceOps {
     // (and fits the frozen c80 quantizer + codebooks, disk-registered)
     "q_ann_append",
     // pcaPower's construction stages the exact-cov matrix artifact
-    // (cov_cells_<sf>) its power iteration reads; pcaProject consumes
-    // pcaPower (same artifact) at construction
-    "q_pca_power", "q_pca_project",
+    // (cov_cells_<sf>) its power iteration reads; pcaProject and
+    // pcaDeflate additionally stage the eigenpair artifact (pca_eig_<sf>)
+    "q_pca_power", "q_pca_project", "q_pca_deflate",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

@@ -118,6 +118,47 @@ class PcaHybridSpec extends SparkSpec {
     assert(again == got, "pcaProject must be a pure function of the data")
   }
 
+  test("deflateCells + powerIterate: planted [[2,1],[1,2]] yields the hand-computed second eigenpair") {
+    // top eigenpair (published rounded): u = (1,1), lambda = 3, u'u = 2.
+    // A' = A - 3*(u u')/2 = [[0.5,-0.5],[-0.5,0.5]] exactly; from the e0
+    // start: z = (0.5,-0.5), m = 0.5, v = (1,-1) — the second eigenvector,
+    // a fixed point with lambda2 = 1. All powers of two: quantization is
+    // exact at every step, so the assertion is equality.
+    val cells = Seq(
+      (0L, 0L, 2.0), (0L, 1L, 1.0),
+      (1L, 0L, 1.0), (1L, 1L, 2.0)).toDF("i", "j", "cov")
+    val eig = Seq((0L, 1.0, 3.0), (1L, 1.0, 3.0)).toDF("i", "comp", "lambda")
+    val got = VectorOps.powerIterate(
+        VectorOps.deflateCells(cells, eig), VectorOps.PcaRounds,
+        when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, 1.0, 1.0), (1L, -1.0, 1.0)), s"got $got")
+  }
+
+  test("pcaDeflate: second PC is near-orthogonal to the first and its eigenvalue is smaller") {
+    val pc1 = VectorOps.pcaPower(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val pc2 = VectorOps.pcaDeflate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(pc2.size == 64)
+    val dot = pc1.keys.map(i => pc1(i)._1 * pc2(i)._1).sum
+    val n1 = math.sqrt(pc1.values.map(v => v._1 * v._1).sum)
+    val n2 = math.sqrt(pc2.values.map(v => v._1 * v._1).sum)
+    assert(math.abs(dot / (n1 * n2)) < 0.1,
+      s"deflated PC should be near-orthogonal to PC1, cos = ${dot / (n1 * n2)}")
+    assert(pc2.head._2._2 <= pc1.head._2._2,
+      "second eigenvalue estimate must not exceed the first")
+    val again = VectorOps.pcaDeflate(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq
+    val first = VectorOps.pcaDeflate(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq
+    assert(again == first, "pcaDeflate must be a pure function of the data")
+  }
+
   // ---- hybridRetrieval ----------------------------------------------------
 
   test("rrfFuse: the both-arms-agree document outranks each arm's own top-1") {
