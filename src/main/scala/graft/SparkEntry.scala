@@ -136,6 +136,7 @@ object SparkEntry {
     "q_tfidf" -> (TextOps.tfidf _),
     "q_bm25" -> (TextOps.bm25 _),
     "q_hybrid_retrieval" -> (TextOps.hybridRetrieval _),
+    "q_hybrid_ann" -> (TextOps.hybridRetrievalAnn _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_bpe_merges" -> (TextOps.bpeMerges _),
     "q_bpe_encode" -> (TextOps.bpeEncode _),

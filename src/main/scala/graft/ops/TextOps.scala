@@ -1571,6 +1571,26 @@ object TextOps {
     rrfFuse(lex, dense)
   }
 
+  /** [[hybridRetrieval]] with the SUB-LINEAR dense arm — the shape that
+    * actually runs at 100 TB: the lexical arm is unchanged, the dense arm
+    * is the IVF-PQ probe ([[VectorOps.annPq]], probe vec_id 0, result
+    * depth [[HybridTopN]]) instead of the exact corpus scan. Declared
+    * no-oracle (the ANN arm's recall < 1 by construction — exactly the
+    * q_ann_pq discipline): [[hybridRetrieval]] is the oracled exact twin,
+    * and the spec pins rank-table integrity plus overlap with the exact
+    * fusion on the fixture. */
+  def hybridRetrievalAnn(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(spark, sf)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_lex")
+    val dense = VectorOps.annPq(spark, sf, topK = HybridTopN)
+      .filter(col("probe_id") === 0)
+      .select(col("vec_id").as("doc_id"), col("rk").as("rank_dense"))
+    rrfFuse(lex, dense)
+  }
+
   /** TF-IDF top-3 terms per document — keyword extraction. tf and df come
     * from the same exploded token relation (two aggregates over one scan);
     * the corpus size joins in as a broadcast 1-row frame; the per-document

@@ -545,7 +545,8 @@ object VectorOps {
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
   }
 
-  def annPq(spark: SparkSession, sf: String, nprobe: Int = 2): DataFrame = {
+  def annPq(spark: SparkSession, sf: String, nprobe: Int = 2,
+      topK: Int = 3): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -560,7 +561,7 @@ object VectorOps {
     val probes = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     pqProbe(spark, probes, enc, assigned.select(col("vec_id"), col("v")),
-      km, codebook, nprobe)
+      km, codebook, nprobe, topK)
   }
 
   /** The IVF-PQ QUERY half, over an already-materialized encoded table:
@@ -571,7 +572,7 @@ object VectorOps {
     * frozen-codebook append) — same query, different index lifecycle. */
   private def pqProbe(spark: SparkSession, probes: DataFrame, enc: DataFrame,
       rawVecs: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
-      codebook: DataFrame, nprobe: Int): DataFrame = {
+      codebook: DataFrame, nprobe: Int, topK: Int = 3): DataFrame = {
     val centroids = spark.createDataFrame(
       km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
       .toDF("cell", "ccent")
@@ -609,7 +610,7 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id"),
         round(cosine(col("v"), col("pv")), 4).as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= topK)
       .select("probe_id", "rk", "vec_id", "cos")
       .orderBy("probe_id", "rk")
   }

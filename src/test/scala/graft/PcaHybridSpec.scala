@@ -194,4 +194,24 @@ class PcaHybridSpec extends SparkSpec {
     val keys = out.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
     assert(keys == keys.sorted, "fused output must be (rrf desc, doc_id) ordered")
   }
+
+  test("hybridRetrievalAnn: the sub-linear fusion substantially overlaps its exact twin") {
+    // same lexical arm, ANN dense arm — the fused top set must recover
+    // most of the exact fusion's top documents (the q_ann_pq recall
+    // discipline applied at the fusion level), and the rank-table
+    // integrity contract is identical
+    val exact = TextOps.hybridRetrieval(spark, sf0001).collect()
+    val ann = TextOps.hybridRetrievalAnn(spark, sf0001).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(r => r.getLong(1) > 0 || r.getLong(2) > 0))
+    assert(ann.forall(r => r.getLong(1) <= 20 && r.getLong(2) <= TextOps.HybridTopN))
+    val topExact = exact.take(10).map(_.getLong(0)).toSet
+    val topAnn = ann.take(10).map(_.getLong(0)).toSet
+    val overlap = (topExact & topAnn).size
+    assert(overlap >= 6, s"fused top-10 overlap with the exact twin: $overlap/10")
+    // determinism: the ADC shortlist is quantized, so reruns are identical
+    val again = TextOps.hybridRetrievalAnn(spark, sf0001).collect()
+      .map(r => r.toSeq).toSeq
+    assert(again == ann.map(_.toSeq).toSeq)
+  }
 }
