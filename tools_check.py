@@ -13,8 +13,9 @@ if len(sys.argv) > 1 and sys.argv[1] == '--selftest':
     assert sb.any() and int(sb.sum()) == 1 and int(np.argmax(sb)) == 0, \
         'signbit comparator must flag exactly the planted -0.0 cell'
     c = pd.Series([0.0, -1.5])
-    sb2 = np.signbit(c.to_numpy()) != np.signbit(c.to_numpy())
-    assert not sb2.any(), 'identical columns must not be flagged'
+    d = pd.Series([0.0, -1.5])  # distinct object, equal values AND signs
+    sb2 = np.signbit(c.to_numpy()) != np.signbit(d.to_numpy())
+    assert not sb2.any(), 'sign-matching columns must not be flagged'
     print('selftest OK: planted -0.0-vs-+0.0 fixture is caught, clean columns pass')
     sys.exit(0)
 
