@@ -165,6 +165,7 @@ object SparkEntry {
     "q_ann_lsh" -> (VectorOps.annLsh _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.ivfTopk(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => VectorOps.annPq(s, d)),
+    "q_ann_delete" -> ((s: SparkSession, d: String) => VectorOps.annDelete(s, d)),
     "q_ann_append" -> ((s: SparkSession, d: String) => VectorOps.annAppend(s, d)),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
     "q_schema_merge" -> (SourceOps.schemaMerge _),

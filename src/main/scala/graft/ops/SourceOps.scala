@@ -44,8 +44,9 @@ object SourceOps {
     "q_stream_dedup",
     "q_stream_window", "q_stream_running", "q_stream_asof", "q_stream_update",
     // annAppend's construction stages the standing encoded-corpus index
-    // (and fits the frozen c80 quantizer + codebooks, disk-registered)
-    "q_ann_append",
+    // (and fits the frozen c80 quantizer + codebooks, disk-registered);
+    // annDelete reads the SAME standing artifact (tombstone view)
+    "q_ann_append", "q_ann_delete",
     // pcaPower's construction stages the exact-cov matrix artifact
     // (cov_cells_<sf>) its power iteration reads; pcaProject and
     // pcaDeflate additionally stage the eigenpair artifact (pca_eig_<sf>)

@@ -670,6 +670,46 @@ object VectorOps {
       km, codebook, nprobe)
   }
 
+  /** The DELETE half of standing-index maintenance — [[annAppend]]'s
+    * mirror, completing the ingest/expire lifecycle a 100 TB embedding
+    * store runs: a batch (vec_id % 7 == 3 of the corpus — GDPR erasure, a
+    * revoked source, an expired retention window) is TOMBSTONED out of the
+    * standing encoded table by one filter. No refit, no re-encode, no
+    * rebuild: the coarse cells and sub-codebooks stay frozen (deleting
+    * rows does not invalidate a quantizer — it only shifts the optimum,
+    * which is the same drift argument the append path documents) and the
+    * standing artifact itself is untouched on disk — the tombstone is a
+    * view the probes read. Probes are the surviving members of the
+    * standard probe set; the declared contract (spec'd): a deleted vector
+    * is NEVER retrieved, results are deterministic, and top-1 recall vs
+    * the exact scan over the REMAINING corpus holds the q_ann_pq floor.
+    * At scale the filter is a partition-pruned anti-join against a
+    * tombstone set — batch-sized, like the append. */
+  def annDelete(spark: SparkSession, sf: String, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+      .persist()
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val km = coarseQuantizer(s"$sf-c80", 16, corpus)
+    val books = pqCodebooksFrom(s"$sf-c80", corpus.select("v"))
+    val codebook = pqCodebookFrame(spark, books)
+    // the SAME standing artifact annAppend maintains (shared registry key)
+    val idxDir = graft.ops.SourceOps.materialize(s"ann_corpus_idx_$sf") { d =>
+      pqEncodeFrom(km.transform(corpus).select(col("vec_id"), col("v"), col("cell")),
+        codebook).write.parquet(s"$d/enc")
+    }
+    val standing = spark.read.parquet(s"$idxDir/enc")
+    // THE DELETE: one tombstone filter over the standing codes
+    val live = standing.filter(col("vec_id") % 7 =!= 3)
+    val remaining = corpus.filter(col("vec_id") % 7 =!= 3)
+    val probes = remaining.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    pqProbe(spark, probes, live, remaining.select(col("vec_id"), col("v")),
+      km, codebook, nprobe)
+  }
+
   /** Cosine threshold for [[semDedup]] — the same 0.45 that marks the
     * fixture's planted near-dups in [[dedupCosine]], so the exact all-pairs
     * form is directly the recall baseline. */

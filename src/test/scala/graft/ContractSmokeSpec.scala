@@ -41,6 +41,7 @@ class ContractSmokeSpec extends SparkSpec {
     "q_ann_ivf" -> "q_cosine_topk",
     "q_ann_pq" -> "q_knn_join",
     "q_ann_append" -> "q_knn_join",
+    "q_ann_delete" -> "q_knn_join",
     "q_hybrid_ann" -> "q_hybrid_retrieval",
     "q_dedup_minhash" -> "q_dedup_jaccard",
     "q_dedup_simhash" -> "q_dedup_jaccard",

@@ -159,6 +159,41 @@ class PcaHybridSpec extends SparkSpec {
     assert(again == first, "pcaDeflate must be a pure function of the data")
   }
 
+  test("annDelete: tombstoned vectors are never retrieved; survivors keep exact-twin recall; deterministic") {
+    val a = VectorOps.annDelete(spark, sf0001).collect()
+    val b = VectorOps.annDelete(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq, "frozen artifacts + tombstone view: fully deterministic")
+    assert(a.nonEmpty)
+    // THE delete contract: no deleted id in any result, as probe or hit
+    assert(a.forall(r => r.getLong(0) % 7 != 3 && r.getLong(2) % 7 != 3),
+      "a tombstoned vector was retrieved (or probed)")
+    // results only come from the standing corpus (never the append split)
+    assert(a.forall(_.getLong(2) % 5 != 4))
+    a.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      assert(!rs.map(_.getLong(2)).contains(pid))
+      assert(rs.map(_.getLong(1)).sorted.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+    // top-1 recall vs an exact scan over the REMAINING corpus
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") % 5 =!= 4 && col("vec_id") % 7 =!= 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val hits = a.filter(_.getLong(1) == 1L).count { r =>
+      val pid = r.getLong(0)
+      // exact top-3 over the remaining corpus, declared tie-break
+      // (rounded cos desc, id asc)
+      val top3 = (emb - pid).toSeq.map { case (id, v) =>
+        (BigDecimal(cos(emb(pid), v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+      }.sortBy { case (c, id) => (-c, id) }.take(3).map(_._2).toSet
+      top3.contains(r.getLong(2))
+    }
+    assert(hits >= 2, s"post-delete top-1 recall too low: $hits probes hit the exact top-3")
+  }
+
   // ---- hybridRetrieval ----------------------------------------------------
 
   test("rrfFuse: the both-arms-agree document outranks each arm's own top-1") {
