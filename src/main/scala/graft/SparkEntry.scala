@@ -137,6 +137,8 @@ object SparkEntry {
     "q_bm25" -> (TextOps.bm25 _),
     "q_hybrid_retrieval" -> (TextOps.hybridRetrieval _),
     "q_hybrid_ann" -> (TextOps.hybridRetrievalAnn _),
+    "q_retrieval_eval" -> (TextOps.retrievalEval _),
+    "q_retrieval_eval_ann" -> (TextOps.retrievalEvalAnn _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_bpe_merges" -> (TextOps.bpeMerges _),
     "q_bpe_encode" -> (TextOps.bpeEncode _),
@@ -158,6 +160,8 @@ object SparkEntry {
     "q_pca_power" -> (VectorOps.pcaPower _),
     "q_pca_project" -> (VectorOps.pcaProject _),
     "q_pca_deflate" -> (VectorOps.pcaDeflate _),
+    "q_whiten" -> (VectorOps.whiten _),
+    "q_cov_update" -> (VectorOps.covUpdate _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_dedup_cosine_lsh" -> (VectorOps.dedupCosineLsh _),
     "q_knn_join" -> (VectorOps.knnJoin _),
@@ -167,6 +171,7 @@ object SparkEntry {
     "q_ann_pq" -> ((s: SparkSession, d: String) => VectorOps.annPq(s, d)),
     "q_ann_delete" -> ((s: SparkSession, d: String) => VectorOps.annDelete(s, d)),
     "q_ann_append" -> ((s: SparkSession, d: String) => VectorOps.annAppend(s, d)),
+    "q_ann_compact" -> ((s: SparkSession, d: String) => VectorOps.annCompact(s, d)),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
     "q_schema_merge" -> (SourceOps.schemaMerge _),
     "q_binary_files" -> (SourceOps.binaryFiles _),
@@ -521,6 +526,44 @@ object SparkEntry {
   /** The cov quantization grid (2^24) — interpolated from the single
     * source of truth so the oracle can never drift from the buffer. */
   private val covGrid = graft.functions.CovFunctions.CovGridScale
+
+  /** Shared CTE chain of the hybrid-retrieval oracles, ending at the
+    * `fused` relation (doc_id, rank_lex, rank_dense, rrf): the bm25 arm's
+    * oracled SQL, the exact-cosine arm's, integer-rank windows, and the
+    * two-term RRF — composed verbatim by q_hybrid_retrieval (final sort)
+    * and q_retrieval_eval (recall/MRR audit over the same fused table). */
+  private def hybridFusedCtes: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
+       |       FROM dl),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+       |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+       |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |        FROM tf GROUP BY 1),
+       |lexs AS (SELECT doc_id,
+       |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+       |      * (tf * (1.2 + 1))
+       |      / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
+       |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+       |lex AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex FROM lexs),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |denses AS (SELECT e.vec_id,
+       |    round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) AS cos
+       |  FROM e, probe p WHERE e.vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT ${TextOps.HybridTopN}),
+       |dense AS (SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_dense FROM denses),
+       |fused AS MATERIALIZED (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |  CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+       |  CAST(coalesce(d.rank_dense, 0) AS BIGINT) AS rank_dense,
+       |  round(coalesce(1.0 / (${TextOps.RrfK} + l.rank_lex), 0.0)
+       |    + coalesce(1.0 / (${TextOps.RrfK} + d.rank_dense), 0.0), 6) AS rrf
+       |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -1615,38 +1658,32 @@ object SparkEntry {
     // with integer-rank windows; the RRF sum is two IEEE divisions of
     // integer ranks — exact-deterministic, no float aggregate anywhere
     "q_hybrid_retrieval" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
-         |       FROM dl),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
-         |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
-         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |        FROM tf GROUP BY 1),
-         |lexs AS (SELECT doc_id,
-         |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-         |      * (tf * (1.2 + 1))
-         |      / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
-         |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
-         |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
-         |lex AS (SELECT doc_id,
-         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex FROM lexs),
-         |e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
-         |denses AS (SELECT e.vec_id,
-         |    round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) AS cos
-         |  FROM e, probe p WHERE e.vec_id <> 0
-         |  ORDER BY cos DESC, vec_id LIMIT ${TextOps.HybridTopN}),
-         |dense AS (SELECT vec_id AS doc_id,
-         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_dense FROM denses)
-         |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
-         |  CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
-         |  CAST(coalesce(d.rank_dense, 0) AS BIGINT) AS rank_dense,
-         |  round(coalesce(1.0 / (${TextOps.RrfK} + l.rank_lex), 0.0)
-         |    + coalesce(1.0 / (${TextOps.RrfK} + d.rank_dense), 0.0), 6) AS rrf
-         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+      s"""$hybridFusedCtes
+         |SELECT doc_id, rank_lex, rank_dense, rrf FROM fused
          |ORDER BY rrf DESC, doc_id""".stripMargin,
+    // retrieval-quality audit over the fused consensus: recall@3 and MRR
+    // of each arm vs the fused top-3 — exact rationals of the integer
+    // ranks already published by the fused CTE (hits/3, 1/rank: single
+    // IEEE divisions, no float aggregates)
+    "q_retrieval_eval" ->
+      s"""$hybridFusedCtes,
+         |gt AS (SELECT * FROM (
+         |    SELECT fused.*, row_number() OVER (ORDER BY rrf DESC, doc_id) AS gt_rank
+         |    FROM fused) WHERE gt_rank <= ${TextOps.EvalK}),
+         |m AS MATERIALIZED (SELECT
+         |    sum(CASE WHEN rank_lex BETWEEN 1 AND ${TextOps.EvalK} THEN 1 ELSE 0 END) AS hl,
+         |    sum(CASE WHEN rank_dense BETWEEN 1 AND ${TextOps.EvalK} THEN 1 ELSE 0 END) AS hd,
+         |    max(CASE WHEN gt_rank = 1 THEN
+         |      CASE WHEN rank_lex > 0 THEN 1.0 / rank_lex ELSE 0.0 END END) AS ml,
+         |    max(CASE WHEN gt_rank = 1 THEN
+         |      CASE WHEN rank_dense > 0 THEN 1.0 / rank_dense ELSE 0.0 END END) AS md
+         |  FROM gt)
+         |SELECT s.system,
+         |  round(CASE WHEN s.system = 'bm25_arm' THEN hl ELSE hd END
+         |    / CAST(${TextOps.EvalK} AS DOUBLE), 4) AS recall_at_3,
+         |  round(CASE WHEN s.system = 'bm25_arm' THEN ml ELSE md END, 4) AS mrr
+         |FROM m, (VALUES ('bm25_arm'), ('dense_arm')) AS s(system)
+         |ORDER BY s.system""".stripMargin,
     "q_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
@@ -1827,17 +1864,12 @@ object SparkEntry {
     // preserves −0.0 on tiny-negative inputs while Spark's (BigDecimal)
     // always emits +0.0 (r12 driver failure — 4 zero cells diverged on
     // sign alone). IEEE −0.0 + 0.0 = +0.0; spelled on both sides.
-    "q_embed_cov" ->
-      s"""WITH x AS (
-         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-         |    CAST(unnest(embedding) AS DOUBLE) AS v
-         |  FROM embeddings)
-         |SELECT a.i, b.i AS j,
-         |  round(CAST(sum(CAST(floor(a.v * b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)
-         |    - (CAST(sum(CAST(floor(a.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*))
-         |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)), 6) + 0.0 AS cov
-         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |GROUP BY 1, 2 ORDER BY a.i, j""".stripMargin,
+    "q_embed_cov" -> covFullRecomputeSql,
+    // q_cov_update merges the standing corpus triangle's exact Long sums
+    // with the 20 % batch's — Long addition is exact and associative, so
+    // the result is BIT-IDENTICAL to the full recompute over the union
+    // (= the whole table): the oracle IS q_embed_cov's SQL, verbatim
+    "q_cov_update" -> covFullRecomputeSql,
     "q_embed_cov_label" ->
       s"""WITH x AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -2996,6 +3028,7 @@ object SparkEntry {
     "q_pca_power" -> pcaPowerSql,
     "q_pca_project" -> pcaProjectSql,
     "q_pca_deflate" -> pcaDeflateSql,
+    "q_whiten" -> whitenSql,
     "q_kcore" -> kcoreSql,
     "q_assortativity" ->
       """WITH e AS (
@@ -3162,6 +3195,22 @@ object SparkEntry {
     * mechanically unrolled as CTEs — each round a quantized-Long
     * matrix-vector product and an ∞-norm normalization, spelled identically
     * to the Spark side so the eigenpair is value-checked, not smoke-checked. */
+  /** DuckDB twin of BOTH q_embed_cov (one-pass exact-quantized covariance)
+    * and q_cov_update (standing-sums + batch merge): the full recompute
+    * over the whole table. The `+ 0.0` after round canonicalizes the zero
+    * (see q_embed_cov's registry comment). */
+  private def covFullRecomputeSql: String =
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings)
+       |SELECT a.i, b.i AS j,
+       |  round(CAST(sum(CAST(floor(a.v * b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)
+       |    - (CAST(sum(CAST(floor(a.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*))
+       |      * (CAST(sum(CAST(floor(b.v * $covGrid.0) AS BIGINT)) AS DOUBLE) / $covGrid.0 / count(*)), 6) + 0.0 AS cov
+       |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |GROUP BY 1, 2 ORDER BY a.i, j""".stripMargin
+
   /** Shared CTE prefix of the pca oracles: the exact-cov matrix + the
     * unrolled power-iteration rounds (ends at y<K>/m<K>/v<K>).
     * `AS MATERIALIZED` on every chained CTE is load-bearing: DuckDB
@@ -3231,6 +3280,18 @@ object SparkEntry {
     * unrolled quantized power iteration runs over A′ from the e₀ start. */
   private def pcaDeflateSql: String = {
     val k = VectorOps.PcaRounds
+    s"""$pcaCtes,
+       |$deflateCtes
+       |SELECT z$k.i, round(z$k.y / n$k.m, 6) + 0.0 AS comp2,
+       |  round(n$k.m, 6) AS lambda2
+       |FROM z$k, n$k ORDER BY z$k.i""".stripMargin
+  }
+
+  /** The deflation + second-iteration CTE chain shared by the deflate and
+    * whiten oracles (everything pcaDeflateSql builds after the shared
+    * [[pcaCtes]] prefix, ending at z<K>/n<K>). */
+  private def deflateCtes: String = {
+    val k = VectorOps.PcaRounds
     val rounds = (1 to k).map { r =>
       val pv = s"w${r - 1}"
       s"""z$r AS MATERIALIZED (SELECT f.i,
@@ -3240,8 +3301,7 @@ object SparkEntry {
          |n$r AS MATERIALIZED (SELECT max(abs(y)) AS m FROM z$r),
          |w$r AS MATERIALIZED (SELECT z$r.i AS j, z$r.y / n$r.m AS v FROM z$r, n$r)""".stripMargin
     }.mkString(",\n")
-    s"""$pcaCtes,
-       |pc AS MATERIALIZED (SELECT y$k.i, round(y$k.y / m$k.m, 6) + 0.0 AS comp,
+    s"""pc AS MATERIALIZED (SELECT y$k.i, round(y$k.y / m$k.m, 6) + 0.0 AS comp,
        |  round(m$k.m, 6) AS lambda FROM y$k, m$k),
        |sq AS MATERIALIZED (SELECT
        |    CAST(sum(CAST(floor(comp * comp * $covGrid.0) AS BIGINT)) AS DOUBLE)
@@ -3253,10 +3313,34 @@ object SparkEntry {
        |  FROM fm f JOIN pc pa ON pa.i = f.i JOIN pc pb ON pb.i = f.j, sq),
        |w0 AS (SELECT DISTINCT i AS j,
        |  CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v FROM a2),
-       |$rounds
-       |SELECT z$k.i, round(z$k.y / n$k.m, 6) + 0.0 AS comp2,
-       |  round(n$k.m, 6) AS lambda2
-       |FROM z$k, n$k ORDER BY z$k.i""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.VectorOps.whiten]]: both published rounded
+    * eigenpairs come out of the shared PCA + deflation CTE chains (the
+    * exact values the Spark side reads from its staged artifacts), the two
+    * per-vector projections are the identical quantized-Long dot products,
+    * and each /√λ is one IEEE-correctly-rounded op over exact inputs —
+    * spelled in the same order as the Spark side ((Σ/g) / sqrt(λ)). */
+  private def whitenSql: String = {
+    val k = VectorOps.PcaRounds
+    s"""$pcaCtes,
+       |$deflateCtes,
+       |pc2 AS MATERIALIZED (SELECT z$k.i, round(z$k.y / n$k.m, 6) + 0.0 AS comp2,
+       |  round(n$k.m, 6) AS lambda2 FROM z$k, n$k),
+       |l AS (SELECT (SELECT max(lambda) FROM pc) AS l1,
+       |  (SELECT max(lambda2) FROM pc2) AS l2),
+       |proj AS (SELECT e.vec_id,
+       |    CAST(sum(CAST(floor(e.v * pc.comp * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |      / $covGrid.0 AS p1,
+       |    CAST(sum(CAST(floor(e.v * pc2.comp2 * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |      / $covGrid.0 AS p2
+       |  FROM x e JOIN pc ON pc.i = e.i JOIN pc2 ON pc2.i = e.i
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id,
+       |  round(p1 / sqrt(l.l1), 4) + 0.0 AS w1,
+       |  round(p2 / sqrt(l.l2), 4) + 0.0 AS w2
+       |FROM proj, l ORDER BY vec_id""".stripMargin
   }
 
   private def modularitySql: String =

@@ -80,15 +80,13 @@ object Verify {
             // different merge tree (13 reducers) AND different map-side
             // split boundaries (1 MB input splits), so any order-dependent
             // float sum feeding a rounded output moves here if it can move.
-            // KNOWN GAP (r12 advisor): the re-run shares this JVM's memoized
-            // staging artifacts and model caches (SourceOps.materialize,
-            // kmCache/pqCache, the edges memo), so partitioning-sensitivity
-            // inside artifact CONSTRUCTION (e.g. a KMeans fit) is NOT
-            // exercised here — the gate covers query evaluation over a fixed
-            // artifact. Construction determinism is gated separately by the
-            // artifacts' own specs (fixed seeds, single-partition fits,
-            // exact-integer LPA votes); a construction-order-dependent value
-            // would surface there, or in the driver's fresh-JVM draw.
+            // This per-query re-run shares the JVM's memoized staging
+            // artifacts and model caches (SourceOps.materialize,
+            // kmCache/pqCache), so it covers query EVALUATION over fixed
+            // artifacts; artifact CONSTRUCTION under perturbed partitioning
+            // is gated separately by the re-derivation pass after this loop
+            // (r14 — see the artifact-construction block below). Model fits
+            // remain registry-gated (fixed seeds + disk-roundtrip specs).
             // hash-oracled queries must be BIT-stable (the driver hashes
             // their values); declared no-oracle queries (sketch blobs with
             // spec'd error bounds) are draw-dependent by contract — the
@@ -122,6 +120,59 @@ object Verify {
         // some queries persist() small frames; don't accumulate the whole
         // registry's cache in one session
         spark.catalog.clearCache()
+      }
+      // ARTIFACT-CONSTRUCTION half of the stability gate (r13 verdict #5,
+      // closing the r12 advisor's "memoized artifacts" blind spot as a
+      // class): every staged artifact that is a pure function of the
+      // corpus (SourceOps.pureArtifactPrefixes) is RE-DERIVED here under
+      // the same perturbed partitioning, into a scratch dir, and every
+      // parquet leaf is value-compared at bit granularity against the
+      // standing artifact the queries actually read. Model FITS (KMeans /
+      // PQ codebooks) still come from their in-JVM/disk registry — their
+      // construction determinism is gated by fixed seeds + the
+      // disk-roundtrip specs; this gate covers everything built FROM them.
+      if (args.contains("--stability")) {
+        import scala.jdk.CollectionConverters._
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+        def parquetLeaves(root: String): Seq[String] = {
+          val base = Paths.get(root)
+          val s = Files.walk(base)
+          try s.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map(p => base.relativize(p.getParent).toString)
+            .toSeq.distinct.sorted
+          finally s.close()
+        }
+        graft.ops.SourceOps.rederivableArtifacts.toSeq.sortBy(_._1).foreach {
+          case (key, (standDir, write)) =>
+            val scratch = Files.createTempDirectory(
+              "gate_" + key.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+            try write(scratch)
+            finally {
+              spark.conf.set("spark.sql.shuffle.partitions", cpus)
+              spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            }
+            val (a, b) = (parquetLeaves(standDir), parquetLeaves(scratch))
+            if (a != b) {
+              unstable ::= s"artifact:$key"
+              System.err.println(s"[stability] artifact $key UNSTABLE: leaf " +
+                s"layout differs under perturbed construction ($a vs $b)")
+            } else {
+              val bad = a.filter { sub =>
+                canonRows(spark.read.parquet(s"$standDir/$sub")) !=
+                  canonRows(spark.read.parquet(s"$scratch/$sub"))
+              }
+              if (bad.nonEmpty) {
+                unstable ::= s"artifact:$key"
+                System.err.println(s"[stability] artifact $key UNSTABLE under " +
+                  s"perturbed construction: leaves ${bad.mkString(",")} differ")
+              } else System.err.println(s"[stability] artifact $key ok " +
+                s"(re-derived, ${a.size} leaf/leaves bit-equal)")
+            }
+        }
       }
       spark.stop()
     }

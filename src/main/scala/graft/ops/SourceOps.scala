@@ -45,12 +45,17 @@ object SourceOps {
     "q_stream_window", "q_stream_running", "q_stream_asof", "q_stream_update",
     // annAppend's construction stages the standing encoded-corpus index
     // (and fits the frozen c80 quantizer + codebooks, disk-registered);
-    // annDelete reads the SAME standing artifact (tombstone view)
-    "q_ann_append", "q_ann_delete",
+    // annDelete reads the SAME standing artifact (tombstone view);
+    // annCompact additionally stages the compacted rewrite + its audit
+    "q_ann_append", "q_ann_delete", "q_ann_compact",
     // pcaPower's construction stages the exact-cov matrix artifact
     // (cov_cells_<sf>) its power iteration reads; pcaProject and
-    // pcaDeflate additionally stage the eigenpair artifact (pca_eig_<sf>)
-    "q_pca_power", "q_pca_project", "q_pca_deflate",
+    // pcaDeflate additionally stage the eigenpair artifact (pca_eig_<sf>);
+    // whiten stages the second eigenpair (pca_eig2_<sf>) on top
+    "q_pca_power", "q_pca_project", "q_pca_deflate", "q_whiten",
+    // covUpdate's construction stages the standing corpus-triangle raw
+    // Long sums (cov_sums_<sf>) the incremental merge reads
+    "q_cov_update",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)
@@ -66,9 +71,48 @@ object SourceOps {
     staged.computeIfAbsent(key, _ => {
       val prefix = "graft_" + key.replaceAll("[^A-Za-z0-9._-]", "_")
       val tmp = Files.createTempDirectory(prefix).toString
+      // record the winning writer so Verify's --stability gate can
+      // RE-DERIVE the artifact under perturbed partitioning (see
+      // [[rederivableArtifacts]]) — construction determinism as a class,
+      // not per-artifact specs only (r13 verdict #5)
+      writers.put(key, write)
       write(tmp)
       tmp
     })
+
+  /** The construction closure that built each staged artifact this JVM —
+    * exactly the one whose output the registry serves (first caller wins,
+    * same as [[materialize]]'s memoization). */
+  private val writers = new java.util.concurrent.ConcurrentHashMap[String, String => Unit]()
+
+  /** Registry keys (by prefix) whose artifacts are PURE functions of the
+    * corpus — given the frozen model registry (KMeans cells, PQ codebooks,
+    * GBT constants: fixed-seed fits gated by their own disk-roundtrip and
+    * determinism specs) — and parquet-valued, so a re-derivation must be
+    * BIT-identical. Verify's --stability gate re-runs each one's recorded
+    * writer under perturbed partitioning into a scratch dir and value-
+    * compares every parquet leaf (r13 verdict #5: the gate previously
+    * covered query evaluation over fixed artifacts, leaving artifact
+    * CONSTRUCTION gated only by per-artifact specs — any FUTURE pure
+    * artifact is now gated automatically by being listed here). Staging
+    * FIXTURES (csv/xlsx/stream inputs, day-partitioned layouts) stay out:
+    * they are inputs the queries read, not derived registry state, and
+    * several are non-parquet. */
+  private[graft] val pureArtifactPrefixes: Seq[String] = Seq(
+    "cov_cells_", "cov_sums_", "pca_eig_", "pca_eig2_",
+    "ann_corpus_idx_", "lpa_labels_", "graph_edges_")
+
+  /** key → (standing dir, recorded writer) for every staged artifact the
+    * stability gate should re-derive — the pure-artifact subset of
+    * whatever this session actually materialized. */
+  private[graft] def rederivableArtifacts: Map[String, (String, String => Unit)] = {
+    import scala.jdk.CollectionConverters._
+    staged.asScala.flatMap { case (k, dir) =>
+      Option(writers.get(k))
+        .filter(_ => pureArtifactPrefixes.exists(k.startsWith))
+        .map(w => k -> (dir, w))
+    }.toMap
+  }
 
   /** The day-partitioned events layout, staged once per sf — shared by
     * [[partitionPrune]] (static pruning) and

@@ -1591,6 +1591,104 @@ object TextOps {
     rrfFuse(lex, dense)
   }
 
+  /** Ground-truth depth for the retrieval-quality metrics: recall@3 and
+    * MRR, matching the ANN queries' declared top-3 result depth. */
+  val EvalK = 3
+
+  /** RETRIEVAL-QUALITY AUDIT as a declared query (r13 verdict #3) — the
+    * arm-level half: recall@[[EvalK]] and MRR of each of
+    * [[hybridRetrieval]]'s arms against the fused consensus ranking (the
+    * best relevance proxy the corpus carries without human labels). One
+    * row per system: how much of the fused top-3 does BM25 alone recover,
+    * how much does the exact dense arm alone recover, and at what
+    * reciprocal rank does each arm place the fused top-1. This is the
+    * eval table a RAG pipeline alerts on — an arm whose recall decays is
+    * misconfigured or its index is stale. Fully oracle-able: both arms
+    * and the fusion are SQL-expressible, and both metrics are exact
+    * rationals of integer ranks (recall = hits/3, MRR = 1/rank — single
+    * IEEE divisions, no float aggregates; the fused table is ≤40 rows so
+    * the audit costs nothing at any corpus scale). The ANN half —
+    * the same metrics for the sub-linear systems — is the no-oracle twin
+    * [[retrievalEvalAnn]], exactly the q_ann_pq/q_hybrid_ann discipline. */
+  def retrievalEval(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gt = hybridRetrieval(spark, sf)
+      .withColumn("gt_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("gt_rank") <= EvalK)
+    val m = gt.agg(
+      sum(when(col("rank_lex").between(1, EvalK), 1).otherwise(0)).as("hl"),
+      sum(when(col("rank_dense").between(1, EvalK), 1).otherwise(0)).as("hd"),
+      max(when(col("gt_rank") === 1,
+        when(col("rank_lex") > 0, lit(1.0) / col("rank_lex"))
+          .otherwise(lit(0.0)))).as("ml"),
+      max(when(col("gt_rank") === 1,
+        when(col("rank_dense") > 0, lit(1.0) / col("rank_dense"))
+          .otherwise(lit(0.0)))).as("md"))
+    // stack() pivots the 1-row aggregate into the two system rows in one
+    // pass — a self-union would re-derive the whole fusion per row.
+    // CAST(k AS DOUBLE), not a `k.0` literal: Spark SQL parses decimal
+    // literals as DecimalType, and the declared output must be DOUBLE
+    m.selectExpr(
+        s"""stack(2,
+           |  'bm25_arm',  round(hl / CAST($EvalK AS DOUBLE), 4), round(ml, 4),
+           |  'dense_arm', round(hd / CAST($EvalK AS DOUBLE), 4), round(md, 4)
+           |) AS (system, recall_at_3, mrr)""".stripMargin)
+      .orderBy("system")
+  }
+
+  /** The ANN half of the retrieval-quality audit — [[retrievalEval]]'s
+    * no-oracle twin, promoting the recall bounds that lived in specs to a
+    * driver-checked artifact: recall@[[EvalK]] and MRR of `q_ann_pq`
+    * against the exact scan ([[VectorOps.knnJoin]], 5 probes — metrics
+    * averaged per probe) and of `q_hybrid_ann` against the exact fusion
+    * ([[hybridRetrieval]]). Declared no-oracle because the ANN rankings
+    * are KMeans-derived (not SQL-expressible); the metrics themselves are
+    * deterministic exact rationals of the two integer rank tables, spec'd
+    * in PcaHybridSpec against an independent test-side computation. The
+    * per-probe reciprocal ranks are floor-quantized to the 2²⁴ grid and
+    * Long-summed before the ÷n — the one multi-term float sum in the
+    * query, made shuffle-order-independent the standard way. */
+  def retrievalEvalAnn(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    // system 1: ann_pq vs the exact knn scan, averaged over the 5 probes
+    val gtKnn = VectorOps.knnJoin(spark, sf)
+      .select(col("probe_id"), col("rk").as("gt_rk"), col("vec_id"))
+    val annPq = VectorOps.annPq(spark, sf)
+      .select(col("probe_id"), col("rk").as("sys_rk"), col("vec_id"))
+    val nProbes = gtKnn.select(countDistinct("probe_id").as("np"))
+    val hitsPq = gtKnn.join(annPq, Seq("probe_id", "vec_id"))
+      .agg(count(lit(1)).as("hits"))
+    val mrrPq = gtKnn.filter(col("gt_rk") === 1)
+      .join(annPq, Seq("probe_id", "vec_id"), "left")
+      .select(coalesce(lit(1.0) / col("sys_rk"), lit(0.0)).as("recip"))
+      .agg((sum(floor(col("recip") * g).cast("long")).cast("double") / g).as("rsum"))
+    val pqRow = hitsPq.crossJoin(mrrPq).crossJoin(nProbes)
+      .select(lit("ann_pq").as("system"),
+        round(col("hits") / (lit(EvalK + 0.0) * col("np")), 4).as("recall_at_3"),
+        round(col("rsum") / col("np"), 4).as("mrr"))
+    // system 2: hybrid_ann vs the exact fusion (single fused ranking)
+    val gtFused = hybridRetrieval(spark, sf)
+      .withColumn("gt_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("gt_rank") <= EvalK)
+      .select("doc_id", "gt_rank")
+    val sysFused = hybridRetrievalAnn(spark, sf)
+      .withColumn("sys_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select("doc_id", "sys_rank")
+    val annRow = gtFused.join(sysFused, Seq("doc_id"), "left")
+      .agg(
+        sum(when(col("sys_rank") <= EvalK, 1).otherwise(0)).as("hits"),
+        max(when(col("gt_rank") === 1,
+          coalesce(lit(1.0) / col("sys_rank"), lit(0.0)))).as("recip"))
+      .select(lit("hybrid_ann").as("system"),
+        round(col("hits") / (EvalK + 0.0), 4).as("recall_at_3"),
+        round(col("recip"), 4).as("mrr"))
+    pqRow.unionByName(annRow).orderBy("system")
+  }
+
   /** TF-IDF top-3 terms per document — keyword extraction. tf and df come
     * from the same exploded token relation (two aggregates over one scan);
     * the corpus size joins in as a broadcast 1-row frame; the per-document

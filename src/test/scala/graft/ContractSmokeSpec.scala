@@ -42,7 +42,9 @@ class ContractSmokeSpec extends SparkSpec {
     "q_ann_pq" -> "q_knn_join",
     "q_ann_append" -> "q_knn_join",
     "q_ann_delete" -> "q_knn_join",
+    "q_ann_compact" -> "q_knn_join",
     "q_hybrid_ann" -> "q_hybrid_retrieval",
+    "q_retrieval_eval_ann" -> "q_retrieval_eval",
     "q_dedup_minhash" -> "q_dedup_jaccard",
     "q_dedup_simhash" -> "q_dedup_jaccard",
     "q_dedup_cosine_lsh" -> "q_dedup_cosine",

@@ -65,8 +65,9 @@ EXACT_BACKED = {
     'q_bpe_encode': 'units_per_word divides a Spark Long sum of integer unit counts by count(*) - one deterministic division',
     'q_dedup_spans': 'dup_frac divides a Spark Long sum of integer coverage counts by n_tokens - one deterministic division',
     'q_quality_score': 'avg over 0/1 indicator doubles and integer token lengths: integer-valued double sums are exact in IEEE below 2^53 in ANY order',
-    'q_kde': 'round-13: each Gaussian term floor-quantized to the 2^24 grid and summed as exact Longs (the cov discipline); the former 1.7e-10 reviewed-floor entry is retired',
+    'q_kde': 'round-13: each Gaussian term floor-quantized to the 2^24 grid and summed as exact Longs (the cov discipline); the former 1.7e-10 reviewed-floor entry is retired. Residual cross-engine assumption (r13 advisor): exp() is libm, not correctly rounded, so a 1-ulp JVM-vs-DuckDB difference landing within ~2^-24 of a floor boundary could still shift one Long term by 1 - a pre-round perturbation of ~1/(2^24*n*norm) ~ 4e-11 at sf0.01, four orders below the measured 4.6e-7 margin and shrinking with n; if exp inputs ever become adversarial (terms parked exactly on grid boundaries), re-derive the margin or restore a reviewed floor',
     'q_pca_project': 'the projection dot sums floor-quantized 2^24-grid Longs (the cov discipline); the eigenvector it consumes is itself exact-backed',
+    'q_cov_update': 'same exact quantized-Long sums as q_embed_cov: the standing triangle and the batch triangle are both CovAccumAgg Longs, and the merge is Long addition - the pre-round double is bit-identical to the full recompute',
 }
 
 # ORDER-DEPENDENT queries whose measured margin is below JITTER but has been
