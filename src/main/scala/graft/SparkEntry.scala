@@ -161,7 +161,9 @@ object SparkEntry {
     "q_pca_project" -> (VectorOps.pcaProject _),
     "q_pca_deflate" -> (VectorOps.pcaDeflate _),
     "q_whiten" -> (VectorOps.whiten _),
+    "q_whiten_outliers" -> (VectorOps.whitenOutliers _),
     "q_cov_update" -> (VectorOps.covUpdate _),
+    "q_cov_downdate" -> (VectorOps.covDowndate _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_dedup_cosine_lsh" -> (VectorOps.dedupCosineLsh _),
     "q_knn_join" -> (VectorOps.knnJoin _),
@@ -1870,6 +1872,11 @@ object SparkEntry {
     // the result is BIT-IDENTICAL to the full recompute over the union
     // (= the whole table): the oracle IS q_embed_cov's SQL, verbatim
     "q_cov_update" -> covFullRecomputeSql,
+    // q_cov_downdate SUBTRACTS the erased batch's Long triangle from the
+    // standing full-corpus sums; exact Long arithmetic ⇒ bit-identical to
+    // the full recompute over the REMAINING corpus (the same filter)
+    "q_cov_downdate" -> covFullRecomputeSql.replace(
+      "FROM embeddings)", "FROM embeddings WHERE vec_id % 7 <> 3)"),
     "q_embed_cov_label" ->
       s"""WITH x AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -3029,6 +3036,7 @@ object SparkEntry {
     "q_pca_project" -> pcaProjectSql,
     "q_pca_deflate" -> pcaDeflateSql,
     "q_whiten" -> whitenSql,
+    "q_whiten_outliers" -> whitenOutliersSql,
     "q_kcore" -> kcoreSql,
     "q_assortativity" ->
       """WITH e AS (
@@ -3322,7 +3330,7 @@ object SparkEntry {
     * per-vector projections are the identical quantized-Long dot products,
     * and each /√λ is one IEEE-correctly-rounded op over exact inputs —
     * spelled in the same order as the Spark side ((Σ/g) / sqrt(λ)). */
-  private def whitenSql: String = {
+  private def whitenCtes: String = {
     val k = VectorOps.PcaRounds
     s"""$pcaCtes,
        |$deflateCtes,
@@ -3336,12 +3344,24 @@ object SparkEntry {
        |    CAST(sum(CAST(floor(e.v * pc2.comp2 * $covGrid.0) AS BIGINT)) AS DOUBLE)
        |      / $covGrid.0 AS p2
        |  FROM x e JOIN pc ON pc.i = e.i JOIN pc2 ON pc2.i = e.i
-       |  GROUP BY e.vec_id)
-       |SELECT vec_id,
+       |  GROUP BY e.vec_id),
+       |wt AS MATERIALIZED (SELECT vec_id,
        |  round(p1 / sqrt(l.l1), 4) + 0.0 AS w1,
        |  round(p2 / sqrt(l.l2), 4) + 0.0 AS w2
-       |FROM proj, l ORDER BY vec_id""".stripMargin
+       |FROM proj, l)""".stripMargin
   }
+
+  private def whitenSql: String =
+    s"""$whitenCtes
+       |SELECT vec_id, w1, w2 FROM wt ORDER BY vec_id""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.VectorOps.whitenOutliers]]: the whiten CTE
+    * chain's ROUNDED published w1/w2 squared and summed — one IEEE
+    * expression over identical values — then the declared top-k. */
+  private def whitenOutliersSql: String =
+    s"""$whitenCtes
+       |SELECT vec_id, round(w1 * w1 + w2 * w2, 4) AS energy FROM wt
+       |ORDER BY energy DESC, vec_id LIMIT ${VectorOps.WhitenOutlierK}""".stripMargin
 
   private def modularitySql: String =
     s"""$lpaCtes,

@@ -51,11 +51,14 @@ object SourceOps {
     // pcaPower's construction stages the exact-cov matrix artifact
     // (cov_cells_<sf>) its power iteration reads; pcaProject and
     // pcaDeflate additionally stage the eigenpair artifact (pca_eig_<sf>);
-    // whiten stages the second eigenpair (pca_eig2_<sf>) on top
+    // whiten (and its outlier consumer) stages the second eigenpair
+    // (pca_eig2_<sf>) on top
     "q_pca_power", "q_pca_project", "q_pca_deflate", "q_whiten",
+    "q_whiten_outliers",
     // covUpdate's construction stages the standing corpus-triangle raw
-    // Long sums (cov_sums_<sf>) the incremental merge reads
-    "q_cov_update",
+    // Long sums (cov_sums_<sf>) the incremental merge reads; covDowndate
+    // stages the full-corpus triangle (cov_sums_full_<sf>) it subtracts from
+    "q_cov_update", "q_cov_downdate",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

@@ -1639,36 +1639,46 @@ object TextOps {
 
   /** The ANN half of the retrieval-quality audit — [[retrievalEval]]'s
     * no-oracle twin, promoting the recall bounds that lived in specs to a
-    * driver-checked artifact: recall@[[EvalK]] and MRR of `q_ann_pq`
-    * against the exact scan ([[VectorOps.knnJoin]], 5 probes — metrics
-    * averaged per probe) and of `q_hybrid_ann` against the exact fusion
-    * ([[hybridRetrieval]]). Declared no-oracle because the ANN rankings
-    * are KMeans-derived (not SQL-expressible); the metrics themselves are
-    * deterministic exact rationals of the two integer rank tables, spec'd
-    * in PcaHybridSpec against an independent test-side computation. The
-    * per-probe reciprocal ranks are floor-quantized to the 2²⁴ grid and
-    * Long-summed before the ÷n — the one multi-term float sum in the
-    * query, made shuffle-order-independent the standard way. */
+    * driver-checked artifact: recall@[[EvalK]] and MRR of ALL THREE ANN
+    * index families (`q_ann_pq`, `q_ann_ivf`, `q_ann_lsh`) against the
+    * exact scan ([[VectorOps.knnJoin]], 5 probes — metrics averaged per
+    * probe), plus `q_hybrid_ann` against the exact fusion
+    * ([[hybridRetrieval]]) — one table that ranks the index families
+    * against each other, the dashboard an embedding store tunes nprobe /
+    * bits / codebook budgets from. Declared no-oracle because the ANN
+    * rankings are KMeans/LSH-derived (not SQL-expressible); the metrics
+    * themselves are deterministic exact rationals of the integer rank
+    * tables, spec'd in PcaHybridSpec against an independent test-side
+    * computation. The per-probe reciprocal ranks are floor-quantized to
+    * the 2²⁴ grid and Long-summed before the ÷n — the one multi-term
+    * float sum in the query, made shuffle-order-independent the standard
+    * way. */
   def retrievalEvalAnn(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
-    // system 1: ann_pq vs the exact knn scan, averaged over the 5 probes
+    // dense systems vs the exact knn scan, averaged over the 5 probes —
+    // ALL three ANN variants in one table, so the audit ranks the index
+    // families against each other, not just against the ground truth
     val gtKnn = VectorOps.knnJoin(spark, sf)
       .select(col("probe_id"), col("rk").as("gt_rk"), col("vec_id"))
-    val annPq = VectorOps.annPq(spark, sf)
-      .select(col("probe_id"), col("rk").as("sys_rk"), col("vec_id"))
     val nProbes = gtKnn.select(countDistinct("probe_id").as("np"))
-    val hitsPq = gtKnn.join(annPq, Seq("probe_id", "vec_id"))
-      .agg(count(lit(1)).as("hits"))
-    val mrrPq = gtKnn.filter(col("gt_rk") === 1)
-      .join(annPq, Seq("probe_id", "vec_id"), "left")
-      .select(coalesce(lit(1.0) / col("sys_rk"), lit(0.0)).as("recip"))
-      .agg((sum(floor(col("recip") * g).cast("long")).cast("double") / g).as("rsum"))
-    val pqRow = hitsPq.crossJoin(mrrPq).crossJoin(nProbes)
-      .select(lit("ann_pq").as("system"),
-        round(col("hits") / (lit(EvalK + 0.0) * col("np")), 4).as("recall_at_3"),
-        round(col("rsum") / col("np"), 4).as("mrr"))
-    // system 2: hybrid_ann vs the exact fusion (single fused ranking)
+    def knnSystemRow(name: String, sys: DataFrame): DataFrame = {
+      val ranked = sys.select(col("probe_id"), col("rk").as("sys_rk"), col("vec_id"))
+      val hits = gtKnn.join(ranked, Seq("probe_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+      val mrr = gtKnn.filter(col("gt_rk") === 1)
+        .join(ranked, Seq("probe_id", "vec_id"), "left")
+        .select(coalesce(lit(1.0) / col("sys_rk"), lit(0.0)).as("recip"))
+        .agg((sum(floor(col("recip") * g).cast("long")).cast("double") / g).as("rsum"))
+      hits.crossJoin(mrr).crossJoin(nProbes)
+        .select(lit(name).as("system"),
+          round(col("hits") / (lit(EvalK + 0.0) * col("np")), 4).as("recall_at_3"),
+          round(col("rsum") / col("np"), 4).as("mrr"))
+    }
+    val pqRow = knnSystemRow("ann_pq", VectorOps.annPq(spark, sf))
+    val ivfRow = knnSystemRow("ann_ivf", VectorOps.ivfTopk(spark, sf))
+    val lshRow = knnSystemRow("ann_lsh", VectorOps.annLsh(spark, sf))
+    // hybrid_ann vs the exact fusion (single fused ranking)
     val gtFused = hybridRetrieval(spark, sf)
       .withColumn("gt_rank",
         row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
@@ -1686,7 +1696,8 @@ object TextOps {
       .select(lit("hybrid_ann").as("system"),
         round(col("hits") / (EvalK + 0.0), 4).as("recall_at_3"),
         round(col("recip"), 4).as("mrr"))
-    pqRow.unionByName(annRow).orderBy("system")
+    pqRow.unionByName(ivfRow).unionByName(lshRow).unionByName(annRow)
+      .orderBy("system")
   }
 
   /** TF-IDF top-3 terms per document — keyword extraction. tf and df come

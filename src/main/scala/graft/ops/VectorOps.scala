@@ -1171,6 +1171,29 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Outliers reported by [[whitenOutliers]]. */
+  val WhitenOutlierK = 20
+
+  /** Top-subspace outlier score over the WHITENED coordinates — the
+    * curation consumer the whitening exists for, and [[embedOutliers]]'s
+    * complement: w₁² + w₂² is the variance-scaled energy of each vector
+    * in the top-2 principal subspace (a rank-2 Mahalanobis along the
+    * dominant directions, up to the documented ∞-norm-vs-L2 constant per
+    * axis), where the diagonal form scores per-dimension deviations. A
+    * vector huge along PC1 is a structural outlier the diagonal score
+    * dilutes across 64 coordinates; this one sees it in two. Exact by
+    * composition: both w's are the ROUNDED declared whitening outputs, so
+    * the score is one IEEE expression over published values — fully
+    * oracled (the whiten CTE chain + a top-k tail), tie-broken by vec_id
+    * under round 4. Plan: [[whiten]]'s n-row aggregate plus one
+    * TakeOrderedAndProject — nothing new shuffles. */
+  def whitenOutliers(spark: SparkSession, sf: String): DataFrame =
+    whiten(spark, sf)
+      .select(col("vec_id"),
+        round(col("w1") * col("w1") + col("w2") * col("w2"), 4).as("energy"))
+      .orderBy(col("energy").desc, col("vec_id"))
+      .limit(WhitenOutlierK)
+
   /** The standing RAW-MOMENT artifact under [[covUpdate]]: the corpus
     * partition's (i, j, sxy, sx, sy, n) triangle of exact quantized Long
     * sums — [[graft.functions.CovAccumAgg]]'s buffer, persisted BEFORE the
@@ -1207,25 +1230,75 @@ object VectorOps {
     * (i, j, cov), same rounding, same zero canonicalization. */
   def covUpdate(spark: SparkSession, sf: String): DataFrame = {
     val standing = covSumsArtifact(spark, sf)
-      .select(col("i"), col("j"), col("sxy").as("sxy1"), col("sx").as("sx1"),
-        col("sy").as("sy1"), col("n").as("n1"))
-    val batch = Tables.load(spark, sf, "embeddings")
-      .filter(col("vec_id") % 5 === 4)
+    val batch = covBatchSums(spark, sf, col("vec_id") % 5 === 4)
+    covMergeSums(standing, batch, negate = false)
+  }
+
+  /** A batch's raw quantized-Long moment triangle — the batch-sized half
+    * of an incremental update/downdate. */
+  private def covBatchSums(spark: SparkSession, sf: String,
+      pred: Column): DataFrame =
+    Tables.load(spark, sf, "embeddings")
+      .filter(pred)
       .agg(graft.functions.CovFunctions.cov_accum_agg(col("embedding")).as("cells"))
       .select(explode(col("cells")).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.sxy").as("sxy2"),
         col("c.sx").as("sx2"), col("c.sy").as("sy2"), col("c.n").as("n2"))
-    // full outer + zero-coalesce: a cell present on one side only (can't
-    // happen for dense fixed-d embeddings, but the merge must not silently
-    // drop it if a sparse corpus ever feeds this) still merges exactly
-    standing.join(batch, Seq("i", "j"), "full_outer")
+
+  /** Merge (or, negated, REMOVE) a batch triangle into a standing one by
+    * exact Long arithmetic and finalize the covariance. Full outer +
+    * zero-coalesce: a cell present on one side only (can't happen for
+    * dense fixed-d embeddings, but the merge must not silently drop it if
+    * a sparse corpus ever feeds this) still merges exactly. */
+  private def covMergeSums(standing: DataFrame, batch: DataFrame,
+      negate: Boolean): DataFrame = {
+    val sgn = if (negate) lit(-1L) else lit(1L)
+    standing
+      .select(col("i"), col("j"), col("sxy").as("sxy1"), col("sx").as("sx1"),
+        col("sy").as("sy1"), col("n").as("n1"))
+      .join(batch, Seq("i", "j"), "full_outer")
       .select(col("i"), col("j"), struct(
-        (coalesce(col("sxy1"), lit(0L)) + coalesce(col("sxy2"), lit(0L))).as("sxy"),
-        (coalesce(col("sx1"), lit(0L)) + coalesce(col("sx2"), lit(0L))).as("sx"),
-        (coalesce(col("sy1"), lit(0L)) + coalesce(col("sy2"), lit(0L))).as("sy"),
-        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n")).as("c"))
+        (coalesce(col("sxy1"), lit(0L)) + sgn * coalesce(col("sxy2"), lit(0L))).as("sxy"),
+        (coalesce(col("sx1"), lit(0L)) + sgn * coalesce(col("sx2"), lit(0L))).as("sx"),
+        (coalesce(col("sy1"), lit(0L)) + sgn * coalesce(col("sy2"), lit(0L))).as("sy"),
+        (coalesce(col("n1"), lit(0L)) + sgn * coalesce(col("n2"), lit(0L))).as("n")).as("c"))
       .select(col("i"), col("j"), covFromSums(col("c")))
       .orderBy("i", "j")
+  }
+
+  /** The FULL-corpus raw-moment artifact [[covDowndate]] subtracts from —
+    * the same shape as [[covSumsArtifact]] over all vectors (a standing
+    * moment store covers the whole corpus; the erasure batch leaves it by
+    * subtraction, never by recompute). */
+  private[graft] def covSumsFullArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"cov_sums_full_$sf") { d =>
+      Tables.load(spark, sf, "embeddings")
+        .agg(graft.functions.CovFunctions.cov_accum_agg(col("embedding")).as("cells"))
+        .select(explode(col("cells")).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.sxy").as("sxy"),
+          col("c.sx").as("sx"), col("c.sy").as("sy"), col("c.n").as("n"))
+        .write.parquet(s"$d/sums")
+    }
+    spark.read.parquet(s"$dir/sums")
+  }
+
+  /** Moment-store DOWNDATE — [[covUpdate]]'s mirror and the covariance
+    * twin of [[annDelete]], completing add/remove symmetry on the standing
+    * second-moment store: when a batch is ERASED (the same
+    * vec_id % 7 == 3 GDPR/retention split the ANN tombstone uses), its
+    * raw moment triangle is computed batch-sized and SUBTRACTED from the
+    * standing full-corpus Long sums — 2080 rows of Long subtraction, no
+    * rescan of the surviving corpus. Exactness is the whole point of
+    * keeping raw integer moments: Long arithmetic is exact, so the
+    * downdated covariance is BIT-IDENTICAL to a full recompute over the
+    * remaining corpus — which is exactly the oracle (and the spec). A
+    * float moment store could not do this: catastrophic cancellation on
+    * subtraction would silently corrupt the store, which is why the
+    * artifact holds quantized Longs, not finished covariances. */
+  def covDowndate(spark: SparkSession, sf: String): DataFrame = {
+    val standing = covSumsFullArtifact(spark, sf)
+    val batch = covBatchSums(spark, sf, col("vec_id") % 7 === 3)
+    covMergeSums(standing, batch, negate = true)
   }
 
   def semDedup(spark: SparkSession, sf: String, k: Int = 0): DataFrame = {

@@ -331,6 +331,27 @@ class PcaHybridSpec extends SparkSpec {
     assert(ns == Seq(nCorpus), s"standing-sums n: $ns vs corpus $nCorpus")
   }
 
+  test("covDowndate: Long-subtracted standing-minus-batch sums are BIT-IDENTICAL to the remaining-corpus recompute") {
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val downdated = bits(VectorOps.covDowndate(spark, sf0001))
+    // the full recompute over the surviving corpus, same aggregate
+    val remaining = bits(graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 7 =!= 3)
+      .agg(graft.functions.CovFunctions.cov_accum_agg(col("embedding")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        (round(col("c.sxy") / g / col("c.n") -
+          (col("c.sx") / g / col("c.n")) *
+          (col("c.sy") / g / col("c.n")), 6) + lit(0.0)).as("cov"))
+      .orderBy("i", "j"))
+    assert(downdated == remaining,
+      "downdate must equal the remaining-corpus recompute bit-for-bit (Long subtraction is exact)")
+    assert(downdated.nonEmpty)
+  }
+
   test("retrievalEval: metrics equal a test-side recompute from the fused table and sit in [0,1]") {
     val fused = TextOps.hybridRetrieval(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -357,22 +378,26 @@ class PcaHybridSpec extends SparkSpec {
 
   test("retrievalEvalAnn: metrics equal a test-side recompute from the ANN and exact rankings; ANN recall holds its floor") {
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
-    // ann_pq vs exact knn, averaged over the 5 probes
+    // dense systems vs exact knn, averaged over the 5 probes
     val gtK = VectorOps.knnJoin(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (probe, rk, vec)
-    val ann = VectorOps.annPq(spark, sf0001).collect()
-      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap // (probe,vec)->rk
     val probes = gtK.map(_._1).distinct
-    val hits = gtK.count { case (p, _, v) => ann.contains((p, v)) }
-    val recipSum = probes.map { p =>
-      val top1 = gtK.find(r => r._1 == p && r._2 == 1L).get._3
-      math.floor(ann.get((p, top1)).map(1.0 / _).getOrElse(0.0) * g).toLong
-    }.sum
-    val expectPq = (
-      BigDecimal(hits.toDouble / (TextOps.EvalK * probes.size))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      BigDecimal(recipSum.toDouble / g / probes.size)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def expectKnn(sys: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val ann = sys.collect()
+        .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap // (probe,vec)->rk
+      val hits = gtK.count { case (p, _, v) => ann.contains((p, v)) }
+      val recipSum = probes.map { p =>
+        val top1 = gtK.find(r => r._1 == p && r._2 == 1L).get._3
+        math.floor(ann.get((p, top1)).map(1.0 / _).getOrElse(0.0) * g).toLong
+      }.sum
+      (BigDecimal(hits.toDouble / (TextOps.EvalK * probes.size))
+         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal(recipSum.toDouble / g / probes.size)
+         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expectPq = expectKnn(VectorOps.annPq(spark, sf0001))
+    val expectIvf = expectKnn(VectorOps.ivfTopk(spark, sf0001))
+    val expectLsh = expectKnn(VectorOps.annLsh(spark, sf0001))
     // hybrid_ann vs the exact fusion
     def ranked(rows: Array[org.apache.spark.sql.Row]): Seq[Long] =
       rows.map(r => (r.getLong(0), r.getDouble(3)))
@@ -386,16 +411,33 @@ class PcaHybridSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
       BigDecimal(if (r1 >= 0) 1.0 / (r1 + 1) else 0.0)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val expect = Map("ann_pq" -> expectPq, "ann_ivf" -> expectIvf,
+      "ann_lsh" -> expectLsh, "hybrid_ann" -> expectAnn)
     val got = TextOps.retrievalEvalAnn(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(got == Map("ann_pq" -> expectPq, "hybrid_ann" -> expectAnn),
-      s"got $got expected ${Map("ann_pq" -> expectPq, "hybrid_ann" -> expectAnn)}")
+    assert(got == expect, s"got $got expected $expect")
     // the declared floor the spec suite already demands of the ANN tier:
     // ≥2/5 probes hit (recall ≥ 2/15) and the fused-ANN top set overlaps
     assert(got("ann_pq")._1 >= 2.0 / 15 - 1e-9, s"ann_pq recall ${got("ann_pq")._1}")
     // determinism
     val again = TextOps.retrievalEvalAnn(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(again == got)
+  }
+
+  test("whitenOutliers: energy is exactly w1²+w2² of the declared whitening, top-k ordered, deterministic") {
+    val w = VectorOps.whiten(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val expect = w.toSeq.map { case (id, (w1, w2)) =>
+      id -> (BigDecimal(w1 * w1 + w2 * w2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, e) => (-e, id) }.take(VectorOps.WhitenOutlierK)
+    val got = VectorOps.whitenOutliers(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == expect, s"got ${got.take(3)}... expected ${expect.take(3)}...")
+    assert(got.forall(_._2 >= 0.0))
+    val again = VectorOps.whitenOutliers(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(again == got)
   }
 }

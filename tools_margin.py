@@ -68,6 +68,7 @@ EXACT_BACKED = {
     'q_kde': 'round-13: each Gaussian term floor-quantized to the 2^24 grid and summed as exact Longs (the cov discipline); the former 1.7e-10 reviewed-floor entry is retired. Residual cross-engine assumption (r13 advisor): exp() is libm, not correctly rounded, so a 1-ulp JVM-vs-DuckDB difference landing within ~2^-24 of a floor boundary could still shift one Long term by 1 - a pre-round perturbation of ~1/(2^24*n*norm) ~ 4e-11 at sf0.01, four orders below the measured 4.6e-7 margin and shrinking with n; if exp inputs ever become adversarial (terms parked exactly on grid boundaries), re-derive the margin or restore a reviewed floor',
     'q_pca_project': 'the projection dot sums floor-quantized 2^24-grid Longs (the cov discipline); the eigenvector it consumes is itself exact-backed',
     'q_cov_update': 'same exact quantized-Long sums as q_embed_cov: the standing triangle and the batch triangle are both CovAccumAgg Longs, and the merge is Long addition - the pre-round double is bit-identical to the full recompute',
+    'q_cov_downdate': 'the downdate subtracts exact CovAccumAgg Longs from exact Longs - bit-identical to the full recompute over the remaining corpus (same argument as q_cov_update, negated)',
 }
 
 # ORDER-DEPENDENT queries whose measured margin is below JITTER but has been
