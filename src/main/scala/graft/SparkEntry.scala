@@ -562,10 +562,16 @@ object SparkEntry {
        |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_dense FROM denses),
        |fused AS MATERIALIZED (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
        |  CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
-       |  CAST(coalesce(d.rank_dense, 0) AS BIGINT) AS rank_dense,
-       |  round(coalesce(1.0 / (${TextOps.RrfK} + l.rank_lex), 0.0)
-       |    + coalesce(1.0 / (${TextOps.RrfK} + d.rank_dense), 0.0), 6) AS rrf
+       |  CAST(coalesce(d.rank_dense, 0) AS BIGINT) AS rank_dense
        |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)""".stripMargin
+
+  /** The two-term RRF score over the fused CTE's integer rank columns —
+    * spelled in each consumer's own select (not inside the CTE) so
+    * tools_margin's final-select audit keeps covering the round. Rank 0 =
+    * absent from that arm, contributes 0. */
+  private def rrfScoreSql: String =
+    s"""round(CASE WHEN rank_lex > 0 THEN 1.0 / (${TextOps.RrfK} + rank_lex) ELSE 0.0 END
+       |    + CASE WHEN rank_dense > 0 THEN 1.0 / (${TextOps.RrfK} + rank_dense) ELSE 0.0 END, 6)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -1289,9 +1295,9 @@ object SparkEntry {
         |ORDER BY custkey""".stripMargin,
     "q_upsert" ->
       """WITH base AS (
-        |  SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal FROM customer),
+        |  SELECT c_custkey AS custkey, round(c_acctbal, 2) + 0.0 AS acctbal FROM customer),
         |updates AS (
-        |  SELECT custkey, round(acctbal + 1000.0, 2) AS acctbal
+        |  SELECT custkey, round(acctbal + 1000.0, 2) + 0.0 AS acctbal
         |  FROM base WHERE custkey % 5 = 0
         |  UNION ALL
         |  SELECT custkey + 10000000, CAST(0 AS DOUBLE)
@@ -1303,10 +1309,10 @@ object SparkEntry {
         |ORDER BY custkey""".stripMargin,
     "q_snapshot_diff" ->
       """WITH old AS (
-        |  SELECT c_custkey AS key, round(c_acctbal, 2) AS bal FROM customer),
+        |  SELECT c_custkey AS key, round(c_acctbal, 2) + 0.0 AS bal FROM customer),
         |neu AS (
         |  SELECT key,
-        |    CASE WHEN key % 5 = 0 THEN round(bal + 100.0, 2) ELSE bal END AS bal
+        |    CASE WHEN key % 5 = 0 THEN round(bal + 100.0, 2) + 0.0 ELSE bal END AS bal
         |  FROM old WHERE key % 13 <> 0
         |  UNION ALL
         |  SELECT key + 20000000, 1.0 FROM old WHERE key % 7 = 0)
@@ -1661,7 +1667,7 @@ object SparkEntry {
     // integer ranks — exact-deterministic, no float aggregate anywhere
     "q_hybrid_retrieval" ->
       s"""$hybridFusedCtes
-         |SELECT doc_id, rank_lex, rank_dense, rrf FROM fused
+         |SELECT doc_id, rank_lex, rank_dense, $rrfScoreSql AS rrf FROM fused
          |ORDER BY rrf DESC, doc_id""".stripMargin,
     // retrieval-quality audit over the fused consensus: recall@3 and MRR
     // of each arm vs the fused top-3 — exact rationals of the integer
@@ -1669,9 +1675,10 @@ object SparkEntry {
     // IEEE divisions, no float aggregates)
     "q_retrieval_eval" ->
       s"""$hybridFusedCtes,
+         |scored AS (SELECT fused.*, $rrfScoreSql AS rrf FROM fused),
          |gt AS (SELECT * FROM (
-         |    SELECT fused.*, row_number() OVER (ORDER BY rrf DESC, doc_id) AS gt_rank
-         |    FROM fused) WHERE gt_rank <= ${TextOps.EvalK}),
+         |    SELECT scored.*, row_number() OVER (ORDER BY rrf DESC, doc_id) AS gt_rank
+         |    FROM scored) WHERE gt_rank <= ${TextOps.EvalK}),
          |m AS MATERIALIZED (SELECT
          |    sum(CASE WHEN rank_lex BETWEEN 1 AND ${TextOps.EvalK} THEN 1 ELSE 0 END) AS hl,
          |    sum(CASE WHEN rank_dense BETWEEN 1 AND ${TextOps.EvalK} THEN 1 ELSE 0 END) AS hd,
@@ -1700,14 +1707,18 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // the z round sits in the FINAL select (over zraw from the window CTE)
+    // so the margin audit measures the DECLARED output population and the
+    // signed-zero gate sees the round; z-scores are negative-capable →
+    // `+ 0.0` on both sides (r14 CTE-audit finding)
     "q_zscore" ->
       """WITH z AS (
         |  SELECT event_id, user_id, value,
-        |    round((value - avg(value) OVER (PARTITION BY user_id)) /
-        |          stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+        |    (value - avg(value) OVER (PARTITION BY user_id)) /
+        |      stddev_samp(value) OVER (PARTITION BY user_id) AS zraw
         |  FROM events)
-        |SELECT event_id, user_id, value, z FROM z
-        |WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
+        |SELECT event_id, user_id, value, round(zraw, 4) + 0.0 AS z FROM z
+        |WHERE abs(round(zraw, 4)) > 2.0 ORDER BY event_id""".stripMargin,
     "q_regex_extract" ->
       """SELECT c_custkey,
         |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
@@ -1875,8 +1886,16 @@ object SparkEntry {
     // q_cov_downdate SUBTRACTS the erased batch's Long triangle from the
     // standing full-corpus sums; exact Long arithmetic ⇒ bit-identical to
     // the full recompute over the REMAINING corpus (the same filter)
-    "q_cov_downdate" -> covFullRecomputeSql.replace(
-      "FROM embeddings)", "FROM embeddings WHERE vec_id % 7 <> 3)"),
+    "q_cov_downdate" -> {
+      val patched = covFullRecomputeSql.replace(
+        "FROM embeddings)", "FROM embeddings WHERE vec_id % 7 <> 3)")
+      // a silent no-op replace (e.g. after reformatting the base SQL)
+      // would quietly turn this into the FULL-corpus oracle — fail at
+      // class init instead of as a driver correctness red
+      require(patched != covFullRecomputeSql,
+        "q_cov_downdate oracle: remaining-corpus filter was not applied")
+      patched
+    },
     "q_embed_cov_label" ->
       s"""WITH x AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -1923,7 +1942,7 @@ object SparkEntry {
       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
       |sims AS (
       |  SELECT p.probe_id, e.vec_id,
-      |    round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) AS cos
+      |    round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) + 0.0 AS cos
       |  FROM e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id),
       |ranked AS (
       |  SELECT probe_id, vec_id, cos,
@@ -1936,7 +1955,7 @@ object SparkEntry {
       |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av FROM e WHERE vec_id < 32),
       |s AS (SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
-      |        round(${dotSql("e.v", "a.av")} / (${normSql("e.v")} * ${normSql("a.av")}), 4) AS cos
+      |        round(${dotSql("e.v", "a.av")} / (${normSql("e.v")} * ${normSql("a.av")}), 4) + 0.0 AS cos
       |      FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id),
       |p AS (SELECT anchor_id, vec_id, cos,
       |        row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rk
@@ -2481,14 +2500,14 @@ object SparkEntry {
     // full recompute over the new snapshot — the incremental path must match
     "q_mv_refresh" ->
       """WITH old AS (
-        |  SELECT c_custkey AS key, round(c_acctbal, 2) AS bal FROM customer),
+        |  SELECT c_custkey AS key, round(c_acctbal, 2) + 0.0 AS bal FROM customer),
         |neu AS (
         |  SELECT key,
-        |    CASE WHEN key % 5 = 0 THEN round(bal + 100.0, 2) ELSE bal END AS bal
+        |    CASE WHEN key % 5 = 0 THEN round(bal + 100.0, 2) + 0.0 ELSE bal END AS bal
         |  FROM old WHERE key % 13 <> 0
         |  UNION ALL
         |  SELECT key + 20000000, 1.0 FROM old WHERE key % 7 = 0)
-        |SELECT key % 20 AS bucket, count(*) AS n, round(sum(bal), 2) AS sum_bal
+        |SELECT key % 20 AS bucket, count(*) AS n, round(sum(bal), 2) + 0.0 AS sum_bal
         |FROM neu GROUP BY 1 ORDER BY bucket""".stripMargin,
     // exact COUNT DISTINCT algebra — the theta sketches are in their exact
     // regime below lgK=12 saturation, so the estimates must hash-match
@@ -3057,7 +3076,7 @@ object SparkEntry {
         .map(d => (d - 0.5) / Relational.QNormBuckets).mkString("[", ", ", "]")
       s"""WITH g AS (SELECT quantile_cont(c_acctbal, $ps) AS qs FROM customer),
          |grid AS (SELECT CAST(generate_subscripts(qs, 1) AS BIGINT) AS decile,
-         |    round(unnest(qs), 4) AS norm_value FROM g),
+         |    round(unnest(qs), 4) + 0.0 AS norm_value FROM g),
          |r AS (SELECT c_mktsegment AS segment,
          |    CAST(ntile(${Relational.QNormBuckets}) OVER (
          |      PARTITION BY c_mktsegment
@@ -3065,7 +3084,7 @@ object SparkEntry {
          |    c_acctbal
          |  FROM customer),
          |s AS (SELECT segment, decile, count(*) AS n,
-         |    round(avg(c_acctbal), 4) AS mean_raw
+         |    round(avg(c_acctbal), 4) + 0.0 AS mean_raw
          |  FROM r GROUP BY 1, 2)
          |SELECT segment, decile, n, mean_raw, norm_value
          |FROM s JOIN grid USING (decile)
@@ -3344,22 +3363,29 @@ object SparkEntry {
        |    CAST(sum(CAST(floor(e.v * pc2.comp2 * $covGrid.0) AS BIGINT)) AS DOUBLE)
        |      / $covGrid.0 AS p2
        |  FROM x e JOIN pc ON pc.i = e.i JOIN pc2 ON pc2.i = e.i
-       |  GROUP BY e.vec_id),
-       |wt AS MATERIALIZED (SELECT vec_id,
-       |  round(p1 / sqrt(l.l1), 4) + 0.0 AS w1,
-       |  round(p2 / sqrt(l.l2), 4) + 0.0 AS w2
-       |FROM proj, l)""".stripMargin
+       |  GROUP BY e.vec_id)""".stripMargin
   }
 
+  // q_whiten's SIGNED rounds stay in the FINAL select (not a CTE) so
+  // tools_margin's final-select margin + signed-zero audit keeps covering
+  // them (a wt CTE here silently dropped the query from the audit)
   private def whitenSql: String =
     s"""$whitenCtes
-       |SELECT vec_id, w1, w2 FROM wt ORDER BY vec_id""".stripMargin
+       |SELECT vec_id,
+       |  round(p1 / sqrt(l.l1), 4) + 0.0 AS w1,
+       |  round(p2 / sqrt(l.l2), 4) + 0.0 AS w2
+       |FROM proj, l ORDER BY vec_id""".stripMargin
 
-  /** DuckDB twin of [[graft.ops.VectorOps.whitenOutliers]]: the whiten CTE
-    * chain's ROUNDED published w1/w2 squared and summed — one IEEE
-    * expression over identical values — then the declared top-k. */
+  /** DuckDB twin of [[graft.ops.VectorOps.whitenOutliers]]: the ROUNDED
+    * published w1/w2 (spelled in the wt CTE exactly as q_whiten's final
+    * select, where the margin audit covers them) squared and summed — one
+    * IEEE expression over identical values — then the declared top-k. */
   private def whitenOutliersSql: String =
-    s"""$whitenCtes
+    s"""$whitenCtes,
+       |wt AS (SELECT vec_id,
+       |  round(p1 / sqrt(l.l1), 4) + 0.0 AS w1,
+       |  round(p2 / sqrt(l.l2), 4) + 0.0 AS w2
+       |FROM proj, l)
        |SELECT vec_id, round(w1 * w1 + w2 * w2, 4) AS energy FROM wt
        |ORDER BY energy DESC, vec_id LIMIT ${VectorOps.WhitenOutlierK}""".stripMargin
 

@@ -133,7 +133,6 @@ object Verify {
       // disk-roundtrip specs; this gate covers everything built FROM them.
       if (args.contains("--stability")) {
         import scala.jdk.CollectionConverters._
-        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
         def parquetLeaves(root: String): Seq[String] = {
           val base = Paths.get(root)
           val s = Files.walk(base)
@@ -144,33 +143,54 @@ object Verify {
             .toSeq.distinct.sorted
           finally s.close()
         }
+        // delete a scratch tree (post-compare; a mismatching one is KEPT
+        // for diagnosis — its path is in the UNSTABLE message)
+        def rmTree(root: String): Unit = {
+          val s = Files.walk(Paths.get(root))
+          try s.iterator().asScala.toSeq.reverse.foreach(p =>
+            scala.util.Try(Files.deleteIfExists(p)))
+          finally s.close()
+        }
         graft.ops.SourceOps.rederivableArtifacts.toSeq.sortBy(_._1).foreach {
           case (key, (standDir, write)) =>
-            val scratch = Files.createTempDirectory(
-              "gate_" + key.replaceAll("[^A-Za-z0-9._-]", "_")).toString
-            spark.conf.set("spark.sql.shuffle.partitions", "13")
-            spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
-            try write(scratch)
-            finally {
-              spark.conf.set("spark.sql.shuffle.partitions", cpus)
-              spark.conf.unset("spark.sql.files.maxPartitionBytes")
-            }
-            val (a, b) = (parquetLeaves(standDir), parquetLeaves(scratch))
-            if (a != b) {
-              unstable ::= s"artifact:$key"
-              System.err.println(s"[stability] artifact $key UNSTABLE: leaf " +
-                s"layout differs under perturbed construction ($a vs $b)")
-            } else {
-              val bad = a.filter { sub =>
-                canonRows(spark.read.parquet(s"$standDir/$sub")) !=
-                  canonRows(spark.read.parquet(s"$scratch/$sub"))
+            // one failing re-derivation must not abort the gate for the
+            // remaining artifacts (or skip oracle_sql.json) — same
+            // per-item catch discipline as the query loop above
+            try {
+              val scratch = Files.createTempDirectory(
+                "gate_" + key.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+              spark.conf.set("spark.sql.shuffle.partitions", "13")
+              spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+              try write(scratch)
+              finally {
+                spark.conf.set("spark.sql.shuffle.partitions", cpus)
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
               }
-              if (bad.nonEmpty) {
+              val (a, b) = (parquetLeaves(standDir), parquetLeaves(scratch))
+              if (a != b) {
                 unstable ::= s"artifact:$key"
-                System.err.println(s"[stability] artifact $key UNSTABLE under " +
-                  s"perturbed construction: leaves ${bad.mkString(",")} differ")
-              } else System.err.println(s"[stability] artifact $key ok " +
-                s"(re-derived, ${a.size} leaf/leaves bit-equal)")
+                System.err.println(s"[stability] artifact $key UNSTABLE: leaf " +
+                  s"layout differs under perturbed construction ($a vs $b; " +
+                  s"scratch kept at $scratch)")
+              } else {
+                val bad = a.filter { sub =>
+                  canonRows(spark.read.parquet(s"$standDir/$sub")) !=
+                    canonRows(spark.read.parquet(s"$scratch/$sub"))
+                }
+                if (bad.nonEmpty) {
+                  unstable ::= s"artifact:$key"
+                  System.err.println(s"[stability] artifact $key UNSTABLE under " +
+                    s"perturbed construction: leaves ${bad.mkString(",")} differ " +
+                    s"(scratch kept at $scratch)")
+                } else {
+                  System.err.println(s"[stability] artifact $key ok " +
+                    s"(re-derived, ${a.size} leaf/leaves bit-equal)")
+                  rmTree(scratch)
+                }
+              }
+            } catch { case e: Throwable =>
+              unstable ::= s"artifact:$key"
+              System.err.println(s"[stability] artifact $key re-derivation FAILED: ${e.getMessage}")
             }
         }
       }

@@ -294,7 +294,10 @@ object EventOps {
     val w = Window.partitionBy("user_id")
     val z = (col("value") - avg("value").over(w)) / stddev_samp(col("value")).over(w)
     events(spark, sf)
-      .select(col("event_id"), col("user_id"), col("value"), round(z, 4).as("z"))
+      // + 0.0: z-scores are negative-capable and this rounded value is the
+      // declared output — canonicalize the zero on both engine sides
+      .select(col("event_id"), col("user_id"), col("value"),
+        (round(z, 4) + lit(0.0)).as("z"))
       .filter(abs(col("z")) > 2.0)
       .orderBy("event_id")
   }

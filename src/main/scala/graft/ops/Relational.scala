@@ -337,11 +337,12 @@ object Relational {
         lit((1 to QNormBuckets).map(d => (d - 0.5) / QNormBuckets).toArray)))
         .as(Seq("d0", "norm_value")))
       .select((col("d0") + 1).cast("long").as("decile"),
-        round(col("norm_value"), 4).as("norm_value"))
+        (round(col("norm_value"), 4) + lit(0.0)).as("norm_value"))
     val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     c.withColumn("decile", ntile(QNormBuckets).over(w).cast("long"))
       .groupBy(col("c_mktsegment").as("segment"), col("decile"))
-      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("mean_raw"))
+      .agg(count(lit(1)).as("n"),
+        (round(avg("c_acctbal"), 4) + lit(0.0)).as("mean_raw"))
       .join(broadcast(grid), "decile")
       .select("segment", "decile", "n", "mean_raw", "norm_value")
       .orderBy("segment", "decile")
@@ -646,9 +647,10 @@ object Relational {
     * balance, every 7th spawns an insert under a disjoint key range. */
   def upsert(spark: SparkSession, sf: String): DataFrame = {
     val base = Tables.load(spark, sf, "customer")
-      .select(col("c_custkey").as("custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+      .select(col("c_custkey").as("custkey"),
+        (round(col("c_acctbal"), 2) + lit(0.0)).as("acctbal"))
     val updates = base.filter(col("custkey") % 5 === 0)
-      .select(col("custkey"), round(col("acctbal") + 1000.0, 2).as("acctbal"))
+      .select(col("custkey"), (round(col("acctbal") + 1000.0, 2) + lit(0.0)).as("acctbal"))
       .union(base.filter(col("custkey") % 7 === 0)
         .select((col("custkey") + 10000000L).as("custkey"), lit(0.0).as("acctbal")))
     updates.withColumn("src", lit("new"))
@@ -706,14 +708,14 @@ object Relational {
   /** The diff fixtures' "old" snapshot: customer keys + 2-dp balances. */
   private def oldSnapshot(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "customer")
-      .select(col("c_custkey").as("key"), round(col("c_acctbal"), 2).as("bal"))
+      .select(col("c_custkey").as("key"), (round(col("c_acctbal"), 2) + lit(0.0)).as("bal"))
 
   /** Deterministic "new" snapshot with all three change kinds: every 13th
     * key dropped, every 5th balance moved, a disjoint key range inserted. */
   private def newSnapshot(old: DataFrame): DataFrame =
     old.filter(col("key") % 13 =!= 0)
       .select(col("key"),
-        when(col("key") % 5 === 0, round(col("bal") + 100.0, 2)).otherwise(col("bal"))
+        when(col("key") % 5 === 0, round(col("bal") + 100.0, 2) + lit(0.0)).otherwise(col("bal"))
           .as("bal"))
       .union(old.filter(col("key") % 7 === 0)
         .select((col("key") + 20000000L).as("key"), lit(1.0).as("bal")))
@@ -779,8 +781,8 @@ object Relational {
     mv.join(deltas, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-        round(coalesce(col("s"), lit(0.0)) + coalesce(col("ds"), lit(0.0)), 2)
-          .as("sum_bal"))
+        (round(coalesce(col("s"), lit(0.0)) + coalesce(col("ds"), lit(0.0)), 2)
+          + lit(0.0)).as("sum_bal"))
       .filter(col("n") > 0)
       .orderBy("bucket")
 

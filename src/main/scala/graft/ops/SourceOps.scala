@@ -77,8 +77,11 @@ object SourceOps {
       // record the winning writer so Verify's --stability gate can
       // RE-DERIVE the artifact under perturbed partitioning (see
       // [[rederivableArtifacts]]) — construction determinism as a class,
-      // not per-artifact specs only (r13 verdict #5)
-      writers.put(key, write)
+      // not per-artifact specs only (r13 verdict #5). Only the pure
+      // artifacts are recorded: closures capture persisted frames and
+      // models, and pinning every staging fixture's scope for the JVM's
+      // lifetime would tax Bench/test sessions that never run the gate.
+      if (pureArtifactPrefixes.exists(key.startsWith)) writers.put(key, write)
       write(tmp)
       tmp
     })

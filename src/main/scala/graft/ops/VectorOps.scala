@@ -67,7 +67,10 @@ object VectorOps {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(cosine(col("v"), col("pv")), 4).as("cos"))
+        // + 0.0: cosines are negative-capable, and this rounded value is a
+        // DECLARED output — canonicalize the zero on both engine sides
+        // (the r12 cov sign-divergence class, found by the r14 CTE audit)
+        (round(cosine(col("v"), col("pv")), 4) + lit(0.0)).as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select("probe_id", "rk", "vec_id", "cos")
@@ -96,7 +99,7 @@ object VectorOps {
     val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
       .select(col("anchor_id"),
         (col("label") === col("a_label")).as("same"),
-        col("vec_id"), round(cosine(col("v"), col("av")), 4).as("cos"))
+        col("vec_id"), (round(cosine(col("v"), col("av")), 4) + lit(0.0)).as("cos"))
     val ord = struct(col("cos"), (-col("vec_id")).as("nid"))
     val payload = struct(col("vec_id"), col("cos"))
     scored.groupBy("anchor_id")

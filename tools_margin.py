@@ -25,10 +25,28 @@ silent non-coverage would read as "audited" when it wasn't. Round 13
 shrank that set: depth-0 UNION ALL chains are audited branch-by-branch
 (margins merged by min, exposure counts summed positionally, canon flags
 ANDed), and FROM-less scalar-subquery selects append margin columns like
-any other select list. Remaining skips: EXCEPT/INTERSECT/plain-UNION
-finals (row semantics are whole-branch-dependent), SELECT DISTINCT, and
-rounds living only inside nested scalar subqueries (a rewrite there would
-mis-bind the outer FROM scope).
+any other select list.
+
+ROUND 14 extended coverage from final selects to the WHOLE query:
+- Every round()-bearing CTE body becomes its own audit unit (the body
+  promoted to a final select over its chain prefix) - CTE rounds reach the
+  declared output (q_knn_join's cos, q_zscore's z) or its filters exactly
+  like final ones and were structurally invisible before; the extension
+  immediately found 7 real signed-zero exposures + 1 knife-edge.
+- WHERE/HAVING/ORDER rounds in the final query are margin-audited (a
+  threshold comparison flips a row in/out of the output on a knife-edge
+  exactly like an output round flips a digit); they never hash a sign bit,
+  so the signed-zero gate does not apply to them.
+- UNION ALL branches after the first inherit the WITH prefix; branches
+  whose rounds all live in CTEs contribute nothing instead of aborting.
+- SQL keywords are matched with an identifier-boundary guard (an alias
+  like valid_FROM silently truncated q_scd2's select list for 13 rounds).
+- `--selftest` machine-checks all of the above on planted fixtures.
+Remaining skips: EXCEPT/INTERSECT/plain-UNION finals (row semantics are
+whole-branch-dependent), SELECT DISTINCT, rounds living only inside nested
+scalar subqueries (a rewrite there would mis-bind the outer FROM scope),
+self-referencing (recursive) CTE bodies, and CTE bodies carrying their own
+WITH chain.
 
 SIGNED-ZERO EXPOSURE (round-13, from the r12 driver failure): Spark's
 round(double, d) goes through BigDecimal and always emits +0.0, while
@@ -79,6 +97,14 @@ EXACT_BACKED = {
 # exact quantized-Long sums, so it moved to EXACT_BACKED.)
 THIN_MARGIN_REVIEWED = {}
 
+# The textual ORDER-DEP classifier reads the round's argument in the final
+# select; an argument that is a bare alias of a CTE-computed float aggregate
+# escapes it. These entries force the ORDER-DEP gate for such queries (the
+# opposite direction of EXACT_BACKED), with the reason recorded.
+FORCE_ORDER_DEP = {
+    'q_zscore': 'round(zraw, 4): zraw is a window avg/stddev over doubles computed in the CTE - the alias hides the float aggregate from the classifier',
+}
+
 # float aggregate over data -> order-dependent double sum on the Spark side
 FLOAT_AGG = re.compile(r'\b(sum|avg|var_pop|var_samp|stddev\w*|covar\w*|corr|regr_\w+)\s*\(', re.I)
 # any aggregate at all (decides whether a margin column binds at group level)
@@ -108,11 +134,19 @@ def depth0_scan(sql):
         i += 1
 
 
+def kw_bounded(text, i):
+    """True when position i does not sit inside an identifier — SQL
+    keywords matched at depth 0 must not fire on suffixes like the `from`
+    in a `valid_from` alias (r14: that exact alias silently ejected q_scd2
+    from the audit by truncating its select list)."""
+    return i == 0 or not (text[i-1].isalnum() or text[i-1] == '_')
+
+
 def find_final_select(sql):
     """Index just past the last depth-0 SELECT keyword, or None."""
     last = None
     for i, c in depth0_scan(sql):
-        if c in 'sS' and re.match(r'select\b', sql[i:i+7], re.I):
+        if c in 'sS' and kw_bounded(sql, i) and re.match(r'select\b', sql[i:i+7], re.I):
             last = i
     return last
 
@@ -161,7 +195,7 @@ def split_union_all(sql):
     branch strings with any trailing depth-0 ORDER BY stripped; else None."""
     setops = []
     for i, c in depth0_scan(sql):
-        if c in 'ueiUEI':
+        if c in 'ueiUEI' and kw_bounded(sql, i):
             m = re.match(r'(union\s+all|union|except|intersect)\b', sql[i:], re.I)
             if m:
                 setops.append((i, re.sub(r'\s+', '', m.group(0)).lower()))
@@ -172,7 +206,7 @@ def split_union_all(sql):
     # strip one trailing depth-0 ORDER BY (it applies to the whole union)
     body = sql
     for i, c in depth0_scan(sql):
-        if c in 'oO' and re.match(r'order\s+by\b', sql[i:], re.I):
+        if c in 'oO' and kw_bounded(sql, i) and re.match(r'order\s+by\b', sql[i:], re.I):
             body = sql[:i]
             break
     cuts = [i for i, _ in setops if i < len(body)]
@@ -190,22 +224,39 @@ def audit_one(sql):
     if sel is None:
         return None, 0, False, 'no depth-0 SELECT found'
     tail = sql[sel:]
-    if any(re.match(r'(union|except|intersect)\b', sql[i:i+10], re.I)
+    if any(kw_bounded(sql, i) and re.match(r'(union|except|intersect)\b', sql[i:i+10], re.I)
            for i, c in depth0_scan(sql) if c in 'ueiUEI'):
         # UNION ALL chains audit branch-by-branch: every branch is an
         # independent SELECT whose rows all reach the declared output
         branches = split_union_all(sql)
         if branches is None:
             return None, 0, False, 'depth-0 set operation (margin column would break branch arity)'
+        # a WITH chain binds the WHOLE union: branches after the first lose
+        # it when the text is cut at the UNION ALL keywords, so thread the
+        # prefix into each of them (r14 — previously such branches failed
+        # with 'Table ... does not exist' and the query read as skipped)
+        chain = split_with_chain(sql)
+        prefix = sql[:chain[1]] if chain else ''
+        branches = [branches[0]] + [prefix + b for b in branches[1:]]
         wrapped, canon_rows = [], []
+        cte_only = 0
         for b in branches:
             w, n, canon, reason = audit_one(b)
+            if reason and reason.startswith('round(s) only inside CTEs'):
+                # this branch selects already-rounded CTE columns and rounds
+                # nothing itself — the CTE units audit those rounds, so the
+                # branch contributes no margin columns (r14: previously the
+                # whole union was declared unauditable over such a branch)
+                cte_only += 1
+                continue
             if reason:
                 return None, 0, False, f'union-all branch unauditable: {reason}'
             if w is not None:
                 wrapped.append((w, n, canon))
         if not wrapped:
-            return None, 0, False, None
+            return (None, 0, False,
+                    'round(s) only inside CTEs - keep final-select rounds auditable'
+                    if cte_only else None)
         ncols = wrapped[0][1]
         if any(n != ncols for _, n, _ in wrapped):
             return None, 0, False, 'union-all branches disagree on round count'
@@ -225,7 +276,7 @@ def audit_one(sql):
     list_start = sel + m.end()
     from_idx = None
     for i, c in depth0_scan(sql[list_start:]):
-        if c in 'fF' and re.match(r'from\b', sql[list_start+i:list_start+i+5], re.I):
+        if c in 'fF' and kw_bounded(sql, list_start + i) and re.match(r'from\b', sql[list_start+i:list_start+i+5], re.I):
             from_idx = list_start + i
             break
     if from_idx is None:
@@ -234,7 +285,7 @@ def audit_one(sql):
         # margin columns append the same way — each is one more scalar expr
         from_idx = len(sql)
         for i, c in depth0_scan(sql[list_start:]):
-            if c in 'oO' and re.match(r'order\s+by\b', sql[list_start+i:], re.I):
+            if c in 'oO' and kw_bounded(sql, list_start + i) and re.match(r'order\s+by\b', sql[list_start+i:], re.I):
                 from_idx = list_start + i
                 break
     select_list = sql[list_start:from_idx]
@@ -243,14 +294,15 @@ def audit_one(sql):
     # nested (SELECT ...) - a round inside a scalar subquery sees a
     # different FROM scope, so rewriting it there would mis-bind columns;
     # rounds inside plain function wrappers (coalesce, CASE, ...) are fine
-    def inside_subquery(pos):
+    def inside_subquery(pos, text=None):
+        text = select_list if text is None else text
         stack = []
         i = 0
         while i < pos:
-            c = select_list[i]
+            c = text[i]
             if c == "'":
                 i += 1
-                while i < len(select_list) and select_list[i] != "'":
+                while i < len(text) and text[i] != "'":
                     i += 1
             elif c == '(':
                 stack.append(i)
@@ -258,13 +310,13 @@ def audit_one(sql):
                 if stack:
                     stack.pop()
             i += 1
-        return any(re.match(r'\s*select\b', select_list[p+1:], re.I) for p in stack)
+        return any(re.match(r'\s*select\b', text[p+1:], re.I) for p in stack)
 
     nested_rounds = 0
     margins = []
     zcols = []   # per-round signed-zero exposure probes
     canon = []   # per-round: is this round followed by a canonicalizing `+ 0.0`?
-    grouped = any(re.match(r'group\s+by\b', sql[i:i+9], re.I)
+    grouped = any(kw_bounded(sql, i) and re.match(r'group\s+by\b', sql[i:i+9], re.I)
                   for i, c in depth0_scan(sql[from_idx:]) for i in [i + from_idx] if c in 'gG')
     for rm in re.finditer(r'\bround\s*\(', select_list, re.I):
         if inside_subquery(rm.start()):
@@ -294,10 +346,49 @@ def audit_one(sql):
             iexpr = f'max({iexpr})'
         margins.append(mexpr)
         zcols.append((nexpr, iexpr))
+    # rounds in the final query's TAIL (WHERE / HAVING / ORDER BY) — a
+    # rounded value compared to a threshold or driving a sort can flip a
+    # row in/out of the declared output on a knife-edge exactly like an
+    # output round flips a digit (r14; previously structurally invisible).
+    # They never hash a sign bit, so the signed-zero gate does not apply
+    # (canon forced true); margins audit as usual. Pre-aggregation rounds
+    # (WHERE) in a grouped select aggregate their probe columns to bind.
+    tail_text = sql[from_idx:]
+    for rm in re.finditer(r'\bround\s*\(', tail_text, re.I):
+        if inside_subquery(rm.start(), tail_text):
+            nested_rounds += 1
+            continue
+        op = from_idx + rm.end() - 1
+        cp = matching_paren(sql, op)
+        args = split_top_comma(sql[op+1:cp])
+        if len(args) != 2:
+            continue
+        expr, d = args[0].strip(), args[1].strip()
+        if not re.fullmatch(r'\d+', d):
+            continue
+        # HAVING rounds already aggregate; WHERE/ORDER ones don't
+        aggregated = bool(ANY_AGG.search(expr))
+        scale = f'1e{d}'
+        mexpr = f'abs((({expr}) * {scale} - floor(({expr}) * {scale})) - 0.5) / {scale}'
+        nexpr = f'CASE WHEN ({expr}) < 0 THEN 1 ELSE 0 END'
+        iexpr = f'CASE WHEN ({expr}) < 0 AND ({expr}) > -0.5 / {scale} THEN 1 ELSE 0 END'
+        if grouped and not aggregated:
+            mexpr = f'min({mexpr})'
+            nexpr = f'max({nexpr})'
+            iexpr = f'max({iexpr})'
+        canon.append(True)  # filter/sort rounds never hash a zero's sign
+        margins.append(mexpr)
+        zcols.append((nexpr, iexpr))
     if not margins:
         if nested_rounds:
             return None, 0, [], f'{nested_rounds} round(s) only in nested subqueries of the final select'
-        return None, 0, [], None  # nothing rounded in the final select
+        # the caller pre-filters on 'round' in the SQL, so reaching here
+        # means every round lives inside a CTE: report it as a SKIP, never
+        # silently - a query dropping out of the audit because its rounds
+        # moved into a CTE (r14 reviewer finding: the fused-rrf and whiten
+        # refactors did exactly this) would otherwise read as audited.
+        # Restructure such oracles to keep final-select rounds auditable.
+        return None, 0, [], 'round(s) only inside CTEs - keep final-select rounds auditable'
     mcols = ', '.join(f'{m} AS __m{i}' for i, m in enumerate(margins))
     mcols += ', ' + ', '.join(f'{n} AS __zn{i}, {x} AS __zi{i}'
                               for i, (n, x) in enumerate(zcols))
@@ -311,6 +402,66 @@ def audit_one(sql):
                      for i in range(len(margins)))
     wrapped = f'SELECT min({mexpr}) AS min_margin, {zsel} FROM ({rewritten}) __t'
     return wrapped, len(margins), canon, None
+
+
+def split_with_chain(sql):
+    """Parse a depth-0 WITH chain. Returns (ctes, final_start) where ctes is
+    a list of (name, body, def_end_index) in definition order and
+    final_start is the index where the final query begins — or None when
+    the SQL has no WITH chain (or one this parser can't shape)."""
+    m = re.match(r'\s*with\s+(recursive\s+)?', sql, re.I)
+    if not m:
+        return None
+    pos = m.end()
+    ctes = []
+    while True:
+        dm = re.match(r'\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s+(materialized\s+)?\(',
+                      sql[pos:], re.I)
+        if not dm:
+            return None
+        op = pos + dm.end() - 1
+        try:
+            cp = matching_paren(sql, op)
+        except ValueError:
+            return None
+        ctes.append((dm.group(1), sql[op+1:cp], cp + 1))
+        nxt = cp + 1
+        while nxt < len(sql) and sql[nxt].isspace():
+            nxt += 1
+        if nxt < len(sql) and sql[nxt] == ',':
+            pos = nxt + 1
+        else:
+            return ctes, nxt
+
+
+def cte_audit_units(name, sql):
+    """Audit units for every round()-bearing CTE body (r14: rounds inside
+    CTEs — e.g. q_knn_join's cos, q_zscore's z — reach the declared output
+    or its filters/ordering exactly like final-select rounds, and were
+    structurally invisible to this audit until now). Each unit replays the
+    chain prefix and promotes the CTE body to the final select, so the
+    existing rewriter audits it unchanged. Self-referencing (recursive)
+    bodies are reported as skips — the promoted body would dangle.
+    Returns (units, skips): units = [(label, synthesized_sql)]."""
+    chain = split_with_chain(sql)
+    if chain is None:
+        return [], []
+    ctes, _ = chain
+    units, skips = [], []
+    for k, (cname, body, _) in enumerate(ctes):
+        if 'round' not in body.lower():
+            continue
+        if re.search(rf'\b(from|join)\s+{re.escape(cname)}\b', body, re.I):
+            skips.append((f'{name}[cte:{cname}]',
+                          'self-referencing (recursive) CTE body'))
+            continue
+        if re.match(r'\s*with\b', body, re.I) and k > 0:
+            skips.append((f'{name}[cte:{cname}]',
+                          'CTE body carries its own WITH chain'))
+            continue
+        synth = body if k == 0 else sql[:ctes[k-1][2]] + ' ' + body
+        units.append((f'{name}[cte:{cname}]', synth))
+    return units, skips
 
 
 def classify(sql):
@@ -331,7 +482,63 @@ def classify(sql):
     return False
 
 
+def selftest():
+    """Machine-check the audit machinery on planted fixtures (the
+    tools_check --selftest discipline): each case is a structural behavior
+    a silent regression of which would reopen a closed blindness class."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, -0.00001), (2, 3.5)) v(k, x)")
+
+    # 1. a CTE round over a negative-capable column without + 0.0 must
+    #    surface as an audit unit whose canon flag is False and whose
+    #    exposure probe fires (the r14 q_knn_join class)
+    sql1 = "WITH c AS (SELECT k, round(x, 4) AS r FROM t) SELECT k, r FROM c ORDER BY k"
+    units, skips = cte_audit_units('q_t1', sql1)
+    assert len(units) == 1 and not skips, (units, skips)
+    w, n, canon, reason = audit_one(units[0][1])
+    assert w is not None and n == 1 and canon == [False], (n, canon, reason)
+    row = con.execute(w).fetchone()
+    assert row[1] >= 1, f'exposure probe did not fire: {row}'
+    # and the final select (no own rounds, CTE units exist) is not a gap
+    wf, nf, _, rf = audit_one(sql1)
+    assert wf is None and rf and rf.startswith('round(s) only inside CTEs'), rf
+
+    # 2. an alias ending in a keyword (valid_FROM) must not truncate the
+    #    select list (the r14 q_scd2 parser finding)
+    sql2 = "SELECT k, round(x, 2) AS price, 'a' AS valid_from FROM t ORDER BY k"
+    w2, n2, _, r2 = audit_one(sql2)
+    assert w2 is not None and n2 == 1, (n2, r2)
+    con.execute(w2).fetchone()  # must parse and run
+
+    # 3. union branches after the first must inherit the WITH prefix
+    sql3 = ("WITH c AS (SELECT k, x FROM t) "
+            "SELECT k, round(x, 2) + 0.0 AS r FROM c UNION ALL "
+            "SELECT k, round(x, 2) + 0.0 AS r FROM c ORDER BY k")
+    w3, n3, canon3, r3 = audit_one(sql3)
+    assert w3 is not None and n3 == 1 and canon3 == [True], (n3, canon3, r3)
+    con.execute(w3).fetchone()
+
+    # 4. a WHERE-clause round must be margin-audited (canon not required)
+    sql4 = "SELECT k, x FROM t WHERE round(x, 2) > -1 ORDER BY k"
+    w4, n4, canon4, r4 = audit_one(sql4)
+    assert w4 is not None and n4 == 1 and canon4 == [True], (n4, canon4, r4)
+    m4 = con.execute(w4).fetchone()[0]
+    assert m4 is not None and m4 >= 0, m4
+
+    # 5. negative control: a planted knife-edge must measure as one —
+    #    x = 0.005 sits EXACTLY on the round-2 half boundary
+    con.execute("CREATE TABLE kt AS SELECT 0.005::DOUBLE AS x")
+    w5, n5, _, _ = audit_one("SELECT round(x, 2) + 0.0 AS r FROM kt")
+    m5 = con.execute(w5).fetchone()[0]
+    assert m5 is not None and m5 <= JITTER, f'planted boundary not detected: {m5}'
+
+    print('tools_margin selftest: 5/5 structural cases OK')
+
+
 def main():
+    if '--selftest' in sys.argv:
+        selftest()
+        sys.exit(0)
     sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
     vdir = sys.argv[2] if len(sys.argv) > 2 else 'target/verify'
     con = duckdb.connect()
@@ -343,43 +550,57 @@ def main():
     for name, sql in sorted(oracles.items()):
         if 'round' not in sql.lower():
             continue
-        wrapped, n, canon, reason = audit_one(sql)
-        if wrapped is None:
-            if reason:
-                skipped.append((name, reason))
-            continue
-        try:
-            row = con.execute(wrapped).fetchone()
-        except Exception as e:
-            skipped.append((name, f'rewritten SQL failed: {str(e)[:120]}'))
-            continue
-        margin = row[0]
-        audited += 1
-        order_dep = classify(sql)
-        tag = 'ORDER-DEP' if order_dep else 'exact/int'
-        if name in EXACT_BACKED:
-            tag = 'EXACT_BACKED'
-        status = 'ok'
-        if margin is not None and tag == 'ORDER-DEP':
-            floor = THIN_MARGIN_REVIEWED.get(name, JITTER)
-            if margin <= floor:
-                status = 'KNIFE-EDGE'
-                failures.append((name, margin))
-            elif name in THIN_MARGIN_REVIEWED:
-                status = 'thin-margin-reviewed'
-        # signed-zero exposure: a round whose input can be negative must be
-        # zero-canonicalized (`+ 0.0`) or a fixture shift can flip a 0.0
-        # cell's sign between engines (the r12 cov failure class)
-        zbits = []
-        for i in range(n):
-            neg, near = row[1 + 2 * i], row[2 + 2 * i]
-            if neg and not canon[i]:
-                zero_failures.append((name, i, int(neg), int(near or 0)))
-                zbits.append(f'round#{i} SIGNED-ZERO-EXPOSED neg={int(neg)} near={int(near or 0)}')
-            elif neg:
-                zbits.append(f'round#{i} neg={int(neg)} canonicalized')
-        zinfo = (' | ' + '; '.join(zbits)) if zbits else ''
-        print(f'{name}: min_margin={margin!r} rounds={n} [{tag}] {status}{zinfo}')
+        # r14: audit EVERY round in the oracle — the final select (as
+        # always) plus one unit per round-bearing CTE body (promoted to a
+        # final select over its chain prefix). CTE rounds reach the
+        # declared output or its filters/ordering just like final ones;
+        # they were structurally invisible to this audit before.
+        cte_units, cte_skips = cte_audit_units(name, sql)
+        skipped.extend(cte_skips)
+        units = [(name, sql, True)] + [(l, u, False) for l, u in cte_units]
+        for label, usql, is_final in units:
+            wrapped, n, canon, reason = audit_one(usql)
+            if wrapped is None:
+                # a final select whose rounds all live in CTEs is fully
+                # covered by the CTE units — not a coverage gap
+                if reason and not (is_final and cte_units and
+                                   reason.startswith('round(s) only inside CTEs')):
+                    skipped.append((label, reason))
+                continue
+            try:
+                row = con.execute(wrapped).fetchone()
+            except Exception as e:
+                skipped.append((label, f'rewritten SQL failed: {str(e)[:120]}'))
+                continue
+            margin = row[0]
+            audited += 1
+            order_dep = classify(usql) or name in FORCE_ORDER_DEP
+            tag = 'ORDER-DEP' if order_dep else 'exact/int'
+            if name in EXACT_BACKED:
+                tag = 'EXACT_BACKED'
+            status = 'ok'
+            if margin is not None and tag == 'ORDER-DEP':
+                floor = THIN_MARGIN_REVIEWED.get(name, JITTER)
+                if margin <= floor:
+                    status = 'KNIFE-EDGE'
+                    failures.append((label, margin))
+                elif name in THIN_MARGIN_REVIEWED:
+                    status = 'thin-margin-reviewed'
+            # signed-zero exposure: a round whose input can be negative must
+            # be zero-canonicalized (`+ 0.0`) or a fixture shift can flip a
+            # 0.0 cell's sign between engines (the r12 cov failure class).
+            # Applied to CTE rounds too (blanket policy: `+ 0.0` is free and
+            # semantics-neutral, so no reachability analysis is needed).
+            zbits = []
+            for i in range(n):
+                neg, near = row[1 + 2 * i], row[2 + 2 * i]
+                if neg and not canon[i]:
+                    zero_failures.append((label, i, int(neg), int(near or 0)))
+                    zbits.append(f'round#{i} SIGNED-ZERO-EXPOSED neg={int(neg)} near={int(near or 0)}')
+                elif neg:
+                    zbits.append(f'round#{i} neg={int(neg)} canonicalized')
+            zinfo = (' | ' + '; '.join(zbits)) if zbits else ''
+            print(f'{label}: min_margin={margin!r} rounds={n} [{tag}] {status}{zinfo}')
     print('---')
     for name, reason in skipped:
         print(f'SKIPPED {name}: {reason}')
