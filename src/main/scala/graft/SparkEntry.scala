@@ -174,6 +174,7 @@ object SparkEntry {
     "q_ann_delete" -> ((s: SparkSession, d: String) => VectorOps.annDelete(s, d)),
     "q_ann_append" -> ((s: SparkSession, d: String) => VectorOps.annAppend(s, d)),
     "q_ann_compact" -> ((s: SparkSession, d: String) => VectorOps.annCompact(s, d)),
+    "q_ann_retrain" -> (VectorOps.annRetrainEval _),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
     "q_schema_merge" -> (SourceOps.schemaMerge _),
     "q_binary_files" -> (SourceOps.binaryFiles _),

@@ -46,8 +46,9 @@ object SourceOps {
     // annAppend's construction stages the standing encoded-corpus index
     // (and fits the frozen c80 quantizer + codebooks, disk-registered);
     // annDelete reads the SAME standing artifact (tombstone view);
-    // annCompact additionally stages the compacted rewrite + its audit
-    "q_ann_append", "q_ann_delete", "q_ann_compact",
+    // annCompact additionally stages the compacted rewrite + its audit;
+    // annRetrain's v1 arm goes through annAppend (same standing artifact)
+    "q_ann_append", "q_ann_delete", "q_ann_compact", "q_ann_retrain",
     // pcaPower's construction stages the exact-cov matrix artifact
     // (cov_cells_<sf>) its power iteration reads; pcaProject and
     // pcaDeflate additionally stage the eigenpair artifact (pca_eig_<sf>);

@@ -1655,29 +1655,18 @@ object TextOps {
     * way. */
   def retrievalEvalAnn(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = graft.functions.CovFunctions.CovGridScale.toDouble
     // dense systems vs the exact knn scan, averaged over the 5 probes —
     // ALL three ANN variants in one table, so the audit ranks the index
     // families against each other, not just against the ground truth
+    // (metric block shared with the retrain handover gate:
+    // VectorOps.retrievalMetricsRow)
     val gtKnn = VectorOps.knnJoin(spark, sf)
-      .select(col("probe_id"), col("rk").as("gt_rk"), col("vec_id"))
-    val nProbes = gtKnn.select(countDistinct("probe_id").as("np"))
-    def knnSystemRow(name: String, sys: DataFrame): DataFrame = {
-      val ranked = sys.select(col("probe_id"), col("rk").as("sys_rk"), col("vec_id"))
-      val hits = gtKnn.join(ranked, Seq("probe_id", "vec_id"))
-        .agg(count(lit(1)).as("hits"))
-      val mrr = gtKnn.filter(col("gt_rk") === 1)
-        .join(ranked, Seq("probe_id", "vec_id"), "left")
-        .select(coalesce(lit(1.0) / col("sys_rk"), lit(0.0)).as("recip"))
-        .agg((sum(floor(col("recip") * g).cast("long")).cast("double") / g).as("rsum"))
-      hits.crossJoin(mrr).crossJoin(nProbes)
-        .select(lit(name).as("system"),
-          round(col("hits") / (lit(EvalK + 0.0) * col("np")), 4).as("recall_at_3"),
-          round(col("rsum") / col("np"), 4).as("mrr"))
-    }
-    val pqRow = knnSystemRow("ann_pq", VectorOps.annPq(spark, sf))
-    val ivfRow = knnSystemRow("ann_ivf", VectorOps.ivfTopk(spark, sf))
-    val lshRow = knnSystemRow("ann_lsh", VectorOps.annLsh(spark, sf))
+    val pqRow = VectorOps.retrievalMetricsRow("ann_pq", gtKnn,
+      VectorOps.annPq(spark, sf), EvalK)
+    val ivfRow = VectorOps.retrievalMetricsRow("ann_ivf", gtKnn,
+      VectorOps.ivfTopk(spark, sf), EvalK)
+    val lshRow = VectorOps.retrievalMetricsRow("ann_lsh", gtKnn,
+      VectorOps.annLsh(spark, sf), EvalK)
     // hybrid_ann vs the exact fusion (single fused ranking)
     val gtFused = hybridRetrieval(spark, sf)
       .withColumn("gt_rank",

@@ -781,6 +781,58 @@ object VectorOps {
       km, codebook, nprobe)
   }
 
+  /** One (system, recall_at_3, mrr) row of a retrieval-quality audit:
+    * recall@k and MRR of a (probe_id, rk, vec_id) ranking against the
+    * exact ground truth of the same shape, averaged per probe. Exact
+    * rationals of the integer ranks; the per-probe reciprocal ranks are
+    * floor-quantized to the 2²⁴ grid and Long-summed before the ÷n (the
+    * one multi-term float sum, made shuffle-order-independent the
+    * standard way). Shared by [[graft.ops.TextOps.retrievalEvalAnn]] (the
+    * index-family dashboard) and [[annRetrainEval]] (the version
+    * handover gate). */
+  private[graft] def retrievalMetricsRow(name: String, gt: DataFrame,
+      sys: DataFrame, k: Int): DataFrame = {
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val gtr = gt.select(col("probe_id"), col("rk").as("gt_rk"), col("vec_id"))
+    val ranked = sys.select(col("probe_id"), col("rk").as("sys_rk"), col("vec_id"))
+    val nProbes = gtr.select(countDistinct("probe_id").as("np"))
+    val hits = gtr.join(ranked, Seq("probe_id", "vec_id"))
+      .agg(count(lit(1)).as("hits"))
+    val mrr = gtr.filter(col("gt_rk") === 1)
+      .join(ranked, Seq("probe_id", "vec_id"), "left")
+      .select(coalesce(lit(1.0) / col("sys_rk"), lit(0.0)).as("recip"))
+      .agg((sum(floor(col("recip") * g).cast("long")).cast("double") / g).as("rsum"))
+    hits.crossJoin(mrr).crossJoin(nProbes)
+      .select(lit(name).as("system"),
+        round(col("hits") / (lit(k + 0.0) * col("np")), 4).as("recall_at_3"),
+        round(col("rsum") / col("np"), 4).as("mrr"))
+  }
+
+  /** RETRAIN — the FOURTH standing-index lifecycle discipline, the one
+    * the other three exist to avoid paying per batch: ingest
+    * ([[annAppend]]), expire ([[annDelete]]) and compaction
+    * ([[annCompact]]) all run under FROZEN coarse cells and codebooks,
+    * on the documented argument that data drift only shifts the
+    * quantizer's optimum. This query is the drift-schedule settlement:
+    * retrain the artifacts on the CURRENT corpus (v2 = the full-table
+    * fit, `coarseQuantizer(sf)`/`pqCodebooks(sf)` — a one-time
+    * corpus-sized rebuild, exactly what a store amortizes over a long
+    * schedule) and emit the GO/NO-GO audit a production store runs before
+    * promoting it: recall@3 and MRR of the stale-frozen index (v1 — the
+    * c80 artifacts fit before the append batch existed, probing the union
+    * through [[annAppend]]) against the retrained one (v2 — [[annPq]]
+    * over the same union), both vs the exact scan. Versioned-key
+    * artifacts mean v1 keeps serving while v2 builds — the handover is a
+    * pointer swap gated on this table. Declared no-oracle (KMeans-derived
+    * rankings; twin: `q_retrieval_eval`); the metrics are deterministic
+    * exact rationals, spec'd against a test-side recompute. */
+  def annRetrainEval(spark: SparkSession, sf: String): DataFrame = {
+    val gt = knnJoin(spark, sf)
+    retrievalMetricsRow("pq_v1_frozen", gt, annAppend(spark, sf), 3)
+      .unionByName(retrievalMetricsRow("pq_v2_retrained", gt, annPq(spark, sf), 3))
+      .orderBy("system")
+  }
+
   /** Cosine threshold for [[semDedup]] — the same 0.45 that marks the
     * fixture's planted near-dups in [[dedupCosine]], so the exact all-pairs
     * form is directly the recall baseline. */

@@ -425,6 +425,40 @@ class PcaHybridSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("annRetrainEval: handover metrics equal a test-side recompute; both versions hold the recall floor; deterministic") {
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val gtK = VectorOps.knnJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val probes = gtK.map(_._1).distinct
+    def expectFor(sys: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val ann = sys.collect()
+        .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+      val hits = gtK.count { case (p, _, v) => ann.contains((p, v)) }
+      val recipSum = probes.map { p =>
+        val top1 = gtK.find(r => r._1 == p && r._2 == 1L).get._3
+        math.floor(ann.get((p, top1)).map(1.0 / _).getOrElse(0.0) * g).toLong
+      }.sum
+      (BigDecimal(hits.toDouble / (3 * probes.size))
+         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal(recipSum.toDouble / g / probes.size)
+         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = Map(
+      "pq_v1_frozen" -> expectFor(VectorOps.annAppend(spark, sf0001)),
+      "pq_v2_retrained" -> expectFor(VectorOps.annPq(spark, sf0001)))
+    val got = VectorOps.annRetrainEval(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == expect, s"got $got expected $expect")
+    // the go/no-go floor both versions must clear before serving: the
+    // suite's standing ANN floor (≥2/5 probes hit the exact top-3)
+    got.values.foreach { case (rec, mrr) =>
+      assert(rec >= 2.0 / 15 - 1e-9 && mrr >= 0.0 && mrr <= 1.0, got)
+    }
+    val again = VectorOps.annRetrainEval(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(again == got)
+  }
+
   test("whitenOutliers: energy is exactly w1²+w2² of the declared whitening, top-k ordered, deterministic") {
     val w = VectorOps.whiten(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
