@@ -155,10 +155,12 @@ object Verify {
           case (key, (standDir, write)) =>
             // one failing re-derivation must not abort the gate for the
             // remaining artifacts (or skip oracle_sql.json) — same
-            // per-item catch discipline as the query loop above
+            // per-item catch discipline as the query loop above. Scratch
+            // is created OUTSIDE the try so a failure message can name it
+            // (kept for diagnosis, like the mismatch path).
+            val scratch = Files.createTempDirectory(
+              "gate_" + key.replaceAll("[^A-Za-z0-9._-]", "_")).toString
             try {
-              val scratch = Files.createTempDirectory(
-                "gate_" + key.replaceAll("[^A-Za-z0-9._-]", "_")).toString
               spark.conf.set("spark.sql.shuffle.partitions", "13")
               spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
               try write(scratch)
@@ -188,9 +190,12 @@ object Verify {
                   rmTree(scratch)
                 }
               }
-            } catch { case e: Throwable =>
+            } catch { case scala.util.control.NonFatal(e) =>
+              // NonFatal only: an OOM/interrupt must propagate, not be
+              // recorded as one more unstable artifact in a dying JVM
               unstable ::= s"artifact:$key"
-              System.err.println(s"[stability] artifact $key re-derivation FAILED: ${e.getMessage}")
+              System.err.println(s"[stability] artifact $key re-derivation FAILED: " +
+                s"${e.getMessage} (scratch kept at $scratch)")
             }
         }
       }

@@ -804,7 +804,9 @@ object VectorOps {
       .agg((sum(floor(col("recip") * g).cast("long")).cast("double") / g).as("rsum"))
     hits.crossJoin(mrr).crossJoin(nProbes)
       .select(lit(name).as("system"),
-        round(col("hits") / (lit(k + 0.0) * col("np")), 4).as("recall_at_3"),
+        // column name tracks k — a k=5 caller must not emit recall@5
+        // values under a recall_at_3 header
+        round(col("hits") / (lit(k + 0.0) * col("np")), 4).as(s"recall_at_$k"),
         round(col("rsum") / col("np"), 4).as("mrr"))
   }
 
@@ -827,9 +829,12 @@ object VectorOps {
     * rankings; twin: `q_retrieval_eval`); the metrics are deterministic
     * exact rationals, spec'd against a test-side recompute. */
   def annRetrainEval(spark: SparkSession, sf: String): DataFrame = {
+    // same k as the oracled twin q_retrieval_eval (the twin contract
+    // assumes one eval depth across the retrieval-audit family)
+    val k = graft.ops.TextOps.EvalK
     val gt = knnJoin(spark, sf)
-    retrievalMetricsRow("pq_v1_frozen", gt, annAppend(spark, sf), 3)
-      .unionByName(retrievalMetricsRow("pq_v2_retrained", gt, annPq(spark, sf), 3))
+    retrievalMetricsRow("pq_v1_frozen", gt, annAppend(spark, sf), k)
+      .unionByName(retrievalMetricsRow("pq_v2_retrained", gt, annPq(spark, sf), k))
       .orderBy("system")
   }
 

@@ -33,10 +33,15 @@ ROUND 14 extended coverage from final selects to the WHOLE query:
   declared output (q_knn_join's cos, q_zscore's z) or its filters exactly
   like final ones and were structurally invisible before; the extension
   immediately found 7 real signed-zero exposures + 1 knife-edge.
-- WHERE/HAVING/ORDER rounds in the final query are margin-audited (a
-  threshold comparison flips a row in/out of the output on a knife-edge
-  exactly like an output round flips a digit); they never hash a sign bit,
-  so the signed-zero gate does not apply to them.
+- WHERE/HAVING/ORDER rounds in the final query are audited. A WHERE round
+  decides output MEMBERSHIP, so its gate is a predicate-flip probe over
+  the UNFILTERED relation: the whole predicate is evaluated with the
+  round's argument perturbed +/-jitter, and any row whose outcome differs
+  is a genuine membership knife-edge (rows a flip would inject INTO the
+  output are visible, and boundary-near rows whose flip cannot change the
+  predicate are NOT false-flagged). HAVING/ORDER rounds keep the declared
+  population (documented residual: LIMIT-boundary injection). Tail rounds
+  never hash a sign bit, so the signed-zero gate does not apply to them.
 - UNION ALL branches after the first inherit the WITH prefix; branches
   whose rounds all live in CTEs contribute nothing instead of aborting.
 - SQL keywords are matched with an identifier-boundary guard (an alias
@@ -96,6 +101,13 @@ EXACT_BACKED = {
 # (q_kde's 1e-12 reviewed floor was retired in round 13: its terms are now
 # exact quantized-Long sums, so it moved to EXACT_BACKED.)
 THIN_MARGIN_REVIEWED = {}
+
+# Per-UNIT exactness exemptions for CTE audit units (label = 'name[cte:x]'),
+# each with its own justification — the name-scoped EXACT_BACKED table
+# applies to final selects only (r14).
+EXACT_BACKED_UNITS = {
+    'q_pca_project[cte:pc]': 'the published eigenvector: round(y8/m8, 6) where y8 is a quantized-Long mat-vec sum and m8 its infinity norm - pure function of the data (the q_pca_power argument, inherited by the shared CTE prefix)',
+}
 
 # The textual ORDER-DEP classifier reads the round's argument in the final
 # select; an argument that is a bare alias of a CTE-computed float aggregate
@@ -231,6 +243,13 @@ def audit_one(sql):
         branches = split_union_all(sql)
         if branches is None:
             return None, 0, False, 'depth-0 set operation (margin column would break branch arity)'
+        # a round() in the union's trailing ORDER BY is stripped with it —
+        # surface that instead of silently not auditing a sort round
+        for i, c in depth0_scan(sql):
+            if c in 'oO' and kw_bounded(sql, i) and re.match(r'order\s+by\b', sql[i:], re.I):
+                if re.search(r'\bround\s*\(', sql[i:], re.I):
+                    return None, 0, False, 'union final ORDER BY contains round() - unauditable per-branch'
+                break
         # a WITH chain binds the WHOLE union: branches after the first lose
         # it when the text is cut at the UNION ALL keywords, so thread the
         # prefix into each of them (r14 — previously such branches failed
@@ -354,6 +373,25 @@ def audit_one(sql):
     # (canon forced true); margins audit as usual. Pre-aggregation rounds
     # (WHERE) in a grouped select aggregate their probe columns to bind.
     tail_text = sql[from_idx:]
+    # locate the depth-0 WHERE span of the final query: a round inside it
+    # decides output MEMBERSHIP, so its margin must be measured over the
+    # UNFILTERED relation — measuring only surviving rows would hide a row
+    # a knife-edge flips INTO the output (r14 reviewer finding). Rounds in
+    # the WHERE get their probes as uncorrelated scalar subqueries over
+    # the FROM clause alone; HAVING/ORDER rounds keep the declared
+    # population (documented residual: LIMIT injection).
+    where_span = None
+    for i, c in depth0_scan(tail_text):
+        if c in 'wW' and kw_bounded(tail_text, i) and re.match(r'where\b', tail_text[i:], re.I):
+            end = len(tail_text)
+            for j, c2 in depth0_scan(tail_text[i:]):
+                if c2 in 'gGhHoOlLwW' and kw_bounded(tail_text, i + j) and re.match(
+                        r'(group\s+by|having|order\s+by|limit|window)\b', tail_text[i+j:], re.I):
+                    end = i + j
+                    break
+            where_span = (i, end)
+            break
+    from_clause = tail_text[:where_span[0]] if where_span else None
     for rm in re.finditer(r'\bround\s*\(', tail_text, re.I):
         if inside_subquery(rm.start(), tail_text):
             nested_rounds += 1
@@ -372,7 +410,32 @@ def audit_one(sql):
         mexpr = f'abs((({expr}) * {scale} - floor(({expr}) * {scale})) - 0.5) / {scale}'
         nexpr = f'CASE WHEN ({expr}) < 0 THEN 1 ELSE 0 END'
         iexpr = f'CASE WHEN ({expr}) < 0 AND ({expr}) > -0.5 / {scale} THEN 1 ELSE 0 END'
-        if grouped and not aggregated:
+        in_where = (where_span is not None and not aggregated and
+                    where_span[0] <= rm.start() < where_span[1])
+        if in_where:
+            # a WHERE round decides output MEMBERSHIP: the failure mode is
+            # a row whose PREDICATE outcome changes under summation-order
+            # jitter, not any row near any rounding boundary (a flip that
+            # leaves the predicate unchanged is harmless — e.g. a z-score
+            # of 0.59845 flipping its 4th digit under an |z| > 2 filter).
+            # Probe: evaluate the whole predicate with the round's argument
+            # perturbed +jitter and -jitter over the UNFILTERED relation;
+            # any row where the two outcomes differ is a genuine
+            # membership knife-edge (margin 0.0 → gate fires); otherwise
+            # this round contributes NULL (no gate, nothing to report).
+            pred_start = where_span[0] + 5  # past the WHERE keyword
+            pred = tail_text[pred_start:where_span[1]]
+            occ = rm.start() - pred_start
+            rend = (cp - from_idx) + 1 - pred_start
+            pp = pred[:occ] + f'round(({expr}) + 1e-9, {d})' + pred[rend:]
+            pm = pred[:occ] + f'round(({expr}) - 1e-9, {d})' + pred[rend:]
+            mexpr = (f'(SELECT CASE WHEN max(CASE WHEN ({pp}) IS DISTINCT FROM ({pm}) '
+                     f'THEN 1 ELSE 0 END) = 1 THEN 0.0 END {from_clause})')
+            nexpr = f'(SELECT max({nexpr}) {from_clause})'
+            iexpr = f'(SELECT max({iexpr}) {from_clause})'
+            if grouped:
+                mexpr, nexpr, iexpr = f'min({mexpr})', f'max({nexpr})', f'max({iexpr})'
+        elif grouped and not aggregated:
             mexpr = f'min({mexpr})'
             nexpr = f'max({nexpr})'
             iexpr = f'max({iexpr})'
@@ -415,7 +478,7 @@ def split_with_chain(sql):
     pos = m.end()
     ctes = []
     while True:
-        dm = re.match(r'\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s+(materialized\s+)?\(',
+        dm = re.match(r'\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^()]*\))?\s+as\s+(materialized\s+)?\(',
                       sql[pos:], re.I)
         if not dm:
             return None
@@ -445,6 +508,12 @@ def cte_audit_units(name, sql):
     Returns (units, skips): units = [(label, synthesized_sql)]."""
     chain = split_with_chain(sql)
     if chain is None:
+        # distinguish "no WITH chain" (nothing to do) from "WITH chain the
+        # parser can't shape" (silent CTE non-coverage — forbidden): the
+        # latter must surface as a skip
+        if re.match(r'\s*with\b', sql, re.I):
+            return [], [(f'{name}[ctes]',
+                         'WITH chain unparseable - CTE rounds unaudited')]
         return [], []
     ctes, _ = chain
     units, skips = [], []
@@ -518,12 +587,24 @@ def selftest():
     assert w3 is not None and n3 == 1 and canon3 == [True], (n3, canon3, r3)
     con.execute(w3).fetchone()
 
-    # 4. a WHERE-clause round must be margin-audited (canon not required)
+    # 4. a WHERE-clause round gates on MEMBERSHIP flips, not raw boundary
+    #    proximity: here no row's predicate outcome can change under
+    #    +/-jitter, so the round contributes NULL (no gate)
     sql4 = "SELECT k, x FROM t WHERE round(x, 2) > -1 ORDER BY k"
     w4, n4, canon4, r4 = audit_one(sql4)
     assert w4 is not None and n4 == 1 and canon4 == [True], (n4, canon4, r4)
-    m4 = con.execute(w4).fetchone()[0]
-    assert m4 is not None and m4 >= 0, m4
+    assert con.execute(w4).fetchone()[0] is None
+
+    # 4b. a planted membership knife-edge MUST fire: x = 1.005 sits on the
+    #     round-2 half boundary AND its two rounded candidates straddle the
+    #     threshold (1.0 > 1.0 is false, 1.01 > 1.0 is true) — note the row
+    #     is EXCLUDED from today's output either way on one side, which is
+    #     exactly the injection case the unfiltered probe exists to see
+    con.execute("CREATE TABLE ft AS SELECT * FROM (VALUES (1, 1.005), (2, 9.0)) v(k, x)")
+    sql4b = "SELECT k FROM ft WHERE round(x, 2) > 1.0 ORDER BY k"
+    w4b, n4b, _, _ = audit_one(sql4b)
+    m4b = con.execute(w4b).fetchone()[0]
+    assert m4b is not None and m4b <= JITTER, f'membership knife-edge not detected: {m4b}'
 
     # 5. negative control: a planted knife-edge must measure as one —
     #    x = 0.005 sits EXACTLY on the round-2 half boundary
@@ -532,7 +613,7 @@ def selftest():
     m5 = con.execute(w5).fetchone()[0]
     assert m5 is not None and m5 <= JITTER, f'planted boundary not detected: {m5}'
 
-    print('tools_margin selftest: 5/5 structural cases OK')
+    print('tools_margin selftest: 6/6 structural cases OK')
 
 
 def main():
@@ -576,15 +657,20 @@ def main():
             audited += 1
             order_dep = classify(usql) or name in FORCE_ORDER_DEP
             tag = 'ORDER-DEP' if order_dep else 'exact/int'
-            if name in EXACT_BACKED:
+            # exactness arguments are reviewed for the FINAL select only —
+            # a name-scoped exemption must not silently waive the gate for
+            # every CTE round of that query (r14 reviewer finding); CTE
+            # units needing an exemption get their own EXACT_BACKED_UNITS
+            # row under the full label
+            if (is_final and name in EXACT_BACKED) or label in EXACT_BACKED_UNITS:
                 tag = 'EXACT_BACKED'
             status = 'ok'
             if margin is not None and tag == 'ORDER-DEP':
-                floor = THIN_MARGIN_REVIEWED.get(name, JITTER)
+                floor = THIN_MARGIN_REVIEWED.get(name, JITTER) if is_final else JITTER
                 if margin <= floor:
                     status = 'KNIFE-EDGE'
                     failures.append((label, margin))
-                elif name in THIN_MARGIN_REVIEWED:
+                elif is_final and name in THIN_MARGIN_REVIEWED:
                     status = 'thin-margin-reviewed'
             # signed-zero exposure: a round whose input can be negative must
             # be zero-canonicalized (`+ 0.0`) or a fixture shift can flip a
