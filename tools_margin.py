@@ -47,11 +47,28 @@ ROUND 14 extended coverage from final selects to the WHOLE query:
 - SQL keywords are matched with an identifier-boundary guard (an alias
   like valid_FROM silently truncated q_scd2's select list for 13 rounds).
 - `--selftest` machine-checks all of the above on planted fixtures.
+ROUND 15 closed the remaining structural skip classes:
+- The pre-filter matches `round(` calls, not the substring 'round' — a
+  column ALIASED `round` (q_kcore) no longer drags a round-free oracle
+  into the audit as an unauditable skip.
+- Single-arg `round(x)` audits as d=0 (the cents pattern `CAST(round(v *
+  100) AS BIGINT)` and the int8 quantizer `round(x/m*127)` were invisible
+  before). A round consumed by an integer CAST is sign-dead — integers
+  carry no -0.0 — so the cast counts as zero canonicalization.
+- A CTE body carrying its own WITH chain splices: the inner chain's CTEs
+  are appended to the outer prefix (collision-checked), so the promoted
+  unit audits like any other.
+- WHERE-round membership probes no longer ride the FILTERED select list
+  (r14 advisor: an empty declared output made min() aggregate zero rows
+  and silently swallow a probe that would inject a row INTO the empty
+  output). The WITH prefix is hoisted out of the wrapper and each probe
+  becomes a standalone scalar subquery in the OUTER select over the
+  unfiltered FROM clause — evaluated exactly once, rows or no rows.
 Remaining skips: EXCEPT/INTERSECT/plain-UNION finals (row semantics are
 whole-branch-dependent), SELECT DISTINCT, rounds living only inside nested
-scalar subqueries (a rewrite there would mis-bind the outer FROM scope),
-self-referencing (recursive) CTE bodies, and CTE bodies carrying their own
-WITH chain.
+scalar subqueries (a rewrite there would mis-bind the outer FROM scope —
+restructure such oracles to hoist the round, the q_sql_script pattern),
+and self-referencing (recursive) CTE bodies.
 
 SIGNED-ZERO EXPOSURE (round-13, from the r12 driver failure): Spark's
 round(double, d) goes through BigDecimal and always emits +0.0, while
@@ -92,6 +109,7 @@ EXACT_BACKED = {
     'q_pca_project': 'the projection dot sums floor-quantized 2^24-grid Longs (the cov discipline); the eigenvector it consumes is itself exact-backed',
     'q_cov_update': 'same exact quantized-Long sums as q_embed_cov: the standing triangle and the batch triangle are both CovAccumAgg Longs, and the merge is Long addition - the pre-round double is bit-identical to the full recompute',
     'q_cov_downdate': 'the downdate subtracts exact CovAccumAgg Longs from exact Longs - bit-identical to the full recompute over the remaining corpus (same argument as q_cov_update, negated)',
+    'q_graph_metrics': 'avg_degree averages integer degree counts: integer-valued double sums are exact in IEEE below 2^53 in ANY order (the q_quality_score argument); the r15 oracle hoist round((SELECT avg(deg)...), 4) made this round visible to the audit',
 }
 
 # ORDER-DEPENDENT queries whose measured margin is below JITTER but has been
@@ -116,6 +134,11 @@ EXACT_BACKED_UNITS = {
 FORCE_ORDER_DEP = {
     'q_zscore': 'round(zraw, 4): zraw is a window avg/stddev over doubles computed in the CTE - the alias hides the float aggregate from the classifier',
 }
+
+# an actual round() CALL - the pre-filter and CTE-body check must not fire
+# on a column merely ALIASED `round` (q_kcore's `CAST(0 AS BIGINT) AS round`
+# read as an unauditable skip for two rounds)
+HAS_ROUND = re.compile(r'\bround\s*\(', re.I)
 
 # float aggregate over data -> order-dependent double sum on the Spark side
 FLOAT_AGG = re.compile(r'\b(sum|avg|var_pop|var_samp|stddev\w*|covar\w*|corr|regr_\w+)\s*\(', re.I)
@@ -331,10 +354,41 @@ def audit_one(sql):
             i += 1
         return any(re.match(r'\s*select\b', text[p+1:], re.I) for p in stack)
 
+    def parse_round(op):
+        """(expr, d, close_paren) for a 1- or 2-arg literal-d round at
+        open-paren op; None when unauditable (non-literal d, 3+ args).
+        Single-arg round(x) is integer rounding: d = 0 (r15 — the cents
+        pattern CAST(round(v*100) AS BIGINT) and the int8 quantizer
+        round(x/m*127) were invisible to the audit before)."""
+        cp = matching_paren(sql, op)
+        args = split_top_comma(sql[op+1:cp])
+        if len(args) == 1:
+            expr, d = args[0].strip(), '0'
+        elif len(args) == 2:
+            expr, d = args[0].strip(), args[1].strip()
+        else:
+            return None
+        if not re.fullmatch(r'\d+', d):
+            return None
+        return expr, d, cp
+
+    def is_canon(cp):
+        """A round is zero-canonicalized when followed by `+ 0.0` — or
+        consumed by an integer CAST (`CAST(round(..) AS BIGINT)` /
+        `round(..)::BIGINT`): integers carry no -0.0, so the sign bit is
+        structurally dead (r15)."""
+        after = sql[cp+1:]
+        return bool(re.match(r'\s*\+\s*0\.0', after) or
+                    re.match(r'\s*AS\s+(BIG|SMALL|TINY)?INT(EGER)?\b', after, re.I) or
+                    re.match(r'\s*::\s*(BIG|SMALL|TINY)?INT(EGER)?\b', after, re.I))
+
     nested_rounds = 0
-    margins = []
-    zcols = []   # per-round signed-zero exposure probes
-    canon = []   # per-round: is this round followed by a canonicalizing `+ 0.0`?
+    margins = []   # inner margin exprs, positionally indexed with zcols
+    zcols = []     # per-round signed-zero exposure probes (inner or outer)
+    canon = []     # per-round: is this round zero-canonicalized?
+    probes = []    # (index, mexpr, nexpr, iexpr) for WHERE rounds — these go
+                   # in the OUTER select as standalone scalar subqueries so an
+                   # EMPTY declared output cannot swallow them (r14 advisor)
     grouped = any(kw_bounded(sql, i) and re.match(r'group\s+by\b', sql[i:i+9], re.I)
                   for i, c in depth0_scan(sql[from_idx:]) for i in [i + from_idx] if c in 'gG')
     for rm in re.finditer(r'\bround\s*\(', select_list, re.I):
@@ -342,14 +396,11 @@ def audit_one(sql):
             nested_rounds += 1
             continue
         op = list_start + rm.end() - 1
-        cp = matching_paren(sql, op)
-        args = split_top_comma(sql[op+1:cp])
-        if len(args) != 2:
-            continue  # round(x) single-arg: integer rounding, audited as d=0? rare; skip
-        expr, d = args[0].strip(), args[1].strip()
-        if not re.fullmatch(r'\d+', d):
+        parsed = parse_round(op)
+        if parsed is None:
             continue
-        canon.append(bool(re.match(r'\s*\+\s*0\.0', sql[cp+1:])))
+        expr, d, cp = parsed
+        canon.append(is_canon(cp))
         scale = f'1e{d}'
         mexpr = f'abs((({expr}) * {scale} - floor(({expr}) * {scale})) - 0.5) / {scale}'
         # can the pre-round value be negative at all (structural signed-zero
@@ -397,13 +448,10 @@ def audit_one(sql):
             nested_rounds += 1
             continue
         op = from_idx + rm.end() - 1
-        cp = matching_paren(sql, op)
-        args = split_top_comma(sql[op+1:cp])
-        if len(args) != 2:
+        parsed = parse_round(op)
+        if parsed is None:
             continue
-        expr, d = args[0].strip(), args[1].strip()
-        if not re.fullmatch(r'\d+', d):
-            continue
+        expr, d, cp = parsed
         # HAVING rounds already aggregate; WHERE/ORDER ones don't
         aggregated = bool(ANY_AGG.search(expr))
         scale = f'1e{d}'
@@ -423,48 +471,90 @@ def audit_one(sql):
             # any row where the two outcomes differ is a genuine
             # membership knife-edge (margin 0.0 → gate fires); otherwise
             # this round contributes NULL (no gate, nothing to report).
+            # The probe lives in the OUTER select, not the filtered select
+            # list: riding the declared output meant an EMPTY output (or
+            # one the flip would first have to inject a row into) silently
+            # dropped the probe under min() over zero rows (r14 advisor).
             pred_start = where_span[0] + 5  # past the WHERE keyword
             pred = tail_text[pred_start:where_span[1]]
             occ = rm.start() - pred_start
             rend = (cp - from_idx) + 1 - pred_start
             pp = pred[:occ] + f'round(({expr}) + 1e-9, {d})' + pred[rend:]
             pm = pred[:occ] + f'round(({expr}) - 1e-9, {d})' + pred[rend:]
-            mexpr = (f'(SELECT CASE WHEN max(CASE WHEN ({pp}) IS DISTINCT FROM ({pm}) '
-                     f'THEN 1 ELSE 0 END) = 1 THEN 0.0 END {from_clause})')
-            nexpr = f'(SELECT max({nexpr}) {from_clause})'
-            iexpr = f'(SELECT max({iexpr}) {from_clause})'
-            if grouped:
-                mexpr, nexpr, iexpr = f'min({mexpr})', f'max({nexpr})', f'max({iexpr})'
+            pmex = (f'(SELECT CASE WHEN max(CASE WHEN ({pp}) IS DISTINCT FROM ({pm}) '
+                    f'THEN 1 ELSE 0 END) = 1 THEN 0.0 END {from_clause})')
+            pnex = f'(SELECT max({nexpr}) {from_clause})'
+            piex = f'(SELECT max({iexpr}) {from_clause})'
+            canon.append(True)  # filter rounds never hash a zero's sign
+            probes.append((len(canon) - 1, pmex, pnex, piex))
+            continue
         elif grouped and not aggregated:
             mexpr = f'min({mexpr})'
             nexpr = f'max({nexpr})'
             iexpr = f'max({iexpr})'
-        canon.append(True)  # filter/sort rounds never hash a zero's sign
+        canon.append(True)  # sort/having rounds never hash a zero's sign
         margins.append(mexpr)
         zcols.append((nexpr, iexpr))
-    if not margins:
+    if not margins and not probes:
         if nested_rounds:
             return None, 0, [], f'{nested_rounds} round(s) only in nested subqueries of the final select'
-        # the caller pre-filters on 'round' in the SQL, so reaching here
-        # means every round lives inside a CTE: report it as a SKIP, never
-        # silently - a query dropping out of the audit because its rounds
-        # moved into a CTE (r14 reviewer finding: the fused-rrf and whiten
-        # refactors did exactly this) would otherwise read as audited.
-        # Restructure such oracles to keep final-select rounds auditable.
+        # the caller pre-filters on round( calls in the SQL, so reaching
+        # here means every round lives inside a CTE: report it as a SKIP,
+        # never silently - a query dropping out of the audit because its
+        # rounds moved into a CTE (r14 reviewer finding: the fused-rrf and
+        # whiten refactors did exactly this) would otherwise read as
+        # audited. The CTE units cover such rounds; main suppresses this
+        # skip when they exist.
         return None, 0, [], 'round(s) only inside CTEs - keep final-select rounds auditable'
-    mcols = ', '.join(f'{m} AS __m{i}' for i, m in enumerate(margins))
-    mcols += ', ' + ', '.join(f'{n} AS __zn{i}, {x} AS __zi{i}'
-                              for i, (n, x) in enumerate(zcols))
-    inner = sql[:from_idx].rstrip()
-    if inner.rstrip().endswith(','):
-        inner = inner.rstrip()[:-1]
-    rewritten = inner + ', ' + mcols + ' ' + sql[from_idx:]
-    mexpr = 'least(' + ', '.join(f'__m{i}' for i in range(len(margins))) + ')' \
-        if len(margins) > 1 else '__m0'
-    zsel = ', '.join(f'sum(__zn{i}) AS neg{i}, sum(__zi{i}) AS near{i}'
-                     for i in range(len(margins)))
-    wrapped = f'SELECT min({mexpr}) AS min_margin, {zsel} FROM ({rewritten}) __t'
-    return wrapped, len(margins), canon, None
+    # the wrapper hoists the WITH prefix OUT of the derived table so the
+    # outer select (where the WHERE probes live as standalone, evaluated-
+    # exactly-once scalar subqueries) still sees the chain's CTEs in scope
+    prefix = sql[:sel]
+    n_inner = len(margins)
+    total = len(canon)
+    # positional output contract: row = (min_margin, neg0, near0, neg1, ...)
+    # inner rounds map to riding columns, probe rounds to outer subqueries
+    inner_ids, probe_at = [], {idx: (m, n, x) for idx, m, n, x in probes}
+    k = 0
+    for i in range(total):
+        if i not in probe_at:
+            inner_ids.append(k)
+            k += 1
+        else:
+            inner_ids.append(None)
+    zsel_parts = []
+    for i in range(total):
+        if inner_ids[i] is not None:
+            j = inner_ids[i]
+            zsel_parts.append(f'sum(__zn{j}) AS neg{i}, sum(__zi{j}) AS near{i}')
+        else:
+            _, n, x = probe_at[i]
+            zsel_parts.append(f'{n} AS neg{i}, {x} AS near{i}')
+    zsel = ', '.join(zsel_parts)
+    probe_margins = [m for _, m, _, _ in probes]
+    if n_inner:
+        mcols = ', '.join(f'{m} AS __m{j}' for j, m in enumerate(margins))
+        mcols += ', ' + ', '.join(f'{n} AS __zn{j}, {x} AS __zi{j}'
+                                  for j, (n, x) in enumerate(zcols))
+        final_text = sql[sel:from_idx].rstrip()
+        if final_text.endswith(','):
+            final_text = final_text[:-1]
+        rewritten = final_text + ', ' + mcols + ' ' + sql[from_idx:]
+        inner_min = 'least(' + ', '.join(f'__m{j}' for j in range(n_inner)) + ')' \
+            if n_inner > 1 else '__m0'
+        parts = [f'min({inner_min})'] + probe_margins
+        # DuckDB least() ignores NULLs, so a NULL inner min (empty declared
+        # output) or a NULL probe (no membership flip) drops out cleanly
+        mfinal = 'least(' + ', '.join(parts) + ')' if len(parts) > 1 else parts[0]
+        wrapped = f'{prefix}SELECT {mfinal} AS min_margin, {zsel} FROM ({rewritten}) __t'
+    else:
+        # only WHERE probes: no column rides the declared output, so the
+        # wrapper needs no derived table at all — a FROM-less outer select
+        # of the standalone probe subqueries (rows or no rows in the output)
+        mfinal = 'least(' + ', '.join(probe_margins) + ')' \
+            if len(probe_margins) > 1 else probe_margins[0]
+        wrapped = f'{prefix}SELECT {mfinal} AS min_margin, {zsel}'
+    return wrapped, total, canon, None
 
 
 def split_with_chain(sql):
@@ -518,15 +608,36 @@ def cte_audit_units(name, sql):
     ctes, _ = chain
     units, skips = [], []
     for k, (cname, body, _) in enumerate(ctes):
-        if 'round' not in body.lower():
+        if not HAS_ROUND.search(body):
             continue
         if re.search(rf'\b(from|join)\s+{re.escape(cname)}\b', body, re.I):
             skips.append((f'{name}[cte:{cname}]',
                           'self-referencing (recursive) CTE body'))
             continue
         if re.match(r'\s*with\b', body, re.I) and k > 0:
-            skips.append((f'{name}[cte:{cname}]',
-                          'CTE body carries its own WITH chain'))
+            # splice the inner chain into the outer prefix (r15): the body
+            # `WITH t AS (...) SELECT ...` becomes `, t AS (...) SELECT ...`
+            # appended after the k-1'th outer CTE — one flat chain the
+            # rewriter audits like any other. Guarded against RECURSIVE
+            # (the keyword would be lost) and name shadowing (an inner CTE
+            # named like an outer one would rebind the prefix).
+            if re.match(r'\s*with\s+recursive\b', body, re.I):
+                skips.append((f'{name}[cte:{cname}]',
+                              'CTE body carries a RECURSIVE WITH chain'))
+                continue
+            inner = split_with_chain(body)
+            if inner is None:
+                skips.append((f'{name}[cte:{cname}]',
+                              'CTE body carries an unparseable WITH chain'))
+                continue
+            outer_names = {c[0].lower() for c in ctes[:k]}
+            if any(n.lower() in outer_names for n, _, _ in inner[0]):
+                skips.append((f'{name}[cte:{cname}]',
+                              'inner WITH chain shadows an outer CTE name'))
+                continue
+            synth = sql[:ctes[k-1][2]] + re.sub(r'^\s*with\s+', ', ', body,
+                                                count=1, flags=re.I)
+            units.append((f'{name}[cte:{cname}]', synth))
             continue
         synth = body if k == 0 else sql[:ctes[k-1][2]] + ' ' + body
         units.append((f'{name}[cte:{cname}]', synth))
@@ -545,7 +656,7 @@ def classify(sql):
         except ValueError:
             continue
         args = split_top_comma(sql[op+1:cp])
-        if len(args) == 2 and FLOAT_AGG.search(args[0]) \
+        if len(args) in (1, 2) and FLOAT_AGG.search(args[0]) \
                 and not INT_BACKED.fullmatch(args[0].strip()):
             return True
     return False
@@ -613,7 +724,48 @@ def selftest():
     m5 = con.execute(w5).fetchone()[0]
     assert m5 is not None and m5 <= JITTER, f'planted boundary not detected: {m5}'
 
-    print('tools_margin selftest: 6/6 structural cases OK')
+    # 6. (r15) a WHERE-round membership flip must fire even when the
+    #    declared output is EMPTY — the injected row IS the failure mode
+    #    the probe exists for, and the old riding placement aggregated
+    #    zero rows and returned NULL (r14 advisor finding)
+    con.execute("CREATE TABLE et AS SELECT 1 AS k, 1.005::DOUBLE AS x")
+    sql6 = "SELECT k FROM et WHERE round(x, 2) > 1.0 ORDER BY k"
+    w6, n6, _, _ = audit_one(sql6)
+    assert con.execute(sql6).fetchall() == [], 'case-6 fixture must be empty'
+    m6 = con.execute(w6).fetchone()[0]
+    assert m6 is not None and m6 <= JITTER, f'empty-output membership flip lost: {m6}'
+
+    # 7. (r15) single-arg round(x) audits as d=0, and an integer CAST
+    #    counts as zero canonicalization (integers carry no -0.0): the
+    #    cents pattern CAST(round(v*100) AS BIGINT) over negative-capable
+    #    v must audit clean, while a bare round(v*100) must stay exposed
+    sql7 = "SELECT k, CAST(round(x * 100) AS BIGINT) AS cents FROM t ORDER BY k"
+    w7, n7, canon7, r7 = audit_one(sql7)
+    assert w7 is not None and n7 == 1 and canon7 == [True], (n7, canon7, r7)
+    row7 = con.execute(w7).fetchone()
+    assert row7[1] >= 1, f'd=0 negative probe did not fire: {row7}'
+    w7b, n7b, canon7b, _ = audit_one("SELECT k, round(x * 100) AS c FROM t ORDER BY k")
+    assert n7b == 1 and canon7b == [False], (n7b, canon7b)
+
+    # 8. (r15) a CTE body carrying its own WITH chain splices into the
+    #    outer prefix and audits (previously a hard skip class)
+    sql8 = ("WITH a AS (SELECT k, x FROM t), "
+            "b AS (WITH i AS (SELECT k, x * 2 AS y FROM a) "
+            "SELECT k, round(y, 2) + 0.0 AS r FROM i) "
+            "SELECT k, r FROM b ORDER BY k")
+    units8, skips8 = cte_audit_units('q_t8', sql8)
+    assert len(units8) == 1 and not skips8, (units8, skips8)
+    w8, n8, canon8, r8 = audit_one(units8[0][1])
+    assert w8 is not None and n8 == 1 and canon8 == [True], (n8, canon8, r8)
+    con.execute(w8).fetchone()  # must parse and run
+
+    # 9. (r15) a column merely ALIASED `round` is not a round call: the
+    #    pre-filter must not drag a round-free oracle into the audit
+    #    (q_kcore read as an unauditable skip for two rounds)
+    assert not HAS_ROUND.search("SELECT CAST(0 AS BIGINT) AS round FROM t ORDER BY round")
+    assert HAS_ROUND.search("SELECT round (x, 2) FROM t")
+
+    print('tools_margin selftest: 10/10 structural cases OK')
 
 
 def main():
@@ -629,7 +781,7 @@ def main():
     oracles = json.load(open(f'{vdir}/oracle_sql.json'))
     failures, zero_failures, skipped, audited = [], [], [], 0
     for name, sql in sorted(oracles.items()):
-        if 'round' not in sql.lower():
+        if not HAS_ROUND.search(sql):
             continue
         # r14: audit EVERY round in the oracle — the final select (as
         # always) plus one unit per round-bearing CTE body (promoted to a
