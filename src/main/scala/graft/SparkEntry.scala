@@ -175,6 +175,7 @@ object SparkEntry {
     "q_ann_append" -> ((s: SparkSession, d: String) => VectorOps.annAppend(s, d)),
     "q_ann_compact" -> ((s: SparkSession, d: String) => VectorOps.annCompact(s, d)),
     "q_ann_retrain" -> (VectorOps.annRetrainEval _),
+    "q_ann_lifecycle" -> (VectorOps.annLifecycle(_, _)),
     "q_partition_prune" -> (SourceOps.partitionPrune _),
     "q_schema_merge" -> (SourceOps.schemaMerge _),
     "q_binary_files" -> (SourceOps.binaryFiles _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_stream_attrib_outer" -> (graft.streaming.StreamOps.streamAttribOuter _),
     "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
     "q_stream_running" -> (graft.streaming.StreamOps.streamRunning _),
+    "q_stream_cov" -> (graft.streaming.StreamOps.streamCov _),
     "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
     "q_stream_update" -> (graft.streaming.StreamOps.streamUpdate _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
@@ -1164,13 +1166,16 @@ object SparkEntry {
         |  FROM customer)
         |WHERE rn <= 3
         |ORDER BY seg, c_acctbal DESC, c_custkey""".stripMargin,
-    // the WHILE sweep flattened: the same thresholds from a range lateral
+    // the WHILE sweep flattened: the same thresholds from a range lateral.
+    // The revenue round sits OUTSIDE the scalar subquery (values identical:
+    // round of the subquery's single value) so the margin audit can see it
+    // — a round inside a nested subquery is structurally unauditable (r15).
     "q_sql_script" ->
       s"""SELECT CAST(k * ${Sql4Ops.ScriptStep} AS BIGINT) AS threshold,
          |  (SELECT count(*) FROM orders
          |   WHERE o_totalprice > k * ${Sql4Ops.ScriptStep}) AS n_orders,
-         |  (SELECT round(coalesce(sum(o_totalprice), 0.0), 4) FROM orders
-         |   WHERE o_totalprice > k * ${Sql4Ops.ScriptStep}) AS revenue
+         |  round((SELECT coalesce(sum(o_totalprice), 0.0) FROM orders
+         |   WHERE o_totalprice > k * ${Sql4Ops.ScriptStep}), 4) AS revenue
          |FROM range(1, ${Sql4Ops.ScriptSteps} + 1) t(k)
          |ORDER BY threshold""".stripMargin,
     // the IDENTIFIER + named-parameter bindings inlined by hand
@@ -1532,7 +1537,7 @@ object SparkEntry {
         |     JOIN edges e2 ON e1.v = e2.u
         |     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
         |  (SELECT max(deg) FROM deg) AS max_degree,
-        |  (SELECT round(avg(deg), 4) FROM deg) AS avg_degree""".stripMargin,
+        |  round((SELECT avg(deg) FROM deg), 4) AS avg_degree""".stripMargin,
     // PageRank as a recursive CTE: iter counts rounds; the aggregate step
     // GROUPs BY (destination, iter) so each recursion level advances every
     // node one iteration in lockstep. No dangling mass (undirected graph).
@@ -1796,21 +1801,25 @@ object SparkEntry {
          |  min(CASE WHEN pr >= 0.5 THEN n_tokens END) AS threshold_tokens
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // brute-force cross join + filter IS the oracle; the Spark side must
-    // reproduce it exactly through cell blocking (incl. antimeridian wrap)
+    // reproduce it exactly through cell blocking (incl. antimeridian wrap).
+    // The haversine round lives in its own CTE (not a derived table) so the
+    // margin audit promotes it to an audit unit (r15 — derived-table rounds
+    // were a skip class).
     "q_geo_join" ->
       """WITH c AS (SELECT c_custkey,
         |       -60.0 + (c_custkey * 97 % 12000) / 100.0 AS clat,
         |       -180.0 + (c_custkey * 131 % 36000) / 100.0 AS clon FROM customer),
         |s AS (SELECT s_suppkey,
         |       -60.0 + (s_suppkey * 97 % 12000) / 100.0 AS slat,
-        |       -180.0 + (s_suppkey * 131 % 36000) / 100.0 AS slon FROM supplier)
-        |SELECT * FROM (
+        |       -180.0 + (s_suppkey * 131 % 36000) / 100.0 AS slon FROM supplier),
+        |d AS (
         |  SELECT c_custkey, s_suppkey,
         |    round(2 * 6371.0088 * asin(sqrt(
         |      pow(sin(radians(slat - clat) / 2), 2) +
         |      cos(radians(clat)) * cos(radians(slat)) *
         |        pow(sin(radians(slon - clon) / 2), 2))), 4) AS dist_km
         |  FROM c CROSS JOIN s)
+        |SELECT c_custkey, s_suppkey, dist_km FROM d
         |WHERE dist_km <= 300.0 ORDER BY c_custkey, s_suppkey""".stripMargin,
     "q_geo_nearest" ->
       """WITH c AS (SELECT c_custkey,
@@ -1819,14 +1828,14 @@ object SparkEntry {
         |s AS (SELECT s_suppkey,
         |       -60.0 + (s_suppkey * 97 % 12000) / 100.0 AS slat,
         |       -180.0 + (s_suppkey * 131 % 36000) / 100.0 AS slon FROM supplier),
-        |p AS (SELECT * FROM (
+        |d AS (
         |  SELECT c_custkey, s_suppkey,
         |    round(2 * 6371.0088 * asin(sqrt(
         |      pow(sin(radians(slat - clat) / 2), 2) +
         |      cos(radians(clat)) * cos(radians(slat)) *
         |        pow(sin(radians(slon - clon) / 2), 2))), 4) AS dist_km
-        |  FROM c CROSS JOIN s)
-        | WHERE dist_km <= 300.0),
+        |  FROM c CROSS JOIN s),
+        |p AS (SELECT * FROM d WHERE dist_km <= 300.0),
         |r AS (SELECT *, row_number() OVER (
         |        PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rk FROM p)
         |SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rk = 1
@@ -1863,7 +1872,7 @@ object SparkEntry {
         |sc AS (SELECT pos, max(abs(x)) AS m FROM ex GROUP BY pos),
         |err AS (SELECT vec_id,
         |          CASE WHEN m = 0 THEN 0.0
-        |               ELSE x - round(x / m * 127) / 127 * m END AS e
+        |               ELSE x - (round(x / m * 127) + 0.0) / 127 * m END AS e
         |        FROM ex JOIN sc USING (pos))
         |SELECT vec_id, round(max(abs(e)), 4) AS max_abs_err,
         |  round(sqrt(avg(e * e)), 4) AS rmse
@@ -1884,6 +1893,11 @@ object SparkEntry {
     // the result is BIT-IDENTICAL to the full recompute over the union
     // (= the whole table): the oracle IS q_embed_cov's SQL, verbatim
     "q_cov_update" -> covFullRecomputeSql,
+    // q_stream_cov drains the SAME exact Long moments through a
+    // transformWithState keyed state store, micro-batch by micro-batch —
+    // Long addition is batching-independent, so the batch recompute is
+    // its exact oracle for ANY file slicing (same argument as above)
+    "q_stream_cov" -> covFullRecomputeSql,
     // q_cov_downdate SUBTRACTS the erased batch's Long triangle from the
     // standing full-corpus sums; exact Long arithmetic ⇒ bit-identical to
     // the full recompute over the REMAINING corpus (the same filter)

@@ -43,12 +43,18 @@ object SourceOps {
     "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_attrib_outer",
     "q_stream_dedup",
     "q_stream_window", "q_stream_running", "q_stream_asof", "q_stream_update",
+    // streamCov's construction stages the range-partitioned embedding
+    // files its micro-batch replay reads
+    "q_stream_cov",
     // annAppend's construction stages the standing encoded-corpus index
     // (and fits the frozen c80 quantizer + codebooks, disk-registered);
     // annDelete reads the SAME standing artifact (tombstone view);
     // annCompact additionally stages the compacted rewrite + its audit;
     // annRetrain's v1 arm goes through annAppend (same standing artifact)
     "q_ann_append", "q_ann_delete", "q_ann_compact", "q_ann_retrain",
+    // annLifecycle's chain stages the composed compacted index
+    // (ann_corpus_idx_lifecycle_<sf>) on top of the shared standing one
+    "q_ann_lifecycle",
     // pcaPower's construction stages the exact-cov matrix artifact
     // (cov_cells_<sf>) its power iteration reads; pcaProject and
     // pcaDeflate additionally stage the eigenpair artifact (pca_eig_<sf>);

@@ -167,9 +167,13 @@ object VectorOps {
       .select(col("vec_id"),
         explode(zip_with(col("v"), col("scale"),
           // a zero scale means the whole dimension is zero -> zero error
-          // (guards the 0/0 NaN, engine-dependent)
+          // (guards the 0/0 NaN, engine-dependent). The + 0.0 after the
+          // inner d=0 round is the registry-wide zero canonicalization
+          // (Spark already emits +0.0; DuckDB preserves −0.0) — value-
+          // neutral here since the subtraction kills the sign anyway,
+          // spelled so the margin audit sees one discipline everywhere.
           (x, s) => when(s === 0.0, lit(0.0))
-            .otherwise(x - round(x / s * 127) / 127 * s))).as("e"))
+            .otherwise(x - (round(x / s * 127) + 0.0) / 127 * s))).as("e"))
       .groupBy("vec_id")
       .agg(round(max(abs(col("e"))), 4).as("max_abs_err"),
         round(sqrt(avg(col("e") * col("e"))), 4).as("rmse"))
@@ -768,9 +772,14 @@ object VectorOps {
         s"compaction invoked below threshold: dead=$deadFrac < $CompactDeadFraction")
       live.write.parquet(s"$d/enc")
       import spark.implicits._
-      Seq((before, after, BigDecimal(deadFrac)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      // registry-standard rounding spelling (round(e, 4); same BigDecimal
+      // HALF_UP under the hood) so every emitted artifact number flows
+      // through the one rounding discipline the audit tools reason about;
+      // nonnegative by construction, so no zero canonicalization needed
+      Seq((before, after, deadFrac))
         .toDF("rows_before", "rows_after", "dead_fraction")
+        .select(col("rows_before"), col("rows_after"),
+          round(col("dead_fraction"), 4).as("dead_fraction"))
         .write.parquet(s"$d/audit")
     }
     val compacted = spark.read.parquet(s"$cmpDir/enc")
@@ -794,7 +803,12 @@ object VectorOps {
       sys: DataFrame, k: Int): DataFrame = {
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
     val gtr = gt.select(col("probe_id"), col("rk").as("gt_rk"), col("vec_id"))
-    val ranked = sys.select(col("probe_id"), col("rk").as("sys_rk"), col("vec_id"))
+    // bound the system side to its top-k: every current caller passes a
+    // top-3 table with k=3, but the helper's contract must hold for any
+    // (system, k) — a deeper ranking would otherwise count hits beyond
+    // rank k while k still set the denominator and the column name
+    val ranked = sys.filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk").as("sys_rk"), col("vec_id"))
     val nProbes = gtr.select(countDistinct("probe_id").as("np"))
     val hits = gtr.join(ranked, Seq("probe_id", "vec_id"))
       .agg(count(lit(1)).as("hits"))
@@ -836,6 +850,144 @@ object VectorOps {
     retrievalMetricsRow("pq_v1_frozen", gt, annAppend(spark, sf), k)
       .unionByName(retrievalMetricsRow("pq_v2_retrained", gt, annPq(spark, sf), k))
       .orderBy("system")
+  }
+
+  /** The composed lifecycle's artifact chain — built ONCE here (the
+    * [[standingIndex]] one-construction-site discipline, extended to the
+    * whole composition) so [[annLifecycle]] and the spec's probe-identity
+    * seam ([[annLifecycleProbes]]) can never diverge on what "the chain"
+    * means: standing corpus index → ingest the % 5 == 4 batch under the
+    * FROZEN c80 artifacts → tombstone % 7 == 3 as a view → threshold-gated
+    * compaction into the versioned `ann_corpus_idx_lifecycle_<sf>` artifact
+    * (pure-prefix keyed ⇒ auto re-derived by the stability gate). */
+  private case class LifecycleChain(standing: DataFrame, union: DataFrame,
+      liveView: DataFrame, compacted: DataFrame, liveCorpus: DataFrame,
+      probes: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
+      codebook: DataFrame)
+
+  private def lifecycleChain(spark: SparkSession, sf: String): LifecycleChain = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+      .persist()
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val km = coarseQuantizer(s"$sf-c80", 16, corpus)
+    val codebook = pqCodebookFrame(spark,
+      pqCodebooksFrom(s"$sf-c80", corpus.select("v")))
+    val standing = standingIndex(spark, sf, km, codebook, corpus)
+    val encBatch = pqEncodeFrom(
+      km.transform(batch).select(col("vec_id"), col("v"), col("cell")), codebook)
+    val union = standing.unionByName(encBatch)
+    val liveView = union.filter(col("vec_id") % 7 =!= 3)
+    val cmpDir = graft.ops.SourceOps.materialize(s"ann_corpus_idx_lifecycle_$sf") { d =>
+      // artifact-sized actions at construction time (the annCompact
+      // pattern): the rewrite is gated on the same dead-fraction threshold
+      val before = union.count()
+      val after = liveView.count()
+      val deadFrac = (before - after).toDouble / before
+      require(deadFrac >= CompactDeadFraction,
+        s"lifecycle compaction invoked below threshold: dead=$deadFrac < $CompactDeadFraction")
+      liveView.write.parquet(s"$d/enc")
+    }
+    val compacted = spark.read.parquet(s"$cmpDir/enc")
+    val liveCorpus = emb.filter(col("vec_id") % 7 =!= 3)
+    val probes = liveCorpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    LifecycleChain(standing, union, liveView, compacted, liveCorpus, probes,
+      km, codebook)
+  }
+
+  /** The composed chain's probe table over either the COMPACTED artifact
+    * or the pre-compaction TOMBSTONE VIEW — the spec's seam for the
+    * composition-identity contract: both read the same live set through
+    * the same frozen artifacts, so their results must be bit-identical
+    * (compaction may never change a single answer, composed edition). */
+  private[graft] def annLifecycleProbes(spark: SparkSession, sf: String,
+      useCompacted: Boolean, nprobe: Int = 2): DataFrame = {
+    val ch = lifecycleChain(spark, sf)
+    pqProbe(spark, ch.probes, if (useCompacted) ch.compacted else ch.liveView,
+      ch.liveCorpus.select(col("vec_id"), col("v")), ch.km, ch.codebook, nprobe)
+  }
+
+  /** LIFECYCLE COMPOSITION (r14 verdict #5) — ingest → expire → compact →
+    * retrain-gate as ONE declared query over one versioned artifact chain,
+    * emitting the four audit rows an operator's runbook reads: proof the
+    * four disciplines COMPOSE rather than only existing as isolated
+    * queries. Steps 1–3 are [[annAppend]]/[[annDelete]]/[[annCompact]]'s
+    * semantics threaded through each other (the union index is what gets
+    * tombstoned; the tombstoned union is what gets compacted — each
+    * standalone query exercises its discipline against the base corpus
+    * artifact instead); step 4 is [[annRetrainEval]]'s GO/NO-GO settled on
+    * the POST-maintenance live corpus: v1 = the frozen c80 artifacts
+    * probing the compacted index, v2 = artifacts RETRAINED on the current
+    * live corpus (versioned key `<sf>-lc2` — key-derivable corpus per the
+    * cache-honesty rule: the % 7 ≠ 3 live set), both against the exact
+    * scan, handover verdict = GO iff v2's published recall@k ≥ v1's.
+    * Every count and metric is a declarative aggregate (no driver
+    * actions); all model fits are fixed-seed registry artifacts. At
+    * 100 TB each step stays its own size: ingest batch-sized, expiry a
+    * view, compaction live-set-sized, retrain the one corpus-sized cost
+    * the gate exists to amortize. Declared no-oracle (ANN recall < 1 by
+    * construction; oracled exact twin `q_knn_join`); the composition
+    * identity and the audit arithmetic are spec'd in PcaHybridSpec. */
+  def annLifecycle(spark: SparkSession, sf: String, nprobe: Int = 2): DataFrame = {
+    val k = graft.ops.TextOps.EvalK
+    val ch = lifecycleChain(spark, sf)
+    // exact ground truth over the CURRENT live corpus (the knnJoin shape,
+    // restricted to post-maintenance reality)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val gt = ch.liveCorpus.select(col("vec_id"), col("v"))
+      .join(broadcast(ch.probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (round(cosine(col("v"), col("pv")), 4) + lit(0.0)).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("probe_id", "rk", "vec_id")
+    val v1 = pqProbe(spark, ch.probes, ch.compacted,
+      ch.liveCorpus.select(col("vec_id"), col("v")), ch.km, ch.codebook, nprobe)
+    val km2 = coarseQuantizer(s"$sf-lc2", 16, ch.liveCorpus)
+    val codebook2 = pqCodebookFrame(spark,
+      pqCodebooksFrom(s"$sf-lc2", ch.liveCorpus.select("v")))
+    val enc2 = pqEncodeFrom(
+      km2.transform(ch.liveCorpus).select(col("vec_id"), col("v"), col("cell")),
+      codebook2)
+    val v2 = pqProbe(spark, ch.probes, enc2,
+      ch.liveCorpus.select(col("vec_id"), col("v")), km2, codebook2, nprobe)
+    val r1 = retrievalMetricsRow("v1", gt, v1, k)
+      .select(col(s"recall_at_$k").as("r1"))
+    val r2 = retrievalMetricsRow("v2", gt, v2, k)
+      .select(col(s"recall_at_$k").as("r2"))
+    // the four audit rows, every number a declarative aggregate
+    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    def frac(a: Column, b: Column) = round(a.cast("double") / b.cast("double"), 4)
+    val ingest = cnt(ch.standing, "b").crossJoin(cnt(ch.union, "a"))
+      .select(lit(1L).as("step"), lit("ingest").as("stage"),
+        col("b").as("rows_before"), col("a").as("rows_after"),
+        frac(col("a") - col("b"), col("a")).as("metric"),
+        lit("APPLIED").as("verdict"))
+    val expire = cnt(ch.union, "b").crossJoin(cnt(ch.liveView, "a"))
+      .select(lit(2L).as("step"), lit("expire").as("stage"),
+        col("b").as("rows_before"), col("a").as("rows_after"),
+        frac(col("b") - col("a"), col("b")).as("metric"),
+        lit("APPLIED").as("verdict"))
+    val compact = cnt(ch.union, "b").crossJoin(cnt(ch.compacted, "a"))
+      .select(lit(3L).as("step"), lit("compact").as("stage"),
+        col("b").as("rows_before"), col("a").as("rows_after"),
+        frac(col("b") - col("a"), col("b")).as("metric"),
+        lit("APPLIED").as("verdict"))
+    val handover = cnt(ch.liveView, "b").crossJoin(cnt(ch.compacted, "a"))
+      .crossJoin(r1).crossJoin(r2)
+      .select(lit(4L).as("step"), lit("handover").as("stage"),
+        col("b").as("rows_before"), col("a").as("rows_after"),
+        // signed (v2 may lose recall) → zero-canonicalized like every
+        // negative-capable round in the registry
+        (round(col("r2") - col("r1"), 4) + lit(0.0)).as("metric"),
+        when(col("r2") >= col("r1"), lit("GO")).otherwise(lit("NO-GO"))
+          .as("verdict"))
+    ingest.unionByName(expire).unionByName(compact).unionByName(handover)
+      .orderBy("step")
   }
 
   /** Cosine threshold for [[semDedup]] — the same 0.45 that marks the
@@ -916,7 +1068,7 @@ object VectorOps {
     * driver failure — 4 cells across the two cov queries). Spelled on
     * BOTH sides so each engine's output is sign-normalized regardless of
     * its round semantics. */
-  private def covFromSums(c: Column): Column =
+  private[graft] def covFromSums(c: Column): Column =
     (round(covExactFromSums(c), 6) + lit(0.0)).as("cov")
 
   /** The UNROUNDED exact-arithmetic covariance from the quantized Long

@@ -65,6 +65,82 @@ class RunningTotalProcessor
   }
 }
 
+/** Input row for [[CovMomentProcessor]]: shard key + the embedding as
+  * doubles (float32 values widen exactly, the CovAccumAgg contract). */
+case class CovEvent(shard: Long, v: Array[Double])
+
+/** [[CovMomentProcessor]] state AND per-batch snapshot payload: micro-batch
+  * update counter, row count, Σ floor(x·2²⁴) lanes (d) and the packed
+  * upper-triangle Σ floor(xᵢxⱼ·2²⁴) (d(d+1)/2) — graft.functions.CovBuffer
+  * re-expressed as an encodable product so it can live in a `ValueState`
+  * row. All Long: exact, order-independent, mergeable. */
+case class CovMoments(upd: Long, n: Long, sx: Array[Long], sxy: Array[Long])
+
+/** One running-state snapshot per (shard, micro-batch) emitted by
+  * [[CovMomentProcessor]] — the reader keeps each shard's LAST snapshot
+  * (max upd), so the sink stays shard-sized while every intermediate
+  * state remains visible for the state-crosses-batches assertion. */
+case class CovSnap(shard: Long, upd: Long, n: Long, sx: Array[Long], sxy: Array[Long])
+
+/** `transformWithState` processor holding the STREAMING MOMENT STORE —
+  * the covariance buffer ([[graft.functions.CovAccumAgg]]'s exact
+  * quantized-Long triangle) as keyed RocksDB state, folded per micro-batch:
+  * the streaming twin of the batch store's incremental maintenance
+  * (`VectorOps.covUpdate` merges a batch by Long ADDITION; this processor
+  * does the same merge per micro-batch arrival). Because the sums are
+  * exact Longs, accumulation is associative/commutative — the drained
+  * result is BIT-identical to the one-pass batch aggregate for ANY file
+  * slicing into micro-batches, which is what makes the stream oracle-able
+  * against the batch q_embed_cov SQL. Per-key state is one (d + d(d+1)/2)
+  * Long array (~17 KB at d=64) regardless of stream length — the bounded-
+  * state property a 100 TB ingest pipeline needs from its moment store.
+  * `Math.addExact` on every lane: headroom overflow fails loudly, exactly
+  * like the batch aggregate (same ~140 TB bound at |x| ≲ 1). */
+class CovMomentProcessor(d: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CovEvent, CovSnap] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var st: ValueState[CovMoments] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CovMoments]("moments",
+      E.product[CovMoments], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[CovEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CovSnap] = {
+    val grid = graft.functions.CovFunctions.CovGridScale.toDouble
+    val prev = if (st.exists()) st.get()
+               else CovMoments(0L, 0L, new Array[Long](d), new Array[Long](d * (d + 1) / 2))
+    var n = prev.n
+    val sx = prev.sx.clone()
+    val sxy = prev.sxy.clone()
+    rows.foreach { r =>
+      require(r.v.length == d, s"cov stream: dimension ${r.v.length} != $d")
+      var i = 0
+      while (i < d) {
+        sx(i) = Math.addExact(sx(i), math.floor(r.v(i) * grid).toLong)
+        i += 1
+      }
+      var p = 0
+      i = 0
+      while (i < d) {
+        val xi = r.v(i)
+        var j = i
+        while (j < d) {
+          sxy(p) = Math.addExact(sxy(p), math.floor(xi * r.v(j) * grid).toLong)
+          p += 1; j += 1
+        }
+        i += 1
+      }
+      n += 1L
+    }
+    val next = CovMoments(prev.upd + 1L, n, sx, sxy)
+    st.update(next)
+    Iterator.single(CovSnap(key, next.upd, next.n, next.sx, next.sxy))
+  }
+}
+
 /** Input row for the TTL / timer processor tier: a timestamped per-user
   * event (the watermark column stays a real TIMESTAMP so `withWatermark`
   * applies directly). */
@@ -824,6 +900,107 @@ object StreamOps {
       .orderBy("user_id")
       .localCheckpoint() // eager — the run dir (sink + checkpoint) is deleted on exit
     }
+  }
+
+  /** State shards for [[streamCov]] — small and fixed so every shard's
+    * moment row is updated by (nearly) every micro-batch, making the
+    * state-crosses-batches property structural rather than lucky. */
+  val CovShards = 4L
+
+  /** Drained snapshot stream of the STREAMING MOMENT STORE (see
+    * [[CovMomentProcessor]]): embeddings staged as 6 range-partitioned
+    * files, `maxFilesPerTrigger=2` (≥ 3 micro-batches; vec_id % shard
+    * mixes every shard into every file, so each shard's state provably
+    * crosses batches), RocksDB state store provider, append parquet sink,
+    * `AvailableNow` — the [[streamRunning]] drain discipline verbatim.
+    * Returns the per-(shard, batch) snapshots eagerly checkpointed (the
+    * run dir dies on exit); [[streamCov]] compacts them to the declared
+    * covariance and StreamingSpec reads the upd counters for the
+    * crosses-batches assertion. */
+  private[graft] def streamCovSnaps(spark: org.apache.spark.sql.SparkSession,
+      sf: String): DataFrame = {
+    val inDir = graft.ops.SourceOps.materialize(s"stream_cov_in_$sf") { d =>
+      graft.sources.Tables.load(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .repartitionByRange(6, col("vec_id")).write.parquet(s"$d/in")
+      val parts = new java.io.File(s"$d/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    withRunDir("stream_cov_run_") { run =>
+      val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$inDir/in")
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import spark.implicits._
+        val q = stream
+          .select((col("vec_id") % CovShards).as("shard"),
+            graft.ops.VectorOps.asDouble(col("embedding")).as("v"))
+          .as[CovEvent]
+          .groupByKey(_.shard)
+          .transformWithState(new CovMomentProcessor(graft.ops.VectorOps.Dim),
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+          .writeStream.format("parquet")
+          .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProvider.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      }
+      spark.read.parquet(s"$run/out").localCheckpoint()
+    }
+  }
+
+  /** Declared query for the streaming moment store — the marriage of the
+    * repo's two standing-store disciplines (r14 verdict #2): the
+    * `transformWithState` tier ([[RunningTotalProcessor]]'s drain) carrying
+    * the EXACT mergeable covariance moments (`VectorOps.covUpdate`'s Long
+    * triangle) as keyed RocksDB state. The drained per-shard final states
+    * merge by Long addition (associative — batching- and shard-count-
+    * independent), the packed triangle unpacks positionally, and the final
+    * covariance arithmetic is the shared `covFromSums` spelling — so the
+    * oracle is the batch q_embed_cov SQL VERBATIM, exact for any file
+    * slicing. This is the 100 TB ingest shape: the moment store absorbs
+    * each micro-batch with bounded per-key state (~17 KB), no history
+    * rescan ever, and every covariance consumer reads the same numbers the
+    * batch pipeline would have produced — bit-for-bit (spec'd). Plan: the
+    * drain (shard-sized state), then a 2080-row merge — shuffle volume is
+    * snapshots + triangle rows, corpus-independent after the stream. */
+  def streamCov(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val d = graft.ops.VectorOps.Dim.toLong
+    val snaps = streamCovSnaps(spark, sf)
+    val finals = snaps.groupBy("shard")
+      .agg(max_by(struct(col("n"), col("sx"), col("sxy")), col("upd")).as("f"))
+      .select(col("f.n").as("n"), col("f.sx").as("sx"), col("f.sxy").as("sxy"))
+    val nTot = finals.agg(sum("n").as("n"))
+    val sxTot = finals.select(posexplode(col("sx")).as(Seq("i", "sxv")))
+      .groupBy(col("i").cast("long").as("i")).agg(sum("sxv").as("sxv"))
+    val sxyTot = finals.select(posexplode(col("sxy")).as(Seq("p", "sxyv")))
+      .groupBy(col("p").cast("long").as("p")).agg(sum("sxyv").as("sxy"))
+    // p → (i, j) unpack of the packed upper triangle (row-major from the
+    // diagonal): p = i·d − i(i−1)/2 + (j − i); i(i−1) is even, so the
+    // Long division is exact
+    val pairs = spark.range(d).select(col("id").as("i"))
+      .crossJoin(spark.range(d).select(col("id").as("j")))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        (col("i") * d - col("i") * (col("i") - 1L) / 2L + col("j") - col("i")).as("p"))
+    pairs.join(sxyTot, "p")
+      .join(broadcast(sxTot.select(col("i"), col("sxv").as("sx"))), "i")
+      .join(broadcast(sxTot.select(col("i").as("j"), col("sxv").as("sy"))), "j")
+      .crossJoin(broadcast(nTot))
+      .select(col("i"), col("j"),
+        graft.ops.VectorOps.covFromSums(struct(col("sxy"), col("sx"), col("sy"), col("n"))))
+      .orderBy("i", "j")
   }
 
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per

@@ -285,6 +285,45 @@ class PcaHybridSpec extends SparkSpec {
     assert(again == compacted)
   }
 
+  // ---- round 15: the composed lifecycle chain -----------------------------
+
+  test("annLifecycle: the composed chain's compacted probes are BIT-IDENTICAL to its tombstone view; audit rows reconcile; deterministic") {
+    // composition-identity contract (r14 verdict #5): within the ONE
+    // composed artifact chain (standing ∪ appended batch, tombstoned,
+    // compacted), probing the compacted artifact must equal probing the
+    // pre-compaction tombstone view bit-for-bit — same live set, same
+    // frozen artifacts, so compaction may never change a single answer
+    val viaCompacted = VectorOps.annLifecycleProbes(spark, sf0001, useCompacted = true)
+      .collect().map(_.toSeq).toSeq
+    val viaView = VectorOps.annLifecycleProbes(spark, sf0001, useCompacted = false)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCompacted.nonEmpty)
+    assert(viaCompacted == viaView,
+      "composed-chain compaction changed a probe answer")
+    // the four audit rows reconcile with each other and the chain's sizes:
+    // ingest grows the index, expire/compact clear the same dead fraction,
+    // the compacted artifact holds exactly the live rows, and the verdict
+    // string agrees with the sign of the published recall delta
+    val rows = VectorOps.annLifecycle(spark, sf0001).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("ingest", "expire", "compact", "handover"))
+    val Seq(ing, exp, cmp, hnd) = rows.toSeq
+    assert(ing.getLong(2) < ing.getLong(3), "ingest did not grow the index")
+    assert(exp.getLong(2) == ing.getLong(3), "expire reads what ingest wrote")
+    assert(exp.getLong(3) < exp.getLong(2), "expire tombstoned nothing")
+    assert(cmp.getLong(2) == exp.getLong(2) && cmp.getLong(3) == exp.getLong(3),
+      "compaction changed the live count")
+    assert(cmp.getDouble(4) >= VectorOps.CompactDeadFraction,
+      s"composed compaction ran below threshold: ${cmp.getDouble(4)}")
+    assert(hnd.getLong(2) == hnd.getLong(3) && hnd.getLong(3) == cmp.getLong(3))
+    val delta = hnd.getDouble(4)
+    assert(if (delta >= 0) hnd.getString(5) == "GO" else hnd.getString(5) == "NO-GO",
+      s"handover verdict ${hnd.getString(5)} disagrees with recall delta $delta")
+    // deterministic across reruns (frozen + memoized artifacts, seeded fits)
+    val again = VectorOps.annLifecycle(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
   test("whiten: equals the test-side quantized projection / sqrt(lambda) over the published eigenpairs, bit-deterministically") {
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
     val pc1 = VectorOps.eigArtifact(spark, sf0001).collect()

@@ -732,6 +732,34 @@ class StreamingSpec extends SparkSpec {
     assert(nUsersMultiEvent > 0, "fixture has no multi-event user; spec is vacuous")
   }
 
+  test("streamCov: the drained moment store equals the batch covariance bit-for-bit, state crosses batches") {
+    // THE contract: exact Long moments merge associatively, so the
+    // transformWithState drain over ANY micro-batch slicing must equal the
+    // one-pass batch aggregate not just approximately but BIT-identically
+    val got = graft.streaming.StreamOps.streamCov(spark, sf0001).collect().toSeq
+    val want = graft.ops.VectorOps.embedCov(spark, sf0001).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want, "streamed covariance diverged from the batch aggregate")
+    // multi-batch reality: every shard's upd counter is its number of
+    // micro-batches touched; 6 staged files at maxFilesPerTrigger=2 and
+    // vec_id % 4 sharding must put at least one shard in ≥ 2 batches —
+    // otherwise the drain never exercised cross-batch state and the
+    // bit-equality above is vacuous
+    val snaps = graft.streaming.StreamOps.streamCovSnaps(spark, sf0001)
+    val maxUpd = snaps.groupBy("shard").agg(max("upd").as("u"))
+      .agg(max("u")).collect()(0).getLong(0)
+    assert(maxUpd >= 2L, s"no shard's state crossed a micro-batch (max upd = $maxUpd)")
+    // and the snapshots are genuinely RUNNING states: per shard, n must be
+    // strictly increasing in upd (each batch folds IN, never resets)
+    val perShard = snaps.select("shard", "upd", "n").collect()
+      .groupBy(_.getLong(0)).values
+    perShard.foreach { rows =>
+      val ordered = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a < b },
+        s"a shard's running count did not strictly grow across batches: ${ordered.mkString(",")}")
+    }
+  }
+
   test("streamAsof: the foreachBatch as-of drain equals the batch as-of join") {
     // batching-independence is the claim: each event's answer depends only
     // on the static orders side, so HOWEVER the file source slices batches,

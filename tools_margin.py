@@ -109,6 +109,7 @@ EXACT_BACKED = {
     'q_pca_project': 'the projection dot sums floor-quantized 2^24-grid Longs (the cov discipline); the eigenvector it consumes is itself exact-backed',
     'q_cov_update': 'same exact quantized-Long sums as q_embed_cov: the standing triangle and the batch triangle are both CovAccumAgg Longs, and the merge is Long addition - the pre-round double is bit-identical to the full recompute',
     'q_cov_downdate': 'the downdate subtracts exact CovAccumAgg Longs from exact Longs - bit-identical to the full recompute over the remaining corpus (same argument as q_cov_update, negated)',
+    'q_stream_cov': 'the transformWithState moment store folds the same floor-quantized 2^24-grid Longs per micro-batch; Long addition is batching-independent, so the drained pre-round double is bit-identical to q_embed_cov (same fixture knife-edge cells, same exactness argument)',
     'q_graph_metrics': 'avg_degree averages integer degree counts: integer-valued double sums are exact in IEEE below 2^53 in ANY order (the q_quality_score argument); the r15 oracle hoist round((SELECT avg(deg)...), 4) made this round visible to the audit',
 }
 
