@@ -160,6 +160,7 @@ object SparkEntry {
     "q_pca_power" -> (VectorOps.pcaPower _),
     "q_pca_project" -> (VectorOps.pcaProject _),
     "q_pca_deflate" -> (VectorOps.pcaDeflate _),
+    "q_pca_k3" -> (VectorOps.pcaK3 _),
     "q_whiten" -> (VectorOps.whiten _),
     "q_whiten_outliers" -> (VectorOps.whitenOutliers _),
     "q_cov_update" -> (VectorOps.covUpdate _),
@@ -3069,6 +3070,7 @@ object SparkEntry {
     "q_pca_power" -> pcaPowerSql,
     "q_pca_project" -> pcaProjectSql,
     "q_pca_deflate" -> pcaDeflateSql,
+    "q_pca_k3" -> pcaK3Sql,
     "q_whiten" -> whitenSql,
     "q_whiten_outliers" -> whitenOutliersSql,
     "q_kcore" -> kcoreSql,
@@ -3356,6 +3358,53 @@ object SparkEntry {
        |w0 AS (SELECT DISTINCT i AS j,
        |  CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v FROM a2),
        |$rounds""".stripMargin
+  }
+
+  /** The SECOND deflation + third-iteration CTE chain (rung 3 of the
+    * eigen-ladder, r15): publish the rounded rung-2 eigenpair out of the
+    * shared [[deflateCtes]] tail (z<K>/n<K>), deflate A′ by it with the
+    * identical Hotelling expression, and unroll the same quantized rounds
+    * from the e₁ start ([[graft.ops.VectorOps.rungStart]] for k = 3).
+    * Ends at t<K>/o<K>. */
+  private def deflate2Ctes: String = {
+    val k = VectorOps.PcaRounds
+    val rounds = (1 to k).map { r =>
+      val pv = s"u${r - 1}"
+      s"""t$r AS MATERIALIZED (SELECT f.i,
+         |    CAST(sum(CAST(floor(f.cov * $pv.v * $covGrid.0) AS BIGINT)) AS DOUBLE)
+         |      / $covGrid.0 AS y
+         |  FROM a3 f JOIN $pv ON $pv.j = f.j GROUP BY f.i),
+         |o$r AS MATERIALIZED (SELECT max(abs(y)) AS m FROM t$r),
+         |u$r AS MATERIALIZED (SELECT t$r.i AS j, t$r.y / o$r.m AS v FROM t$r, o$r)""".stripMargin
+    }.mkString(",\n")
+    s"""pc2 AS MATERIALIZED (SELECT z$k.i, round(z$k.y / n$k.m, 6) + 0.0 AS comp2,
+       |  round(n$k.m, 6) AS lambda2 FROM z$k, n$k),
+       |sq2 AS MATERIALIZED (SELECT
+       |    CAST(sum(CAST(floor(comp2 * comp2 * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |      / $covGrid.0 AS s,
+       |    max(lambda2) AS l
+       |  FROM pc2),
+       |a3 AS MATERIALIZED (SELECT f.i, f.j,
+       |    f.cov - sq2.l * pa.comp2 * pb.comp2 / sq2.s AS cov
+       |  FROM a2 f JOIN pc2 pa ON pa.i = f.i JOIN pc2 pb ON pb.i = f.j, sq2),
+       |u0 AS (SELECT DISTINCT i AS j,
+       |  CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v FROM a3),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.VectorOps.pcaK3]]: both prior eigenpairs
+    * come out of the shared chains as ROUNDED published values (exactly
+    * what the Spark side reads from its staged artifacts), each deflation
+    * is the identical IEEE expression over them, and the third iteration
+    * unrolls the same quantized rounds. */
+  private def pcaK3Sql: String = {
+    val k = VectorOps.PcaRounds
+    s"""$pcaCtes,
+       |$deflateCtes,
+       |$deflate2Ctes
+       |SELECT t$k.i, round(t$k.y / o$k.m, 6) + 0.0 AS comp3,
+       |  round(o$k.m, 6) AS lambda3
+       |FROM t$k, o$k ORDER BY t$k.i""".stripMargin
   }
 
   /** DuckDB twin of [[graft.ops.VectorOps.whiten]]: both published rounded

@@ -62,6 +62,9 @@ object SourceOps {
     // (pca_eig2_<sf>) on top
     "q_pca_power", "q_pca_project", "q_pca_deflate", "q_whiten",
     "q_whiten_outliers",
+    // pcaK3 stages the third eigenpair (pca_eig3_<sf>) via the ladder
+    // recipe, on top of the first two rungs' artifacts
+    "q_pca_k3",
     // covUpdate's construction stages the standing corpus-triangle raw
     // Long sums (cov_sums_<sf>) the incremental merge reads; covDowndate
     // stages the full-corpus triangle (cov_sums_full_<sf>) it subtracts from
@@ -112,7 +115,9 @@ object SourceOps {
     * they are inputs the queries read, not derived registry state, and
     * several are non-parquet. */
   private[graft] val pureArtifactPrefixes: Seq[String] = Seq(
-    "cov_cells_", "cov_sums_", "pca_eig_", "pca_eig2_",
+    // "pca_eig" (no trailing underscore) covers every ladder rung:
+    // pca_eig_<sf>, pca_eig2_<sf>, pca_eig3_<sf>, ... (r15 k-rung recipe)
+    "cov_cells_", "cov_sums_", "pca_eig",
     "ann_corpus_idx_", "lpa_labels_", "graph_edges_")
 
   /** key → (standing dir, recorded writer) for every staged artifact the

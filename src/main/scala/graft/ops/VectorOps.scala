@@ -1312,25 +1312,88 @@ object VectorOps {
         (col("cov") - col("l") * col("ui") * col("uj") / col("s")).as("cov"))
   }
 
-  /** SECOND principal component — [[pcaPower]] re-run on the deflated
-    * matrix (the eigen-ladder extends: top-k PCA is k of these passes,
-    * each one matrix-sized). Start vector is the e₀ indicator, not
-    * all-ones: all-ones lies in (or near) the deflated matrix's null
-    * space (it IS the top eigenvector direction in symmetric fixtures).
-    * Same determinism story end to end: the deflated cells are exact
-    * expressions over published values, the iteration is quantized, the
-    * DuckDB oracle unrolls the identical rounds over the identical
-    * deflation CTE. */
-  def pcaDeflate(spark: SparkSession, sf: String): DataFrame = {
-    val a2 = deflateCells(covCellsFull(spark, sf), eigArtifact(spark, sf))
-    powerIterate(a2, PcaRounds,
-        when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)))
-      .select(col("i"), col("comp").as("comp2"), col("lambda").as("lambda2"))
-      .orderBy("i")
+  /** Start vector for eigen-ladder rung k (r15 — the ONE recipe the whole
+    * ladder runs on; pcaDeflate previously hardcoded rung 2): all-ones for
+    * the top eigenpair, the e₍ₖ₋₂₎ indicator for every deflated rung (rung
+    * 2 keeps its original e₀ start — the values of every published
+    * artifact are unchanged by this refactor). A fixed basis start CAN lie
+    * in (or near) a deflated matrix's null space for adversarial spectra —
+    * [[powerIterate]]'s zero-∞-norm guard fails loudly there, and the
+    * planted-fixture spec chooses eigenvectors with provably nonzero
+    * start components (documented in PcaHybridSpec). */
+  private[graft] def rungStart(k: Int): Column =
+    if (k == 1) lit(1.0)
+    else when(col("i") === lit((k - 2).toLong), lit(1.0)).otherwise(lit(0.0))
+
+  /** Hotelling-deflate `cells` by each published eigenpair in order —
+    * rung k's input matrix is `deflateChain(A, rungs 1..k-1)`. */
+  private[graft] def deflateChain(cells: DataFrame, eigs: Seq[DataFrame]): DataFrame =
+    eigs.foldLeft(cells)(deflateCells)
+
+  /** The k'th-rung eigenpair (i, comp, lambda) over an explicit matrix and
+    * explicit prior rungs — the sf-free seam the planted-fixture spec
+    * drives directly. Every rung is the same expression: deflate by the
+    * priors' PUBLISHED (rounded) values, iterate [[PcaRounds]] quantized
+    * rounds from [[rungStart]]. */
+  private[graft] def eigRungFrom(cells: DataFrame, k: Int,
+      prior: Seq[DataFrame]): DataFrame = {
+    require(prior.length == k - 1,
+      s"rung $k needs ${k - 1} prior eigenpairs, got ${prior.length}")
+    powerIterate(deflateChain(cells, prior), PcaRounds, rungStart(k))
+      .select(col("i"), col("comp"), col("lambda"))
   }
 
+  /** The k'th STAGED eigenpair artifact of the corpus ladder, normalized
+    * to (i, comp, lambda) — rung 1 is [[eigArtifact]], rung 2 the
+    * pre-existing `pca_eig2_` artifact (its on-disk comp2/lambda2 column
+    * names kept for its direct consumers), rung k ≥ 3 stages under
+    * `pca_eig<k>_<sf>` (the `pca_eig` pure prefix ⇒ every rung's
+    * construction is auto re-derived by the stability gate). Each rung
+    * deflates by the PUBLISHED prior artifacts, so downstream consumers
+    * and the DuckDB oracles read identical numbers. */
+  private[graft] def eigPair(spark: SparkSession, sf: String, k: Int): DataFrame = {
+    require(k >= 1, s"eigen-ladder rung must be >= 1, got $k")
+    if (k == 1) eigArtifact(spark, sf)
+    else if (k == 2) eig2Artifact(spark, sf).select(col("i"),
+      col("comp2").as("comp"), col("lambda2").as("lambda"))
+    else {
+      val dir = graft.ops.SourceOps.materialize(s"pca_eig${k}_$sf") { d =>
+        eigRungFrom(covCellsFull(spark, sf), k,
+          (1 until k).map(eigPair(spark, sf, _)))
+          .write.parquet(s"$d/pc")
+      }
+      spark.read.parquet(s"$dir/pc")
+    }
+  }
+
+  /** SECOND principal component — rung 2 of the one ladder recipe
+    * ([[eigRungFrom]]; r15 generalized what previously hardcoded this
+    * rung). Start vector is the e₀ indicator, not all-ones: all-ones lies
+    * in (or near) the deflated matrix's null space (it IS the top
+    * eigenvector direction in symmetric fixtures). Same determinism story
+    * end to end: the deflated cells are exact expressions over published
+    * values, the iteration is quantized, the DuckDB oracle unrolls the
+    * identical rounds over the identical deflation CTE. */
+  def pcaDeflate(spark: SparkSession, sf: String): DataFrame =
+    eigRungFrom(covCellsFull(spark, sf), 2, Seq(eigArtifact(spark, sf)))
+      .select(col("i"), col("comp").as("comp2"), col("lambda").as("lambda2"))
+      .orderBy("i")
+
+  /** THIRD principal component — rung 3 of the ladder, proving the recipe
+    * generalizes (r14 verdict #3): two deflations by the published rung-1
+    * and rung-2 artifacts, then the same quantized iteration from the e₁
+    * start. Each additional rung is one matrix-sized pass (the d×d cells)
+    * plus one more unrolled MATERIALIZED CTE chain in the oracle — the
+    * corpus is never rescanned, so at 100 TB the whole ladder costs one
+    * covariance pass plus k artifact-sized iterations. Reads the STAGED
+    * rung-3 artifact ([[eigPair]]), so repeat consumers pay nothing. */
+  def pcaK3(spark: SparkSession, sf: String): DataFrame =
+    eigPair(spark, sf, 3)
+      .select(col("i"), col("comp").as("comp3"), col("lambda").as("lambda3"))
+      .orderBy("i")
+
   /** The staged SECOND-eigenpair artifact (i, comp2, lambda2) — the
-    * [[eigArtifact]] discipline applied to [[pcaDeflate]]'s output, so the
+    * [[eigArtifact]] discipline applied to rung 2's output, so the
     * whitening consumer reads both published eigenpairs instead of
     * re-running the deflated iteration per query. */
   private[graft] def eig2Artifact(spark: SparkSession, sf: String): DataFrame = {

@@ -285,6 +285,74 @@ class PcaHybridSpec extends SparkSpec {
     assert(again == compacted)
   }
 
+  // ---- round 15: the k-rung eigen ladder -----------------------------------
+
+  test("eigen ladder: a planted 3x3 fixture pins all three HAND-computed eigenpairs through the one rung recipe") {
+    // Spectral construction BY HAND (the pin's source of truth — none of
+    // these numbers came from running the code): with orthogonal
+    // u1 = (1,1,1), u2 = (1,−1,0), u3 = (1,1,−2) and λ = (8, 4, 1),
+    //   A = Σ λk·uk ukᵀ/(ukᵀuk)
+    //     = (8/3)·u1u1ᵀ + 2·u2u2ᵀ + (1/6)·u3u3ᵀ
+    //     = [[29/6, 5/6, 7/3], [5/6, 29/6, 7/3], [7/3, 7/3, 10/3]]
+    // (trace check: 29/6 + 29/6 + 20/6 = 13 = 8 + 4 + 1). The ladder's
+    // ∞-norm-normalized eigenvectors and eigenvalue estimates are then
+    //   rung 1: (1, 1, 1),      λ ≈ 8   (all-ones start IS u1 — exact)
+    //   rung 2: (1, −1, 0),     λ ≈ 4   (e0 start: u2·e0 = 1 ≠ 0)
+    //   rung 3: (0.5, 0.5, −1), λ ≈ 1   (e1 start: u3·e1 = 1 ≠ 0)
+    // Tolerances are the hand-derived contamination bounds: rung 1 sees
+    // only 2⁻²⁴ grid truncation (< 2e-7/term); rung 2 adds the
+    // (λ3/λ2)^8 = 4⁻⁸ ≈ 1.5e-5 unconverged-tail mix; rung 3 inherits the
+    // rung-2 error through the deflation (×λ2 scale) plus the round-6
+    // publishing of both priors → O(1e-4). Pins at 1e-4 / 1e-3 / 2e-3.
+    import spark.implicits._
+    val tri = Seq(
+      (0L, 0L, 29.0 / 6), (0L, 1L, 5.0 / 6), (0L, 2L, 7.0 / 3),
+      (1L, 1L, 29.0 / 6), (1L, 2L, 7.0 / 3), (2L, 2L, 10.0 / 3))
+      .toDF("i", "j", "cov")
+    val full = tri.union(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    val rung1 = VectorOps.eigRungFrom(full, 1, Nil)
+    val rung2 = VectorOps.eigRungFrom(full, 2, Seq(rung1))
+    val rung3 = VectorOps.eigRungFrom(full, 3, Seq(rung1, rung2))
+    def pin(df: org.apache.spark.sql.DataFrame, comp: Seq[Double],
+            lam: Double, tol: Double, rung: String): Unit = {
+      val rows = df.orderBy("i").collect()
+      assert(rows.length == 3, s"$rung: expected 3 dims")
+      rows.zip(comp).foreach { case (r, want) =>
+        assert(math.abs(r.getDouble(1) - want) < tol,
+          s"$rung comp(${r.getLong(0)}) = ${r.getDouble(1)}, hand-computed $want ± $tol")
+      }
+      assert(math.abs(rows.head.getDouble(2) - lam) < tol,
+        s"$rung lambda = ${rows.head.getDouble(2)}, hand-computed $lam ± $tol")
+    }
+    pin(rung1, Seq(1.0, 1.0, 1.0), 8.0, 1e-4, "rung1")
+    pin(rung2, Seq(1.0, -1.0, 0.0), 4.0, 1e-3, "rung2")
+    pin(rung3, Seq(0.5, 0.5, -1.0), 1.0, 2e-3, "rung3")
+  }
+
+  test("pcaK3: the staged rung-3 artifact is deterministic and orthogonal-ish to the published priors") {
+    val k3 = VectorOps.pcaK3(spark, sf0001).collect()
+    assert(k3.length == 64)
+    val l3 = k3.head.getDouble(2)
+    val l2 = VectorOps.eig2Artifact(spark, sf0001).collect().head.getDouble(2)
+    assert(l3 > 0 && l3 <= l2, s"ladder order violated: lambda3=$l3 > lambda2=$l2")
+    // deflation sanity: the rung-3 vector's dot with each published prior
+    // is small relative to its own norm (not exactly 0 — priors are
+    // round-6 published values and the iterate runs 8 bounded rounds)
+    val c3 = k3.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq(1, 2).foreach { r =>
+      val p = VectorOps.eigPair(spark, sf0001, r).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val dot = c3.keys.map(i => c3(i) * p(i)).sum
+      val n3 = math.sqrt(c3.values.map(x => x * x).sum)
+      val np = math.sqrt(p.values.map(x => x * x).sum)
+      assert(math.abs(dot) / (n3 * np) < 0.05,
+        s"rung 3 not deflated against rung $r: cos = ${dot / (n3 * np)}")
+    }
+    val again = VectorOps.pcaK3(spark, sf0001).collect()
+    assert(again.map(_.toSeq).toSeq == k3.map(_.toSeq).toSeq)
+  }
+
   // ---- round 15: the composed lifecycle chain -----------------------------
 
   test("annLifecycle: the composed chain's compacted probes are BIT-IDENTICAL to its tombstone view; audit rows reconcile; deterministic") {
