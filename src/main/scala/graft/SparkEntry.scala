@@ -190,6 +190,7 @@ object SparkEntry {
     "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
     "q_stream_running" -> (graft.streaming.StreamOps.streamRunning _),
     "q_stream_cov" -> (graft.streaming.StreamOps.streamCov _),
+    "q_stream_ann" -> (graft.streaming.StreamOps.streamAnnIngest(_, _)),
     "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
     "q_stream_update" -> (graft.streaming.StreamOps.streamUpdate _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),

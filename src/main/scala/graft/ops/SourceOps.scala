@@ -43,9 +43,10 @@ object SourceOps {
     "q_sketch_store", "q_compact_files", "q_stream_attrib", "q_stream_attrib_outer",
     "q_stream_dedup",
     "q_stream_window", "q_stream_running", "q_stream_asof", "q_stream_update",
-    // streamCov's construction stages the range-partitioned embedding
-    // files its micro-batch replay reads
-    "q_stream_cov",
+    // streamCov / streamAnnIngest stage the range-partitioned embedding
+    // files their micro-batch replays read (streamAnnIngest additionally
+    // shares the standing-index artifact + frozen c80 fits)
+    "q_stream_cov", "q_stream_ann",
     // annAppend's construction stages the standing encoded-corpus index
     // (and fits the frozen c80 quantizer + codebooks, disk-registered);
     // annDelete reads the SAME standing artifact (tombstone view);

@@ -527,7 +527,7 @@ object VectorOps {
   val PqRerank = 20
 
   /** The PQ codebooks as a broadcastable (s, code, centroid) frame. */
-  private def pqCodebookFrame(spark: SparkSession,
+  private[graft] def pqCodebookFrame(spark: SparkSession,
       books: Array[Array[Array[Double]]]): DataFrame = {
     val cbRows = for (s <- books.indices; c <- books(s).indices)
       yield (s, c, books(s)(c).toSeq)
@@ -540,7 +540,7 @@ object VectorOps {
     * (vec_id, cell, s, code). Cost is input-sized: one slice-explode ⋈
     * broadcast codebook + min_by — nothing rescans any other table, which
     * is what makes [[annAppend]]'s append batch-sized. */
-  private def pqEncodeFrom(assigned: DataFrame, codebook: DataFrame): DataFrame = {
+  private[graft] def pqEncodeFrom(assigned: DataFrame, codebook: DataFrame): DataFrame = {
     val slices = assigned
       .select(col("vec_id"), col("cell"), posexplode(expr(
         s"transform(sequence(0, ${PqSubspaces - 1}), i -> slice(v, i * $PqSubDim + 1, $PqSubDim))")))
@@ -577,7 +577,7 @@ object VectorOps {
     * the top-[[PqRerank]] shortlist by true cosine. Shared verbatim by
     * [[annPq]] (index built in-query) and [[annAppend]] (standing index +
     * frozen-codebook append) — same query, different index lifecycle. */
-  private def pqProbe(spark: SparkSession, probes: DataFrame, enc: DataFrame,
+  private[graft] def pqProbe(spark: SparkSession, probes: DataFrame, enc: DataFrame,
       rawVecs: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
       codebook: DataFrame, nprobe: Int, topK: Int = 3): DataFrame = {
     val centroids = spark.createDataFrame(
@@ -714,7 +714,7 @@ object VectorOps {
     * (r13 advisor): if the corpus filter or encoding ever changes, every
     * maintenance path changes with it — no silently-divergent duplicate
     * closures behind one memoize key. */
-  private def standingIndex(spark: SparkSession, sf: String,
+  private[graft] def standingIndex(spark: SparkSession, sf: String,
       km: org.apache.spark.ml.clustering.KMeansModel, codebook: DataFrame,
       corpus: DataFrame): DataFrame = {
     val idxDir = graft.ops.SourceOps.materialize(s"ann_corpus_idx_$sf") { d =>

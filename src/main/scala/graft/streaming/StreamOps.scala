@@ -1003,6 +1003,91 @@ object StreamOps {
       .orderBy("i", "j")
   }
 
+  /** STREAMING INDEX INGEST — the ANN twin of [[streamCov]] (with it, BOTH
+    * of the repo's standing stores now have streaming ingest forms): the
+    * `VectorOps.annAppend` discipline driven as a real multi-micro-batch
+    * stream. The append batch (vec_id % 5 == 4, the same genuinely-unseen
+    * split) arrives as a file stream; each micro-batch is encoded under
+    * the FROZEN c80 artifacts inside a foreachBatch body — assign to the
+    * nearest frozen coarse cell, PQ-encode against the frozen sub-
+    * codebooks, append to an immutable ingest log tagged with the batch
+    * id (the [[foreachBatchMerge]] idempotent-append contract: encode is
+    * a deterministic pure map, so a replayed batch rewrites identical
+    * rows and the (vec_id, batch_id)-keyed log compacts them away). After
+    * the drain, probes run over standing ∪ ingest-log — and because the
+    * encode is batching-independent, the result is BIT-IDENTICAL to the
+    * batch [[graft.ops.VectorOps.annAppend]] (spec'd), the same way
+    * [[streamCov]] is bit-identical to the batch covariance. This is the
+    * 100 TB ingest shape for a vector store: micro-batch-sized encode
+    * work (one broadcast join per batch), zero index rebuilds, versioned
+    * frozen artifacts, append-only log compacted on the store's own
+    * schedule ([[graft.ops.VectorOps.annCompact]]). Declared no-oracle
+    * (twin `q_knn_join`, like its whole lifecycle family). */
+  def streamAnnIngest(spark: org.apache.spark.sql.SparkSession, sf: String,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val V = graft.ops.VectorOps
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+      .persist()
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val km = V.coarseQuantizer(s"$sf-c80", 16, corpus)
+    val codebook = V.pqCodebookFrame(spark,
+      V.pqCodebooksFrom(s"$sf-c80", corpus.select("v")))
+    val standing = V.standingIndex(spark, sf, km, codebook, corpus)
+    // stage the append batch as 4 event-files so the drain is genuinely
+    // multi-micro-batch at maxFilesPerTrigger=1
+    val inDir = graft.ops.SourceOps.materialize(s"stream_ann_in_$sf") { d =>
+      graft.sources.Tables.load(spark, sf, "embeddings")
+        .filter(col("vec_id") % 5 === 4)
+        .select("vec_id", "embedding")
+        .repartitionByRange(4, col("vec_id")).write.parquet(s"$d/in")
+      val parts = new java.io.File(s"$d/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    withRunDir("stream_ann_run_") { run =>
+      val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // THE INGEST: micro-batch-sized assign + encode under the frozen
+          // artifacts — the annAppend body, per arrival
+          val assigned = km.transform(
+              batch.select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+                .withColumn("fv", array_to_vector(col("v"))))
+            .select(col("vec_id"), col("v"), col("cell"))
+          V.pqEncodeFrom(assigned, codebook)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$run/log")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val log = spark.read.parquet(s"$run/log")
+      // replay-safe compaction on the ENCODING's key — one row per
+      // (vector, PQ subspace), so the dedup key is (vec_id, s); keying on
+      // vec_id alone would silently discard 7 of the 8 subspace codes
+      // (idempotent encode ⇒ replayed duplicates are identical rows);
+      // then drop the log-only tag so the union schema matches standing
+      val ingested = log.dropDuplicates("vec_id", "s").drop("batch_id")
+      val nBatches = log.select(countDistinct("batch_id").as("nb"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      // surface the multi-batch reality to the spec WITHOUT a driver
+      // action: every probe row carries the drain's batch count
+      V.pqProbe(spark, probes, standing.unionByName(ingested),
+          emb.select(col("vec_id"), col("v")), km, codebook, nprobe)
+        .crossJoin(broadcast(nBatches))
+        .localCheckpoint() // eager — the run dir (log + ckpt) dies on exit
+    }
+  }
+
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per
     * key by (event time, batch id) — one aggregate, map-side combinable. */
   def latestState(spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame =

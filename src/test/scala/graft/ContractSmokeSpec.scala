@@ -45,6 +45,7 @@ class ContractSmokeSpec extends SparkSpec {
     "q_ann_compact" -> "q_knn_join",
     "q_ann_retrain" -> "q_retrieval_eval",
     "q_ann_lifecycle" -> "q_knn_join",
+    "q_stream_ann" -> "q_knn_join",
     "q_hybrid_ann" -> "q_hybrid_retrieval",
     "q_retrieval_eval_ann" -> "q_retrieval_eval",
     "q_dedup_minhash" -> "q_dedup_jaccard",

@@ -760,6 +760,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamAnnIngest: the micro-batched frozen-artifact ingest equals the batch annAppend bit-for-bit, genuinely multi-batch") {
+    // the ANN twin of streamCov's contract: encoding under frozen
+    // artifacts is a deterministic pure map, so HOWEVER the file source
+    // slices the append batch, the probed union must equal the one-shot
+    // batch append exactly
+    val got = graft.streaming.StreamOps.streamAnnIngest(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    // the drain really split the ingest across micro-batches (the nb
+    // audit column every probe row carries)
+    assert(got.forall(_.getAs[Long]("nb") >= 2L),
+      s"ingest ran as a single micro-batch (nb=${got.head.getAs[Long]("nb")})")
+    val gotRows = got.map(r => r.toSeq.dropRight(1)).toSeq // drop nb
+    val want = graft.ops.VectorOps.annAppend(spark, sf0001).collect()
+      .map(_.toSeq).toSeq
+    assert(gotRows == want, "streamed ingest probes diverged from batch annAppend")
+    // deterministic across reruns (frozen artifacts; idempotent log)
+    val again = graft.streaming.StreamOps.streamAnnIngest(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(again == got.map(_.toSeq).toSeq)
+  }
+
   test("streamAsof: the foreachBatch as-of drain equals the batch as-of join") {
     // batching-independence is the claim: each event's answer depends only
     // on the static orders side, so HOWEVER the file source slices batches,
