@@ -161,6 +161,7 @@ object SparkEntry {
     "q_pca_project" -> (VectorOps.pcaProject _),
     "q_pca_deflate" -> (VectorOps.pcaDeflate _),
     "q_pca_k3" -> (VectorOps.pcaK3 _),
+    "q_whiten3" -> (VectorOps.whiten3 _),
     "q_whiten" -> (VectorOps.whiten _),
     "q_whiten_outliers" -> (VectorOps.whitenOutliers _),
     "q_cov_update" -> (VectorOps.covUpdate _),
@@ -3072,6 +3073,7 @@ object SparkEntry {
     "q_pca_project" -> pcaProjectSql,
     "q_pca_deflate" -> pcaDeflateSql,
     "q_pca_k3" -> pcaK3Sql,
+    "q_whiten3" -> whiten3Sql,
     "q_whiten" -> whitenSql,
     "q_whiten_outliers" -> whitenOutliersSql,
     "q_kcore" -> kcoreSql,
@@ -3406,6 +3408,42 @@ object SparkEntry {
        |SELECT t$k.i, round(t$k.y / o$k.m, 6) + 0.0 AS comp3,
        |  round(o$k.m, 6) AS lambda3
        |FROM t$k, o$k ORDER BY t$k.i""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.VectorOps.whiten3]] (the k = 3 whitening
+    * consumer over the full ladder): all three published rounded
+    * eigenpairs come out of the shared chains — `pc` from [[deflateCtes]],
+    * `pc2` from [[deflate2Ctes]], `pc3` published here off the third
+    * iteration's tail — and the three per-vector projections are the
+    * identical quantized-Long dot products, each /√λ one correctly-rounded
+    * IEEE op, spelled in the Spark side's order ((Σ/g) / sqrt(λ)). The
+    * SIGNED w rounds stay in the FINAL select where the margin audit's
+    * final-unit pass covers them (the q_whiten discipline). */
+  private def whiten3Sql: String = {
+    val k = VectorOps.PcaRounds
+    s"""$pcaCtes,
+       |$deflateCtes,
+       |$deflate2Ctes,
+       |pc3 AS MATERIALIZED (SELECT t$k.i, round(t$k.y / o$k.m, 6) + 0.0 AS comp3,
+       |  round(o$k.m, 6) AS lambda3 FROM t$k, o$k),
+       |l AS (SELECT (SELECT max(lambda) FROM pc) AS l1,
+       |  (SELECT max(lambda2) FROM pc2) AS l2,
+       |  (SELECT max(lambda3) FROM pc3) AS l3),
+       |proj AS (SELECT e.vec_id,
+       |    CAST(sum(CAST(floor(e.v * pc.comp * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |      / $covGrid.0 AS p1,
+       |    CAST(sum(CAST(floor(e.v * pc2.comp2 * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |      / $covGrid.0 AS p2,
+       |    CAST(sum(CAST(floor(e.v * pc3.comp3 * $covGrid.0) AS BIGINT)) AS DOUBLE)
+       |      / $covGrid.0 AS p3
+       |  FROM x e JOIN pc ON pc.i = e.i JOIN pc2 ON pc2.i = e.i
+       |    JOIN pc3 ON pc3.i = e.i
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id,
+       |  round(p1 / sqrt(l.l1), 4) + 0.0 AS w1,
+       |  round(p2 / sqrt(l.l2), 4) + 0.0 AS w2,
+       |  round(p3 / sqrt(l.l3), 4) + 0.0 AS w3
+       |FROM proj, l ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB twin of [[graft.ops.VectorOps.whiten]]: both published rounded

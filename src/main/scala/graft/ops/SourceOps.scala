@@ -64,8 +64,9 @@ object SourceOps {
     "q_pca_power", "q_pca_project", "q_pca_deflate", "q_whiten",
     "q_whiten_outliers",
     // pcaK3 stages the third eigenpair (pca_eig3_<sf>) via the ladder
-    // recipe, on top of the first two rungs' artifacts
-    "q_pca_k3",
+    // recipe, on top of the first two rungs' artifacts; whiten3 reads
+    // all three rungs' artifacts (staging whichever aren't built yet)
+    "q_pca_k3", "q_whiten3",
     // covUpdate's construction stages the standing corpus-triangle raw
     // Long sums (cov_sums_<sf>) the incremental merge reads; covDowndate
     // stages the full-corpus triangle (cov_sums_full_<sf>) it subtracts from

@@ -1423,28 +1423,45 @@ object VectorOps {
     * the eigen-artifacts are corpus-independent standing state at any
     * scale. Signed output → round 4 with zero canonicalization, both
     * sides. */
-  def whiten(spark: SparkSession, sf: String): DataFrame = {
+  def whiten(spark: SparkSession, sf: String): DataFrame = whitenK(spark, sf, 2)
+
+  /** [[whiten]] generalized to the first k ladder rungs (r15, closing the
+    * consumer half of the k-rung recipe): wᵣ = projᵣ / √λᵣ for r ∈ 1..k,
+    * every eigenpair read from its STAGED published artifact via
+    * [[eigPair]]. The k=2 form IS the declared q_whiten (bit-identical
+    * expressions over identical published values); q_whiten3 is k=3.
+    * Plan shape is k-independent: ONE positional explode feeds all k
+    * components (the k 64-row PCs join as one broadcast frame), the
+    * per-vector partial aggregate collapses map-side, shuffle = n rows. */
+  private[graft] def whitenK(spark: SparkSession, sf: String, k: Int): DataFrame = {
+    require(k >= 1, s"whitenK needs k >= 1, got $k")
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
-    val pcs = eigArtifact(spark, sf).select(col("i"), col("comp"))
-      .join(eig2Artifact(spark, sf).select(col("i"), col("comp2")), "i")
-    val lams = eigArtifact(spark, sf).agg(max("lambda").as("l1"))
-      .crossJoin(eig2Artifact(spark, sf).agg(max("lambda2").as("l2")))
+    val pcs = (1 to k).map(r => eigPair(spark, sf, r)
+        .select(col("i"), col("comp").as(s"c$r")))
+      .reduce(_.join(_, "i"))
+    val lams = (1 to k).map(r => eigPair(spark, sf, r)
+        .agg(max("lambda").as(s"l$r")))
+      .reduce(_.crossJoin(_))
+    val projs = (1 to k).map(r =>
+      (sum(floor(col("x") * col(s"c$r") * g).cast("long")).cast("double") / g)
+        .as(s"p$r"))
+    val ws = (1 to k).map(r =>
+      (round(col(s"p$r") / sqrt(col(s"l$r")), 4) + lit(0.0)).as(s"w$r"))
     Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
       .select(col("vec_id"), col("i").cast("long").as("i"), col("x"))
       .join(broadcast(pcs), "i")
       .groupBy("vec_id")
-      .agg(
-        (sum(floor(col("x") * col("comp") * g).cast("long")).cast("double") / g)
-          .as("p1"),
-        (sum(floor(col("x") * col("comp2") * g).cast("long")).cast("double") / g)
-          .as("p2"))
+      .agg(projs.head, projs.tail: _*)
       .crossJoin(broadcast(lams))
-      .select(col("vec_id"),
-        (round(col("p1") / sqrt(col("l1")), 4) + lit(0.0)).as("w1"),
-        (round(col("p2") / sqrt(col("l2")), 4) + lit(0.0)).as("w2"))
+      .select((col("vec_id") +: ws): _*)
       .orderBy("vec_id")
   }
+
+  /** Three-component whitening — the k-rung consumer over the full r15
+    * ladder (rungs 1–3), declared so the generalized recipe is exercised
+    * end to end: cov → PC1 → PC2 → PC3 → (w1, w2, w3). */
+  def whiten3(spark: SparkSession, sf: String): DataFrame = whitenK(spark, sf, 3)
 
   /** Outliers reported by [[whitenOutliers]]. */
   val WhitenOutlierK = 20

@@ -392,6 +392,38 @@ class PcaHybridSpec extends SparkSpec {
     assert(again == rows.map(_.toSeq).toSeq)
   }
 
+  test("whiten3: first two components equal q_whiten bit-for-bit; w3 equals the test-side recompute over the published rung-3 pair") {
+    // k-consistency: the generalized consumer at k=3 must agree with the
+    // declared k=2 form on the shared components — same published
+    // artifacts, same expressions, so BIT equality, not tolerance
+    val w3 = VectorOps.whiten3(spark, sf0001).collect()
+    val w2 = VectorOps.whiten(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(w3.nonEmpty && w3.length == w2.size)
+    w3.foreach { r =>
+      assert((r.getDouble(1), r.getDouble(2)) == w2(r.getLong(0)),
+        s"whiten3 diverged from whiten on vec ${r.getLong(0)}")
+    }
+    // w3 against the published rung-3 eigenpair, the whiten-spec recompute
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val pc3 = VectorOps.eigPair(spark, sf0001, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val l3 = VectorOps.eigPair(spark, sf0001, 3).collect().head.getDouble(2)
+    assert(l3 > 0)
+    val expect = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect().map { r =>
+        val s = r.getSeq[Float](1).zipWithIndex.map { case (x, i) =>
+          math.floor(x.toDouble * pc3(i.toLong) * g).toLong
+        }.sum
+        r.getLong(0) -> (BigDecimal(s.toDouble / g / math.sqrt(l3))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      }.toMap
+    w3.foreach { r =>
+      assert(r.getDouble(3) == expect(r.getLong(0)),
+        s"w3(${r.getLong(0)}) = ${r.getDouble(3)}, recompute ${expect(r.getLong(0))}")
+    }
+  }
+
   test("whiten: equals the test-side quantized projection / sqrt(lambda) over the published eigenpairs, bit-deterministically") {
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
     val pc1 = VectorOps.eigArtifact(spark, sf0001).collect()
