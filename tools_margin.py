@@ -64,10 +64,14 @@ ROUND 15 closed the remaining structural skip classes:
   output). The WITH prefix is hoisted out of the wrapper and each probe
   becomes a standalone scalar subquery in the OUTER select over the
   unfiltered FROM clause — evaluated exactly once, rows or no rows.
+- Nested-subquery rounds PROMOTE to their own [sub:k] units (prefix
+  threaded): previously a visible skip when they were a unit's only
+  rounds and — worse — silently uncounted when the unit also had
+  auditable rounds. Correlated subqueries fail standalone execution and
+  surface as loud 'rewritten SQL failed' skips.
 Remaining skips: EXCEPT/INTERSECT/plain-UNION finals (row semantics are
-whole-branch-dependent), SELECT DISTINCT, rounds living only inside nested
-scalar subqueries (a rewrite there would mis-bind the outer FROM scope —
-restructure such oracles to hoist the round, the q_sql_script pattern),
+whole-branch-dependent), SELECT DISTINCT, correlated nested subqueries
+(restructure such oracles to hoist the round, the q_sql_script pattern),
 and self-referencing (recursive) CTE bodies.
 
 SIGNED-ZERO EXPOSURE (round-13, from the r12 driver failure): Spark's
@@ -645,6 +649,45 @@ def cte_audit_units(name, sql):
     return units, skips
 
 
+def subquery_audit_units(label, sql):
+    """Audit units for round()-bearing NESTED SUBQUERIES of a unit's final
+    query (r15 — closing the last structural blindness: a round inside a
+    scalar subquery or derived table was SKIPPED when it was the unit's
+    only round, and silently UNCOUNTED when the unit also had auditable
+    rounds). Each nested `(SELECT ...)` span containing a round( call is
+    promoted to its own unit: the unit's WITH prefix + the subquery body.
+    Correlated subqueries (outer-scope column references) fail to execute
+    standalone and surface through main's 'rewritten SQL failed' skip —
+    loud, never silent. One nesting level (matching every current oracle);
+    a deeper round would surface as this unit's own nested-round skip."""
+    sel = find_final_select(sql)
+    if sel is None:
+        return []
+    prefix = sql[:sel]
+    final = sql[sel:]
+    units = []
+    k = 0
+    i = 0
+    while i < len(final):
+        c = final[i]
+        if c == "'":
+            i += 1
+            while i < len(final) and final[i] != "'":
+                i += 1
+        elif c == '(' and re.match(r'\s*select\b', final[i+1:], re.I):
+            try:
+                cp = matching_paren(final, i)
+            except ValueError:
+                break
+            body = final[i+1:cp]
+            if HAS_ROUND.search(body):
+                units.append((f'{label}[sub:{k}]', prefix + body))
+                k += 1
+            i = cp
+        i += 1
+    return units
+
+
 def classify(sql):
     """True if any final-select round arg contains a float aggregate."""
     sel = find_final_select(sql)
@@ -766,7 +809,33 @@ def selftest():
     assert not HAS_ROUND.search("SELECT CAST(0 AS BIGINT) AS round FROM t ORDER BY round")
     assert HAS_ROUND.search("SELECT round (x, 2) FROM t")
 
-    print('tools_margin selftest: 10/10 structural cases OK')
+    # 10. (r15) a round inside a NESTED SCALAR SUBQUERY next to an
+    #     auditable final round — previously silently uncounted (the skip
+    #     only fired when nested rounds were the unit's ONLY rounds) —
+    #     must surface as a promoted [sub:k] unit, and a signed-zero
+    #     exposure inside it must fire
+    sql10 = ("SELECT k, round(x, 2) + 0.0 AS r, "
+             "(SELECT round(min(x), 2) FROM t) AS m FROM t ORDER BY k")
+    wf10, n10, _, _ = audit_one(sql10)
+    assert wf10 is not None and n10 == 1, 'parent must audit only its own round'
+    subs10 = subquery_audit_units('q_t10', sql10)
+    assert len(subs10) == 1 and subs10[0][0] == 'q_t10[sub:0]', subs10
+    w10, n10s, canon10, _ = audit_one(subs10[0][1])
+    assert n10s == 1 and canon10 == [False], (n10s, canon10)
+    row10 = con.execute(w10).fetchone()
+    assert row10[1] >= 1, f'nested-subquery exposure did not fire: {row10}'
+
+    # 11. (r15) a round inside a DERIVED TABLE promotes the same way, and
+    #     the WITH prefix threads into the promoted unit
+    sql11 = ("WITH c AS (SELECT k, x FROM t) "
+             "SELECT s FROM (SELECT round(x, 3) + 0.0 AS s FROM c) d ORDER BY s")
+    subs11 = subquery_audit_units('q_t11', sql11)
+    assert len(subs11) == 1, subs11
+    w11, n11, canon11, _ = audit_one(subs11[0][1])
+    assert w11 is not None and n11 == 1 and canon11 == [True], (n11, canon11)
+    con.execute(w11).fetchone()  # must parse and run (prefix in scope)
+
+    print('tools_margin selftest: 12/12 structural cases OK')
 
 
 def main():
@@ -792,13 +861,23 @@ def main():
         cte_units, cte_skips = cte_audit_units(name, sql)
         skipped.extend(cte_skips)
         units = [(name, sql, True)] + [(l, u, False) for l, u in cte_units]
+        # r15: promote round()-bearing nested subqueries of every unit to
+        # their own units — previously such rounds were a visible skip when
+        # they were a unit's ONLY rounds and silently uncounted otherwise
+        sub_map = {label: subquery_audit_units(label, usql)
+                   for label, usql, _ in units}
+        units += [(l, u, False) for subs in sub_map.values() for l, u in subs]
         for label, usql, is_final in units:
             wrapped, n, canon, reason = audit_one(usql)
             if wrapped is None:
                 # a final select whose rounds all live in CTEs is fully
-                # covered by the CTE units — not a coverage gap
-                if reason and not (is_final and cte_units and
-                                   reason.startswith('round(s) only inside CTEs')):
+                # covered by the CTE units — not a coverage gap; same for
+                # nested-subquery rounds covered by promoted sub units
+                covered = (is_final and cte_units and
+                           reason.startswith('round(s) only inside CTEs')) or \
+                          (bool(sub_map.get(label)) and
+                           'nested subqueries' in reason)
+                if reason and not covered:
                     skipped.append((label, reason))
                 continue
             try:
