@@ -229,6 +229,8 @@ object SparkEntry {
     "q_seq_pack" -> (TextOps.seqPack _),
     "q_mix_weights" -> (TextOps.mixWeights _),
     "q_dedup_incremental" -> (TextOps.dedupIncremental _),
+    "q_df_update" -> (TextOps.dfUpdate _),
+    "q_df_downdate" -> (TextOps.dfDowndate _),
     "q_pii_redact" -> (CurationOps.piiRedact _),
     "q_fuzzy_join" -> (CurationOps.fuzzyJoin _),
     "q_market_basket" -> (GraphOps.marketBasket _),
@@ -2368,6 +2370,31 @@ object SparkEntry {
          |  round(CAST(n_tokens AS DOUBLE) / tot, 4) AS token_share,
          |  round(sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(mx), 4) AS sample_weight
          |FROM per CROSS JOIN sc ORDER BY source""".stripMargin,
+    // dfUpdate merges the standing corpus partition's (token, df, tf)
+    // Long counts with the ingest batch's — doc-disjoint partitions make
+    // df additive, so the merged store is EXACTLY the full recompute and
+    // the oracle is that recompute verbatim (integer counts, no rounding)
+    "q_df_update" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents)
+        |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS tf
+        |FROM tk GROUP BY tok ORDER BY tok""".stripMargin,
+    // dfDowndate subtracts the erased batch's counts from the standing
+    // full-corpus store; zero-count tokens drop out — exactly the
+    // remaining-corpus recompute
+    "q_df_downdate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS tf
+        |FROM tk GROUP BY tok ORDER BY tok""".stripMargin,
     // incremental dedup twin: batch (doc_id % 10 = 0) probes the corpus-side
     // inverted index; best corpus match per new doc (jaccard desc, id asc)
     "q_dedup_incremental" ->

@@ -71,6 +71,9 @@ object SourceOps {
     // Long sums (cov_sums_<sf>) the incremental merge reads; covDowndate
     // stages the full-corpus triangle (cov_sums_full_<sf>) it subtracts from
     "q_cov_update", "q_cov_downdate",
+    // dfUpdate/dfDowndate stage the standing lexical-count artifacts
+    // (lex_df_<sf> / lex_df_full_<sf>) their Long merges read
+    "q_df_update", "q_df_downdate",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)
@@ -119,7 +122,7 @@ object SourceOps {
   private[graft] val pureArtifactPrefixes: Seq[String] = Seq(
     // "pca_eig" (no trailing underscore) covers every ladder rung:
     // pca_eig_<sf>, pca_eig2_<sf>, pca_eig3_<sf>, ... (r15 k-rung recipe)
-    "cov_cells_", "cov_sums_", "pca_eig",
+    "cov_cells_", "cov_sums_", "pca_eig", "lex_df_",
     "ann_corpus_idx_", "lpa_labels_", "graph_edges_")
 
   /** key → (standing dir, recorded writer) for every staged artifact the

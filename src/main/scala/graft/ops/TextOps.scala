@@ -1689,6 +1689,89 @@ object TextOps {
       .orderBy("system")
   }
 
+  /** Per-token lexical stats of a document frame — document frequency
+    * (distinct docs containing the token) and total term frequency — as
+    * exact Long counts. Over DOC-DISJOINT partitions both are additive
+    * (distinct-doc counts over disjoint doc sets add exactly), which is
+    * what makes the lexical store incrementally maintainable. */
+  private def lexCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+
+  /** The STANDING lexical-stats artifact over the corpus partition
+    * (doc_id % 10 != 0 — the `q_dedup_incremental` ingest split), raw
+    * exact Long counts persisted BEFORE any scoring arithmetic: Longs,
+    * not idf floats, is the point — integer counts are mergeable, so the
+    * standing store absorbs any future batch by addition without a
+    * corpus rescan (the `cov_sums_` discipline applied to the text
+    * tier). Pure function of the corpus ⇒ `lex_df_` is on the
+    * stability gate's pure-prefix list. */
+  private def lexDfArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"lex_df_$sf") { d =>
+      lexCounts(Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") % 10 =!= 0)).write.parquet(s"$d/df")
+    }
+    spark.read.parquet(s"$dir/df")
+  }
+
+  /** The FULL-corpus lexical artifact [[dfDowndate]] subtracts from —
+    * same shape over all documents (a standing store covers the whole
+    * corpus; an erased batch leaves it by subtraction). */
+  private def lexDfFullArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"lex_df_full_$sf") { d =>
+      lexCounts(Tables.load(spark, sf, "documents")).write.parquet(s"$d/df")
+    }
+    spark.read.parquet(s"$dir/df")
+  }
+
+  /** Merge (or, negated, REMOVE) a batch's lexical counts into a standing
+    * table by exact Long arithmetic — full outer + zero-coalesce (a token
+    * seen only on one side still merges exactly), and tokens whose counts
+    * reach ZERO leave the store (df = 0 means no document carries the
+    * token; the remaining-corpus recompute has no such row). */
+  private[graft] def lexMerge(standing: DataFrame, batch: DataFrame,
+      negate: Boolean): DataFrame = {
+    val sgn = if (negate) lit(-1L) else lit(1L)
+    standing.select(col("tok"), col("df").as("df1"), col("tf").as("tf1"))
+      .join(batch.select(col("tok"), col("df").as("df2"), col("tf").as("tf2")),
+        Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df1"), lit(0L)) + sgn * coalesce(col("df2"), lit(0L))).as("df"),
+        (coalesce(col("tf1"), lit(0L)) + sgn * coalesce(col("tf2"), lit(0L))).as("tf"))
+      .filter(col("df") > 0)
+      .orderBy("tok")
+  }
+
+  /** INCREMENTAL lexical-stats maintenance (round 15 — the text-tier twin
+    * of `q_cov_update`, completing the pattern across all the engine's
+    * standing stores: moments, ANN index, and now the lexical table that
+    * BM25/TF-IDF/PMI consume): the corpus partition's (token, df, tf)
+    * stands as a materialized Long-count artifact, the ingest batch
+    * (doc_id % 10 == 0, the dedup-incremental split) is counted
+    * batch-sized, and the update is one vocabulary-sized join of Long
+    * ADDITIONS — no corpus rescan, ever. Doc-disjointness makes df
+    * additive, so the merged table is EXACTLY the full recompute (integer
+    * arithmetic — the oracle IS the full recompute verbatim). At 100 TB
+    * this is the only viable shape for retrieval scoring over a growing
+    * corpus: df counts are maintained, never recomputed, and every
+    * consumer reads the same numbers a full pass would produce. */
+  def dfUpdate(spark: SparkSession, sf: String): DataFrame =
+    lexMerge(lexDfArtifact(spark, sf),
+      lexCounts(Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") % 10 === 0)),
+      negate = false)
+
+  /** The DOWNDATE mirror — an erased batch (GDPR, revoked source) leaves
+    * the standing full-corpus lexical store by Long SUBTRACTION of its
+    * batch-sized counts; tokens whose df reaches zero drop out, exactly
+    * matching the remaining-corpus recompute (the oracle). */
+  def dfDowndate(spark: SparkSession, sf: String): DataFrame =
+    lexMerge(lexDfFullArtifact(spark, sf),
+      lexCounts(Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") % 10 === 0)),
+      negate = true)
+
   /** TF-IDF top-3 terms per document — keyword extraction. tf and df come
     * from the same exploded token relation (two aggregates over one scan);
     * the corpus size joins in as a broadcast 1-row frame; the per-document

@@ -821,4 +821,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum == docs.count())
     assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("dfUpdate/dfDowndate: the standing lexical store merges and downdates to the exact recompute; zero-count tokens leave the store") {
+    import org.apache.spark.sql.functions._
+    // exact contract: integer counts over doc-disjoint partitions are
+    // additive, so the maintained store equals the recompute EXACTLY
+    def recompute(pred: org.apache.spark.sql.Column) =
+      graft.sources.Tables.load(spark, sf0001, "documents").filter(pred)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+        .orderBy("tok").collect().map(_.toSeq).toSeq
+    val upd = TextOps.dfUpdate(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(upd.nonEmpty)
+    assert(upd == recompute(lit(true)), "update diverged from the full recompute")
+    val dwn = TextOps.dfDowndate(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(dwn == recompute(col("doc_id") % 10 =!= 0),
+      "downdate diverged from the remaining-corpus recompute")
+    // planted vanish-at-zero: a token living ONLY in the removed batch
+    // must leave the store (the fixture vocabulary spans both halves, so
+    // this branch needs a planted frame)
+    val standing = Seq(("alpha", 3L, 7L), ("ghost", 2L, 2L))
+      .toDF("tok", "df", "tf")
+    val batch = Seq(("ghost", 2L, 2L), ("beta", 1L, 1L)).toDF("tok", "df", "tf")
+    val out = TextOps.lexMerge(standing, batch, negate = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("alpha", 3L, 7L)),
+      s"ghost token must vanish and beta must not appear negated: $out")
+    val added = TextOps.lexMerge(standing, batch, negate = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(added == Seq(("alpha", 3L, 7L), ("beta", 1L, 1L), ("ghost", 4L, 4L)))
+  }
 }
