@@ -873,10 +873,13 @@ def main():
                 # a final select whose rounds all live in CTEs is fully
                 # covered by the CTE units — not a coverage gap; same for
                 # nested-subquery rounds covered by promoted sub units
-                covered = (is_final and cte_units and
-                           reason.startswith('round(s) only inside CTEs')) or \
-                          (bool(sub_map.get(label)) and
-                           'nested subqueries' in reason)
+                # reason may be None (e.g. audit_one's cte-only union path);
+                # guard before the string probes (r15 advisor finding)
+                covered = bool(reason) and (
+                    (is_final and cte_units and
+                     reason.startswith('round(s) only inside CTEs')) or
+                    (bool(sub_map.get(label)) and
+                     'nested subqueries' in reason))
                 if reason and not covered:
                     skipped.append((label, reason))
                 continue
