@@ -135,6 +135,8 @@ object SparkEntry {
     "q_quality_filter" -> (TextOps.qualityFilter _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_bm25" -> (TextOps.bm25 _),
+    "q_bm25_store" -> (TextOps.bm25Store _),
+    "q_tfidf_store" -> (TextOps.tfidfStore _),
     "q_hybrid_retrieval" -> (TextOps.hybridRetrieval _),
     "q_hybrid_ann" -> (TextOps.hybridRetrievalAnn _),
     "q_retrieval_eval" -> (TextOps.retrievalEval _),
@@ -166,6 +168,7 @@ object SparkEntry {
     "q_whiten_outliers" -> (VectorOps.whitenOutliers _),
     "q_cov_update" -> (VectorOps.covUpdate _),
     "q_cov_downdate" -> (VectorOps.covDowndate _),
+    "q_cov_lifecycle" -> (VectorOps.covLifecycle _),
     "q_dedup_cosine" -> (VectorOps.dedupCosine _),
     "q_dedup_cosine_lsh" -> (VectorOps.dedupCosineLsh _),
     "q_knn_join" -> (VectorOps.knnJoin _),
@@ -192,6 +195,7 @@ object SparkEntry {
     "q_stream_running" -> (graft.streaming.StreamOps.streamRunning _),
     "q_stream_cov" -> (graft.streaming.StreamOps.streamCov _),
     "q_stream_ann" -> (graft.streaming.StreamOps.streamAnnIngest(_, _)),
+    "q_stream_df" -> (graft.streaming.StreamOps.streamDf _),
     "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
     "q_stream_update" -> (graft.streaming.StreamOps.streamUpdate _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
@@ -402,6 +406,58 @@ object SparkEntry {
   /** Shared DuckDB tokenization (mirrors TextOps.tokens / shingles3). */
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB twin of BOTH q_bm25 (in-query df recount) and q_bm25_store
+    * (df probed from the maintained lexical artifact): the maintained
+    * counts are exact Longs equal to this recompute — q_df_update's
+    * oracled contract — so one SQL oracles both forms. */
+  private def bm25Sql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
+       |       FROM dl),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+       |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+       |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |        FROM tf GROUP BY 1)
+       |SELECT doc_id,
+       |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+       |    * (tf * (1.2 + 1))
+       |    / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
+       |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** DuckDB twin of BOTH q_df_update (standing corpus partition + ingest
+    * batch merged by exact Long addition) and q_stream_df (the same merge
+    * fed by a drained multi-micro-batch ingest stream): doc-disjoint
+    * partitions/micro-batches make df additive, so each equals the
+    * full-corpus recompute verbatim — integer counts, no rounding. */
+  private def lexFullRecomputeSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '')) AS tok
+      |  FROM documents)
+      |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |  CAST(count(*) AS BIGINT) AS tf
+      |FROM tk GROUP BY tok ORDER BY tok""".stripMargin
+
+  /** DuckDB twin of BOTH q_tfidf and q_tfidf_store (same store-exactness
+    * argument as [[bm25Sql]]). */
+  private def tfidfSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |        FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tok, round(tf * ln(n_docs / df), 4) AS score
+       |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, tok, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+       |  FROM scored)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
+       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
   /** DuckDB twin of TextOps.bpeMerges: the [[graft.ops.TextOps.BpeRounds]]
     * greedy merge rounds mechanically unrolled as chained CTEs — each round
@@ -1658,21 +1714,12 @@ object SparkEntry {
          |FROM per""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
-    "q_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
-         |       FROM dl),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
-         |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
-         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |        FROM tf GROUP BY 1)
-         |SELECT doc_id,
-         |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-         |    * (tf * (1.2 + 1))
-         |    / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
-         |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
-         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25" -> bm25Sql,
+    // bm25Store reads df off the MAINTAINED lexical artifact instead of
+    // the in-query recount; the maintained counts are exact Longs equal to
+    // the full recompute (q_df_update's oracled contract), so the oracle
+    // is q_bm25's SQL VERBATIM — same values, same rounding, same order
+    "q_bm25_store" -> bm25Sql,
     // both arms' oracled SQL composed verbatim (bm25 CTEs + cosine CTEs)
     // with integer-rank windows; the RRF sum is two IEEE divisions of
     // integer ranks — exact-deterministic, no float aggregate anywhere
@@ -1704,20 +1751,10 @@ object SparkEntry {
          |  round(CASE WHEN s.system = 'bm25_arm' THEN ml ELSE md END, 4) AS mrr
          |FROM m, (VALUES ('bm25_arm'), ('dense_arm')) AS s(system)
          |ORDER BY s.system""".stripMargin,
-    "q_tfidf" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
-         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |        FROM tf GROUP BY 1),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-         |scored AS (
-         |  SELECT doc_id, tok, round(tf * ln(n_docs / df), 4) AS score
-         |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
-         |ranked AS (SELECT doc_id, tok, score,
-         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
-         |  FROM scored)
-         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
-         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_tfidf" -> tfidfSql,
+    // tfidfStore's df side is the maintained lexical artifact (see
+    // q_bm25_store above) — identical exact counts, oracle verbatim
+    "q_tfidf_store" -> tfidfSql,
     // the z round sits in the FINAL select (over zraw from the window CTE)
     // so the margin audit measures the DECLARED output population and the
     // signed-zero gate sees the round; z-scores are negative-capable →
@@ -1915,6 +1952,27 @@ object SparkEntry {
       require(patched != covFullRecomputeSql,
         "q_cov_downdate oracle: remaining-corpus filter was not applied")
       patched
+    },
+    // the composed moment-store lifecycle: update + downdate are exact
+    // Long arithmetic, so the maintained sums equal the remaining-corpus
+    // (% 7 <> 3) recompute BIT-for-bit and the rung-1 re-derivation over
+    // them is oracled by the q_pca_power SQL over that filtered corpus;
+    // the three audit columns are integer vector counts per stage
+    "q_cov_lifecycle" -> {
+      val patched = pcaCtes.replace(
+        "FROM embeddings)", "FROM embeddings WHERE vec_id % 7 <> 3)")
+      require(patched != pcaCtes,
+        "q_cov_lifecycle oracle: live-corpus filter was not applied")
+      val k = VectorOps.PcaRounds
+      s"""$patched
+         |SELECT y$k.i, round(y$k.y / m$k.m, 6) + 0.0 AS comp,
+         |  round(m$k.m, 6) AS lambda,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |    WHERE vec_id % 5 <> 4) AS n_standing,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_after_ingest,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |    WHERE vec_id % 7 <> 3) AS n_live
+         |FROM y$k, m$k ORDER BY y$k.i""".stripMargin
     },
     "q_embed_cov_label" ->
       s"""WITH x AS (
@@ -2374,15 +2432,13 @@ object SparkEntry {
     // Long counts with the ingest batch's — doc-disjoint partitions make
     // df additive, so the merged store is EXACTLY the full recompute and
     // the oracle is that recompute verbatim (integer counts, no rounding)
-    "q_df_update" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |    x -> x <> '')) AS tok
-        |  FROM documents)
-        |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-        |  CAST(count(*) AS BIGINT) AS tf
-        |FROM tk GROUP BY tok ORDER BY tok""".stripMargin,
+    "q_df_update" -> lexFullRecomputeSql,
+    // streamDf drains the SAME ingest batch as a multi-micro-batch file
+    // stream and folds each arrival's Long counts into the standing store
+    // — doc-disjoint micro-batches keep df additive and Long addition is
+    // batching-independent, so the full recompute oracles it for ANY file
+    // slicing (the q_stream_cov argument, lexical edition)
+    "q_stream_df" -> lexFullRecomputeSql,
     // dfDowndate subtracts the erased batch's counts from the standing
     // full-corpus store; zero-count tokens drop out — exactly the
     // remaining-corpus recompute

@@ -74,6 +74,12 @@ object SourceOps {
     // dfUpdate/dfDowndate stage the standing lexical-count artifacts
     // (lex_df_<sf> / lex_df_full_<sf>) their Long merges read
     "q_df_update", "q_df_downdate",
+    // the store-backed serving pair stages the MAINTAINED lexical
+    // artifact (lex_df_maint_<sf>, dfUpdate's output — transitively the
+    // standing lex_df_<sf> too); streamDf stages its range-partitioned
+    // ingest files; covLifecycle stages the standing corpus triangle
+    // (cov_sums_<sf>, shared with q_cov_update)
+    "q_bm25_store", "q_tfidf_store", "q_stream_df", "q_cov_lifecycle",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

@@ -1486,28 +1486,41 @@ object TextOps {
       .orderBy("new_id")
   }
 
-  /** BM25 parameters (the standard Robertson defaults). */
+  /** BM25 parameters (the standard Robertson defaults) and the fixed
+    * conjunctive query both BM25 forms score. */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
+  private val Bm25QueryTerms = Seq("hash", "join", "scan")
 
-  /** BM25 top-20 docs for a fixed conjunctive query — the retrieval scorer
-    * an LLM RAG/eval pipeline runs against its corpus. One exploded token
-    * relation feeds doc-lengths, per-term tf and df (all map-side-combined
-    * aggregates); df and the corpus stats broadcast (|query| and 1 rows);
-    * the only data-sized shuffles are the token explode and the doc-length
-    * join, both keyed on doc_id. Ranking is on the ROUNDED score with
-    * doc_id tie-break so libm-log ulp skew can't reorder across engines. */
-  def bm25(spark: SparkSession, sf: String): DataFrame = {
-    val queryTerms = Seq("hash", "join", "scan")
+  /** The ONE BM25 scoring body, shared by [[bm25]] (in-query df recount)
+    * and [[bm25Store]] (df read from the maintained lexical artifact) —
+    * the standingIndex one-construction-site discipline applied to
+    * retrieval scoring: if the arithmetic or the tie-break ever changes,
+    * both forms change together, so the store-backed form can never drift
+    * from the declared oracle. `dfq` must be (tok, df DOUBLE) covering at
+    * least the query terms with FULL-corpus document frequencies — which
+    * the maintained store's exact Long counts are, verbatim (q_df_update's
+    * oracle is the full recompute). */
+  private def bm25From(spark: SparkSession, sf: String,
+      storeDf: Option[DataFrame]): DataFrame = {
     val tk = fannedDocs(spark, sf)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .persist()
     val docLen = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("len").as("avg_len"))
-    val tf = tk.filter(col("tok").isin(queryTerms: _*))
+    val tf = tk.filter(col("tok").isin(Bm25QueryTerms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy("tok").agg(countDistinct("doc_id").cast("double").as("df"))
+    // df: either the in-query distinct-doc recount (the self-contained
+    // form) or a |query|-row probe of the standing store — identical
+    // values (exact Longs; the store covers the full corpus, and a term's
+    // df among docs containing it IS its corpus df)
+    val dfq = storeDf match {
+      case Some(store) => store.filter(col("tok").isin(Bm25QueryTerms: _*))
+        .select(col("tok"), col("df").cast("double").as("df"))
+      case None =>
+        tf.groupBy("tok").agg(countDistinct("doc_id").cast("double").as("df"))
+    }
     tf.join(broadcast(dfq), "tok")
       .join(docLen, "doc_id")
       .join(broadcast(stats))
@@ -1520,6 +1533,31 @@ object TextOps {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
   }
+
+  /** BM25 top-20 docs for a fixed conjunctive query — the retrieval scorer
+    * an LLM RAG/eval pipeline runs against its corpus. One exploded token
+    * relation feeds doc-lengths, per-term tf and df (all map-side-combined
+    * aggregates); df and the corpus stats broadcast (|query| and 1 rows);
+    * the only data-sized shuffles are the token explode and the doc-length
+    * join, both keyed on doc_id. Ranking is on the ROUNDED score with
+    * doc_id tie-break so libm-log ulp skew can't reorder across engines. */
+  def bm25(spark: SparkSession, sf: String): DataFrame =
+    bm25From(spark, sf, None)
+
+  /** BM25 served FROM the maintained lexical store (r15 verdict #1/#5) —
+    * the consumer the standing (token, df, tf) table exists for: df comes
+    * off [[lexMaintainedArtifact]] (the artifact [[lexMerge]] emits, a
+    * |query|-row broadcast probe of standing state) instead of a fresh
+    * per-query distinct-doc pass over the corpus. Value-identical to
+    * [[bm25]] by the store's exactness contract (maintained Long counts ==
+    * the full recompute, q_df_update's oracled property), so the q_bm25
+    * oracle transfers VERBATIM — and spec'd bit-for-bit against the
+    * recount form. This is the 100 TB serving shape: df is maintained,
+    * never recomputed; the only corpus-shaped work left is the per-term tf
+    * + doc-length lookup, which at scale is the inverted-index probe
+    * ([[invertedIndex]]), not a scan. */
+  def bm25Store(spark: SparkSession, sf: String): DataFrame =
+    bm25From(spark, sf, Some(lexMaintainedArtifact(spark, sf)))
 
   /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009's
     * standard k=60) and the per-arm candidate depth fused by
@@ -1694,7 +1732,7 @@ object TextOps {
     * exact Long counts. Over DOC-DISJOINT partitions both are additive
     * (distinct-doc counts over disjoint doc sets add exactly), which is
     * what makes the lexical store incrementally maintainable. */
-  private def lexCounts(docs: DataFrame): DataFrame =
+  private[graft] def lexCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("tok")
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
@@ -1707,7 +1745,7 @@ object TextOps {
     * corpus rescan (the `cov_sums_` discipline applied to the text
     * tier). Pure function of the corpus ⇒ `lex_df_` is on the
     * stability gate's pure-prefix list. */
-  private def lexDfArtifact(spark: SparkSession, sf: String): DataFrame = {
+  private[graft] def lexDfArtifact(spark: SparkSession, sf: String): DataFrame = {
     val dir = graft.ops.SourceOps.materialize(s"lex_df_$sf") { d =>
       lexCounts(Tables.load(spark, sf, "documents")
         .filter(col("doc_id") % 10 =!= 0)).write.parquet(s"$d/df")
@@ -1772,18 +1810,44 @@ object TextOps {
         .filter(col("doc_id") % 10 === 0)),
       negate = true)
 
-  /** TF-IDF top-3 terms per document — keyword extraction. tf and df come
-    * from the same exploded token relation (two aggregates over one scan);
-    * the corpus size joins in as a broadcast 1-row frame; the per-document
-    * top-3 is a window over the rounded score so cross-engine libm-log ulp
-    * differences cannot flip the ranking. */
-  def tfidf(spark: SparkSession, sf: String): DataFrame = {
+  /** The MAINTAINED lexical artifact the serving queries read (r15 verdict
+    * #1 + #5) — the post-update store, i.e. exactly what [[lexMerge]]
+    * emits when [[dfUpdate]] folds the ingest batch into the standing
+    * corpus partition, persisted under the `lex_df_` pure prefix (so the
+    * stability gate auto re-derives its construction). This closes the
+    * loop that makes the store LOAD-BEARING: maintenance ([[dfUpdate]])
+    * and serving ([[bm25Store]], [[tfidfStore]]) provably share one
+    * artifact, and because the maintained counts are exact Longs equal to
+    * the full recompute (q_df_update's oracled contract), every consumer
+    * reads the same numbers a fresh corpus pass would produce — which is
+    * why the serving oracles transfer verbatim. At 100 TB this is the only
+    * viable retrieval-scoring shape: df is maintained by batch-sized
+    * merges, never recomputed in the serving path. */
+  private[graft] def lexMaintainedArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"lex_df_maint_$sf") { d =>
+      dfUpdate(spark, sf).write.parquet(s"$d/df")
+    }
+    spark.read.parquet(s"$dir/df")
+  }
+
+  /** The ONE TF-IDF scoring body, shared by [[tfidf]] (in-query df) and
+    * [[tfidfStore]] (df from the maintained lexical artifact) — the
+    * [[bm25From]] discipline: one spelling of score and tie-break, so the
+    * store-backed form can never drift from the declared oracle. */
+  private def tfidfFrom(spark: SparkSession, sf: String,
+      storeDf: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = fannedDocs(spark, sf)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfTok = tf.groupBy("tok")
-      .agg(countDistinct("doc_id").cast("double").as("df"))
+    // df: the in-query vocabulary-sized recount, or the standing store's
+    // maintained exact Long counts (identical values — the store IS the
+    // full recompute, q_df_update's oracled contract)
+    val dfTok = storeDf match {
+      case Some(store) => store.select(col("tok"), col("df").cast("double").as("df"))
+      case None => tf.groupBy("tok")
+        .agg(countDistinct("doc_id").cast("double").as("df"))
+    }
     val nDocs = Tables.load(spark, sf, "documents")
       .agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
@@ -1795,6 +1859,24 @@ object TextOps {
       .select("doc_id", "rk", "tok", "score")
       .orderBy("doc_id", "rk")
   }
+
+  /** TF-IDF top-3 terms per document — keyword extraction. tf and df come
+    * from the same exploded token relation (two aggregates over one scan);
+    * the corpus size joins in as a broadcast 1-row frame; the per-document
+    * top-3 is a window over the rounded score so cross-engine libm-log ulp
+    * differences cannot flip the ranking. */
+  def tfidf(spark: SparkSession, sf: String): DataFrame =
+    tfidfFrom(spark, sf, None)
+
+  /** TF-IDF served FROM the maintained lexical store — [[bm25Store]]'s
+    * whole-vocabulary sibling, and the form where the store pays most: the
+    * df side of the score join becomes a scan of the standing artifact
+    * (vocabulary-sized, corpus-INDEPENDENT) instead of a distinct-doc
+    * aggregate over every exploded token of the corpus. Value-identical to
+    * [[tfidf]] (maintained exact Longs == the recompute), oracle transfers
+    * verbatim, bit-equality spec'd. */
+  def tfidfStore(spark: SparkSession, sf: String): DataFrame =
+    tfidfFrom(spark, sf, Some(lexMaintainedArtifact(spark, sf)))
 
   /** Posting-list entries materialized per term (the head; full df is kept
     * as a count). Bounds every term's list — the hot-term guard. */

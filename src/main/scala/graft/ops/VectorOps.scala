@@ -865,7 +865,19 @@ object VectorOps {
       probes: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
       codebook: DataFrame)
 
-  private def lifecycleChain(spark: SparkSession, sf: String): LifecycleChain = {
+  /** Session-lifetime memo of the composed chain per sf (r15 advisor #4):
+    * the declared query plus the spec's two probe arms each build the
+    * chain, and every build persisted a fresh copy of the embeddings
+    * projection with no unpersist — memoizing the WHOLE chain (the staged-
+    * artifact discipline, in-memory edition) leaves one cached copy per
+    * JVM however many consumers run. */
+  private val lifecycleChains =
+    new java.util.concurrent.ConcurrentHashMap[String, LifecycleChain]()
+
+  private def lifecycleChain(spark: SparkSession, sf: String): LifecycleChain =
+    lifecycleChains.computeIfAbsent(sf, _ => buildLifecycleChain(spark, sf))
+
+  private def buildLifecycleChain(spark: SparkSession, sf: String): LifecycleChain = {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1538,25 +1550,35 @@ object VectorOps {
         col("c.sx").as("sx2"), col("c.sy").as("sy2"), col("c.n").as("n2"))
 
   /** Merge (or, negated, REMOVE) a batch triangle into a standing one by
-    * exact Long arithmetic and finalize the covariance. Full outer +
+    * exact Long arithmetic, KEEPING raw sums — the chainable half of the
+    * moment-store maintenance (an update's output is the next downdate's
+    * standing input, which is what [[momentChain]] composes). Full outer +
     * zero-coalesce: a cell present on one side only (can't happen for
     * dense fixed-d embeddings, but the merge must not silently drop it if
     * a sparse corpus ever feeds this) still merges exactly. */
-  private def covMergeSums(standing: DataFrame, batch: DataFrame,
+  private def mergeSumsRaw(standing: DataFrame, batch: DataFrame,
       negate: Boolean): DataFrame = {
     val sgn = if (negate) lit(-1L) else lit(1L)
     standing
       .select(col("i"), col("j"), col("sxy").as("sxy1"), col("sx").as("sx1"),
         col("sy").as("sy1"), col("n").as("n1"))
       .join(batch, Seq("i", "j"), "full_outer")
-      .select(col("i"), col("j"), struct(
+      .select(col("i"), col("j"),
         (coalesce(col("sxy1"), lit(0L)) + sgn * coalesce(col("sxy2"), lit(0L))).as("sxy"),
         (coalesce(col("sx1"), lit(0L)) + sgn * coalesce(col("sx2"), lit(0L))).as("sx"),
         (coalesce(col("sy1"), lit(0L)) + sgn * coalesce(col("sy2"), lit(0L))).as("sy"),
-        (coalesce(col("n1"), lit(0L)) + sgn * coalesce(col("n2"), lit(0L))).as("n")).as("c"))
-      .select(col("i"), col("j"), covFromSums(col("c")))
-      .orderBy("i", "j")
+        (coalesce(col("n1"), lit(0L)) + sgn * coalesce(col("n2"), lit(0L))).as("n"))
   }
+
+  /** [[mergeSumsRaw]] + the final covariance arithmetic — the one-step
+    * maintenance forms ([[covUpdate]], [[covDowndate]]) publish finished
+    * covariances; the composed chain keeps raw sums until its own end. */
+  private def covMergeSums(standing: DataFrame, batch: DataFrame,
+      negate: Boolean): DataFrame =
+    mergeSumsRaw(standing, batch, negate)
+      .select(col("i"), col("j"),
+        covFromSums(struct(col("sxy"), col("sx"), col("sy"), col("n"))))
+      .orderBy("i", "j")
 
   /** The FULL-corpus raw-moment artifact [[covDowndate]] subtracts from —
     * the same shape as [[covSumsArtifact]] over all vectors (a standing
@@ -1591,6 +1613,74 @@ object VectorOps {
     val standing = covSumsFullArtifact(spark, sf)
     val batch = covBatchSums(spark, sf, col("vec_id") % 7 === 3)
     covMergeSums(standing, batch, negate = true)
+  }
+
+  /** The composed moment-store chain (see [[covLifecycle]]), built at ONE
+    * site — the [[lifecycleChain]] discipline applied to the moment tier —
+    * so the declared query and the spec's bit-identity seam can never
+    * diverge on what "the chain" means: standing corpus-partition sums
+    * ([[covSumsArtifact]], vec_id % 5 ≠ 4) → INGEST the % 5 == 4 batch by
+    * Long addition (after which the sums equal [[covSumsFullArtifact]]
+    * bit-for-bit — Long addition is associative) → ERASE the % 7 == 3
+    * batch by Long subtraction → finalize the post-maintenance covariance
+    * at FULL precision (unrounded [[covExactFromSums]], the
+    * [[covCellsFull]] spelling) and mirror the triangle to the full d×d
+    * matrix the eigen recipe consumes. `s1`/`s2` are the intermediate raw
+    * sums (spec seams); `audit` is the 1-row vector-count reconciliation
+    * an operator's runbook reads. */
+  private[graft] case class MomentChain(s1: DataFrame, s2: DataFrame,
+    cells: DataFrame, audit: DataFrame)
+
+  private[graft] def momentChain(spark: SparkSession, sf: String): MomentChain = {
+    val s0 = covSumsArtifact(spark, sf)
+    // each merge's batch side is an embeddings-partition aggregate; the
+    // eigen iteration re-reads the chain's output 8+ times (one mat-vec
+    // per round), so materialize the 2080-row merged sums ONCE per stage
+    // — without the checkpoints every round re-scanned both batch
+    // aggregates (profiled 7.1 s → matrix-sized after)
+    val s1 = mergeSumsRaw(s0, covBatchSums(spark, sf, col("vec_id") % 5 === 4),
+      negate = false).localCheckpoint()
+    val s2 = mergeSumsRaw(s1, covBatchSums(spark, sf, col("vec_id") % 7 === 3),
+      negate = true).localCheckpoint()
+    val tri = s2.select(col("i"), col("j"),
+      covExactFromSums(struct(col("sxy"), col("sx"), col("sy"), col("n"))).as("cov"))
+    val cells = tri.union(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    // every cell of a dense triangle carries the same vector count; the
+    // (0,0) cell's n IS the store's row count at each stage — three 1-row
+    // frames, no driver action
+    def nOf(s: DataFrame, name: String) =
+      s.filter(col("i") === 0 && col("j") === 0).select(col("n").as(name))
+    val audit = nOf(s0, "n_standing")
+      .crossJoin(nOf(s1, "n_after_ingest"))
+      .crossJoin(nOf(s2, "n_live"))
+    MomentChain(s1, s2, cells, audit)
+  }
+
+  /** MOMENT-STORE LIFECYCLE COMPOSITION (r15 verdict #3) — the eigen
+    * tier's answer to [[annLifecycle]]: ingest (cov UPDATE by Long
+    * addition) → erasure (cov DOWNDATE by Long subtraction) → the eigen
+    * ladder's rung-1 re-derivation over the POST-maintenance store, as ONE
+    * declared query with the operator's audit columns (vector counts at
+    * each stage) on every row. The parts are [[covUpdate]]/
+    * [[covDowndate]]'s semantics threaded through each other — the updated
+    * sums are what gets downdated, where each standalone query maintains
+    * its own staged artifact — and the eigenpair is [[eigRungFrom]] run
+    * over the maintained sums instead of a fresh corpus recompute. Exact
+    * Longs end-to-end: the maintained triangle is BIT-identical to the
+    * remaining-corpus recompute (spec'd), the finalize + iteration is the
+    * [[pcaPower]] quantized discipline verbatim — so the whole composition
+    * is ORACLED: the q_pca_power SQL over the % 7 ≠ 3 corpus, plus three
+    * integer count subqueries. At 100 TB every step is its own size:
+    * both merges are 2080-row Long arithmetic (no corpus rescan, ever),
+    * the finalize + 8 iteration rounds are matrix-sized — the chain's cost
+    * is corpus-INDEPENDENT given the standing sums, which is the whole
+    * point of keeping raw integer moments. */
+  def covLifecycle(spark: SparkSession, sf: String): DataFrame = {
+    val ch = momentChain(spark, sf)
+    eigRungFrom(ch.cells, 1, Nil)
+      .crossJoin(broadcast(ch.audit))
+      .orderBy("i")
   }
 
   def semDedup(spark: SparkSession, sf: String, k: Int = 0): DataFrame = {

@@ -1081,11 +1081,90 @@ object StreamOps {
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
       // surface the multi-batch reality to the spec WITHOUT a driver
       // action: every probe row carries the drain's batch count
-      V.pqProbe(spark, probes, standing.unionByName(ingested),
+      val out = V.pqProbe(spark, probes, standing.unionByName(ingested),
           emb.select(col("vec_id"), col("v")), km, codebook, nprobe)
         .crossJoin(broadcast(nBatches))
         .localCheckpoint() // eager — the run dir (log + ckpt) dies on exit
+      // the checkpoint is eager, so nothing reads emb's plan after this —
+      // release the cached copy instead of parking one per invocation
+      // (r15 advisor #4)
+      emb.unpersist()
+      out
     }
+  }
+
+  /** Drained ingest log of the STREAMING LEXICAL STORE (see [[streamDf]]):
+    * the ingest batch's documents (doc_id % 10 == 0 — the same
+    * dedup-incremental split [[graft.ops.TextOps.dfUpdate]] folds in)
+    * staged as 4 range-partitioned files, `maxFilesPerTrigger=1` (≥ 4
+    * micro-batches, doc-DISJOINT by the range partitioning — which is what
+    * makes df additive across them), each arrival counted BATCH-SIZED
+    * inside foreachBatch (`lexCounts`: one explode + aggregate over the
+    * micro-batch only) and appended to an immutable (tok, df, tf,
+    * batch_id) log. Counting is a deterministic pure aggregate of the
+    * batch, so a replayed batch rewrites identical rows and the
+    * (tok, batch_id)-keyed compaction drops them — the
+    * [[foreachBatchMerge]] idempotent-append contract, lexical edition.
+    * Returns the compacted log WITH batch_id (the spec's multi-batch
+    * seam), eagerly checkpointed — the run dir dies on exit. */
+  private[graft] def streamDfLog(spark: org.apache.spark.sql.SparkSession,
+      sf: String): DataFrame = {
+    val inDir = graft.ops.SourceOps.materialize(s"stream_df_in_$sf") { d =>
+      graft.sources.Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")).write.parquet(s"$d/in")
+      val parts = new java.io.File(s"$d/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    withRunDir("stream_df_run_") { run =>
+      val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ops.TextOps.lexCounts(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$run/log")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$run/log")
+        .dropDuplicates("tok", "batch_id")
+        .localCheckpoint() // eager — the run dir (log + ckpt) dies on exit
+    }
+  }
+
+  /** STREAMING INGEST for the lexical standing store — the text-tier twin
+    * of [[streamCov]] (r15 verdict #2; with it, ALL THREE of the engine's
+    * standing stores — moments, ANN index, lexical table — have both
+    * incremental maintenance and real streaming ingest forms): the ingest
+    * batch's documents arrive as a multi-micro-batch file stream, each
+    * micro-batch's (token, df, tf) exact Long counts fold batch-sized into
+    * an append log ([[streamDfLog]]), and the drained log compacts into
+    * ONE batch-counts table that merges into the standing corpus-partition
+    * artifact by [[graft.ops.TextOps.lexMerge]] — the very merge
+    * `q_df_update` runs. Doc-disjoint micro-batches make df additive
+    * (distinct-doc counts over disjoint doc sets add exactly, the
+    * q_df_update argument one level down), and Long addition is
+    * batching-independent — so the result is BIT-IDENTICAL to the batch
+    * [[graft.ops.TextOps.dfUpdate]] for ANY file slicing, and the oracle
+    * is the full-corpus recompute SQL VERBATIM. This is the 100 TB ingest
+    * shape for retrieval state: per-arrival work is micro-batch-sized, the
+    * standing store absorbs each batch by one vocabulary-sized Long merge,
+    * and every consumer ([[graft.ops.TextOps.bm25Store]],
+    * [[graft.ops.TextOps.tfidfStore]]) reads the same numbers a full
+    * corpus pass would produce. */
+  def streamDf(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val batchCounts = streamDfLog(spark, sf)
+      .groupBy("tok").agg(sum("df").as("df"), sum("tf").as("tf"))
+    graft.ops.TextOps.lexMerge(
+      graft.ops.TextOps.lexDfArtifact(spark, sf), batchCounts, negate = false)
   }
 
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per

@@ -45,7 +45,7 @@ class LedgerSpec extends AnyFunSuite {
       ("1-row n scalar drives the k=sqrt(n) cell count", 1),
     ("ops/VectorOps.scala", "annCompact") ->
       ("one-time compaction audit: before/after row counts inside the memoized artifact rewrite (construction-sized, never per-probe)", 2),
-    ("ops/VectorOps.scala", "lifecycleChain") ->
+    ("ops/VectorOps.scala", "buildLifecycleChain") ->
       ("the composed chain's compaction threshold gate: before/after row counts inside the memoized artifact rewrite (the annCompact pattern, construction-sized)", 2),
     ("ops/GraphOps.scala", "graphMetrics") ->
       ("1-row edge-count scalar drives broadcast-vs-shuffle switchover", 1),

@@ -491,6 +491,54 @@ class PcaHybridSpec extends SparkSpec {
     assert(downdated.nonEmpty)
   }
 
+  test("covLifecycle: the post-maintenance eigenpair is BIT-IDENTICAL to the recompute ladder; the chain's sums and audit reconcile") {
+    val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+    // 1) composition identity (the r15 verdict's named contract): the
+    // rung-1 eigenpair re-derived over the MAINTAINED sums must equal
+    // eigRungFrom over a fresh remaining-corpus recompute bit-for-bit —
+    // update and downdate are exact Long arithmetic, so the maintained
+    // matrix IS the recompute's matrix
+    def eigBits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("i", "comp", "lambda").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq
+    val declared = VectorOps.covLifecycle(spark, sf0001)
+    val tri = emb.filter(col("vec_id") % 7 =!= 3)
+      .agg(graft.functions.CovFunctions.cov_accum_agg(col("embedding")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        (col("c.sxy") / g / col("c.n") -
+          (col("c.sx") / g / col("c.n")) *
+          (col("c.sy") / g / col("c.n"))).as("cov"))
+    val cells = tri.union(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    val recomputed = VectorOps.eigRungFrom(cells, 1, Nil)
+    assert(eigBits(declared) == eigBits(recomputed),
+      "lifecycle eigenpair diverged from the recompute ladder")
+    // 2) the post-INGEST sums equal the standing full-corpus artifact
+    // exactly (Long addition is associative — the chain's intermediate
+    // state is the artifact covDowndate maintains)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "sxy", "sx", "sy", "n").collect()
+        .map(_.toSeq).toSeq.sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val ch = VectorOps.momentChain(spark, sf0001)
+    assert(sums(ch.s1) == sums(VectorOps.covSumsFullArtifact(spark, sf0001)),
+      "post-ingest sums != the standing full-corpus artifact")
+    // 3) audit reconciliation: the three stage counts tie out against
+    // the fixture's own splits, and every declared row carries them
+    val rows = declared.collect()
+    assert(rows.nonEmpty)
+    val nIngest = emb.filter(col("vec_id") % 5 === 4).count()
+    val nErased = emb.filter(col("vec_id") % 7 === 3).count()
+    val (ns, ni, nl) = (rows.head.getAs[Long]("n_standing"),
+      rows.head.getAs[Long]("n_after_ingest"), rows.head.getAs[Long]("n_live"))
+    assert(ni == ns + nIngest, s"ingest audit: $ns + $nIngest != $ni")
+    assert(nl == ni - nErased, s"erasure audit: $ni - $nErased != $nl")
+    assert(rows.forall(r => r.getAs[Long]("n_standing") == ns &&
+      r.getAs[Long]("n_after_ingest") == ni && r.getAs[Long]("n_live") == nl))
+  }
+
   test("retrievalEval: metrics equal a test-side recompute from the fused table and sit in [0,1]") {
     val fused = TextOps.hybridRetrieval(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

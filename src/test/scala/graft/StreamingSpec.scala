@@ -781,6 +781,38 @@ class StreamingSpec extends SparkSpec {
     assert(again == got.map(_.toSeq).toSeq)
   }
 
+  test("streamDf: the micro-batched lexical ingest equals the batch dfUpdate bit-for-bit, genuinely multi-batch") {
+    // the lexical-tier twin of streamCov/streamAnnIngest's contract:
+    // doc-disjoint micro-batches keep df additive and Long addition is
+    // batching-independent, so HOWEVER the file source slices the ingest
+    // batch, the merged store must equal the one-shot dfUpdate exactly
+    val got = graft.streaming.StreamOps.streamDf(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val want = graft.ops.TextOps.dfUpdate(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "streamed lexical store diverged from batch dfUpdate")
+    // multi-batch reality: 4 staged files at maxFilesPerTrigger=1 must
+    // drain as ≥ 3 micro-batches (≥ 3 keeps the assertion meaningful even
+    // if the source ever coalesces one pair) — otherwise the
+    // batching-independence above is vacuous
+    val log = graft.streaming.StreamOps.streamDfLog(spark, sf0001)
+    val nb = log.select(countDistinct("batch_id")).collect()(0).getLong(0)
+    assert(nb >= 3L, s"lexical ingest ran as $nb micro-batch(es)")
+    // and the per-batch logs are genuinely doc-disjoint aggregates: each
+    // batch's df can never exceed the whole ingest split's doc count, and
+    // summing the per-batch dfs reproduces the one-shot batch count —
+    // the additivity the oracle argument rests on
+    val summed = log.groupBy("tok")
+      .agg(sum("df").as("df"), sum("tf").as("tf"))
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    val oneShot = graft.ops.TextOps.lexCounts(
+        graft.sources.Tables.load(spark, sf0001, "documents")
+          .filter(col("doc_id") % 10 === 0))
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    assert(summed == oneShot, "per-batch lexical counts are not additive")
+  }
+
   test("streamAsof: the foreachBatch as-of drain equals the batch as-of join") {
     // batching-independence is the claim: each event's answer depends only
     // on the static orders side, so HOWEVER the file source slices batches,

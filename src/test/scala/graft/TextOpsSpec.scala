@@ -852,4 +852,36 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(added == Seq(("alpha", 3L, 7L), ("beta", 1L, 1L), ("ghost", 4L, 4L)))
   }
+
+  test("bm25Store/tfidfStore: serving from the maintained lexical artifact is bit-identical to the in-query recount, and actually reads the store") {
+    // bit-identity: the maintained store's exact Long counts equal the
+    // recompute (the test above), and the scoring body is SHARED
+    // (bm25From/tfidfFrom), so the store-backed results may not differ in
+    // a single bit — this is what lets the q_bm25/q_tfidf oracles
+    // transfer verbatim
+    val bmRecount = TextOps.bm25(spark, sf0001).collect().map(_.toSeq).toSeq
+    val bmStore = TextOps.bm25Store(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(bmRecount.nonEmpty)
+    assert(bmStore == bmRecount, "bm25Store diverged from the recount form")
+    val tfRecount = TextOps.tfidf(spark, sf0001).collect().map(_.toSeq).toSeq
+    val tfStore = TextOps.tfidfStore(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(tfStore == tfRecount, "tfidfStore diverged from the recount form")
+    // load-bearing check: the serving plan scans the artifact lexMerge
+    // emitted (maintenance and serving share ONE store), while the
+    // recount form does not touch it — the two forms genuinely differ in
+    // input, not just in name
+    def scansStore(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.contains("graft_lex_df_maint_")
+    assert(scansStore(TextOps.bm25Store(spark, sf0001)),
+      "bm25Store's plan does not scan the maintained lexical artifact")
+    assert(scansStore(TextOps.tfidfStore(spark, sf0001)),
+      "tfidfStore's plan does not scan the maintained lexical artifact")
+    assert(!scansStore(TextOps.bm25(spark, sf0001)),
+      "the recount bm25 unexpectedly reads the store")
+    // shared state: what the serving queries read IS dfUpdate's output
+    val maint = TextOps.lexMaintainedArtifact(spark, sf0001)
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    val upd2 = TextOps.dfUpdate(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(maint == upd2, "maintained artifact != the lexMerge output it stages")
+  }
 }
