@@ -137,6 +137,7 @@ object SparkEntry {
     "q_bm25" -> (TextOps.bm25 _),
     "q_bm25_store" -> (TextOps.bm25Store _),
     "q_tfidf_store" -> (TextOps.tfidfStore _),
+    "q_lex_lifecycle" -> (TextOps.lexLifecycle _),
     "q_hybrid_retrieval" -> (TextOps.hybridRetrieval _),
     "q_hybrid_ann" -> (TextOps.hybridRetrievalAnn _),
     "q_retrieval_eval" -> (TextOps.retrievalEval _),
@@ -407,25 +408,33 @@ object SparkEntry {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
-  /** DuckDB twin of BOTH q_bm25 (in-query df recount) and q_bm25_store
-    * (df probed from the maintained lexical artifact): the maintained
-    * counts are exact Longs equal to this recompute — q_df_update's
-    * oracled contract — so one SQL oracles both forms. */
-  private def bm25Sql: String =
-    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+  /** The BM25 CTE chain over an optionally-filtered corpus — shared by
+    * the q_bm25/q_bm25_store oracle (no filter) and the q_lex_lifecycle
+    * oracle (the % 7 ≠ 3 post-erasure corpus). */
+  private def bm25Ctes(where: String = ""): String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents$where),
        |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
        |       FROM dl),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
        |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
        |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-       |        FROM tf GROUP BY 1)
-       |SELECT doc_id,
-       |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-       |    * (tf * (1.2 + 1))
-       |    / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
-       |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
-       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |        FROM tf GROUP BY 1)""".stripMargin
+
+  /** The BM25 scoring select over [[bm25Ctes]]'s relations. */
+  private def bm25Select: String =
+    """SELECT doc_id,
+      |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+      |    * (tf * (1.2 + 1))
+      |    / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS bm25
+      |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** DuckDB twin of BOTH q_bm25 (in-query df recount) and q_bm25_store
+    * (df probed from the maintained lexical artifact): the maintained
+    * counts are exact Longs equal to this recompute — q_df_update's
+    * oracled contract — so one SQL oracles both forms. */
+  private def bm25Sql: String = s"${bm25Ctes()}\n$bm25Select"
 
   /** DuckDB twin of BOTH q_df_update (standing corpus partition + ingest
     * batch merged by exact Long addition) and q_stream_df (the same merge
@@ -1755,6 +1764,24 @@ object SparkEntry {
     // tfidfStore's df side is the maintained lexical artifact (see
     // q_bm25_store above) — identical exact counts, oracle verbatim
     "q_tfidf_store" -> tfidfSql,
+    // the composed lexical lifecycle: update + erasure-downdate are exact
+    // Long merges over doc-disjoint splits, so the post-maintenance store
+    // equals the remaining-corpus (% 7 <> 3) recompute bit-for-bit and
+    // the BM25 re-derivation over it is oracled by the q_bm25 SQL over
+    // that filtered corpus; the three audit columns are integer document
+    // counts per stage (the q_cov_lifecycle discipline). The score round
+    // moves into the scored CTE, where the margin audit's CTE-unit pass
+    // covers it (scores are nonnegative — no signed-zero exposure).
+    "q_lex_lifecycle" ->
+      s"""${bm25Ctes(" WHERE doc_id % 7 <> 3")},
+         |scored AS MATERIALIZED ($bm25Select)
+         |SELECT doc_id, bm25,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |    WHERE doc_id % 10 <> 0) AS n_standing,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_after_ingest,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |    WHERE doc_id % 7 <> 3) AS n_live
+         |FROM scored ORDER BY bm25 DESC, doc_id""".stripMargin,
     // the z round sits in the FINAL select (over zraw from the window CTE)
     // so the margin audit measures the DECLARED output population and the
     // signed-zero gate sees the round; z-scores are negative-capable →

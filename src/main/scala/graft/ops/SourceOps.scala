@@ -80,6 +80,8 @@ object SourceOps {
     // ingest files; covLifecycle stages the standing corpus triangle
     // (cov_sums_<sf>, shared with q_cov_update)
     "q_bm25_store", "q_tfidf_store", "q_stream_df", "q_cov_lifecycle",
+    // lexLifecycle's chain reads the standing lex_df_<sf> artifact
+    "q_lex_lifecycle",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

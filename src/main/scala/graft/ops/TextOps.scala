@@ -1501,9 +1501,10 @@ object TextOps {
     * least the query terms with FULL-corpus document frequencies — which
     * the maintained store's exact Long counts are, verbatim (q_df_update's
     * oracle is the full recompute). */
-  private def bm25From(spark: SparkSession, sf: String,
-      storeDf: Option[DataFrame]): DataFrame = {
-    val tk = fannedDocs(spark, sf)
+  private[graft] def bm25From(spark: SparkSession, sf: String,
+      storeDf: Option[DataFrame], corpusPred: Option[Column] = None): DataFrame = {
+    val docs = fannedDocs(spark, sf)
+    val tk = corpusPred.fold(docs)(docs.filter)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .persist()
     val docLen = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
@@ -1828,6 +1829,57 @@ object TextOps {
       dfUpdate(spark, sf).write.parquet(s"$d/df")
     }
     spark.read.parquet(s"$dir/df")
+  }
+
+  /** The composed lexical chain (see [[lexLifecycle]]), built at ONE site
+    * — the momentChain discipline on the text tier. [[lexMerge]]'s output
+    * IS store-shaped, so the chain composes directly: standing
+    * corpus-partition counts ([[lexDfArtifact]], doc_id % 10 ≠ 0) →
+    * INGEST the % 10 == 0 batch by Long addition (after which the table
+    * equals the full-corpus store bit-for-bit — spec'd against
+    * [[lexDfFullArtifact]]) → ERASE the doc_id % 7 == 3 batch (the same
+    * GDPR/retention split the ANN tombstone and moment downdate use) by
+    * Long subtraction, zero-df tokens dropping out. `l2` is the
+    * POST-maintenance store; `audit` carries the per-stage document
+    * counts (declarative 1-row aggregates, no driver action). */
+  private[graft] case class LexChain(l1: DataFrame, l2: DataFrame, audit: DataFrame)
+
+  private[graft] def lexChain(spark: SparkSession, sf: String): LexChain = {
+    val docs = Tables.load(spark, sf, "documents")
+    val l1 = lexMerge(lexDfArtifact(spark, sf),
+      lexCounts(docs.filter(col("doc_id") % 10 === 0)), negate = false)
+    val l2 = lexMerge(l1,
+      lexCounts(docs.filter(col("doc_id") % 7 === 3)), negate = true)
+    def nOf(pred: Column, name: String) =
+      docs.filter(pred).agg(count(lit(1)).as(name))
+    val audit = nOf(col("doc_id") % 10 =!= 0, "n_standing")
+      .crossJoin(nOf(lit(true), "n_after_ingest"))
+      .crossJoin(nOf(col("doc_id") % 7 =!= 3, "n_live"))
+    LexChain(l1, l2, audit)
+  }
+
+  /** LEXICAL-STORE LIFECYCLE COMPOSITION — the text tier's
+    * `q_cov_lifecycle`, and the stronger form of the composition because
+    * the chain's end is a SERVING consumer, not just re-derived state:
+    * ingest (df UPDATE by Long addition) → erasure (df DOWNDATE by Long
+    * subtraction, vanish-at-zero) → BM25 re-derivation over the
+    * POST-maintenance store and the POST-erasure corpus, one declared
+    * query with per-stage document-count audit columns on every row.
+    * Exact Longs end-to-end: the maintained counts equal the
+    * remaining-corpus recompute (doc-disjoint splits keep df additive),
+    * and the scoring body is the shared [[bm25From]] — so the whole
+    * composition is ORACLED: the q_bm25 SQL over the % 7 ≠ 3 corpus plus
+    * three integer count subqueries, and the spec pins bit-equality with
+    * the recount form over the same filtered corpus. At 100 TB each step
+    * is its own size: both merges are vocabulary-sized Long arithmetic
+    * over batch-sized counts (no corpus rescan), and serving reads
+    * maintained df — the erased batch never has to be re-tokenized to
+    * keep retrieval consistent with the erasure. */
+  def lexLifecycle(spark: SparkSession, sf: String): DataFrame = {
+    val ch = lexChain(spark, sf)
+    bm25From(spark, sf, Some(ch.l2), Some(col("doc_id") % 7 =!= 3))
+      .crossJoin(broadcast(ch.audit))
+      .orderBy(col("bm25").desc, col("doc_id"))
   }
 
   /** The ONE TF-IDF scoring body, shared by [[tfidf]] (in-query df) and

@@ -884,4 +884,41 @@ class TextOpsSpec extends SparkSpec {
     val upd2 = TextOps.dfUpdate(spark, sf0001).collect().map(_.toSeq).toSeq
     assert(maint == upd2, "maintained artifact != the lexMerge output it stages")
   }
+
+  test("lexLifecycle: the post-maintenance BM25 is bit-identical to the recount over the post-erasure corpus; chain sums and audit reconcile") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    // 1) the post-INGEST table equals the standing full-corpus store
+    // exactly (Long addition over doc-disjoint splits is associative)
+    val ch = TextOps.lexChain(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("tok").collect().map(_.toSeq).toSeq
+    assert(rows(ch.l1) == rows(TextOps.dfUpdate(spark, sf0001)),
+      "post-ingest lexical table != the full-corpus store")
+    // 2) the post-ERASURE table equals the remaining-corpus recompute
+    val rec = TextOps.lexCounts(docs.filter(col("doc_id") % 7 =!= 3))
+    assert(rows(ch.l2) == rows(rec),
+      "post-erasure lexical table != the remaining-corpus recompute")
+    // 3) composition identity: serving from the maintained post-erasure
+    // store equals the recount form over the same filtered corpus
+    // bit-for-bit (shared scoring body + exact Long counts)
+    val declared = TextOps.lexLifecycle(spark, sf0001).collect()
+    assert(declared.nonEmpty)
+    val gotScores = declared.map(r => (r.getLong(0),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)))).toSeq
+    val want = TextOps.bm25From(spark, sf0001, None, Some(col("doc_id") % 7 =!= 3))
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))).toSeq
+    assert(gotScores == want,
+      "lifecycle BM25 diverged from the filtered-corpus recount")
+    // 4) audit reconciliation, constant across rows
+    val nIngest = docs.filter(col("doc_id") % 10 === 0).count()
+    val nErased = docs.filter(col("doc_id") % 7 === 3).count()
+    val (ns, ni, nl) = (declared.head.getAs[Long]("n_standing"),
+      declared.head.getAs[Long]("n_after_ingest"), declared.head.getAs[Long]("n_live"))
+    assert(ni == ns + nIngest, s"ingest audit: $ns + $nIngest != $ni")
+    assert(nl == ni - nErased, s"erasure audit: $ni - $nErased != $nl")
+    assert(declared.forall(r => r.getAs[Long]("n_standing") == ns &&
+      r.getAs[Long]("n_after_ingest") == ni && r.getAs[Long]("n_live") == nl))
+  }
 }
