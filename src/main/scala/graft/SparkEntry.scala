@@ -137,6 +137,8 @@ object SparkEntry {
     "q_bm25" -> (TextOps.bm25 _),
     "q_bm25_store" -> (TextOps.bm25Store _),
     "q_tfidf_store" -> (TextOps.tfidfStore _),
+    "q_bm25_index" -> (TextOps.bm25Index _),
+    "q_tfidf_index" -> (TextOps.tfidfIndex _),
     "q_lex_lifecycle" -> (TextOps.lexLifecycle _),
     "q_hybrid_retrieval" -> (TextOps.hybridRetrieval _),
     "q_hybrid_ann" -> (TextOps.hybridRetrievalAnn _),
@@ -1729,6 +1731,11 @@ object SparkEntry {
     // the full recompute (q_df_update's oracled contract), so the oracle
     // is q_bm25's SQL VERBATIM — same values, same rounding, same order
     "q_bm25_store" -> bm25Sql,
+    // bm25Index serves from standing state ONLY (store df + postings tf +
+    // postings-derived lengths — all exact Longs equal to the recount's
+    // relations; the length avg is a sum of integer-valued doubles < 2^53,
+    // exact in any order), so the same SQL oracles it too
+    "q_bm25_index" -> bm25Sql,
     // both arms' oracled SQL composed verbatim (bm25 CTEs + cosine CTEs)
     // with integer-rank windows; the RRF sum is two IEEE divisions of
     // integer ranks — exact-deterministic, no float aggregate anywhere
@@ -1764,6 +1771,10 @@ object SparkEntry {
     // tfidfStore's df side is the maintained lexical artifact (see
     // q_bm25_store above) — identical exact counts, oracle verbatim
     "q_tfidf_store" -> tfidfSql,
+    // tfidfIndex serves tf from the postings artifact, df from the store,
+    // n_docs from the staged 1-row corpus count — all exact values equal
+    // to the recount's, same SQL
+    "q_tfidf_index" -> tfidfSql,
     // the composed lexical lifecycle: update + erasure-downdate are exact
     // Long merges over doc-disjoint splits, so the post-maintenance store
     // equals the remaining-corpus (% 7 <> 3) recompute bit-for-bit and

@@ -1522,6 +1522,15 @@ object TextOps {
       case None =>
         tf.groupBy("tok").agg(countDistinct("doc_id").cast("double").as("df"))
     }
+    bm25Score(tf, dfq, docLen, stats)
+  }
+
+  /** The ONE BM25 scoring tail over prepared relations — shared by every
+    * BM25 form ([[bm25From]]'s scan-derived relations and [[bm25Index]]'s
+    * artifact-read ones), so the arithmetic, rounding, and tie-break have
+    * exactly one spelling however the inputs were produced. */
+  private def bm25Score(tf: DataFrame, dfq: DataFrame, docLen: DataFrame,
+      stats: DataFrame): DataFrame =
     tf.join(broadcast(dfq), "tok")
       .join(docLen, "doc_id")
       .join(broadcast(stats))
@@ -1533,7 +1542,6 @@ object TextOps {
       .groupBy("doc_id").agg(round(sum("s"), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
-  }
 
   /** BM25 top-20 docs for a fixed conjunctive query — the retrieval scorer
     * an LLM RAG/eval pipeline runs against its corpus. One exploded token
@@ -1559,6 +1567,64 @@ object TextOps {
     * ([[invertedIndex]]), not a scan. */
   def bm25Store(spark: SparkSession, sf: String): DataFrame =
     bm25From(spark, sf, Some(lexMaintainedArtifact(spark, sf)))
+
+  /** The standing POSTINGS artifact — the inverted index WITH term
+    * frequencies, (tok, doc_id, tf) as exact Long counts: the classic IR
+    * serving structure, materialized once per corpus. Unlike the
+    * aggregate lexical store, every row is per-DOCUMENT state, so the
+    * artifact is incrementally maintainable by construction: an ingest
+    * batch APPENDS its rows (doc-disjoint — no merge arithmetic at all),
+    * an erasure DELETES them (partition prune on doc_id at scale), and
+    * neither touches the surviving rows. At 100 TB this is term-bucketed
+    * so a query's probe reads only its terms' buckets. */
+  private[graft] def postingsArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"lex_postings_$sf") { d =>
+      Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .write.parquet(s"$d/post")
+    }
+    spark.read.parquet(s"$dir/post")
+  }
+
+  /** The 1-row corpus document count, staged once — the last corpus fact
+    * the index-served TF-IDF needs (documents INCLUDING zero-token ones,
+    * which the postings cannot supply); stored pre-cast to DOUBLE, the
+    * exact value the recount form computes. */
+  private[graft] def docCountArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"lex_ndocs_$sf") { d =>
+      Tables.load(spark, sf, "documents")
+        .agg(count(lit(1)).cast("double").as("n_docs")).write.parquet(s"$d/n")
+    }
+    spark.read.parquet(s"$dir/n")
+  }
+
+  /** BM25 served ENTIRELY from standing state — zero corpus scans in the
+    * serving path (spec-asserted against the plan): df probes the
+    * maintained lexical store ([[lexMaintainedArtifact]]), tf probes the
+    * postings artifact filtered to the query terms (parquet-pushed — at
+    * scale, the term buckets), doc lengths and corpus stats derive from
+    * the same postings rows (len = Σ tf per doc — an exact Long equal to
+    * the token count, so the derivation is bit-lossless; the avg is a sum
+    * of integer-valued doubles < 2⁵³, exact in any order). The scoring
+    * tail is the shared [[bm25Score]], so the result is BIT-identical to
+    * [[bm25]] and the q_bm25 oracle transfers verbatim. This completes
+    * the serving ladder the round built: recount ([[bm25]]) → df from the
+    * store ([[bm25Store]]) → everything from standing state (here) — the
+    * only shape that serves interactive retrieval at 100 TB, where a
+    * per-query corpus scan is not a cost but an impossibility. */
+  def bm25Index(spark: SparkSession, sf: String): DataFrame = {
+    val post = postingsArtifact(spark, sf)
+    val tf = post.filter(col("tok").isin(Bm25QueryTerms: _*))
+      .select("doc_id", "tok", "tf")
+    val docLen = post.groupBy("doc_id").agg(sum("tf").as("len"))
+    val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("len").as("avg_len"))
+    val dfq = lexMaintainedArtifact(spark, sf)
+      .filter(col("tok").isin(Bm25QueryTerms: _*))
+      .select(col("tok"), col("df").cast("double").as("df"))
+    bm25Score(tf, dfq, docLen, stats)
+  }
 
   /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009's
     * standard k=60) and the per-arm candidate depth fused by
@@ -1887,11 +1953,14 @@ object TextOps {
     * [[bm25From]] discipline: one spelling of score and tie-break, so the
     * store-backed form can never drift from the declared oracle. */
   private def tfidfFrom(spark: SparkSession, sf: String,
-      storeDf: Option[DataFrame]): DataFrame = {
+      storeDf: Option[DataFrame], tfSource: Option[DataFrame] = None,
+      nDocsSource: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = fannedDocs(spark, sf)
+    // tf: the in-query explode+aggregate, or the standing postings
+    // artifact — the SAME (doc_id, tok, tf) exact Long relation
+    val tf = tfSource.getOrElse(fannedDocs(spark, sf)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
     // df: the in-query vocabulary-sized recount, or the standing store's
     // maintained exact Long counts (identical values — the store IS the
     // full recompute, q_df_update's oracled contract)
@@ -1900,8 +1969,8 @@ object TextOps {
       case None => tf.groupBy("tok")
         .agg(countDistinct("doc_id").cast("double").as("df"))
     }
-    val nDocs = Tables.load(spark, sf, "documents")
-      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val nDocs = nDocsSource.getOrElse(Tables.load(spark, sf, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs")))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
     tf.join(dfTok, "tok")
       .crossJoin(broadcast(nDocs))
@@ -1929,6 +1998,18 @@ object TextOps {
     * verbatim, bit-equality spec'd. */
   def tfidfStore(spark: SparkSession, sf: String): DataFrame =
     tfidfFrom(spark, sf, Some(lexMaintainedArtifact(spark, sf)))
+
+  /** TF-IDF served ENTIRELY from standing state — [[bm25Index]]'s
+    * whole-vocabulary sibling, zero corpus scans in the serving path
+    * (spec-asserted): tf is the postings artifact verbatim, df the
+    * maintained lexical store, n_docs the staged 1-row corpus count
+    * (the one corpus fact postings cannot supply — zero-token documents
+    * count toward it). Shared body ⇒ bit-identical to [[tfidf]], oracle
+    * transfers verbatim. */
+  def tfidfIndex(spark: SparkSession, sf: String): DataFrame =
+    tfidfFrom(spark, sf, Some(lexMaintainedArtifact(spark, sf)),
+      Some(postingsArtifact(spark, sf)),
+      Some(docCountArtifact(spark, sf)))
 
   /** Posting-list entries materialized per term (the head; full df is kept
     * as a count). Bounds every term's list — the hot-term guard. */
