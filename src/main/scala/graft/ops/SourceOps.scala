@@ -27,6 +27,11 @@ object SourceOps {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[String]]()
 
+  /** Keys the current THREAD is mid-construction on — the cycle detector
+    * for nested [[materialize]] calls (see the guard in materialize). */
+  private val building: ThreadLocal[java.util.HashSet[String]] =
+    ThreadLocal.withInitial(() => new java.util.HashSet[String]())
+
   /** Number of staging dirs materialized so far — Bench snapshots this
     * around each timed query to detect a materialize user missing from
     * [[stagedQueries]] (a staging write inside a timed region). */
@@ -125,8 +130,20 @@ object SourceOps {
       write(tmp)
       tmp
     })
+    // a writer that transitively re-stages its OWN key (a cycle in the
+    // staging DAG) would block forever in winner.get() on its own
+    // incomplete task — keep same-key re-entry fail-fast, like the
+    // "Recursive update" computeIfAbsent threw, instead of a silent hang
+    // (r16 review). Tracked per THREAD: another thread building the same
+    // key is the normal winner/waiter case, not a cycle.
+    require(!building.get().contains(key),
+      s"materialize cycle: '$key' is already under construction by this thread")
     val prior = staged.putIfAbsent(key, task)
-    val winner = if (prior == null) { task.run(); task } else prior
+    val winner = if (prior == null) {
+      building.get().add(key)
+      try task.run() finally building.get().remove(key)
+      task
+    } else prior
     try winner.get()
     catch {
       case e: java.util.concurrent.ExecutionException =>

@@ -865,17 +865,34 @@ object VectorOps {
       probes: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
       codebook: DataFrame)
 
-  /** Session-lifetime memo of the composed chain per sf (r15 advisor #4):
-    * the declared query plus the spec's two probe arms each build the
-    * chain, and every build persisted a fresh copy of the embeddings
-    * projection with no unpersist — memoizing the WHOLE chain (the staged-
-    * artifact discipline, in-memory edition) leaves one cached copy per
-    * JVM however many consumers run. */
+  /** Memo key for the in-memory chain caches: sf PLUS the two confs the
+    * stability gate perturbs — so the gate's perturbed re-run builds its
+    * own chain instead of silently reading one constructed under default
+    * partitioning (r16 review: a plain per-sf memo re-opened the r12
+    * "memoized artifacts" blind spot for the chain's construction-time
+    * decisions). Steady state still holds exactly one entry per sf; the
+    * gate adds one bounded extra per perturbed conf set. */
+  private def chainKey(spark: SparkSession, sf: String): String = {
+    // no-default get: a typed SQL conf VALIDATES an explicit default
+    // string (an empty fallback throws INVALID_CONF_VALUE), while the
+    // plain form returns the session value or the conf's own default
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    s"$sf|$sp|$mpb"
+  }
+
+  /** Session-lifetime memo of the composed chain per (sf, gate confs)
+    * (r15 advisor #4): the declared query plus the spec's two probe arms
+    * each build the chain, and every build persisted a fresh copy of the
+    * embeddings projection with no unpersist — memoizing the WHOLE chain
+    * (the staged-artifact discipline, in-memory edition) leaves one
+    * cached copy per JVM however many consumers run. */
   private val lifecycleChains =
     new java.util.concurrent.ConcurrentHashMap[String, LifecycleChain]()
 
   private def lifecycleChain(spark: SparkSession, sf: String): LifecycleChain =
-    lifecycleChains.computeIfAbsent(sf, _ => buildLifecycleChain(spark, sf))
+    lifecycleChains.computeIfAbsent(chainKey(spark, sf),
+      _ => buildLifecycleChain(spark, sf))
 
   private def buildLifecycleChain(spark: SparkSession, sf: String): LifecycleChain = {
     import org.apache.spark.ml.functions.array_to_vector
@@ -1631,7 +1648,19 @@ object VectorOps {
   private[graft] case class MomentChain(s1: DataFrame, s2: DataFrame,
     cells: DataFrame, audit: DataFrame)
 
-  private[graft] def momentChain(spark: SparkSession, sf: String): MomentChain = {
+  /** Memoized like [[lifecycleChain]] and for the same two reasons (r16
+    * review): each build eagerly localCheckpoints two 2080-row frames
+    * that would otherwise accumulate per invocation (query + gate re-run
+    * + the spec's calls), and keying by [[chainKey]] keeps the stability
+    * gate's perturbed re-run building its own chain. */
+  private val momentChains =
+    new java.util.concurrent.ConcurrentHashMap[String, MomentChain]()
+
+  private[graft] def momentChain(spark: SparkSession, sf: String): MomentChain =
+    momentChains.computeIfAbsent(chainKey(spark, sf),
+      _ => buildMomentChain(spark, sf))
+
+  private def buildMomentChain(spark: SparkSession, sf: String): MomentChain = {
     val s0 = covSumsArtifact(spark, sf)
     // each merge's batch side is an embeddings-partition aggregate; the
     // eigen iteration re-reads the chain's output 8+ times (one mat-vec

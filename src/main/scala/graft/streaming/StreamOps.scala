@@ -245,6 +245,24 @@ object StreamOps {
     * target/tmp (ADVICE r10; the pre-r11 sites deleted only on success).
     * Callers must eagerly materialize (`localCheckpoint()`) any DataFrame
     * they return: its backing files are gone when `body` exits. */
+  /** The ONE staging recipe every drained stream's file source replays:
+    * write `df` into `parts` range-partitioned files at `dir/sub`, then
+    * space the part files' mtimes one minute apart in name order so the
+    * file source's oldest-first ordering replays the slices
+    * deterministically (and `maxFilesPerTrigger` makes the drain
+    * genuinely multi-micro-batch). Extracted after the sixth copy-paste
+    * of this block (r16 review): a future fix to the recipe — the mtime
+    * base, the part sort, listFiles null-handling — now lands once. */
+  private def stageSlices(df: DataFrame, dir: String, sub: String,
+      parts: Int, partCol: org.apache.spark.sql.Column): Unit = {
+    df.repartitionByRange(parts, partCol).write.parquet(s"$dir/$sub")
+    val files = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+  }
+
   private def withRunDir[A](prefix: String)(body: String => A): A = {
     val base = java.nio.file.Paths.get("target", "tmp")
     java.nio.file.Files.createDirectories(base)
@@ -360,14 +378,8 @@ object StreamOps {
     val inDir = graft.ops.SourceOps.materialize(s"stream_attrib_outer_in_$sf") { d =>
       val ev = graft.ops.EventOps.events(spark, sf)
         .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      def stage(df: DataFrame, sub: String): Unit = {
-        df.repartitionByRange(3, col("ts")).write.parquet(s"$d/$sub")
-        val parts = new java.io.File(s"$d/$sub").listFiles()
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(1700000000000L + i * 60000L)
-        }
-      }
+      def stage(df: DataFrame, sub: String): Unit =
+        stageSlices(df, d, sub, 3, col("ts"))
       stage(ev.filter(col("event_type") === "click").select("user_id", "ts"), "clicks")
       stage(ev.filter(col("event_type") === "purchase")
         .select("user_id", "ts", "value"), "purch")
@@ -690,14 +702,9 @@ object StreamOps {
     // bounded to the open windows, and the drained result is
     // batching-independent.
     val inDir = graft.ops.SourceOps.materialize(s"stream_window_in_$sf") { d =>
-      graft.ops.EventOps.events(spark, sf)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .repartitionByRange(6, col("ts")).write.parquet(s"$d/in")
-      val parts = new java.io.File(s"$d/in").listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L)
-      }
+      stageSlices(graft.ops.EventOps.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value"),
+        d, "in", 6, col("ts"))
     }
     withRunDir("stream_window_run_") { run =>
     val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -857,14 +864,9 @@ object StreamOps {
     * endpoint, while the result stays user-sized. */
   def streamRunning(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
     val inDir = graft.ops.SourceOps.materialize(s"stream_running_in_$sf") { d =>
-      graft.ops.EventOps.events(spark, sf)
-        .select("event_id", "ts", "user_id", "value")
-        .repartitionByRange(6, col("ts")).write.parquet(s"$d/in")
-      val parts = new java.io.File(s"$d/in").listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L)
-      }
+      stageSlices(graft.ops.EventOps.events(spark, sf)
+        .select("event_id", "ts", "user_id", "value"),
+        d, "in", 6, col("ts"))
     }
     withRunDir("stream_running_run_") { run =>
     val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -920,14 +922,9 @@ object StreamOps {
   private[graft] def streamCovSnaps(spark: org.apache.spark.sql.SparkSession,
       sf: String): DataFrame = {
     val inDir = graft.ops.SourceOps.materialize(s"stream_cov_in_$sf") { d =>
-      graft.sources.Tables.load(spark, sf, "embeddings")
-        .select("vec_id", "embedding")
-        .repartitionByRange(6, col("vec_id")).write.parquet(s"$d/in")
-      val parts = new java.io.File(s"$d/in").listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L)
-      }
+      stageSlices(graft.sources.Tables.load(spark, sf, "embeddings")
+        .select("vec_id", "embedding"),
+        d, "in", 6, col("vec_id"))
     }
     withRunDir("stream_cov_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -1039,15 +1036,10 @@ object StreamOps {
     // stage the append batch as 4 event-files so the drain is genuinely
     // multi-micro-batch at maxFilesPerTrigger=1
     val inDir = graft.ops.SourceOps.materialize(s"stream_ann_in_$sf") { d =>
-      graft.sources.Tables.load(spark, sf, "embeddings")
+      stageSlices(graft.sources.Tables.load(spark, sf, "embeddings")
         .filter(col("vec_id") % 5 === 4)
-        .select("vec_id", "embedding")
-        .repartitionByRange(4, col("vec_id")).write.parquet(s"$d/in")
-      val parts = new java.io.File(s"$d/in").listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L)
-      }
+        .select("vec_id", "embedding"),
+        d, "in", 4, col("vec_id"))
     }
     withRunDir("stream_ann_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -1110,15 +1102,10 @@ object StreamOps {
   private[graft] def streamDfLog(spark: org.apache.spark.sql.SparkSession,
       sf: String): DataFrame = {
     val inDir = graft.ops.SourceOps.materialize(s"stream_df_in_$sf") { d =>
-      graft.sources.Tables.load(spark, sf, "documents")
+      stageSlices(graft.sources.Tables.load(spark, sf, "documents")
         .filter(col("doc_id") % 10 === 0)
-        .select("doc_id", "text")
-        .repartitionByRange(4, col("doc_id")).write.parquet(s"$d/in")
-      val parts = new java.io.File(s"$d/in").listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L)
-      }
+        .select("doc_id", "text"),
+        d, "in", 4, col("doc_id"))
     }
     withRunDir("stream_df_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)

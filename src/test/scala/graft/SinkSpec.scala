@@ -152,4 +152,37 @@ class SinkSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("materialize: nested staging of DIFFERENT keys works; a same-key cycle fails fast instead of deadlocking") {
+    // the r16 Recursive-update fix's two contracts, planted: a writer may
+    // stage other keys (the eigen-ladder / lex_df_maint shape at any hash
+    // bin layout)...
+    val outer = graft.ops.SourceOps.materialize("spec_nest_outer") { d =>
+      val inner = graft.ops.SourceOps.materialize("spec_nest_inner") { d2 =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d2/x"), "i")
+        ()
+      }
+      assert(new java.io.File(s"$inner/x").exists())
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/y"), "o")
+      ()
+    }
+    assert(new java.io.File(s"$outer/y").exists())
+    // ...but a writer that transitively re-stages its OWN key is a cycle
+    // in the staging DAG and must throw (the old computeIfAbsent's
+    // fail-fast), never block forever in get() on its own task
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SourceOps.materialize("spec_cycle_key") { _ =>
+        graft.ops.SourceOps.materialize("spec_cycle_key")(_ => ())
+        ()
+      }
+    }
+    assert(e.getMessage.contains("cycle"))
+    // the failed construction did not poison the memo: the key can be
+    // rebuilt by a well-behaved writer afterwards
+    val retry = graft.ops.SourceOps.materialize("spec_cycle_key") { d =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/z"), "r")
+      ()
+    }
+    assert(new java.io.File(s"$retry/z").exists())
+  }
 }
