@@ -260,6 +260,19 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed,"queries":$slow,"queries_note":"slowest 20; all ${results.size} in target/bench.json","reps":$reps$envField$loadField,"sf":"$sfDir"}""")
+    // COMPACT envelope for stdout (r16 verdict #6): the full envelope now
+    // carries per-query minima across sweeps (~7 KB), and embedding it
+    // here head-truncated the whole line out of the driver's ~2000-char
+    // tail window ("parsed": null). stdout gets the scalar fields only;
+    // target/bench.json and BENCH_ENVELOPE.json keep full fidelity.
+    val envCompact = envelope.map { e =>
+      val fields = Seq("reps", "n_queries", "min", "median", "max")
+        .flatMap { k =>
+          ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(e)
+            .map(m => "\"" + k + "\":" + m.group(1))
+        }
+      s""","envelope":${fields.mkString("{", ",", "}")}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed,"queries":$slow,"queries_note":"slowest 20; all ${results.size} + full envelope in target/bench.json","reps":$reps$envCompact$loadField,"sf":"$sfDir"}""")
   }
 }

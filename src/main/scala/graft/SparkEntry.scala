@@ -199,6 +199,7 @@ object SparkEntry {
     "q_stream_cov" -> (graft.streaming.StreamOps.streamCov _),
     "q_stream_ann" -> (graft.streaming.StreamOps.streamAnnIngest(_, _)),
     "q_stream_df" -> (graft.streaming.StreamOps.streamDf _),
+    "q_stream_postings" -> (graft.streaming.StreamOps.streamPostings _),
     "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
     "q_stream_update" -> (graft.streaming.StreamOps.streamUpdate _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
@@ -238,6 +239,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (TextOps.dedupIncremental _),
     "q_df_update" -> (TextOps.dfUpdate _),
     "q_df_downdate" -> (TextOps.dfDowndate _),
+    "q_postings_update" -> (TextOps.postingsUpdate _),
+    "q_postings_downdate" -> (TextOps.postingsDowndate _),
     "q_pii_redact" -> (CurationOps.piiRedact _),
     "q_fuzzy_join" -> (CurationOps.fuzzyJoin _),
     "q_market_basket" -> (GraphOps.marketBasket _),
@@ -452,6 +455,20 @@ object SparkEntry {
       |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
       |  CAST(count(*) AS BIGINT) AS tf
       |FROM tk GROUP BY tok ORDER BY tok""".stripMargin
+
+  /** DuckDB twin of the postings-maintenance family: the full (or
+    * `where`-restricted) per-document postings recompute — q_postings_
+    * update / q_stream_postings (append == full recompute, by
+    * doc-disjointness) and q_postings_downdate (delete == remaining-
+    * corpus recompute, by per-document rows). Integer counts only. */
+  private def postingsRecomputeSql(where: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    x -> x <> '')) AS tok
+       |  FROM documents$where)
+       |SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |FROM tk GROUP BY doc_id, tok ORDER BY doc_id, tok""".stripMargin
 
   /** DuckDB twin of BOTH q_tfidf and q_tfidf_store (same store-exactness
     * argument as [[bm25Sql]]). */
@@ -1738,7 +1755,10 @@ object SparkEntry {
     "q_bm25_index" -> bm25Sql,
     // both arms' oracled SQL composed verbatim (bm25 CTEs + cosine CTEs)
     // with integer-rank windows; the RRF sum is two IEEE divisions of
-    // integer ranks — exact-deterministic, no float aggregate anywhere
+    // integer ranks — exact-deterministic, no float aggregate anywhere.
+    // r17: the Spark lexical arm is the standing-state-served bm25Index —
+    // BIT-identical to the recount (the index rung's spec'd contract),
+    // so this recount-composed SQL still oracles it verbatim
     "q_hybrid_retrieval" ->
       s"""$hybridFusedCtes
          |SELECT doc_id, rank_lex, rank_dense, $rrfScoreSql AS rrf FROM fused
@@ -2477,6 +2497,23 @@ object SparkEntry {
     // batching-independent, so the full recompute oracles it for ANY file
     // slicing (the q_stream_cov argument, lexical edition)
     "q_stream_df" -> lexFullRecomputeSql,
+    // postingsUpdate appends the ingest batch's per-document (doc_id,
+    // tok, tf) rows onto the standing corpus-partition postings — pure
+    // append, no arithmetic: doc-disjointness means each doc's rows come
+    // from exactly one side, so the maintained table IS the full-corpus
+    // recompute verbatim (r16 verdict #3: the maintenance proof for the
+    // artifact the index-served rung probes)
+    "q_postings_update" -> postingsRecomputeSql(""),
+    // streamPostings drains the SAME ingest batch as a multi-micro-batch
+    // file stream, appending each arrival's per-document rows through an
+    // idempotent (doc_id, tok, batch_id) log — doc-disjoint micro-batches
+    // keep it append-only (no merge arithmetic), so the full recompute
+    // oracles it for ANY file slicing (r16 verdict #4)
+    "q_stream_postings" -> postingsRecomputeSql(""),
+    // postingsDowndate deletes the erased docs' rows by anti-join —
+    // per-document rows mean removing a doc's rows IS recomputing
+    // without it: the remaining-corpus recompute verbatim
+    "q_postings_downdate" -> postingsRecomputeSql(" WHERE doc_id % 10 <> 0"),
     // dfDowndate subtracts the erased batch's counts from the standing
     // full-corpus store; zero-count tokens drop out — exactly the
     // remaining-corpus recompute

@@ -89,9 +89,16 @@ object SourceOps {
     // lexLifecycle's chain reads the standing lex_df_<sf> artifact
     "q_lex_lifecycle",
     // the index-served pair stages the postings artifact
-    // (lex_postings_<sf>) and the 1-row corpus count (lex_ndocs_<sf>)
+    // (lex_postings_<sf>), the per-doc lengths (lex_doclen_<sf>), the
+    // 1-row corpus stats (lex_stats_<sf>) and count (lex_ndocs_<sf>)
     // on top of the maintained lexical store
     "q_bm25_index", "q_tfidf_index",
+    // postings maintenance: update appends onto the staged corpus-
+    // partition postings (lex_postings_part_<sf>), downdate anti-joins
+    // the staged full-corpus postings (lex_postings_<sf>); the streaming
+    // form stages its ingest slices (shared with q_stream_df) plus the
+    // corpus-partition artifact
+    "q_postings_update", "q_postings_downdate", "q_stream_postings",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)
@@ -177,7 +184,8 @@ object SourceOps {
     // "pca_eig" (no trailing underscore) covers every ladder rung:
     // pca_eig_<sf>, pca_eig2_<sf>, pca_eig3_<sf>, ... (r15 k-rung recipe)
     "cov_cells_", "cov_sums_", "pca_eig", "lex_df_",
-    "lex_postings_", "lex_ndocs_",
+    // "lex_postings_" also covers lex_postings_part_<sf> (startsWith)
+    "lex_postings_", "lex_ndocs_", "lex_doclen_", "lex_stats_",
     "ann_corpus_idx_", "lpa_labels_", "graph_edges_")
 
   /** key → (standing dir, recorded writer) for every staged artifact the
@@ -188,7 +196,13 @@ object SourceOps {
     staged.asScala.flatMap { case (k, task) =>
       Option(writers.get(k))
         .filter(_ => pureArtifactPrefixes.exists(k.startsWith) && task.isDone)
-        .map(w => k -> (task.get(), w))
+        // isDone is also true for a task that completed EXCEPTIONALLY —
+        // in the window before the failing materialize caller removes the
+        // entry (or if that thread died before its catch), get() would
+        // throw ExecutionException out of the stability gate's
+        // enumeration. A failed construction has no artifact to
+        // re-derive; skip it (r16 advisor #2).
+        .flatMap(w => scala.util.Try(task.get()).toOption.map(d => k -> (d, w)))
     }.toMap
   }
 

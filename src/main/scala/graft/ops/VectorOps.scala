@@ -878,7 +878,12 @@ object VectorOps {
     // plain form returns the session value or the conf's own default
     val sp = spark.conf.get("spark.sql.shuffle.partitions")
     val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    s"$sf|$sp|$mpb"
+    // applicationId ties the memo to the SparkContext that built the
+    // chain's persist/localCheckpoint blocks: a session stopped and
+    // recreated in the same JVM must rebuild, not read frames bound to a
+    // dead context (r16 advisor #3); stale-context entries are bounded by
+    // restarts, which no in-repo main performs mid-run
+    s"${spark.sparkContext.applicationId}|$sf|$sp|$mpb"
   }
 
   /** Session-lifetime memo of the composed chain per (sf, gate confs)

@@ -256,8 +256,18 @@ object StreamOps {
   private def stageSlices(df: DataFrame, dir: String, sub: String,
       parts: Int, partCol: org.apache.spark.sql.Column): Unit = {
     df.repartitionByRange(parts, partCol).write.parquet(s"$dir/$sub")
-    val files = new java.io.File(s"$dir/$sub").listFiles()
+    val files = Option(new java.io.File(s"$dir/$sub").listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // fail fast if the write emitted fewer part files than requested
+    // (empty range buckets, or an unlistable dir): every drained stream's
+    // multi-micro-batch guarantee rests on maxFilesPerTrigger seeing the
+    // full slice count, and only streamDf's nb>=3 spec would otherwise
+    // notice — make the guarantee structural for all of them (r16
+    // advisor #4)
+    require(files.length >= parts,
+      s"stageSlices($dir/$sub): ${files.length} part files staged, " +
+        s"$parts requested — the drain would not be multi-micro-batch")
     files.zipWithIndex.foreach { case (f, i) =>
       f.setLastModified(1700000000000L + i * 60000L)
     }
@@ -1153,6 +1163,67 @@ object StreamOps {
     graft.ops.TextOps.lexMerge(
       graft.ops.TextOps.lexDfArtifact(spark, sf), batchCounts, negate = false)
   }
+
+  /** Drained ingest log for the POSTINGS standing artifact (see
+    * [[streamPostings]]): the same staged ingest slices [[streamDfLog]]
+    * replays (the input dir is SHARED — one staging, two standing-store
+    * ingest forms), each micro-batch's per-document (doc_id, tok, tf)
+    * rows counted batch-sized in foreachBatch and appended to an
+    * immutable (… , batch_id) log. Idempotence: counting is a pure
+    * deterministic aggregate of the batch, so a replayed batch rewrites
+    * identical rows and the (doc_id, tok, batch_id)-keyed compaction
+    * drops them. Returns the compacted log WITH batch_id (the spec's
+    * multi-batch / doc-disjointness seam), eagerly checkpointed — the
+    * run dir dies on exit. */
+  private[graft] def streamPostingsLog(spark: org.apache.spark.sql.SparkSession,
+      sf: String): DataFrame = {
+    val inDir = graft.ops.SourceOps.materialize(s"stream_df_in_$sf") { d =>
+      stageSlices(graft.sources.Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text"),
+        d, "in", 4, col("doc_id"))
+    }
+    withRunDir("stream_post_run_") { run =>
+      val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(col("doc_id"),
+              explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$run/log")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$run/log")
+        .dropDuplicates("doc_id", "tok", "batch_id")
+        .localCheckpoint() // eager — the run dir (log + ckpt) dies on exit
+    }
+  }
+
+  /** STREAMING INGEST for the postings standing artifact — the fourth
+    * standing artifact joins the streaming-symmetry club (r16 verdict
+    * #4): the ingest docs arrive as a multi-micro-batch file stream and
+    * each micro-batch's per-document postings rows APPEND through an
+    * idempotent log onto the standing corpus-partition artifact — the
+    * very append [[graft.ops.TextOps.postingsUpdate]] runs in batch.
+    * Doc-disjoint micro-batches (the range partitioner keys on doc_id)
+    * mean append-only with NO merge arithmetic at all: each document's
+    * rows are produced whole by exactly one micro-batch, so the result
+    * is BIT-identical to the batch update for ANY file slicing, and the
+    * oracle is the full-corpus recompute verbatim. This is the 100 TB
+    * ingest shape for the serving index: per-arrival work is
+    * micro-batch-sized, the standing table absorbs each batch as a
+    * partition write, and [[graft.ops.TextOps.bm25Index]] serves
+    * post-ingest state unchanged. */
+  def streamPostings(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame =
+    graft.ops.TextOps.postingsPartArtifact(spark, sf)
+      .unionByName(streamPostingsLog(spark, sf).select("doc_id", "tok", "tf"))
+      .orderBy("doc_id", "tok")
 
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per
     * key by (event time, batch id) — one aggregate, map-side combinable. */

@@ -228,6 +228,20 @@ class PcaHybridSpec extends SparkSpec {
     // output is (rrf desc, doc_id) sorted
     val keys = out.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
     assert(keys == keys.sorted, "fused output must be (rrf desc, doc_id) ordered")
+    // r17 (r16 verdict #2): the lexical arm is the standing-state-served
+    // bm25Index (bit-identical to the recount — TextOpsSpec's index-rung
+    // contract — so the composed oracle transfers verbatim), and the RAG
+    // front door's plan must therefore carry NO documents-table scan:
+    // lexical side = postings/store/doclen/stats probes, dense side = the
+    // embeddings scan. This is the structural form of "the entry query
+    // runs entirely from standing state + the dense arm".
+    val p = TextOps.hybridRetrieval(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      "hybridRetrieval still scans the documents table — the lexical arm " +
+        "is not being served from standing state")
+    assert(p.contains("graft_lex_postings_") && p.contains("graft_lex_doclen_"),
+      "hybridRetrieval's lexical arm does not probe the standing artifacts")
   }
 
   test("hybridRetrievalAnn: the sub-linear fusion substantially overlaps its exact twin") {

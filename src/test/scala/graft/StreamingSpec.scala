@@ -813,6 +813,33 @@ class StreamingSpec extends SparkSpec {
     assert(summed == oneShot, "per-batch lexical counts are not additive")
   }
 
+  test("streamPostings: the micro-batched postings ingest equals the batch postingsUpdate bit-for-bit, genuinely multi-batch and doc-disjoint") {
+    // the per-document twin of streamDf's contract, with a stronger
+    // mechanism: doc-disjoint micro-batches make the ingest APPEND-ONLY
+    // (each doc's rows are produced whole by exactly one micro-batch — no
+    // merge arithmetic anywhere), so HOWEVER the file source slices the
+    // ingest, the appended table must equal the one-shot batch append
+    val got = graft.streaming.StreamOps.streamPostings(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val want = graft.ops.TextOps.postingsUpdate(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "streamed postings diverged from batch postingsUpdate")
+    // multi-batch reality: 4 staged files at maxFilesPerTrigger=1 must
+    // drain as ≥ 3 micro-batches, or batching-independence is vacuous
+    val log = graft.streaming.StreamOps.streamPostingsLog(spark, sf0001)
+    val nb = log.select(countDistinct("batch_id")).collect()(0).getLong(0)
+    assert(nb >= 3L, s"postings ingest ran as $nb micro-batch(es)")
+    // and the append-only mechanism is structural: each doc_id appears in
+    // EXACTLY one micro-batch (doc-disjoint slicing is what removes the
+    // merge arithmetic the aggregate store needs)
+    val crossBatch = log.groupBy("doc_id")
+      .agg(countDistinct("batch_id").as("nbid"))
+      .filter(col("nbid") > 1).count()
+    assert(crossBatch == 0L,
+      s"$crossBatch doc(s) span micro-batches — the ingest is not doc-disjoint")
+  }
+
   test("streamAsof: the foreachBatch as-of drain equals the batch as-of join") {
     // batching-independence is the claim: each event's answer depends only
     // on the static orders side, so HOWEVER the file source slices batches,

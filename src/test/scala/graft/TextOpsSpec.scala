@@ -853,6 +853,39 @@ class TextOpsSpec extends SparkSpec {
     assert(added == Seq(("alpha", 3L, 7L), ("beta", 1L, 1L), ("ghost", 4L, 4L)))
   }
 
+  test("postingsUpdate/postingsDowndate: per-document postings maintain by pure append/delete to the exact recompute, and the maintained table equals the artifact the index-served rung probes") {
+    import org.apache.spark.sql.functions._
+    def recompute(pred: org.apache.spark.sql.Column) =
+      graft.sources.Tables.load(spark, sf0001, "documents").filter(pred)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq
+    // ingest: standing corpus partition + batch rows = the full recompute
+    val upd = TextOps.postingsUpdate(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(upd.nonEmpty)
+    assert(upd == recompute(lit(true)),
+      "postings update diverged from the full recompute")
+    // the maintenance proof the index-served rung rests on (r16 verdict
+    // #3): the maintained table's content IS the full postings artifact
+    // bm25Index/tfidfIndex probe — maintenance and serving share state
+    val art = TextOps.postingsArtifact(spark, sf0001)
+      .orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq
+    assert(upd == art, "maintained postings != the artifact serving probes")
+    // append-only: the standing partition's rows appear in the update
+    // VERBATIM — not one surviving row was rewritten or merged
+    val standing = TextOps.postingsPartArtifact(spark, sf0001)
+      .orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq
+    assert(upd.filter(r => r.head.asInstanceOf[Long] % 10 != 0) == standing,
+      "the update rewrote standing corpus-partition rows")
+    // erasure: anti-join delete = the remaining-corpus recompute, and
+    // every surviving row is the artifact's row verbatim
+    val dwn = TextOps.postingsDowndate(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(dwn == recompute(col("doc_id") % 10 =!= 0),
+      "postings downdate diverged from the remaining-corpus recompute")
+    assert(dwn == art.filter(r => r.head.asInstanceOf[Long] % 10 != 0),
+      "the downdate changed surviving rows")
+  }
+
   test("bm25Store/tfidfStore: serving from the maintained lexical artifact is bit-identical to the in-query recount, and actually reads the store") {
     // bit-identity: the maintained store's exact Long counts equal the
     // recompute (the test above), and the scoring body is SHARED
@@ -909,6 +942,33 @@ class TextOpsSpec extends SparkSpec {
           s"$name does not read the postings artifact")
         assert(!p.contains("documents.parquet"),
           s"$name still scans the documents table")
+    }
+    // the stronger r17 contract for the BM25 rung (r16 verdict #1): no
+    // corpus-sized per-query AGGREGATE either — doc lengths probe the
+    // staged lex_doclen_ artifact, corpus stats broadcast the staged
+    // 1-row lex_stats_ artifact, and the ONLY postings scan is the
+    // tok-filtered tf probe (the pushed In(tok, ...) filter is what makes
+    // it a term-bucket lookup at scale, never an unfiltered pass)
+    locally {
+      val qe = TextOps.bm25Index(spark, sf0001).queryExecution
+      val p = qe.executedPlan.toString
+      assert(p.contains("graft_lex_doclen_"),
+        "bm25Index does not probe the staged doc-length artifact")
+      assert(p.contains("graft_lex_stats_"),
+        "bm25Index does not broadcast the staged corpus-stats artifact")
+      // sparkPlan, not executedPlan: AQE wraps the latter and hides scan
+      // nodes from collect until execution
+      val postingsScans = qe.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("graft_lex_postings_")) => f
+      }
+      assert(postingsScans.nonEmpty, "no postings scan found to check")
+      postingsScans.foreach { f =>
+        assert(f.metadata.get("PushedFilters").exists(_.contains("In(tok")),
+          s"a postings scan is NOT tok-filtered (an unfiltered corpus-sized " +
+            s"read survives in the serving path): ${f.metadata.get("PushedFilters")}")
+      }
     }
     // the derived doc-length relation really is lossless: sum(tf) per doc
     // off the postings equals the token count per doc off the corpus
