@@ -241,6 +241,7 @@ object SparkEntry {
     "q_df_downdate" -> (TextOps.dfDowndate _),
     "q_postings_update" -> (TextOps.postingsUpdate _),
     "q_postings_downdate" -> (TextOps.postingsDowndate _),
+    "q_postings_lifecycle" -> (TextOps.postingsLifecycle _),
     "q_pii_redact" -> (CurationOps.piiRedact _),
     "q_fuzzy_join" -> (CurationOps.fuzzyJoin _),
     "q_market_basket" -> (GraphOps.marketBasket _),
@@ -455,6 +456,23 @@ object SparkEntry {
       |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
       |  CAST(count(*) AS BIGINT) AS tf
       |FROM tk GROUP BY tok ORDER BY tok""".stripMargin
+
+  /** DuckDB twin of BOTH lifecycle compositions over the lexical tier —
+    * q_lex_lifecycle (aggregate Long-merge maintenance, recount serving)
+    * and q_postings_lifecycle (per-document append/delete maintenance,
+    * standing-artifact serving): both end at BM25 over the post-erasure
+    * corpus with per-stage document-count audit columns, and both equal
+    * this recompute exactly (integer counts / shared scoring spelling). */
+  private def lexLifecycleSql: String =
+    s"""${bm25Ctes(" WHERE doc_id % 7 <> 3")},
+       |scored AS MATERIALIZED ($bm25Select)
+       |SELECT doc_id, bm25,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+       |    WHERE doc_id % 10 <> 0) AS n_standing,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_after_ingest,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+       |    WHERE doc_id % 7 <> 3) AS n_live
+       |FROM scored ORDER BY bm25 DESC, doc_id""".stripMargin
 
   /** DuckDB twin of the postings-maintenance family: the full (or
     * `where`-restricted) per-document postings recompute — q_postings_
@@ -1803,16 +1821,13 @@ object SparkEntry {
     // counts per stage (the q_cov_lifecycle discipline). The score round
     // moves into the scored CTE, where the margin audit's CTE-unit pass
     // covers it (scores are nonnegative — no signed-zero exposure).
-    "q_lex_lifecycle" ->
-      s"""${bm25Ctes(" WHERE doc_id % 7 <> 3")},
-         |scored AS MATERIALIZED ($bm25Select)
-         |SELECT doc_id, bm25,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-         |    WHERE doc_id % 10 <> 0) AS n_standing,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_after_ingest,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-         |    WHERE doc_id % 7 <> 3) AS n_live
-         |FROM scored ORDER BY bm25 DESC, doc_id""".stripMargin,
+    "q_lex_lifecycle" -> lexLifecycleSql,
+    // postingsLifecycle runs the SAME ingest/erasure splits through the
+    // PER-DOCUMENT tier (postings/doclen append+delete, Long counter
+    // arithmetic) and serves through the shared bm25Score — bit-identical
+    // to lexLifecycle by construction (spec'd), so one SQL oracles both:
+    // two independent maintenance mechanisms, one recompute ground truth
+    "q_postings_lifecycle" -> lexLifecycleSql,
     // the z round sits in the FINAL select (over zraw from the window CTE)
     // so the margin audit measures the DECLARED output population and the
     // signed-zero gate sees the round; z-scores are negative-capable →

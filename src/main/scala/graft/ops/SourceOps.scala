@@ -99,6 +99,10 @@ object SourceOps {
     // form stages its ingest slices (shared with q_stream_df) plus the
     // corpus-partition artifact
     "q_postings_update", "q_postings_downdate", "q_stream_postings",
+    // the index-tier lifecycle stages the corpus-partition doc lengths
+    // (lex_doclen_part_<sf>) and scalar counters (lex_stats_part_<sf>)
+    // on top of the partition postings + the standing lex_df_
+    "q_postings_lifecycle",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

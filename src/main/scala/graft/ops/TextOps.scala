@@ -1678,6 +1678,111 @@ object TextOps {
       .orderBy("doc_id", "tok")
   }
 
+  /** The standing CORPUS-PARTITION doc-length artifact — the per-document
+    * lengths over doc_id % 10 ≠ 0, the state [[postingsLifecycle]]'s
+    * ingest appends to (the [[docLenArtifact]] argument on the
+    * maintenance split). */
+  private[graft] def docLenPartArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"lex_doclen_part_$sf") { d =>
+      postingsPartArtifact(spark, sf).groupBy("doc_id")
+        .agg(sum("tf").as("len")).write.parquet(s"$d/len")
+    }
+    spark.read.parquet(s"$dir/len")
+  }
+
+  /** The corpus-partition scalar counters (n_docs, sum_len) as RAW exact
+    * Longs — the 1-row state [[postingsLifecycle]] maintains by counter
+    * arithmetic (the cov_sums_ discipline shrunk to two numbers): an
+    * ingest adds the batch's own (count, Σ len), an erasure subtracts
+    * them, and avg_len is derived at SERVE time by one division — kept as
+    * Longs, not a stored average, precisely so maintenance stays exact
+    * integer arithmetic. */
+  private[graft] def lexCntPartArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"lex_stats_part_$sf") { d =>
+      docLenPartArtifact(spark, sf)
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum("len"), lit(0L)).as("sum_len"))
+        .write.parquet(s"$d/st")
+    }
+    spark.read.parquet(s"$dir/st")
+  }
+
+  /** SERVING-INDEX LIFECYCLE COMPOSITION — the per-document tier's
+    * [[lexLifecycle]], and the strongest form of the engine's lifecycle
+    * story because maintenance AND serving both run without ever
+    * re-tokenizing the surviving corpus: ingest APPENDS the batch's
+    * postings + doc lengths (batch-sized tokenization, the only explode
+    * in the query) and ADDS its two counters; erasure DELETES by
+    * anti-join on the erased id list and SUBTRACTS the erased docs'
+    * counters (a batch-sized probe of the maintained lengths — the
+    * erased text itself is never read); BM25 then serves from the
+    * post-maintenance postings/lengths/counters and the post-maintenance
+    * df store ([[lexChain]]'s l2 — the aggregate tier's own maintained
+    * output), through the shared [[bm25Score]] tail. Exactness: every
+    * maintained relation is per-document rows or exact Long counters, so
+    * each equals the remaining-corpus recompute bit-for-bit (avg_len =
+    * (double)Σlen / (double)n is the same IEEE division the recount's
+    * Average performs on the same exact integers) — the whole composition
+    * is ORACLED by the [[lexLifecycle]] SQL VERBATIM, and the spec pins
+    * the stronger cross-mechanism fact: the per-document append/delete
+    * machinery and the aggregate Long-merge machinery converge on
+    * BIT-identical serving output. At 100 TB this is the shape that keeps
+    * an interactive index consistent through ingest and GDPR erasure:
+    * every step is batch-sized or artifact-probe-sized; the surviving
+    * 100 TB is never touched. */
+  /** The per-document chain's maintained relations — post-maintenance
+    * postings, doc lengths, and the 1-row (n_docs, avg_len) derived from
+    * the Long counters. One construction site (the lexChain discipline);
+    * also the spec's seam for asserting counter exactness in isolation. */
+  private[graft] case class PostingsChain(p2: DataFrame, dl2: DataFrame,
+      stats2: DataFrame)
+
+  private[graft] def postingsChain(spark: SparkSession, sf: String): PostingsChain = {
+    val docs = Tables.load(spark, sf, "documents")
+    val batchPost = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val erased = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val p2 = postingsPartArtifact(spark, sf).unionByName(batchPost)
+      .join(erased, Seq("doc_id"), "left_anti")
+    // doc lengths: same per-document append/delete, batch-sized inputs
+    val batchLen = batchPost.groupBy("doc_id").agg(sum("tf").as("len"))
+    val dl1 = docLenPartArtifact(spark, sf).unionByName(batchLen)
+    val dl2 = dl1.join(erased, Seq("doc_id"), "left_anti")
+    // counters: standing Longs + batch sums − erased sums (the erased
+    // docs' lengths come from the MAINTAINED table, not their text)
+    val bCnt = batchLen.agg(count(lit(1)).as("bn"),
+      coalesce(sum("len"), lit(0L)).as("bs"))
+    val eCnt = dl1.join(erased, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("en"), coalesce(sum("len"), lit(0L)).as("es"))
+    val n2 = col("n_docs") + col("bn") - col("en")
+    val stats2 = lexCntPartArtifact(spark, sf)
+      .crossJoin(broadcast(bCnt)).crossJoin(broadcast(eCnt))
+      .select(n2.cast("double").as("n_docs"),
+        ((col("sum_len") + col("bs") - col("es")).cast("double") /
+          n2.cast("double")).as("avg_len"))
+    PostingsChain(p2, dl2, stats2)
+  }
+
+  def postingsLifecycle(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val ch = postingsChain(spark, sf)
+    // df: the post-maintenance aggregate store — the other tier's own
+    // maintained output, so BOTH standing stores serve one query
+    val dfq = lexChain(spark, sf).l2
+      .filter(col("tok").isin(Bm25QueryTerms: _*))
+      .select(col("tok"), col("df").cast("double").as("df"))
+    val tf = ch.p2.filter(col("tok").isin(Bm25QueryTerms: _*))
+      .select("doc_id", "tok", "tf")
+    def nOf(pred: Column, name: String) =
+      docs.filter(pred).agg(count(lit(1)).as(name))
+    val audit = nOf(col("doc_id") % 10 =!= 0, "n_standing")
+      .crossJoin(nOf(lit(true), "n_after_ingest"))
+      .crossJoin(nOf(col("doc_id") % 7 =!= 3, "n_live"))
+    bm25Score(tf, dfq, ch.dl2, ch.stats2)
+      .crossJoin(broadcast(audit))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
   /** The 1-row corpus document count, staged once — the last corpus fact
     * the index-served TF-IDF needs (documents INCLUDING zero-token ones,
     * which the postings cannot supply); stored pre-cast to DOUBLE, the

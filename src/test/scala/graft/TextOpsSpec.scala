@@ -982,6 +982,46 @@ class TextOpsSpec extends SparkSpec {
     assert(fromPost == fromScan, "postings-derived doc lengths diverged")
   }
 
+  test("postingsLifecycle: the per-document maintenance mechanism converges bit-for-bit with the aggregate-store lifecycle, serving from standing artifacts") {
+    import org.apache.spark.sql.functions._
+    // the cross-mechanism identity: lexLifecycle maintains by Long MERGE
+    // and serves by recount over the live corpus; postingsLifecycle
+    // maintains by per-document APPEND/DELETE + counter arithmetic and
+    // serves from the maintained artifacts — same splits, same scoring
+    // spelling, so the outputs may not differ in a single bit (which is
+    // why ONE oracle SQL covers both declared queries)
+    val agg = TextOps.lexLifecycle(spark, sf0001).collect().map(_.toSeq).toSeq
+    val doc = TextOps.postingsLifecycle(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(doc.nonEmpty)
+    assert(doc == agg, "per-document lifecycle diverged from the aggregate-store lifecycle")
+    // the serving inputs really are the maintained standing artifacts
+    val p = TextOps.postingsLifecycle(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_lex_postings_part_") &&
+      p.contains("graft_lex_doclen_part_") && p.contains("graft_lex_stats_part_"),
+      "postingsLifecycle does not read the maintained per-document artifacts")
+    // counter exactness in ISOLATION (not just through the score): the
+    // maintained (n_docs, avg_len) — standing Longs + batch sums − erased
+    // sums, divided once at serve time — must equal the live-corpus
+    // recompute's Average bit-for-bit (same exact integers, same IEEE
+    // division), and the maintained relations must equal the recomputed
+    // ones row-for-row
+    val ch = TextOps.postingsChain(spark, sf0001)
+    val live = graft.sources.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val wantStats = live
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("len").as("avg_len"))
+      .collect().head.toSeq
+    val gotStats = ch.stats2.collect().head.toSeq
+    assert(gotStats == wantStats,
+      s"maintained counters diverged from the recompute: $gotStats != $wantStats")
+    val wantLens = live.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val gotLens = ch.dl2.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gotLens == wantLens, "maintained doc lengths diverged from the recompute")
+  }
+
   test("lexLifecycle: the post-maintenance BM25 is bit-identical to the recount over the post-erasure corpus; chain sums and audit reconcile") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.load(spark, sf0001, "documents")
