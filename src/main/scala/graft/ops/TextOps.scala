@@ -1706,29 +1706,6 @@ object TextOps {
     spark.read.parquet(s"$dir/st")
   }
 
-  /** SERVING-INDEX LIFECYCLE COMPOSITION — the per-document tier's
-    * [[lexLifecycle]], and the strongest form of the engine's lifecycle
-    * story because maintenance AND serving both run without ever
-    * re-tokenizing the surviving corpus: ingest APPENDS the batch's
-    * postings + doc lengths (batch-sized tokenization, the only explode
-    * in the query) and ADDS its two counters; erasure DELETES by
-    * anti-join on the erased id list and SUBTRACTS the erased docs'
-    * counters (a batch-sized probe of the maintained lengths — the
-    * erased text itself is never read); BM25 then serves from the
-    * post-maintenance postings/lengths/counters and the post-maintenance
-    * df store ([[lexChain]]'s l2 — the aggregate tier's own maintained
-    * output), through the shared [[bm25Score]] tail. Exactness: every
-    * maintained relation is per-document rows or exact Long counters, so
-    * each equals the remaining-corpus recompute bit-for-bit (avg_len =
-    * (double)Σlen / (double)n is the same IEEE division the recount's
-    * Average performs on the same exact integers) — the whole composition
-    * is ORACLED by the [[lexLifecycle]] SQL VERBATIM, and the spec pins
-    * the stronger cross-mechanism fact: the per-document append/delete
-    * machinery and the aggregate Long-merge machinery converge on
-    * BIT-identical serving output. At 100 TB this is the shape that keeps
-    * an interactive index consistent through ingest and GDPR erasure:
-    * every step is batch-sized or artifact-probe-sized; the surviving
-    * 100 TB is never touched. */
   /** The per-document chain's maintained relations — post-maintenance
     * postings, doc lengths, and the 1-row (n_docs, avg_len) derived from
     * the Long counters. One construction site (the lexChain discipline);
@@ -1763,6 +1740,29 @@ object TextOps {
     PostingsChain(p2, dl2, stats2)
   }
 
+  /** SERVING-INDEX LIFECYCLE COMPOSITION — the per-document tier's
+    * [[lexLifecycle]], and the strongest form of the engine's lifecycle
+    * story because maintenance AND serving both run without ever
+    * re-tokenizing the surviving corpus: ingest APPENDS the batch's
+    * postings + doc lengths (batch-sized tokenization, the only explode
+    * in the query) and ADDS its two counters; erasure DELETES by
+    * anti-join on the erased id list and SUBTRACTS the erased docs'
+    * counters (a batch-sized probe of the maintained lengths — the
+    * erased text itself is never read); BM25 then serves from the
+    * post-maintenance postings/lengths/counters and the post-maintenance
+    * df store ([[lexChain]]'s l2 — the aggregate tier's own maintained
+    * output), through the shared [[bm25Score]] tail. Exactness: every
+    * maintained relation is per-document rows or exact Long counters, so
+    * each equals the remaining-corpus recompute bit-for-bit (avg_len =
+    * (double)Σlen / (double)n is the same IEEE division the recount's
+    * Average performs on the same exact integers) — the whole composition
+    * is ORACLED by the [[lexLifecycle]] SQL VERBATIM, and the spec pins
+    * the stronger cross-mechanism fact: the per-document append/delete
+    * machinery and the aggregate Long-merge machinery converge on
+    * BIT-identical serving output. At 100 TB this is the shape that keeps
+    * an interactive index consistent through ingest and GDPR erasure:
+    * every step is batch-sized or artifact-probe-sized; the surviving
+    * 100 TB is never touched. */
   def postingsLifecycle(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
     val ch = postingsChain(spark, sf)

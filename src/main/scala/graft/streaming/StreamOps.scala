@@ -1109,14 +1109,24 @@ object StreamOps {
     * [[foreachBatchMerge]] idempotent-append contract, lexical edition.
     * Returns the compacted log WITH batch_id (the spec's multi-batch
     * seam), eagerly checkpointed — the run dir dies on exit. */
-  private[graft] def streamDfLog(spark: org.apache.spark.sql.SparkSession,
-      sf: String): DataFrame = {
-    val inDir = graft.ops.SourceOps.materialize(s"stream_df_in_$sf") { d =>
+  /** The staged ingest-document slices BOTH lexical-tier streams replay
+    * ([[streamDfLog]] and [[streamPostingsLog]] — one staging, two
+    * standing-store ingest forms): the doc_id % 10 == 0 batch as 4
+    * range-partitioned (⇒ doc-DISJOINT) files, mtime-spaced for a
+    * deterministic oldest-first replay. Extracted so the recipe — and
+    * any future hardening of it — has exactly one spelling. */
+  private def stagedIngestDocsDir(spark: org.apache.spark.sql.SparkSession,
+      sf: String): String =
+    graft.ops.SourceOps.materialize(s"stream_df_in_$sf") { d =>
       stageSlices(graft.sources.Tables.load(spark, sf, "documents")
         .filter(col("doc_id") % 10 === 0)
         .select("doc_id", "text"),
         d, "in", 4, col("doc_id"))
     }
+
+  private[graft] def streamDfLog(spark: org.apache.spark.sql.SparkSession,
+      sf: String): DataFrame = {
+    val inDir = stagedIngestDocsDir(spark, sf)
     withRunDir("stream_df_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
@@ -1177,12 +1187,7 @@ object StreamOps {
     * run dir dies on exit. */
   private[graft] def streamPostingsLog(spark: org.apache.spark.sql.SparkSession,
       sf: String): DataFrame = {
-    val inDir = graft.ops.SourceOps.materialize(s"stream_df_in_$sf") { d =>
-      stageSlices(graft.sources.Tables.load(spark, sf, "documents")
-        .filter(col("doc_id") % 10 === 0)
-        .select("doc_id", "text"),
-        d, "in", 4, col("doc_id"))
-    }
+    val inDir = stagedIngestDocsDir(spark, sf)
     withRunDir("stream_post_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
