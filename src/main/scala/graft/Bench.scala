@@ -266,9 +266,13 @@ object Bench {
     // tail window ("parsed": null). stdout gets the scalar fields only;
     // target/bench.json and BENCH_ENVELOPE.json keep full fidelity.
     val envCompact = envelope.map { e =>
+      // \s* after the colon: a hand-edited or python-rewritten envelope
+      // may carry "key": value spacing (json.dumps default) — the
+      // extraction must tolerate both or the driver's reps=1 run would
+      // silently emit an empty envelope
       val fields = Seq("reps", "n_queries", "min", "median", "max")
         .flatMap { k =>
-          ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(e)
+          ("\"" + k + "\":\\s*([0-9.]+)").r.findFirstMatchIn(e)
             .map(m => "\"" + k + "\":" + m.group(1))
         }
       s""","envelope":${fields.mkString("{", ",", "}")}"""
