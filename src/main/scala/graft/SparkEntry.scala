@@ -142,6 +142,8 @@ object SparkEntry {
     "q_lex_lifecycle" -> (TextOps.lexLifecycle _),
     "q_hybrid_retrieval" -> (TextOps.hybridRetrieval _),
     "q_hybrid_ann" -> (TextOps.hybridRetrievalAnn _),
+    "q_hybrid_lifecycle" -> (TextOps.hybridLifecycle _),
+    "q_hybrid_lifecycle_ann" -> (TextOps.hybridLifecycleAnn _),
     "q_retrieval_eval" -> (TextOps.retrievalEval _),
     "q_retrieval_eval_ann" -> (TextOps.retrievalEvalAnn _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
@@ -644,8 +646,15 @@ object SparkEntry {
     * oracled SQL, the exact-cosine arm's, integer-rank windows, and the
     * two-term RRF — composed verbatim by q_hybrid_retrieval (final sort)
     * and q_retrieval_eval (recall/MRR audit over the same fused table). */
-  private def hybridFusedCtes: String =
-    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+  private def hybridFusedCtes: String = hybridFusedCtesOver("", "")
+
+  /** The same fused CTE chain over restricted corpus views — `docWhere`
+    * filters the lexical arm's documents (e.g. " WHERE doc_id % 7 <> 3"),
+    * `vecAnd` AND-extends the dense arm's candidate predicate (e.g.
+    * " AND e.vec_id % 7 <> 3") — the q_hybrid_lifecycle oracle: both
+    * arms' recomputes over the post-erasure corpus, fused identically. */
+  private def hybridFusedCtesOver(docWhere: String, vecAnd: String): String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents$docWhere),
        |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
        |       FROM dl),
@@ -666,7 +675,7 @@ object SparkEntry {
        |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
        |denses AS (SELECT e.vec_id,
        |    round(${dotSql("e.v", "p.pv")} / (${normSql("e.v")} * ${normSql("p.pv")}), 4) AS cos
-       |  FROM e, probe p WHERE e.vec_id <> 0
+       |  FROM e, probe p WHERE e.vec_id <> 0$vecAnd
        |  ORDER BY cos DESC, vec_id LIMIT ${TextOps.HybridTopN}),
        |dense AS (SELECT vec_id AS doc_id,
        |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_dense FROM denses),
@@ -1779,6 +1788,17 @@ object SparkEntry {
     // so this recount-composed SQL still oracles it verbatim
     "q_hybrid_retrieval" ->
       s"""$hybridFusedCtes
+         |SELECT doc_id, rank_lex, rank_dense, $rrfScoreSql AS rrf FROM fused
+         |ORDER BY rrf DESC, doc_id""".stripMargin,
+    // the RAG front door under COMPOSED maintenance: the same fused SQL
+    // with BOTH arms' recomputes restricted to the post-erasure corpus
+    // (doc_id/vec_id % 7 <> 3 — one erasure event, both tiers). The Spark
+    // side serves the lexical arm from the maintained per-document
+    // artifacts + df store (postingsLifecycleScores — bit-identical to
+    // this recompute, the q_postings_lifecycle contract) and the dense
+    // arm from the live-corpus exact scan, so the recompute oracles it
+    "q_hybrid_lifecycle" ->
+      s"""${hybridFusedCtesOver(" WHERE doc_id % 7 <> 3", " AND e.vec_id % 7 <> 3")}
          |SELECT doc_id, rank_lex, rank_dense, $rrfScoreSql AS rrf FROM fused
          |ORDER BY rrf DESC, doc_id""".stripMargin,
     // retrieval-quality audit over the fused consensus: recall@3 and MRR

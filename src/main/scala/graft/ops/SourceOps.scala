@@ -103,6 +103,10 @@ object SourceOps {
     // (lex_doclen_part_<sf>) and scalar counters (lex_stats_part_<sf>)
     // on top of the partition postings + the standing lex_df_
     "q_postings_lifecycle",
+    // the composed RAG front door reads the same lexical-lifecycle
+    // artifacts; its ANN twin additionally probes the ANN lifecycle's
+    // compacted index (ann_corpus_idx_lifecycle_<sf> + frozen c80 fits)
+    "q_hybrid_lifecycle", "q_hybrid_lifecycle_ann",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

@@ -1765,6 +1765,19 @@ object TextOps {
     * 100 TB is never touched. */
   def postingsLifecycle(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
+    def nOf(pred: Column, name: String) =
+      docs.filter(pred).agg(count(lit(1)).as(name))
+    val audit = nOf(col("doc_id") % 10 =!= 0, "n_standing")
+      .crossJoin(nOf(lit(true), "n_after_ingest"))
+      .crossJoin(nOf(col("doc_id") % 7 =!= 3, "n_live"))
+    postingsLifecycleScores(spark, sf)
+      .crossJoin(broadcast(audit))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  /** The lifecycle composition's bare scoring table (doc_id, bm25) —
+    * the seam [[hybridLifecycle]] fuses without the audit columns. */
+  private[graft] def postingsLifecycleScores(spark: SparkSession, sf: String): DataFrame = {
     val ch = postingsChain(spark, sf)
     // df: the post-maintenance aggregate store — the other tier's own
     // maintained output, so BOTH standing stores serve one query
@@ -1773,14 +1786,60 @@ object TextOps {
       .select(col("tok"), col("df").cast("double").as("df"))
     val tf = ch.p2.filter(col("tok").isin(Bm25QueryTerms: _*))
       .select("doc_id", "tok", "tf")
-    def nOf(pred: Column, name: String) =
-      docs.filter(pred).agg(count(lit(1)).as(name))
-    val audit = nOf(col("doc_id") % 10 =!= 0, "n_standing")
-      .crossJoin(nOf(lit(true), "n_after_ingest"))
-      .crossJoin(nOf(col("doc_id") % 7 =!= 3, "n_live"))
     bm25Score(tf, dfq, ch.dl2, ch.stats2)
-      .crossJoin(broadcast(audit))
-      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  /** THE RAG FRONT DOOR UNDER COMPOSED MAINTENANCE — both retrieval
+    * tiers' lifecycles fused into one declared query: the lexical arm is
+    * [[postingsLifecycleScores]] (post-ingest, post-erasure BM25 served
+    * from the maintained per-document artifacts + the maintained df
+    * store), the dense arm the exact cosine top-[[HybridTopN]] over the
+    * SAME live corpus (vec_id % 7 ≠ 3 — vec_id ≡ doc_id, so the one
+    * erasure event hits both tiers coherently), RRF-fused exactly as
+    * [[hybridRetrieval]]. This is the end-state query of the whole
+    * engine: a user document arrives (ingest), a deletion request lands
+    * (erasure), and the next retrieval answers from state no step of
+    * which re-read the surviving corpus — text tier by append/delete +
+    * counters, with only the dense arm scanning (its own lifecycle twin,
+    * [[hybridLifecycleAnn]], removes that too). Fully ORACLED: the
+    * composed hybrid SQL with both live-corpus predicates — every
+    * relation exact, ranks integer. */
+  def hybridLifecycle(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = postingsLifecycleScores(spark, sf)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_lex")
+    val dense = VectorOps.cosineTopkN(spark, sf, HybridTopN,
+        Some(col("vec_id") % 7 =!= 3))
+      .withColumn("rank_dense",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    rrfFuse(lex, dense)
+  }
+
+  /** [[hybridLifecycle]] with the SUB-LINEAR dense arm — the composed
+    * end-state at 100 TB: the dense side probes the ANN lifecycle's
+    * COMPACTED post-maintenance index ([[VectorOps.annLifecycleProbes]],
+    * probe 0, depth [[HybridTopN]]) instead of scanning the live corpus,
+    * so NEITHER arm of the fused query touches corpus-sized data — the
+    * lexical side is maintained per-document artifacts, the dense side a
+    * versioned compacted index, and the erasure is honored by both
+    * (tombstone-compaction on one, anti-join delete on the other).
+    * Declared no-oracle (ANN recall < 1 — the q_ann_pq discipline);
+    * [[hybridLifecycle]] is the oracled exact twin, overlap +
+    * rank-integrity + determinism spec'd. */
+  def hybridLifecycleAnn(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = postingsLifecycleScores(spark, sf)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_lex")
+    val dense = VectorOps.annLifecycleProbes(spark, sf, useCompacted = true,
+        topK = HybridTopN)
+      .filter(col("probe_id") === 0)
+      .select(col("vec_id").as("doc_id"), col("rk").as("rank_dense"))
+    rrfFuse(lex, dense)
   }
 
   /** The 1-row corpus document count, staged once — the last corpus fact

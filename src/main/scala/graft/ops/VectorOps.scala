@@ -44,9 +44,15 @@ object VectorOps {
 
   /** [[cosineTopk]] with a caller-chosen k — the dense retrieval arm
     * [[TextOps.hybridRetrieval]] fuses (same probe, same arithmetic). */
-  private[graft] def cosineTopkN(spark: SparkSession, sf: String, n: Int): DataFrame = {
-    val emb = Tables.load(spark, sf, "embeddings")
+  private[graft] def cosineTopkN(spark: SparkSession, sf: String, n: Int,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // optional corpus view (e.g. the post-erasure vec_id % 7 != 3 of the
+    // lifecycle compositions); the probe comes from the same view, so a
+    // predicate that erased the probe would fail loudly (empty probe),
+    // never silently rank against a ghost
+    val embAll = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val emb = pred.fold(embAll)(embAll.filter)
     val probe = emb.filter(col("vec_id") === 0).select(col("v").as("pv"))
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(probe))
@@ -939,10 +945,11 @@ object VectorOps {
     * the same frozen artifacts, so their results must be bit-identical
     * (compaction may never change a single answer, composed edition). */
   private[graft] def annLifecycleProbes(spark: SparkSession, sf: String,
-      useCompacted: Boolean, nprobe: Int = 2): DataFrame = {
+      useCompacted: Boolean, nprobe: Int = 2, topK: Int = 3): DataFrame = {
     val ch = lifecycleChain(spark, sf)
     pqProbe(spark, ch.probes, if (useCompacted) ch.compacted else ch.liveView,
-      ch.liveCorpus.select(col("vec_id"), col("v")), ch.km, ch.codebook, nprobe)
+      ch.liveCorpus.select(col("vec_id"), col("v")), ch.km, ch.codebook, nprobe,
+      topK)
   }
 
   /** LIFECYCLE COMPOSITION (r14 verdict #5) — ingest → expire → compact →

@@ -47,6 +47,7 @@ class ContractSmokeSpec extends SparkSpec {
     "q_ann_lifecycle" -> "q_knn_join",
     "q_stream_ann" -> "q_knn_join",
     "q_hybrid_ann" -> "q_hybrid_retrieval",
+    "q_hybrid_lifecycle_ann" -> "q_hybrid_lifecycle",
     "q_retrieval_eval_ann" -> "q_retrieval_eval",
     "q_dedup_minhash" -> "q_dedup_jaccard",
     "q_dedup_simhash" -> "q_dedup_jaccard",

@@ -244,6 +244,42 @@ class PcaHybridSpec extends SparkSpec {
       "hybridRetrieval's lexical arm does not probe the standing artifacts")
   }
 
+  test("hybridLifecycle: the composed front door fuses both tiers' post-erasure state; the ANN twin overlaps it and reads the compacted index") {
+    import org.apache.spark.sql.functions._
+    val exact = TextOps.hybridLifecycle(spark, sf0001).collect()
+    assert(exact.nonEmpty && exact.length <= 2 * TextOps.HybridTopN)
+    // rank-table integrity (the hybridRetrieval contract, lifecycle corpus)
+    assert(exact.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 20 &&
+      r.getLong(2) >= 0 && r.getLong(2) <= TextOps.HybridTopN))
+    assert(exact.forall(r => r.getLong(1) > 0 || r.getLong(2) > 0))
+    // no erased document can surface from either arm
+    assert(exact.forall(_.getLong(0) % 7 != 3),
+      "an erased doc surfaced in the composed fusion")
+    // the lexical arm IS the lifecycle scoring table: its rank order
+    // matches postingsLifecycle's (bm25 desc, doc_id) output order
+    val lifecycleOrder = TextOps.postingsLifecycle(spark, sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    val lexRanked = exact.filter(_.getLong(1) > 0).sortBy(_.getLong(1))
+      .map(_.getLong(0)).toSeq
+    assert(lexRanked == lifecycleOrder.take(lexRanked.length),
+      "the fused lexical ranks disagree with the lifecycle scoring order")
+    // the sub-linear twin: substantial top-set overlap + determinism +
+    // it really probes the COMPACTED post-maintenance index
+    val ann = TextOps.hybridLifecycleAnn(spark, sf0001).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(r => r.getLong(0) % 7 != 3))
+    val topExact = exact.take(10).map(_.getLong(0)).toSet
+    val topAnn = ann.take(10).map(_.getLong(0)).toSet
+    assert((topExact & topAnn).size >= 6,
+      s"composed fused top-10 overlap: ${(topExact & topAnn).size}/10")
+    val again = TextOps.hybridLifecycleAnn(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(again == ann.map(_.toSeq).toSeq)
+    val p = TextOps.hybridLifecycleAnn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_ann_corpus_idx_lifecycle_"),
+      "the ANN twin does not probe the compacted lifecycle index")
+  }
+
   test("hybridRetrievalAnn: the sub-linear fusion substantially overlaps its exact twin") {
     // same lexical arm, ANN dense arm — the fused top set must recover
     // most of the exact fusion's top documents (the q_ann_pq recall
