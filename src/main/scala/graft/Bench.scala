@@ -266,13 +266,20 @@ object Bench {
     // tail window ("parsed": null). stdout gets the scalar fields only;
     // target/bench.json and BENCH_ENVELOPE.json keep full fidelity.
     val envCompact = envelope.map { e =>
+      // scan ONLY the top-level prefix (everything before the first nested
+      // '{' — the sweeps/quiet_window blocks carry the SAME keys, so a
+      // whole-string findFirst silently depends on the top-level scalars
+      // preceding every nested block; a sort_keys-rewritten envelope would
+      // extract nested values with no error) — r17 advisor #1
+      val nest = e.indexOf('{', 1)
+      val top = if (nest > 0) e.substring(0, nest) else e
       // \s* after the colon: a hand-edited or python-rewritten envelope
       // may carry "key": value spacing (json.dumps default) — the
       // extraction must tolerate both or the driver's reps=1 run would
       // silently emit an empty envelope
       val fields = Seq("reps", "n_queries", "min", "median", "max")
         .flatMap { k =>
-          ("\"" + k + "\":\\s*([0-9.]+)").r.findFirstMatchIn(e)
+          ("\"" + k + "\":\\s*([0-9.]+)").r.findFirstMatchIn(top)
             .map(m => "\"" + k + "\":" + m.group(1))
         }
       s""","envelope":${fields.mkString("{", ",", "}")}"""
