@@ -146,6 +146,8 @@ object SparkEntry {
     "q_hybrid_lifecycle_ann" -> (TextOps.hybridLifecycleAnn _),
     "q_retrieval_eval" -> (TextOps.retrievalEval _),
     "q_retrieval_eval_ann" -> (TextOps.retrievalEvalAnn _),
+    "q_retrieval_eval_lifecycle" -> (TextOps.retrievalEvalLifecycle _),
+    "q_tfidf_lifecycle" -> (TextOps.tfidfLifecycle _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_bpe_merges" -> (TextOps.bpeMerges _),
     "q_bpe_encode" -> (TextOps.bpeEncode _),
@@ -202,6 +204,8 @@ object SparkEntry {
     "q_stream_ann" -> (graft.streaming.StreamOps.streamAnnIngest(_, _)),
     "q_stream_df" -> (graft.streaming.StreamOps.streamDf _),
     "q_stream_postings" -> (graft.streaming.StreamOps.streamPostings _),
+    "q_stream_doclen" -> (graft.streaming.StreamOps.streamDocLen _),
+    "q_stream_lexstats" -> (graft.streaming.StreamOps.streamLexStats _),
     "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
     "q_stream_update" -> (graft.streaming.StreamOps.streamUpdate _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
@@ -492,12 +496,18 @@ object SparkEntry {
 
   /** DuckDB twin of BOTH q_tfidf and q_tfidf_store (same store-exactness
     * argument as [[bm25Sql]]). */
-  private def tfidfSql: String =
-    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+  private def tfidfSql: String = tfidfSqlOver("")
+
+  /** The same TF-IDF recompute over an optionally-restricted corpus — the
+    * bm25Ctes seam: `where` filters BOTH the token relation and the
+    * all-documents n_docs count (zero-token documents count toward it),
+    * which is the q_tfidf_lifecycle oracle at " WHERE doc_id % 7 <> 3". */
+  private def tfidfSqlOver(where: String): String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents$where),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
        |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
        |        FROM tf GROUP BY 1),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents$where),
        |scored AS (
        |  SELECT doc_id, tok, round(tf * ln(n_docs / df), 4) AS score
        |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
@@ -683,6 +693,33 @@ object SparkEntry {
        |  CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
        |  CAST(coalesce(d.rank_dense, 0) AS BIGINT) AS rank_dense
        |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)""".stripMargin
+
+  /** The retrieval-quality metric block over a fused CTE chain — recall@k
+    * and MRR of each arm vs the fused consensus, exact rationals of the
+    * integer ranks — shared by q_retrieval_eval (the plain fused CTEs) and
+    * q_retrieval_eval_lifecycle (the post-erasure ones): one oracle
+    * spelling of the audit arithmetic, like the Spark side's
+    * retrievalEvalFrom. */
+  private def retrievalEvalSqlOver(ctes: String): String =
+    s"""$ctes,
+       |scored AS (SELECT fused.*, $rrfScoreSql AS rrf FROM fused),
+       |gt AS (SELECT * FROM (
+       |    SELECT scored.*, row_number() OVER (ORDER BY rrf DESC, doc_id) AS gt_rank
+       |    FROM scored) WHERE gt_rank <= ${TextOps.EvalK}),
+       |m AS MATERIALIZED (SELECT
+       |    sum(CASE WHEN rank_lex BETWEEN 1 AND ${TextOps.EvalK} THEN 1 ELSE 0 END) AS hl,
+       |    sum(CASE WHEN rank_dense BETWEEN 1 AND ${TextOps.EvalK} THEN 1 ELSE 0 END) AS hd,
+       |    max(CASE WHEN gt_rank = 1 THEN
+       |      CASE WHEN rank_lex > 0 THEN 1.0 / rank_lex ELSE 0.0 END END) AS ml,
+       |    max(CASE WHEN gt_rank = 1 THEN
+       |      CASE WHEN rank_dense > 0 THEN 1.0 / rank_dense ELSE 0.0 END END) AS md
+       |  FROM gt)
+       |SELECT s.system,
+       |  round(CASE WHEN s.system = 'bm25_arm' THEN hl ELSE hd END
+       |    / CAST(${TextOps.EvalK} AS DOUBLE), 4) AS recall_at_3,
+       |  round(CASE WHEN s.system = 'bm25_arm' THEN ml ELSE md END, 4) AS mrr
+       |FROM m, (VALUES ('bm25_arm'), ('dense_arm')) AS s(system)
+       |ORDER BY s.system""".stripMargin
 
   /** The two-term RRF score over the fused CTE's integer rank columns —
     * spelled in each consumer's own select (not inside the CTE) so
@@ -1805,26 +1842,14 @@ object SparkEntry {
     // of each arm vs the fused top-3 — exact rationals of the integer
     // ranks already published by the fused CTE (hits/3, 1/rank: single
     // IEEE divisions, no float aggregates)
-    "q_retrieval_eval" ->
-      s"""$hybridFusedCtes,
-         |scored AS (SELECT fused.*, $rrfScoreSql AS rrf FROM fused),
-         |gt AS (SELECT * FROM (
-         |    SELECT scored.*, row_number() OVER (ORDER BY rrf DESC, doc_id) AS gt_rank
-         |    FROM scored) WHERE gt_rank <= ${TextOps.EvalK}),
-         |m AS MATERIALIZED (SELECT
-         |    sum(CASE WHEN rank_lex BETWEEN 1 AND ${TextOps.EvalK} THEN 1 ELSE 0 END) AS hl,
-         |    sum(CASE WHEN rank_dense BETWEEN 1 AND ${TextOps.EvalK} THEN 1 ELSE 0 END) AS hd,
-         |    max(CASE WHEN gt_rank = 1 THEN
-         |      CASE WHEN rank_lex > 0 THEN 1.0 / rank_lex ELSE 0.0 END END) AS ml,
-         |    max(CASE WHEN gt_rank = 1 THEN
-         |      CASE WHEN rank_dense > 0 THEN 1.0 / rank_dense ELSE 0.0 END END) AS md
-         |  FROM gt)
-         |SELECT s.system,
-         |  round(CASE WHEN s.system = 'bm25_arm' THEN hl ELSE hd END
-         |    / CAST(${TextOps.EvalK} AS DOUBLE), 4) AS recall_at_3,
-         |  round(CASE WHEN s.system = 'bm25_arm' THEN ml ELSE md END, 4) AS mrr
-         |FROM m, (VALUES ('bm25_arm'), ('dense_arm')) AS s(system)
-         |ORDER BY s.system""".stripMargin,
+    "q_retrieval_eval" -> retrievalEvalSqlOver(hybridFusedCtes),
+    // the SAME metric block over the post-maintenance fused CTEs — the
+    // q_hybrid_lifecycle composition's GO/NO-GO: both arms' recomputes
+    // restricted to the post-erasure corpus, then the identical exact-
+    // rational recall@3/MRR arithmetic (one spelling on the Spark side
+    // too: retrievalEvalFrom, shared by both declared queries)
+    "q_retrieval_eval_lifecycle" -> retrievalEvalSqlOver(
+      hybridFusedCtesOver(" WHERE doc_id % 7 <> 3", " AND e.vec_id % 7 <> 3")),
     "q_tfidf" -> tfidfSql,
     // tfidfStore's df side is the maintained lexical artifact (see
     // q_bm25_store above) — identical exact counts, oracle verbatim
@@ -1848,6 +1873,14 @@ object SparkEntry {
     // to lexLifecycle by construction (spec'd), so one SQL oracles both:
     // two independent maintenance mechanisms, one recompute ground truth
     "q_postings_lifecycle" -> lexLifecycleSql,
+    // TF-IDF under composed maintenance: tf from the maintained postings
+    // (p2), df from the maintained aggregate store (l2), n_docs from the
+    // maintained all-docs counter — each bit-equal to its live-corpus
+    // recompute (the q_postings_lifecycle / q_lex_lifecycle arguments;
+    // all-docs counts are trivially additive over disjoint splits), and
+    // the scoring tail is the shared tfidfFrom body, so the q_tfidf SQL
+    // over the % 7 <> 3 corpus oracles the whole composition verbatim
+    "q_tfidf_lifecycle" -> tfidfSqlOver(" WHERE doc_id % 7 <> 3"),
     // the z round sits in the FINAL select (over zraw from the window CTE)
     // so the margin audit measures the DECLARED output population and the
     // signed-zero gate sees the round; z-scores are negative-capable →
@@ -2545,6 +2578,30 @@ object SparkEntry {
     // keep it append-only (no merge arithmetic), so the full recompute
     // oracles it for ANY file slicing (r16 verdict #4)
     "q_stream_postings" -> postingsRecomputeSql(""),
+    // streamDocLen appends the drained log's per-document lengths (one
+    // exact-Long aggregate over the SAME idempotent log — doc-disjoint
+    // micro-batches contribute each doc's rows whole) onto the standing
+    // corpus-partition lengths: per-document append, no arithmetic, so
+    // the full-corpus per-document token count oracles it for ANY file
+    // slicing (r17 verdict #2 — the length relation's streaming form)
+    "q_stream_doclen" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // streamLexStats folds each micro-batch's OWN (doc count, Σ len) Long
+    // deltas into the standing corpus-partition counters — Long addition
+    // is batching-independent and doc-disjointness keeps every document
+    // in exactly one delta, so the full-corpus recompute (token-bearing
+    // docs, exact Longs) oracles it for ANY slicing (r17 verdict #2 —
+    // the scalar counters' streaming form; with it every relation
+    // postingsLifecycle serves has one)
+    "q_stream_lexstats" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(len), 0) AS BIGINT) AS sum_len FROM dl""".stripMargin,
     // postingsDowndate deletes the erased docs' rows by anti-join —
     // per-document rows mean removing a doc's rows IS recomputing
     // without it: the remaining-corpus recompute verbatim

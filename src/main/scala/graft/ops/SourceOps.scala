@@ -99,14 +99,25 @@ object SourceOps {
     // form stages its ingest slices (shared with q_stream_df) plus the
     // corpus-partition artifact
     "q_postings_update", "q_postings_downdate", "q_stream_postings",
+    // the length/counter streaming forms drain the shared ingest slices
+    // (stream_df_in_<sf>) and read the corpus-partition postings-derived
+    // artifacts (lex_postings_part_, lex_doclen_part_, lex_stats_part_)
+    "q_stream_doclen", "q_stream_lexstats",
     // the index-tier lifecycle stages the corpus-partition doc lengths
     // (lex_doclen_part_<sf>) and scalar counters (lex_stats_part_<sf>)
     // on top of the partition postings + the standing lex_df_
     "q_postings_lifecycle",
+    // the TF-IDF lifecycle rung additionally stages the corpus-partition
+    // all-documents counter (lex_ndocs_part_<sf>) beside the postings-
+    // chain artifacts and the standing lex_df_
+    "q_tfidf_lifecycle",
     // the composed RAG front door reads the same lexical-lifecycle
     // artifacts; its ANN twin additionally probes the ANN lifecycle's
     // compacted index (ann_corpus_idx_lifecycle_<sf> + frozen c80 fits)
     "q_hybrid_lifecycle", "q_hybrid_lifecycle_ann",
+    // the lifecycle front door's arm-quality audit runs the same fusion
+    // (same maintained artifacts) under the retrievalEval metric block
+    "q_retrieval_eval_lifecycle",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

@@ -1539,8 +1539,19 @@ object TextOps {
   private val tokenRelations =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Session-stop teardown (r17 verdict #5): the stopping context's token
+    * relations unpersist + evict; the cluster memo — keyed per-sf, holding
+    * localCheckpoint'ed frames bound to whichever context built them —
+    * drops whole (nothing to unpersist: checkpoint blocks die with their
+    * context). */
+  MemoHygiene.register { appId =>
+    MemoHygiene.evictByApp(tokenRelations, appId)
+    clusterCache.clear()
+  }
+
   private def tokenRelation(spark: SparkSession, sf: String,
       corpusPred: Option[Column]): DataFrame = {
+    MemoHygiene.install(spark)
     val sp = spark.conf.get("spark.sql.shuffle.partitions")
     val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     val pred = corpusPred.map(_.toString).getOrElse("all")
@@ -1557,6 +1568,10 @@ object TextOps {
     if (tk.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tk.persist()
     tk
   }
+
+  /** Entry count of this object's context-bound memos — the teardown
+    * spec's seam ([[MemoHygiene]]). */
+  private[graft] def memoEntryCount: Int = tokenRelations.size + clusterCache.size
 
   /** The ONE BM25 scoring tail over prepared relations — shared by every
     * BM25 form ([[bm25From]]'s scan-derived relations and [[bm25Index]]'s
@@ -2015,9 +2030,27 @@ object TextOps {
     * the audit costs nothing at any corpus scale). The ANN half —
     * the same metrics for the sub-linear systems — is the no-oracle twin
     * [[retrievalEvalAnn]], exactly the q_ann_pq/q_hybrid_ann discipline. */
-  def retrievalEval(spark: SparkSession, sf: String): DataFrame = {
+  def retrievalEval(spark: SparkSession, sf: String): DataFrame =
+    retrievalEvalFrom(hybridRetrieval(spark, sf))
+
+  /** The SAME audit over the POST-MAINTENANCE front door (r17 verdict #4)
+    * — [[retrievalEval]] covers only the non-lifecycle fusion; this is
+    * the GO/NO-GO an operator reads after an ingest + erasure event:
+    * recall@[[EvalK]] and MRR of each arm (lifecycle-served BM25, dense)
+    * against [[hybridLifecycle]]'s own fused consensus. One metric
+    * spelling ([[retrievalEvalFrom]] — extracted, not copied), exact
+    * rationals of integer ranks ⇒ fully oracled: the q_retrieval_eval SQL
+    * over the post-erasure fused CTEs. */
+  def retrievalEvalLifecycle(spark: SparkSession, sf: String): DataFrame =
+    retrievalEvalFrom(hybridLifecycle(spark, sf))
+
+  /** The ONE spelling of the arm-level recall/MRR metric block over a
+    * fused rank table (doc_id, rank_lex, rank_dense, rrf) — shared by
+    * [[retrievalEval]] and [[retrievalEvalLifecycle]] so the lifecycle
+    * audit can never drift from the declared metric arithmetic. */
+  private def retrievalEvalFrom(fused: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gt = hybridRetrieval(spark, sf)
+    val gt = fused
       .withColumn("gt_rank",
         row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
       .filter(col("gt_rank") <= EvalK)
@@ -2252,15 +2285,21 @@ object TextOps {
     * [[tfidfStore]] (df from the maintained lexical artifact) — the
     * [[bm25From]] discipline: one spelling of score and tie-break, so the
     * store-backed form can never drift from the declared oracle. */
-  private def tfidfFrom(spark: SparkSession, sf: String,
+  private[graft] def tfidfFrom(spark: SparkSession, sf: String,
       storeDf: Option[DataFrame], tfSource: Option[DataFrame] = None,
-      nDocsSource: Option[DataFrame] = None): DataFrame = {
+      nDocsSource: Option[DataFrame] = None,
+      corpusPred: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // tf: the in-query explode+aggregate, or the standing postings
-    // artifact — the SAME (doc_id, tok, tf) exact Long relation
-    val tf = tfSource.getOrElse(fannedDocs(spark, sf)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    // tf: the in-query explode+aggregate (over the optionally-restricted
+    // corpus — the bm25From seam, the spec's recount twin for the
+    // lifecycle form), or the standing postings artifact — the SAME
+    // (doc_id, tok, tf) exact Long relation
+    val tf = tfSource.getOrElse {
+      val base = fannedDocs(spark, sf)
+      corpusPred.fold(base)(base.filter)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    }
     // df: the in-query vocabulary-sized recount, or the standing store's
     // maintained exact Long counts (identical values — the store IS the
     // full recompute, q_df_update's oracled contract)
@@ -2269,8 +2308,11 @@ object TextOps {
       case None => tf.groupBy("tok")
         .agg(countDistinct("doc_id").cast("double").as("df"))
     }
-    val nDocs = nDocsSource.getOrElse(Tables.load(spark, sf, "documents")
-      .agg(count(lit(1)).cast("double").as("n_docs")))
+    val nDocs = nDocsSource.getOrElse {
+      val d = Tables.load(spark, sf, "documents")
+      corpusPred.fold(d)(d.filter)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+    }
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
     tf.join(dfTok, "tok")
       .crossJoin(broadcast(nDocs))
@@ -2310,6 +2352,51 @@ object TextOps {
     tfidfFrom(spark, sf, Some(lexMaintainedArtifact(spark, sf)),
       Some(postingsArtifact(spark, sf)),
       Some(docCountArtifact(spark, sf)))
+
+  /** The standing CORPUS-PARTITION document count — ALL documents of the
+    * doc_id % 10 ≠ 0 split, zero-token ones included (the one TF-IDF
+    * corpus fact the postings cannot supply, [[docCountArtifact]]'s
+    * maintenance-split twin): the 1-row Long [[tfidfLifecycle]] maintains
+    * by pure counter arithmetic — the ingest adds its own document count,
+    * the erasure subtracts the erased list's size, and neither reads a
+    * surviving document. */
+  private[graft] def docCntPartArtifact(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.ops.SourceOps.materialize(s"lex_ndocs_part_$sf") { d =>
+      Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") % 10 =!= 0)
+        .agg(count(lit(1)).as("n_docs")).write.parquet(s"$d/n")
+    }
+    spark.read.parquet(s"$dir/n")
+  }
+
+  /** TF-IDF under COMPOSED maintenance — [[postingsLifecycle]]'s
+    * whole-vocabulary sibling, completing the ladder symmetry BM25
+    * already has (recount → store → index → LIFECYCLE, r17 verdict #3):
+    * keyword extraction served after an ingest (doc_id % 10 == 0 appended)
+    * and an erasure (doc_id % 7 == 3 deleted) with every input MAINTAINED,
+    * the surviving corpus never re-tokenized. tf is the post-maintenance
+    * postings (`postingsChain.p2` — per-document append/delete), df the
+    * post-maintenance aggregate store (`lexChain.l2` — Long merges), and
+    * n_docs the maintained all-documents counter ([[docCntPartArtifact]]
+    * + the batch's own count − the erased list's size: exact integer
+    * arithmetic, zero-token documents counted, the [[docCountArtifact]]
+    * semantics under maintenance). Every relation equals its live-corpus
+    * recompute bit-for-bit (the q_postings_lifecycle arguments, plus
+    * all-docs counts being trivially additive over disjoint splits), and
+    * the scoring tail is the shared [[tfidfFrom]] body — so the q_tfidf
+    * oracle over the % 7 ≠ 3 corpus transfers VERBATIM, and the spec pins
+    * the same cross-mechanism fact as BM25's: per-document and aggregate
+    * maintenance converge on BIT-identical TF-IDF output. */
+  def tfidfLifecycle(spark: SparkSession, sf: String): DataFrame = {
+    val ch = postingsChain(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val bn = docs.filter(col("doc_id") % 10 === 0).agg(count(lit(1)).as("bn"))
+    val en = docs.filter(col("doc_id") % 7 === 3).agg(count(lit(1)).as("en"))
+    val nDocs = docCntPartArtifact(spark, sf)
+      .crossJoin(broadcast(bn)).crossJoin(broadcast(en))
+      .select((col("n_docs") + col("bn") - col("en")).cast("double").as("n_docs"))
+    tfidfFrom(spark, sf, Some(lexChain(spark, sf).l2), Some(ch.p2), Some(nDocs))
+  }
 
   /** Posting-list entries materialized per term (the head; full df is kept
     * as a count). Bounds every term's list — the hot-term guard. */

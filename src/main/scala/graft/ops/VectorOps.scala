@@ -161,10 +161,10 @@ object VectorOps {
     * round-trip — the numbers a quantization rollout is judged by. At 100 TB
     * the calibration agg runs on a sample instead of the full corpus. */
   def quantizeErr(spark: SparkSession, sf: String): DataFrame = {
-    // persist: the calibration agg and the quantize pass share this scan
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .persist()
+    // the memoized persisted projection: the calibration agg and the
+    // quantize pass share one cached scan (the extra fv column rides
+    // along — one standing entry beats a second per-call registration)
+    val emb = embProjection(spark, sf).select("vec_id", "v")
     val sc = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("pos").agg(max(abs(col("x"))).as("m"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -366,11 +366,7 @@ object VectorOps {
   }
 
   def ivfTopk(spark: SparkSession, sf: String, k: Int = 16, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
-        array_to_vector(col("embedding")).as("fv"))
-      .persist()
+    val emb = embProjection(spark, sf)
     val km = coarseQuantizer(sf, k, emb)
     val assigned = km.transform(emb).select(col("vec_id"), col("v"), col("cell"))
     // centroids are driver-side constants (k × dim doubles) → literal frame
@@ -498,10 +494,7 @@ object VectorOps {
     * the one-time index build a production system amortizes over its whole
     * lifetime (exactly the [[graft.ops.Scoring.warmModel]] contract). */
   def warmAnnIndexes(spark: SparkSession, sf: String): Unit = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
+    val emb = embProjection(spark, sf)
     coarseQuantizer(sf, 16, emb)
     pqCodebooks(spark, sf)
     ()
@@ -560,11 +553,7 @@ object VectorOps {
 
   def annPq(spark: SparkSession, sf: String, nprobe: Int = 2,
       topK: Int = 3): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
-      .persist()
+    val emb = embProjection(spark, sf)
     val km = coarseQuantizer(sf, 16, emb)
     val books = pqCodebooks(spark, sf)
     val codebook = pqCodebookFrame(spark, books)
@@ -586,6 +575,12 @@ object VectorOps {
   private[graft] def pqProbe(spark: SparkSession, probes: DataFrame, enc: DataFrame,
       rawVecs: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
       codebook: DataFrame, nprobe: Int, topK: Int = 3): DataFrame = {
+    // a topK beyond the ADC shortlist depth would be silently truncated
+    // (the re-rank can only return rows the PqRerank cut admitted) —
+    // fail loudly at the seam instead (r17 advisor #4); widening the
+    // shortlist is a recall decision a caller must make explicitly
+    require(topK <= PqRerank,
+      s"pqProbe topK=$topK exceeds the PqRerank=$PqRerank shortlist depth")
     val centroids = spark.createDataFrame(
       km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
       .toDF("cell", "ccent")
@@ -653,11 +648,7 @@ object VectorOps {
     * appended vector must retrieve it), and frozen-artifact equality
     * (appending a corpus duplicate yields its twin's cell and codes). */
   def annAppend(spark: SparkSession, sf: String, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
-      .persist()
+    val emb = embProjection(spark, sf)
     val corpus = emb.filter(col("vec_id") % 5 =!= 4)
     val batch = emb.filter(col("vec_id") % 5 === 4)
     val km = coarseQuantizer(s"$sf-c80", 16, corpus)
@@ -693,11 +684,7 @@ object VectorOps {
     * At scale the filter is a partition-pruned anti-join against a
     * tombstone set — batch-sized, like the append. */
   def annDelete(spark: SparkSession, sf: String, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
-      .persist()
+    val emb = embProjection(spark, sf)
     val corpus = emb.filter(col("vec_id") % 5 =!= 4)
     val km = coarseQuantizer(s"$sf-c80", 16, corpus)
     val books = pqCodebooksFrom(s"$sf-c80", corpus.select("v"))
@@ -756,11 +743,7 @@ object VectorOps {
     * (ANN recall < 1 by construction; `q_knn_join` is the oracled exact
     * twin). */
   def annCompact(spark: SparkSession, sf: String, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
-      .persist()
+    val emb = embProjection(spark, sf)
     val corpus = emb.filter(col("vec_id") % 5 =!= 4)
     val km = coarseQuantizer(s"$sf-c80", 16, corpus)
     val books = pqCodebooksFrom(s"$sf-c80", corpus.select("v"))
@@ -892,6 +875,56 @@ object VectorOps {
     s"${spark.sparkContext.applicationId}|$sf|$sp|$mpb"
   }
 
+  /** Session-lifetime memo of the PERSISTED (vec_id, v, fv) embedding
+    * projection per (context, sf, gate confs) — the
+    * [[graft.ops.TextOps]] tokenRelations discipline applied to the ANN
+    * family's shared scan (r17 verdict #1, closing the last standing
+    * instance of the per-call-persist class): the persist exists to share
+    * one embeddings projection across a query's quantizer fit, encode and
+    * probe arms, but per-invocation persists parked a fresh cache
+    * registration per annPq/annAppend/annDelete/annCompact/ivfTopk/
+    * semDedup/chain-build call (CacheManager plan-dedup bounded the
+    * memory, yet the sharing was implicit and the registrations grew —
+    * the suite log's "Asked to cache already cached data" warnings). One
+    * explicit standing entry per [[chainKey]]: a recreated session or the
+    * perturbed stability gate builds its own, never reads frames bound to
+    * a dead context or a different partitioning. */
+  private val embProjections =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Session-stop teardown (r17 verdict #5): the stopping context's
+    * persisted projections unpersist + evict; the chain memos hold only
+    * plan objects + localCheckpoint'ed frames (their blocks die with the
+    * context), so eviction alone closes them. */
+  MemoHygiene.register { appId =>
+    MemoHygiene.evictByApp(embProjections, appId)
+    MemoHygiene.evictByApp(semAssignments, appId)
+    import scala.jdk.CollectionConverters._
+    Seq(lifecycleChains, momentChains).foreach { m =>
+      m.keySet.asScala.toList.foreach(m.remove)
+    }
+  }
+
+  private[graft] def embProjection(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    MemoHygiene.install(spark)
+    val emb = embProjections.computeIfAbsent(chainKey(spark, sf), _ =>
+      Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("fv", array_to_vector(col("v"))))
+    // (re-)register the cache on every lookup: Bench/Verify clearCache()
+    // between queries, and an evicted entry would otherwise quietly lose
+    // the intra-query sharing the projection exists for
+    if (emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE) emb.persist()
+    emb
+  }
+
+  /** Entry count of this object's context-bound memos — the teardown
+    * spec's seam ([[MemoHygiene]]). */
+  private[graft] def memoEntryCount: Int =
+    embProjections.size + semAssignments.size +
+      lifecycleChains.size + momentChains.size
+
   /** Session-lifetime memo of the composed chain per (sf, gate confs)
     * (r15 advisor #4): the declared query plus the spec's two probe arms
     * each build the chain, and every build persisted a fresh copy of the
@@ -901,16 +934,14 @@ object VectorOps {
   private val lifecycleChains =
     new java.util.concurrent.ConcurrentHashMap[String, LifecycleChain]()
 
-  private def lifecycleChain(spark: SparkSession, sf: String): LifecycleChain =
+  private def lifecycleChain(spark: SparkSession, sf: String): LifecycleChain = {
+    MemoHygiene.install(spark)
     lifecycleChains.computeIfAbsent(chainKey(spark, sf),
       _ => buildLifecycleChain(spark, sf))
+  }
 
   private def buildLifecycleChain(spark: SparkSession, sf: String): LifecycleChain = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
-      .persist()
+    val emb = embProjection(spark, sf)
     val corpus = emb.filter(col("vec_id") % 5 =!= 4)
     val batch = emb.filter(col("vec_id") % 5 === 4)
     val km = coarseQuantizer(s"$sf-c80", 16, corpus)
@@ -1668,9 +1699,11 @@ object VectorOps {
   private val momentChains =
     new java.util.concurrent.ConcurrentHashMap[String, MomentChain]()
 
-  private[graft] def momentChain(spark: SparkSession, sf: String): MomentChain =
+  private[graft] def momentChain(spark: SparkSession, sf: String): MomentChain = {
+    MemoHygiene.install(spark)
     momentChains.computeIfAbsent(chainKey(spark, sf),
       _ => buildMomentChain(spark, sf))
+  }
 
   private def buildMomentChain(spark: SparkSession, sf: String): MomentChain = {
     val s0 = covSumsArtifact(spark, sf)
@@ -1724,20 +1757,23 @@ object VectorOps {
       .orderBy("i")
   }
 
+  /** semDedup's persisted (vec_id, v, cell) assignment per (context, sf,
+    * confs, k) — the same keyed-memo discipline as [[embProjection]]; k
+    * joins the key because the quantizer's cell count shapes the plan. */
+  private val semAssignments =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def semDedup(spark: SparkSession, sf: String, k: Int = 0): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
-        array_to_vector(col("embedding")).as("fv"))
-      .persist()
+    val emb = embProjection(spark, sf)
     val kk =
       if (k > 0) k
       else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     val km = coarseQuantizer(sf, kk, emb)
-    // persist: both sides of the within-cell self-join read this
-    val assigned = km.transform(emb)
-      .select(col("vec_id"), col("v"), col("cell"))
-      .persist()
+    // persisted: both sides of the within-cell self-join read this
+    val assigned = semAssignments.computeIfAbsent(s"${chainKey(spark, sf)}|k=$kk",
+      _ => km.transform(emb).select(col("vec_id"), col("v"), col("cell")))
+    if (assigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assigned.persist()
     val dropped = assigned
       .join(assigned.select(col("cell"), col("vec_id").as("ib"), col("v").as("vb")),
         Seq("cell"))

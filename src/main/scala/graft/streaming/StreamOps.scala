@@ -254,20 +254,26 @@ object StreamOps {
     * of this block (r16 review): a future fix to the recipe — the mtime
     * base, the part sort, listFiles null-handling — now lands once. */
   private def stageSlices(df: DataFrame, dir: String, sub: String,
-      parts: Int, partCol: org.apache.spark.sql.Column): Unit = {
+      parts: Int, partCol: org.apache.spark.sql.Column,
+      minParts: Int = 1): Unit = {
     df.repartitionByRange(parts, partCol).write.parquet(s"$dir/$sub")
     val files = Option(new java.io.File(s"$dir/$sub").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    // fail fast if the write emitted fewer part files than requested
-    // (empty range buckets, or an unlistable dir): every drained stream's
-    // multi-micro-batch guarantee rests on maxFilesPerTrigger seeing the
-    // full slice count, and only streamDf's nb>=3 spec would otherwise
-    // notice — make the guarantee structural for all of them (r16
-    // advisor #4)
-    require(files.length >= parts,
+    // fail fast if the write emitted fewer part files than the caller's
+    // contract needs (empty range buckets, or an unlistable dir): a
+    // drained stream's multi-micro-batch guarantee rests on
+    // maxFilesPerTrigger seeing the slice count its spec asserts (r16
+    // advisor #4). SCOPED per caller (r17 advisor #3): Spark writes no
+    // file for an empty range bucket, so demanding the full `parts` for
+    // every caller would abort streams whose contracts never needed
+    // >= parts batches on a small or skewed fixture slice — callers whose
+    // specs pin an nb>=N drain pass minParts accordingly; the default 1
+    // only rejects a genuinely empty staging.
+    require(files.length >= minParts,
       s"stageSlices($dir/$sub): ${files.length} part files staged, " +
-        s"$parts requested — the drain would not be multi-micro-batch")
+        s"$minParts required ($parts requested) — the drain would not " +
+        "meet its micro-batch contract")
     files.zipWithIndex.foreach { case (f, i) =>
       f.setLastModified(1700000000000L + i * 60000L)
     }
@@ -934,7 +940,10 @@ object StreamOps {
     val inDir = graft.ops.SourceOps.materialize(s"stream_cov_in_$sf") { d =>
       stageSlices(graft.sources.Tables.load(spark, sf, "embeddings")
         .select("vec_id", "embedding"),
-        d, "in", 6, col("vec_id"))
+        d, "in", 6, col("vec_id"),
+        // the spec's crosses-batches assertion needs >= 2 micro-batches
+        // at maxFilesPerTrigger=2 -> >= 3 staged files
+        minParts = 3)
     }
     withRunDir("stream_cov_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -1049,7 +1058,9 @@ object StreamOps {
       stageSlices(graft.sources.Tables.load(spark, sf, "embeddings")
         .filter(col("vec_id") % 5 === 4)
         .select("vec_id", "embedding"),
-        d, "in", 4, col("vec_id"))
+        d, "in", 4, col("vec_id"),
+        // the spec's nb >= 2 audit column needs >= 2 staged files
+        minParts = 2)
     }
     withRunDir("stream_ann_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -1121,7 +1132,9 @@ object StreamOps {
       stageSlices(graft.sources.Tables.load(spark, sf, "documents")
         .filter(col("doc_id") % 10 === 0)
         .select("doc_id", "text"),
-        d, "in", 4, col("doc_id"))
+        d, "in", 4, col("doc_id"),
+        // both lexical-tier drains' specs assert nb >= 3 micro-batches
+        minParts = 3)
     }
 
   private[graft] def streamDfLog(spark: org.apache.spark.sql.SparkSession,
@@ -1229,6 +1242,51 @@ object StreamOps {
     graft.ops.TextOps.postingsPartArtifact(spark, sf)
       .unionByName(streamPostingsLog(spark, sf).select("doc_id", "tok", "tf"))
       .orderBy("doc_id", "tok")
+
+  /** STREAMING doc-length maintenance — with it (and [[streamLexStats]])
+    * EVERY relation [[graft.ops.TextOps.postingsLifecycle]] serves has a
+    * streaming ingest form (r17 verdict #2; postings rows already did via
+    * [[streamPostings]]). No new stream: the SAME drained idempotent log
+    * carries everything the length relation needs — doc-disjoint
+    * micro-batches contribute each document's postings rows WHOLE, so the
+    * ingest docs' lengths are one exact-Long aggregate over the compacted
+    * log, APPENDED onto the standing corpus-partition lengths exactly as
+    * the batch form inside `postingsChain` does. Per-document append with
+    * no merge arithmetic ⇒ BIT-identical to the batch append for ANY file
+    * slicing, and the oracle is the full-corpus per-document token count
+    * verbatim. At 100 TB the length row rides the same partition write as
+    * its postings — one arrival, both relations maintained. */
+  def streamDocLen(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame =
+    graft.ops.TextOps.docLenPartArtifact(spark, sf)
+      .unionByName(streamPostingsLog(spark, sf)
+        .groupBy("doc_id").agg(sum("tf").as("len")))
+      .orderBy("doc_id")
+
+  /** STREAMING scalar-counter maintenance — the (n_docs, Σ len) 1-row
+    * state the per-document tier's BM25 serving derives avg_len from,
+    * maintained the streaming way: each micro-batch's OWN two Long sums
+    * (its doc count, its total length — computed per batch_id from the
+    * drained log, the idempotent-log pattern shrunk to two numbers) fold
+    * into the standing counters by pure Long addition. Addition is
+    * batching-independent and doc-disjoint slicing keeps every document
+    * in exactly one batch's delta, so the result is BIT-identical to the
+    * batch counter arithmetic inside `postingsChain` for ANY slicing —
+    * oracled by the full-corpus recompute (token-bearing docs, exact
+    * Longs: the [[graft.ops.TextOps.lexCntPartArtifact]] discipline). */
+  def streamLexStats(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    // per-micro-batch deltas first (the counters a streaming maintainer
+    // would actually emit per arrival), then the Long fold across batches
+    val perBatch = streamPostingsLog(spark, sf)
+      .groupBy("batch_id", "doc_id").agg(sum("tf").as("len"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("bn"), sum("len").as("bs"))
+    val delta = perBatch.agg(coalesce(sum("bn"), lit(0L)).as("bn"),
+      coalesce(sum("bs"), lit(0L)).as("bs"))
+    graft.ops.TextOps.lexCntPartArtifact(spark, sf)
+      .crossJoin(broadcast(delta))
+      .select((col("n_docs") + col("bn")).as("n_docs"),
+        (col("sum_len") + col("bs")).as("sum_len"))
+  }
 
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per
     * key by (event time, batch id) — one aggregate, map-side combinable. */

@@ -613,6 +613,34 @@ class PcaHybridSpec extends SparkSpec {
     }
   }
 
+  test("retrievalEvalLifecycle: metrics equal a test-side recompute from the lifecycle-fused table (r17 verdict #4)") {
+    // the post-maintenance front door's arm-quality audit — the SAME
+    // metric spelling (retrievalEvalFrom is shared code, this pins the
+    // values) over hybridLifecycle's fused ranking: the GO/NO-GO an
+    // operator reads after an ingest + erasure event
+    val fused = TextOps.hybridLifecycle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy { case (d, _, _, s) => (-s, d) }
+    val gt = fused.take(TextOps.EvalK)
+    def metrics(rank: ((Long, Long, Long, Double)) => Long): (Double, Double) = {
+      val hits = gt.count(r => rank(r) >= 1 && rank(r) <= TextOps.EvalK)
+      val r1 = rank(gt.head)
+      val mrr = if (r1 > 0) 1.0 / r1 else 0.0
+      (BigDecimal(hits.toDouble / TextOps.EvalK)
+         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal(mrr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = Map(
+      "bm25_arm" -> metrics(_._2),
+      "dense_arm" -> metrics(_._3))
+    val got = TextOps.retrievalEvalLifecycle(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == expect, s"got $got expected $expect")
+    got.values.foreach { case (rec, mrr) =>
+      assert(rec >= 0.0 && rec <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+    }
+  }
+
   test("retrievalEvalAnn: metrics equal a test-side recompute from the ANN and exact rankings; ANN recall holds its floor") {
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
     // dense systems vs exact knn, averaged over the 5 probes

@@ -840,6 +840,40 @@ class StreamingSpec extends SparkSpec {
       s"$crossBatch doc(s) span micro-batches — the ingest is not doc-disjoint")
   }
 
+  test("streamDocLen: the streamed doc-length append equals the batch form bit-for-bit (r17 verdict #2)") {
+    // the length relation's streaming ingest: lengths aggregated from the
+    // SAME drained idempotent log, appended onto the standing partition —
+    // doc-disjoint micro-batches contribute each doc's rows whole, so the
+    // result must equal the batch append (== the full-corpus recompute,
+    // postingsUpdate's oracled contract) for this (and any) slicing
+    val got = graft.streaming.StreamOps.streamDocLen(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val want = graft.ops.TextOps.postingsUpdate(spark, sf0001)
+      .groupBy("doc_id").agg(sum("tf").as("len"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want, "streamed doc lengths diverged from the batch append")
+  }
+
+  test("streamLexStats: per-micro-batch counter deltas fold to the batch counters exactly (r17 verdict #2)") {
+    // the scalar counters' streaming form: each micro-batch's own
+    // (doc count, Σ len) Long deltas added to the standing counters must
+    // equal the full-corpus recompute bit-for-bit — Long addition is
+    // batching-independent, doc-disjointness keeps every doc in exactly
+    // one delta. With this, every relation postingsLifecycle serves
+    // (postings, lengths, counters) has a streaming ingest form.
+    val got = graft.streaming.StreamOps.streamLexStats(spark, sf0001)
+      .collect().head.toSeq
+    val want = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("len"), lit(0L)).as("sum_len"))
+      .collect().head.toSeq
+    assert(got == want, s"streamed counters diverged: $got != $want")
+  }
+
   test("streamAsof: the foreachBatch as-of drain equals the batch as-of join") {
     // batching-independence is the claim: each event's answer depends only
     // on the static orders side, so HOWEVER the file source slices batches,
