@@ -10,6 +10,16 @@ import org.apache.spark.sql.SparkSession
   * reported as -1, never as a (fast) success. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ambient load at PROCESS START, before the untimed staging preamble
+    // raises it: loadavg_before (sampled just ahead of sweep 1) reads 5+
+    // even on a machine that was idle at launch, so past envelopes needed
+    // a prose note to explain their own context field. Both are recorded:
+    // loadavg_start is the window-quietness signal, loadavg_before the
+    // sweep-adjacent one.
+    val loadAtStart =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -222,8 +232,9 @@ object Bench {
           s"""{"total":${fmt3(s.map(_._2).filter(_ >= 0).sum)},"loadavg_after":${fmt3(la)}}"""
         }.mkString("[", ",", "]")
         val e = s"""{"reps":$reps,"min":${fmt3(sweepTotals.head)},"median":${fmt3(
-          sweepTotals(sweepTotals.size / 2))},"max":${fmt3(sweepTotals.last)},"loadavg_before":${fmt3(
-          loadBefore)},"sweeps":$sweepDetail,"note":"per-sweep totals in run order; sweep 1 includes one-time codegen JIT (all per-corpus artifacts pre-build untimed)"}"""
+          sweepTotals(sweepTotals.size / 2))},"max":${fmt3(sweepTotals.last)},"loadavg_start":${fmt3(
+          loadAtStart)},"loadavg_before":${fmt3(
+          loadBefore)},"sweeps":$sweepDetail,"note":"per-sweep totals in run order; sweep 1 includes one-time codegen JIT (all per-corpus artifacts pre-build untimed); loadavg_start is sampled at process start, loadavg_before after the untimed staging preamble"}"""
         try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_ENVELOPE.json"), e + "\n")
         catch { case ex: Throwable => System.err.println(s"[bench] envelope write failed: ${ex.getMessage}") }
         Some(e)
