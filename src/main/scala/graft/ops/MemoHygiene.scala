@@ -40,8 +40,15 @@ object MemoHygiene {
     val appId = sc.applicationId
     if (installedApps.add(appId)) {
       sc.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          // the installed mark drops only when the context actually ends —
+          // an explicit mid-life clearAll must NOT drop it, or the next
+          // memo lookup would register a SECOND listener for the same
+          // context (harmless but accreting: the exact class this object
+          // exists to close)
+          installedApps.remove(appId)
           clearAll(appId)
+        }
       })
     }
   }
@@ -51,10 +58,8 @@ object MemoHygiene {
     installedApps.contains(spark.sparkContext.applicationId)
 
   /** Run every registered clearer for `appId`. */
-  private[graft] def clearAll(appId: String): Unit = {
-    installedApps.remove(appId)
+  private[graft] def clearAll(appId: String): Unit =
     clearers.forEach(c => c(appId))
-  }
 
   /** Shared eviction shape for DataFrame memos keyed `appId|…`: drop EVERY
     * entry (at application end no other context in the JVM is live, so any

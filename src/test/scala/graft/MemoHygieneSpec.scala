@@ -38,8 +38,9 @@ class MemoHygieneSpec extends SparkSpec {
     assert(probeAfter == probeBefore, "ANN probes diverged after memo teardown")
     assert(graft.ops.TextOps.memoEntryCount > 0)
     assert(graft.ops.VectorOps.memoEntryCount > 0)
-    // re-arm for the rest of the suite (clearAll dropped the installed
-    // mark; the next lookup re-installs — prove that too)
+    // the hook stays armed across an explicit mid-life clearAll (only a
+    // real application end drops the installed mark — re-installing here
+    // would register a second listener for the same context)
     assert(graft.ops.MemoHygiene.installedFor(spark))
   }
 
