@@ -147,6 +147,7 @@ object SparkEntry {
     "q_retrieval_eval" -> (TextOps.retrievalEval _),
     "q_retrieval_eval_ann" -> (TextOps.retrievalEvalAnn _),
     "q_retrieval_eval_lifecycle" -> (TextOps.retrievalEvalLifecycle _),
+    "q_retrieval_eval_lifecycle_ann" -> (TextOps.retrievalEvalLifecycleAnn _),
     "q_tfidf_lifecycle" -> (TextOps.tfidfLifecycle _),
     "q_token_bpe" -> (TextOps.tokenBpe _),
     "q_bpe_merges" -> (TextOps.bpeMerges _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "q_stream_postings" -> (graft.streaming.StreamOps.streamPostings _),
     "q_stream_doclen" -> (graft.streaming.StreamOps.streamDocLen _),
     "q_stream_lexstats" -> (graft.streaming.StreamOps.streamLexStats _),
+    "q_stream_ndocs" -> (graft.streaming.StreamOps.streamNdocs _),
     "q_stream_asof" -> (graft.streaming.StreamOps.streamAsof _),
     "q_stream_update" -> (graft.streaming.StreamOps.streamUpdate _),
     "q_stream_window" -> (graft.streaming.StreamOps.streamWindow _),
@@ -2602,6 +2604,15 @@ object SparkEntry {
          |dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1)
          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(coalesce(sum(len), 0) AS BIGINT) AS sum_len FROM dl""".stripMargin,
+    // streamNdocs folds each micro-batch's OWN raw document count (taken
+    // from the staged slice BEFORE tokenization — zero-token docs count
+    // toward n_docs but never reach the postings log) into the standing
+    // all-documents counter by pure Long addition; batching-independent +
+    // doc-disjoint slicing ⇒ the all-documents recompute oracles it for
+    // ANY file slicing (r18 verdict #4 — with it every input of
+    // q_tfidf_lifecycle has a streaming form)
+    "q_stream_ndocs" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
     // postingsDowndate deletes the erased docs' rows by anti-join —
     // per-document rows mean removing a doc's rows IS recomputing
     // without it: the remaining-corpus recompute verbatim

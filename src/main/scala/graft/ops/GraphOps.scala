@@ -41,6 +41,43 @@ object GraphOps {
     spark.read.parquet(s"$dir/edges")
   }
 
+  /** Session-lifetime memo of the PERSISTED edge scan per (context, sf,
+    * gate confs) — the `tokenRelations`/`embProjection` discipline's
+    * application to the graph family (r18 verdict #1): [[graphMetrics]]
+    * and [[trianglesKeyOriented]] each persisted [[edges]]' scan per call
+    * (the same logical plan, so repeat calls tripped CacheManager's
+    * "already cached" warning and parked duplicate registrations). One
+    * standing entry per key; the iteration-internal persists of DERIVED
+    * frames (both-ways unions, vote edges) keep their per-call
+    * persist/unpersist pairing — those are parameterized intermediates
+    * with explicit cleanup, not this class. */
+  private val edgeRelations =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  MemoHygiene.register { appId =>
+    MemoHygiene.evictByApp(edgeRelations, appId)
+  }
+
+  private def graphRelation(spark: SparkSession, sf: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    MemoHygiene.install(spark)
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val key = s"${spark.sparkContext.applicationId}|$sf|$kind|$sp|$mpb"
+    val e = edgeRelations.computeIfAbsent(key, _ => build)
+    // (re-)register the cache on every lookup: Bench/Verify clearCache()
+    // between queries would otherwise quietly drop the sharing
+    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.persist()
+    e
+  }
+
+  private def edgeRelation(spark: SparkSession, sf: String): DataFrame =
+    graphRelation(spark, sf, "edges")(edges(spark, sf))
+
+  /** Entry count of this object's context-bound memos — the teardown
+    * spec's seam ([[MemoHygiene]]). */
+  private[graft] def memoEntryCount: Int = edgeRelations.size
+
   /** Market-basket pair mining — the top co-purchased part pairs by number
     * of distinct orders containing both (distinct, so a part repeated
     * within one order can't inflate its pairs). The plan is equi-join →
@@ -97,7 +134,7 @@ object GraphOps {
       .getOrElse(GraphBroadcastMaxEdges)
 
   def graphMetrics(spark: SparkSession, sf: String): DataFrame = {
-    val e = edges(spark, sf).persist()
+    val e = edgeRelation(spark, sf)
     // one count materializes the persisted edges, reuses as the n_edges
     // stat below, AND picks the wedge-join strategy (broadcast vs shuffle)
     // — the same 1-row data-dependent plan choice as dedupJaccard's df
@@ -113,20 +150,19 @@ object GraphOps {
     // pair (tens of millions of rows), where primitive comparisons stay in
     // codegen registers and struct comparators don't
     val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val dir = e
+    // three consumers (both wedge sides + the closing join): materialize
+    // once or the deg-join subtree runs three times. Memoized like the
+    // edge scan it derives from (r18 verdict #1's "…"): the per-call
+    // persist-with-no-unpersist parked a duplicate registration per
+    // graphMetrics call — deterministic given (sf, confs), so it carries
+    // the same honest key
+    val dir = graphRelation(spark, sf, "oriented")(e
       .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("d"),
-        when(fwd, col("dv")).otherwise(col("du")).as("rdeg"))
-      // three consumers (both wedge sides + the closing join): materialize
-      // once or the deg-join subtree runs three times. Both this cache and
-      // `e`'s live until the caller's action completes, so cleanup is the
-      // caller's (Bench/Verify clearCache per query — the repo convention
-      // for lazily-returned plans; an eager unpersist here would run before
-      // the returned frame ever executes and defeat the cache)
-      .persist()
+        when(fwd, col("dv")).otherwise(col("du")).as("rdeg")))
     // wedges: ordered pairs of out-neighbors of one source, (a, b) with
     // rank(a) < rank(b). The triangle's three nodes are totally ordered by
     // rank and all edges point low -> high, so the closing edge can ONLY be
@@ -212,13 +248,11 @@ object GraphOps {
     * count. Kept private to the test via this accessor: its wedge volume is
     * Σ succ² which hub nodes blow up — [[graphMetrics]] is the scale path. */
   def trianglesKeyOriented(spark: SparkSession, sf: String): Long = {
-    val e = edges(spark, sf).persist()
-    val n = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+    val e = edgeRelation(spark, sf)
+    e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("a"), col("e1.v").as("m"), col("e2.v").as("c"))
       .join(e.as("e3"), col("a") === col("e3.u") && col("c") === col("e3.v"))
       .count()
-    e.unpersist()
-    n
   }
 
   /** BFS depth bound for [[kHop]]. */

@@ -34,11 +34,23 @@ object MemoHygiene {
 
   /** Idempotently arm the application-end hook for `spark`'s context —
     * called by every memo getter, so any session that populates a memo
-    * has its teardown installed before the first entry exists. */
+    * has its teardown installed before the first entry exists.
+    *
+    * The first install for a NEW context also re-runs every clearer
+    * defensively (r18 advisor #3): `clearAll` runs on the listener-bus
+    * thread with no lock against concurrent getters, so a
+    * computeIfAbsent racing the application-end teardown can insert an
+    * entry keyed to the stopping context AFTER its clearer ran, leaving
+    * a dead-context entry for the JVM's lifetime. Only one SparkContext
+    * is ever live per JVM, and every getter installs BEFORE inserting,
+    * so at this point every surviving map entry is dead-context garbage
+    * by construction — the sweep drops them (no unpersist fires: their
+    * key prefixes name the dead context, whose blocks died with it). */
   private[graft] def install(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
     val appId = sc.applicationId
     if (installedApps.add(appId)) {
+      clearAll(appId)
       sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           // the installed mark drops only when the context actually ends —

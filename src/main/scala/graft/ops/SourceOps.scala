@@ -101,8 +101,9 @@ object SourceOps {
     "q_postings_update", "q_postings_downdate", "q_stream_postings",
     // the length/counter streaming forms drain the shared ingest slices
     // (stream_df_in_<sf>) and read the corpus-partition postings-derived
-    // artifacts (lex_postings_part_, lex_doclen_part_, lex_stats_part_)
-    "q_stream_doclen", "q_stream_lexstats",
+    // artifacts (lex_postings_part_, lex_doclen_part_, lex_stats_part_);
+    // the all-documents form reads the lex_ndocs_part_ counter instead
+    "q_stream_doclen", "q_stream_lexstats", "q_stream_ndocs",
     // the index-tier lifecycle stages the corpus-partition doc lengths
     // (lex_doclen_part_<sf>) and scalar counters (lex_stats_part_<sf>)
     // on top of the partition postings + the standing lex_df_
@@ -116,8 +117,9 @@ object SourceOps {
     // compacted index (ann_corpus_idx_lifecycle_<sf> + frozen c80 fits)
     "q_hybrid_lifecycle", "q_hybrid_lifecycle_ann",
     // the lifecycle front door's arm-quality audit runs the same fusion
-    // (same maintained artifacts) under the retrievalEval metric block
-    "q_retrieval_eval_lifecycle",
+    // (same maintained artifacts) under the retrievalEval metric block;
+    // its ANN twin runs the hybridLifecycleAnn fusion (compacted index)
+    "q_retrieval_eval_lifecycle", "q_retrieval_eval_lifecycle_ann",
     // modularity reads the staged LPA label table (communities itself
     // keeps deriving LPA inline — the census times the algorithm, the
     // quality score times the evaluation)

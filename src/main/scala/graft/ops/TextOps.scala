@@ -100,7 +100,7 @@ object TextOps {
     * the production variant is [[dedupMinhash]] (MinHash-LSH banding, fixed
     * rows × bands shuffle) with this form kept as its equality baseline. */
   def dedupJaccard(spark: SparkSession, sf: String): DataFrame =
-    dedupJaccardFrom(shingleRows(spark, sf).persist())
+    dedupJaccardFrom(shingleRelation(spark, sf))
 
   /** Core over any pre-computed (doc_id, s) shingle relation. `dfCap`
     * bounds candidate generation only; verification always uses the full
@@ -183,7 +183,7 @@ object TextOps {
     * ([[dedupMinhash]]) is only needed when even the verified-exact answer
     * may be traded for a cheaper approximate one. */
   def dedupPrefix(spark: SparkSession, sf: String): DataFrame =
-    dedupPrefixFrom(shingleRows(spark, sf).persist())
+    dedupPrefixFrom(shingleRelation(spark, sf))
 
   /** Core over any distinct (doc_id, s) shingle relation; `t` is the
     * Jaccard threshold. Exact: equality with [[dedupJaccardFrom]] is
@@ -263,21 +263,30 @@ object TextOps {
     * `localCheckpoint`ed every [[ClusterCheckpointEvery]] rounds so lineage
     * stays bounded on a high-diameter graph.
     * Cluster id = min doc_id of the component = the canonical doc to keep. */
-  def dupClusters(spark: SparkSession, sf: String): DataFrame =
-    clusterCache.computeIfAbsent(s"$sf/exact", _ =>
+  def dupClusters(spark: SparkSession, sf: String): DataFrame = {
+    // install BEFORE populating: a session whose only memo-populating
+    // queries are the dup-cluster family must still arm the teardown
+    // (r18 advisor #1 — previously only the other getters installed it)
+    MemoHygiene.install(spark)
+    clusterCache.computeIfAbsent(
+        s"${spark.sparkContext.applicationId}|$sf/exact", _ =>
       dupClustersFrom(dedupJaccard(spark, sf).select("id_a", "id_b"))
         .localCheckpoint())
       .orderBy("doc_id")
+  }
 
   /** Same clustering over the MinHash-LSH candidate pairs — the composed
     * 100 TB path (banded candidates → exact verify → components), declared
     * no-oracle like its pair source; TextOpsSpec asserts cluster equality
     * with the exact form on the fixture. */
-  def dupClustersLsh(spark: SparkSession, sf: String): DataFrame =
-    clusterCache.computeIfAbsent(s"$sf/lsh", _ =>
+  def dupClustersLsh(spark: SparkSession, sf: String): DataFrame = {
+    MemoHygiene.install(spark)
+    clusterCache.computeIfAbsent(
+        s"${spark.sparkContext.applicationId}|$sf/lsh", _ =>
       dupClustersFrom(dedupMinhash(spark, sf).select("id_a", "id_b"))
         .localCheckpoint())
       .orderBy("doc_id")
+  }
 
   /** Per-corpus memo of the finished CLUSTER TABLE (doc_id, cluster). The
     * components fixpoint is the expensive iterative step, and each of its
@@ -286,8 +295,12 @@ object TextOps {
     * pays each variant's fixpoint once. The table is tiny — near-dup
     * members only — and `localCheckpoint`ed, so the memo holds a flat
     * scan, not a lineage tree, and survives catalog `clearCache`. Same
-    * JVM-lifetime contract (and the same first-consumer-pays timing
-    * asymmetry, noted in PLANS.md) as [[bpeMergeCache]]. */
+    * session-lifetime contract (and the same first-consumer-pays timing
+    * asymmetry, noted in PLANS.md) as [[bpeMergeCache]]. Keyed by
+    * applicationId (r18 advisor #1): checkpoint blocks die with their
+    * context, so a recreated session in the same JVM must rebuild, never
+    * read a dead context's frames — the same rationale as the chain
+    * memos, enforced here by the key even before the teardown fires. */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -399,7 +412,7 @@ object TextOps {
     *
     * Deterministic end-to-end (seeded xxhash64 everywhere, no RNG). */
   def dedupMinhash(spark: SparkSession, sf: String): DataFrame =
-    dedupMinhashFrom(shingleRows(spark, sf).persist())
+    dedupMinhashFrom(shingleRelation(spark, sf))
 
   /** Core over any pre-computed (doc_id, s) shingle relation. */
   def dedupMinhashFrom(ex: DataFrame): DataFrame = {
@@ -791,9 +804,9 @@ object TextOps {
     * standard published decontamination procedure (GPT-3 appendix C / PaLM
     * style); near-dup contamination is covered by the MinHash family above. */
   def decontaminate(spark: SparkSession, sf: String): DataFrame = {
-    // persist: the broadcast build (a separate job) and the probe side would
-    // otherwise each compute the shingle relation from scratch
-    val ex = shingleRows(spark, sf).persist()
+    // memoized persisted relation: the broadcast build (a separate job) and
+    // the probe side would otherwise each compute the shingles from scratch
+    val ex = shingleRelation(spark, sf)
     val evalSet = ex.filter(col("doc_id") % 20 === 0).select("s").distinct()
     ex.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(evalSet), Seq("s"))
@@ -1025,7 +1038,7 @@ object TextOps {
     * Jaccard family: inverted-index equi-join on gram fingerprints with the
     * hot-gram df-cap, never all-pairs. */
   def dedupNgram(spark: SparkSession, sf: String): DataFrame =
-    dedupNgramFrom(kgramRowsOf(fannedDocs(spark, sf)).persist())
+    dedupNgramFrom(kgramRelation(spark, sf))
 
   /** Core over any distinct (doc_id, g) gram relation. Fast path when the
     * df-cap is not binding (one aggregate decides, as in
@@ -1464,7 +1477,7 @@ object TextOps {
     * corpus side of the shingle join is the pre-built inverted index a
     * store maintains incrementally; only batch shingles stream through it. */
   def dedupIncremental(spark: SparkSession, sf: String): DataFrame = {
-    val ex = shingleRows(spark, sf).persist()
+    val ex = shingleRelation(spark, sf)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val batch = ex.filter(col("doc_id") % 10 === 0)
     val corpus = ex.filter(col("doc_id") % 10 =!= 0)
@@ -1539,13 +1552,52 @@ object TextOps {
   private val tokenRelations =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Session-lifetime memo of the PERSISTED dedup base relations per
+    * (context, sf, kind, gate confs) — the [[tokenRelations]] /
+    * [[VectorOps.embProjection]] discipline's third application (r18
+    * verdict #1, closing the last per-call-persist class): the persist
+    * exists to share one shingle (or k-gram) relation across a query's
+    * probe + candidate + verify arms, but the prod entry points
+    * ([[dedupJaccard]]/[[dedupPrefix]]/[[dedupMinhash]]/[[dedupNgram]]/
+    * [[decontaminate]]/[[dedupIncremental]]) each parked a fresh
+    * corpus-sized cache registration per call (the suite log's "Asked to
+    * cache already cached data" warnings). One explicit standing entry
+    * per key; the parameterized `From` seams stay memo-free — a caller
+    * frame has no honest key (the dedupCosineLshFrom note, PLANS r18). */
+  private val dedupRelations =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dedupRelation(spark: SparkSession, sf: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    MemoHygiene.install(spark)
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val key = s"${spark.sparkContext.applicationId}|$sf|$kind|$sp|$mpb"
+    val r = dedupRelations.computeIfAbsent(key, _ => build)
+    // (re-)register the cache on every lookup: Bench/Verify clearCache()
+    // between queries, and an evicted entry would otherwise quietly lose
+    // the intra-query sharing the relation exists for
+    if (r.storageLevel == org.apache.spark.storage.StorageLevel.NONE) r.persist()
+    r
+  }
+
+  /** The memoized persisted (doc_id, s) shingle relation — what the
+    * near-dup prod entry points share instead of per-call persists. */
+  private[graft] def shingleRelation(spark: SparkSession, sf: String): DataFrame =
+    dedupRelation(spark, sf, "shingle")(shingleRows(spark, sf))
+
+  /** The memoized persisted (doc_id, g) k-gram relation ([[dedupNgram]]). */
+  private[graft] def kgramRelation(spark: SparkSession, sf: String): DataFrame =
+    dedupRelation(spark, sf, "kgram")(kgramRowsOf(fannedDocs(spark, sf)))
+
   /** Session-stop teardown (r17 verdict #5): the stopping context's token
-    * relations unpersist + evict; the cluster memo — keyed per-sf, holding
-    * localCheckpoint'ed frames bound to whichever context built them —
-    * drops whole (nothing to unpersist: checkpoint blocks die with their
-    * context). */
+    * and dedup base relations unpersist + evict; the cluster memo —
+    * holding localCheckpoint'ed frames bound to whichever context built
+    * them — drops whole (nothing to unpersist: checkpoint blocks die with
+    * their context). */
   MemoHygiene.register { appId =>
     MemoHygiene.evictByApp(tokenRelations, appId)
+    MemoHygiene.evictByApp(dedupRelations, appId)
     clusterCache.clear()
   }
 
@@ -1571,7 +1623,8 @@ object TextOps {
 
   /** Entry count of this object's context-bound memos — the teardown
     * spec's seam ([[MemoHygiene]]). */
-  private[graft] def memoEntryCount: Int = tokenRelations.size + clusterCache.size
+  private[graft] def memoEntryCount: Int =
+    tokenRelations.size + dedupRelations.size + clusterCache.size
 
   /** The ONE BM25 scoring tail over prepared relations — shared by every
     * BM25 form ([[bm25From]]'s scan-derived relations and [[bm25Index]]'s
@@ -2043,6 +2096,23 @@ object TextOps {
     * over the post-erasure fused CTEs. */
   def retrievalEvalLifecycle(spark: SparkSession, sf: String): DataFrame =
     retrievalEvalFrom(hybridLifecycle(spark, sf))
+
+  /** The ANN twin of the lifecycle arm-quality audit (r18 verdict #2 —
+    * the one audit-tier asymmetry left after r18): the SAME metric block
+    * over [[hybridLifecycleAnn]]'s fusion, so the GO/NO-GO exists for the
+    * composed front door's 100 TB shape too — both arms served from
+    * maintained state (per-document lexical artifacts, the compacted
+    * post-maintenance ANN index), audited after the ingest + erasure
+    * event. Composition by construction: one extracted spelling
+    * ([[retrievalEvalFrom]]) over the already-declared fusion — the
+    * audit arithmetic cannot drift from the oracled tier's. Declared
+    * no-oracle (the dense arm is the ANN lifecycle probe — KMeans-fit
+    * assignments, not SQL-expressible; recall < 1 by construction);
+    * [[retrievalEvalLifecycle]] is the oracled exact twin, and the spec
+    * pins schema + row identity plus a test-side metric recompute from
+    * the lifecycle-ANN fused table itself. */
+  def retrievalEvalLifecycleAnn(spark: SparkSession, sf: String): DataFrame =
+    retrievalEvalFrom(hybridLifecycleAnn(spark, sf))
 
   /** The ONE spelling of the arm-level recall/MRR metric block over a
     * fused rank table (doc_id, rank_lex, rank_dense, rrf) — shared by

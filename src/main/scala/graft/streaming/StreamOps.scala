@@ -395,7 +395,10 @@ object StreamOps {
       val ev = graft.ops.EventOps.events(spark, sf)
         .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       def stage(df: DataFrame, sub: String): Unit =
-        stageSlices(df, d, sub, 3, col("ts"))
+        // minParts = 2 (r18 advisor #2): the scaladoc's pending-tranche
+        // flush-restart scenario needs each side's drain to span >= 2
+        // micro-batches — a single-file staging would degenerate it
+        stageSlices(df, d, sub, 3, col("ts"), minParts = 2)
       stage(ev.filter(col("event_type") === "click").select("user_id", "ts"), "clicks")
       stage(ev.filter(col("event_type") === "purchase")
         .select("user_id", "ts", "value"), "purch")
@@ -720,7 +723,10 @@ object StreamOps {
     val inDir = graft.ops.SourceOps.materialize(s"stream_window_in_$sf") { d =>
       stageSlices(graft.ops.EventOps.events(spark, sf)
         .select("event_id", "ts", "user_id", "event_type", "value"),
-        d, "in", 6, col("ts"))
+        // minParts = 3 (r18 advisor #2): with maxFilesPerTrigger=2 the
+        // watermark-advance-across-micro-batches property this scaladoc
+        // documents needs >= 2 triggers, i.e. >= 3 staged files
+        d, "in", 6, col("ts"), minParts = 3)
     }
     withRunDir("stream_window_run_") { run =>
     val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -882,7 +888,9 @@ object StreamOps {
     val inDir = graft.ops.SourceOps.materialize(s"stream_running_in_$sf") { d =>
       stageSlices(graft.ops.EventOps.events(spark, sf)
         .select("event_id", "ts", "user_id", "value"),
-        d, "in", 6, col("ts"))
+        // minParts = 3 (r18 advisor #2): per-user state "provably crosses
+        // micro-batches" needs >= 2 triggers at maxFilesPerTrigger=2
+        d, "in", 6, col("ts"), minParts = 3)
     }
     withRunDir("stream_running_run_") { run =>
     val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -1199,7 +1207,23 @@ object StreamOps {
     * multi-batch / doc-disjointness seam), eagerly checkpointed — the
     * run dir dies on exit. */
   private[graft] def streamPostingsLog(spark: org.apache.spark.sql.SparkSession,
-      sf: String): DataFrame = {
+      sf: String): DataFrame =
+    streamPostingsDrain(spark, sf)._1
+
+  /** The full postings-tier drain: the compacted per-document postings log
+    * AND the compacted per-batch raw document counts — the postings log
+    * alone cannot serve the all-documents counter, because a zero-token
+    * document produces no postings row yet counts toward n_docs (the
+    * whole reason [[graft.ops.TextOps.docCntPartArtifact]] exists apart
+    * from `lex_stats`). The count side is one extra 1-row aggregate per
+    * micro-batch over the RAW slice (before tokenization), written to its
+    * own idempotent (batch_id)-keyed log: counting is a pure deterministic
+    * aggregate of the batch, so a replayed batch rewrites the identical
+    * row and the keyed compaction drops it — the [[foreachBatchMerge]]
+    * contract shrunk to one number. Both frames eagerly checkpointed —
+    * the run dir dies on exit. */
+  private[graft] def streamPostingsDrain(spark: org.apache.spark.sql.SparkSession,
+      sf: String): (DataFrame, DataFrame) = {
     val inDir = stagedIngestDocsDir(spark, sf)
     withRunDir("stream_post_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -1212,14 +1236,20 @@ object StreamOps {
             .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$run/log")
+          batch.agg(count(lit(1)).as("n_docs"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$run/nlog")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.read.parquet(s"$run/log")
+      (spark.read.parquet(s"$run/log")
         .dropDuplicates("doc_id", "tok", "batch_id")
-        .localCheckpoint() // eager — the run dir (log + ckpt) dies on exit
+        .localCheckpoint(), // eager — the run dir (log + ckpt) dies on exit
+       spark.read.parquet(s"$run/nlog")
+        .dropDuplicates("batch_id")
+        .localCheckpoint())
     }
   }
 
@@ -1286,6 +1316,30 @@ object StreamOps {
       .crossJoin(broadcast(delta))
       .select((col("n_docs") + col("bn")).as("n_docs"),
         (col("sum_len") + col("bs")).as("sum_len"))
+  }
+
+  /** STREAMING maintenance for the ALL-DOCUMENTS counter — the last
+    * maintained lexical relation without a streaming ingest form (r18
+    * verdict #4; with it, every input of `q_tfidf_lifecycle` has one):
+    * the 1-row Long [[graft.ops.TextOps.docCntPartArtifact]] maintains,
+    * fed the streaming way. Each micro-batch's OWN raw document count —
+    * taken from the staged slice BEFORE tokenization, because zero-token
+    * documents count toward n_docs but never reach the postings log
+    * (that inclusion is this counter's whole reason to exist apart from
+    * `lex_stats`) — folds into the standing counter by pure Long
+    * addition. Addition is batching-independent and doc-disjoint slicing
+    * keeps every document in exactly one batch's delta, so the result is
+    * BIT-identical to the batch counter arithmetic inside
+    * [[graft.ops.TextOps.tfidfLifecycle]] for ANY file slicing — oracled
+    * by the all-documents recompute verbatim (`count(*)`, zero-token
+    * docs included: standing %10≠0 partition + the streamed %10==0
+    * ingest = the whole corpus). */
+  def streamNdocs(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val delta = streamPostingsDrain(spark, sf)._2
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("bn"))
+    graft.ops.TextOps.docCntPartArtifact(spark, sf)
+      .crossJoin(broadcast(delta))
+      .select((col("n_docs") + col("bn")).as("n_docs"))
   }
 
   /** Compaction view over the [[foreachBatchMerge]] log: latest value per

@@ -49,6 +49,7 @@ class ContractSmokeSpec extends SparkSpec {
     "q_hybrid_ann" -> "q_hybrid_retrieval",
     "q_hybrid_lifecycle_ann" -> "q_hybrid_lifecycle",
     "q_retrieval_eval_ann" -> "q_retrieval_eval",
+    "q_retrieval_eval_lifecycle_ann" -> "q_retrieval_eval_lifecycle",
     "q_dedup_minhash" -> "q_dedup_jaccard",
     "q_dedup_simhash" -> "q_dedup_jaccard",
     "q_dedup_cosine_lsh" -> "q_dedup_cosine",

@@ -641,6 +641,45 @@ class PcaHybridSpec extends SparkSpec {
     }
   }
 
+  test("retrievalEvalLifecycleAnn: metrics equal a test-side recompute from the lifecycle-ANN fused table; probes the compacted index (r18 verdict #2)") {
+    // the ANN twin of the lifecycle audit — the same metric spelling over
+    // hybridLifecycleAnn's own fusion: a test-side recompute from that
+    // fused table pins the arithmetic (the retrievalEvalLifecycle
+    // discipline, sub-linear tier), the no-oracle ledger points at the
+    // oracled exact twin for value semantics
+    val fused = TextOps.hybridLifecycleAnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy { case (d, _, _, s) => (-s, d) }
+    val gt = fused.take(TextOps.EvalK)
+    def metrics(rank: ((Long, Long, Long, Double)) => Long): (Double, Double) = {
+      val hits = gt.count(r => rank(r) >= 1 && rank(r) <= TextOps.EvalK)
+      val r1 = rank(gt.head)
+      val mrr = if (r1 > 0) 1.0 / r1 else 0.0
+      (BigDecimal(hits.toDouble / TextOps.EvalK)
+         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal(mrr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = Map(
+      "bm25_arm" -> metrics(_._2),
+      "dense_arm" -> metrics(_._3))
+    val got = TextOps.retrievalEvalLifecycleAnn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == expect, s"got $got expected $expect")
+    got.values.foreach { case (rec, mrr) =>
+      assert(rec >= 0.0 && rec <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+    }
+    // determinism (the ADC shortlist is quantized) + the dense arm really
+    // is the COMPACTED post-maintenance index (plan assertion reused from
+    // the hybridLifecycleAnn spec)
+    val again = TextOps.retrievalEvalLifecycleAnn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(again == got)
+    val p = TextOps.retrievalEvalLifecycleAnn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_ann_corpus_idx_lifecycle_"),
+      "the lifecycle-ANN audit does not probe the compacted lifecycle index")
+  }
+
   test("retrievalEvalAnn: metrics equal a test-side recompute from the ANN and exact rankings; ANN recall holds its floor") {
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
     // dense systems vs exact knn, averaged over the 5 probes
