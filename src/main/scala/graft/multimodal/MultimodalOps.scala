@@ -3,6 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.ops.MemoHygiene.PersistSyntax._
 
 /** A decoded media asset's typed metadata. The decode itself is STUBBED —
   * no image/audio codecs exist in this environment — but deterministic, so
@@ -175,11 +176,11 @@ object MultimodalOps {
     val feats = byteHistogram(spark, sf)
       .select(col("media_id"), transform(col("hist"), _.cast("double")).as("v"))
       .repartition(col("media_id"))
-      .persist() // feeds the banding and BOTH verify re-attach joins
+      .persistOnce() // feeds the banding and BOTH verify re-attach joins
     val banded = feats
       .select(col("media_id"),
         posexplode(VectorOps.bandBuckets(col("v"))).as(Seq("band", "bucket")))
-      .persist() // both sides of the candidate self-join
+      .persistOnce() // both sides of the candidate self-join
     val cands = banded.as("a")
       .join(banded.select(col("media_id").as("ib"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -206,7 +207,7 @@ object MultimodalOps {
       // would serialize the O(n²) compare loop on 2 cores — spread the
       // stream side so the broadcast NLJ uses the whole machine
       .repartition(col("media_id"))
-      .persist() // one featurize pass feeds both join sides
+      .persistOnce() // one featurize pass feeds both join sides
     feats.as("a")
       .join(broadcast(feats.select(col("media_id").as("ib"), col("v").as("vb"))),
         col("media_id") < col("ib"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.ops.MemoHygiene.PersistSyntax._
 
 /** Graph analytics over the co-purchase graph (parts linked when they share
   * an order — the classic market-basket projection of `lineitem`).
@@ -652,7 +653,7 @@ object GraphOps {
     // q-degree join, so an eager unpersist here would re-run the aggregate
     val deg = li.groupBy(col("l_partkey").as("p"))
       .agg(count_distinct(col("l_orderkey")).as("orders"))
-      .persist()
+      .persistOnce()
     val targets = deg
       .orderBy(col("orders").desc, col("p")).limit(AlsoBoughtTargets)
       .select(col("p"), col("orders").as("p_orders"))

@@ -73,6 +73,27 @@ object MemoHygiene {
   private[graft] def clearAll(appId: String): Unit =
     clearers.forEach(c => c(appId))
 
+  /** Persist `df` only if its plan is not already in the CacheManager.
+    * Several queries persist plan-identical intermediates (the unigram
+    * count table of pmiCollocations and lmPerplexity, the minhash banded
+    * rows of the LSH cluster path and dedupMinhash itself); CacheManager
+    * already no-ops the second persist of a cached plan, but it logs
+    * "Asked to cache already cached data" each time. This guard makes the
+    * reuse deliberate and silent. Callers must NOT later unpersist the
+    * returned frame — the cache entry may be owned by an earlier query
+    * (the repo convention is caller-side clearCache between queries, so
+    * these intra-session shares are bounded by one query run in prod). */
+  private[graft] def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
+
+  /** `.persistOnce()` postfix syntax for [[persistOnce]], so call sites
+    * read like the `.persist()` they replace. */
+  private[graft] object PersistSyntax {
+    implicit class PersistOnceOps(private val df: DataFrame) extends AnyVal {
+      def persistOnce(): DataFrame = MemoHygiene.persistOnce(df)
+    }
+  }
+
   /** Shared eviction shape for DataFrame memos keyed `appId|…`: drop EVERY
     * entry (at application end no other context in the JVM is live, so any
     * survivor is garbage by construction), unpersisting only the stopping

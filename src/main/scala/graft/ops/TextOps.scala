@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.ops.MemoHygiene.PersistSyntax._
 
 /** Text / LLM-training-data operators over the `documents` table
   * (SURVEY.md §2.9 X1/X2/X4): dedup (exact, near-dup Jaccard, MinHash-LSH,
@@ -429,7 +430,7 @@ object TextOps {
         struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      .persist()
+      .persistOnce()
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -488,7 +489,7 @@ object TextOps {
           call_function("shiftright", col("sh64"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))))
         .as("bb"))
       .select(col("doc_id"), col("sh64"), col("bb.band"), col("bb.chunk"))
-      .persist() // consumed by both self-join sides; avoids recomputing the agg
+      .persistOnce() // consumed by both self-join sides; avoids recomputing the agg
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -716,7 +717,7 @@ object TextOps {
     // as dedupExact), token counts, repetition and lang-id all read it
     val base = fannedDocs(spark, sf)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .persist()
+      .persistOnce()
     val docToks = base.select("doc_id", "toks")
     val canonical = base.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
@@ -1348,7 +1349,7 @@ object TextOps {
   def corpusMix(spark: SparkSession, sf: String): DataFrame = {
     val base = fannedDocs(spark, sf)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .persist()
+      .persistOnce()
     val lang = langIdFrom(base.select("doc_id", "toks"))
     val joined = base
       .select(col("doc_id"), col("source"),
@@ -1456,7 +1457,7 @@ object TextOps {
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-      .persist()
+      .persistOnce()
     val scalars = per.agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
     per.crossJoin(broadcast(scalars))
       .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -2634,12 +2635,12 @@ object TextOps {
     // per-pair attachment joins below
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .persist()
+      .persistOnce()
     val biAll = docs
       .select(explode(bigramPairsOf(tokens(col("text")))).as("p"))
       .select(col("p._1").as("w1"), col("p._2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-      .persist()
+      .persistOnce()
     val totals = uni.agg(sum("c").as("n_tok"))
       .crossJoin(biAll.agg(sum("cxy").as("n_bi")))
     biAll.filter(col("cxy") >= PmiMinCount)
@@ -2732,12 +2733,12 @@ object TextOps {
     val docs = fannedDocs(spark, sf)
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cx"))
-      .persist()
+      .persistOnce()
     // bigram occurrences persist: corpus counts AND per-doc counts read it
     val bo = docs
       .select(col("doc_id"), explode(bigramPairsOf(tokens(col("text")))).as("p"))
       .select(col("doc_id"), col("p._1").as("w1"), col("p._2").as("w2"))
-      .persist()
+      .persistOnce()
     val bc = bo.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
     val vocab = uni.agg(count(lit(1)).as("vsz"))
     val scored = bc

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.ops.MemoHygiene.PersistSyntax._
 
 /** Embedding / similarity-search operators over the `embeddings` table
   * (`vec_id, embedding: array<float> (64), label`) — SURVEY.md §2.9 X3/X7.
@@ -312,11 +313,11 @@ object VectorOps {
     // hyperplane dot products per row (same discipline as dedupJaccard)
     val emb = embSrc
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .persist()
+      .persistOnce()
     val banded = emb
       .select(col("vec_id"),
         posexplode(bandBucketsOf(col("v"), bands, bits, planes)).as(Seq("band", "bucket")))
-      .persist()
+      .persistOnce()
     // distinct candidate id-pairs first (a pair colliding in k bands must be
     // verified once, not k times), then re-attach vectors and exact-verify
     val cand = banded.as("a")

@@ -1051,10 +1051,12 @@ object StreamOps {
       nprobe: Int = 2): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val V = graft.ops.VectorOps
-    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
-      .persist()
+    // the ANN family's shared memoized projection — this is the exact plan
+    // the per-call persist here used to rebuild, and its unpersist below
+    // evicted the memo's live cache entry out from under the batch family
+    // (the memo self-heals via its storageLevel==NONE re-persist, but the
+    // eviction threw away a warm corpus-sized cache mid-session)
+    val emb = V.embProjection(spark, sf)
     val corpus = emb.filter(col("vec_id") % 5 =!= 4)
     val km = V.coarseQuantizer(s"$sf-c80", 16, corpus)
     val codebook = V.pqCodebookFrame(spark,
@@ -1106,10 +1108,8 @@ object StreamOps {
           emb.select(col("vec_id"), col("v")), km, codebook, nprobe)
         .crossJoin(broadcast(nBatches))
         .localCheckpoint() // eager — the run dir (log + ckpt) dies on exit
-      // the checkpoint is eager, so nothing reads emb's plan after this —
-      // release the cached copy instead of parking one per invocation
-      // (r15 advisor #4)
-      emb.unpersist()
+      // no unpersist: emb is the session-scoped embProjection memo, owned
+      // and released by MemoHygiene / the harness clearCache
       out
     }
   }

@@ -369,9 +369,11 @@ class TextOpsSpec extends SparkSpec {
     // spark.graft.dedup.forceCappedPlan=true routes straight to the
     // candidate+verify plan (no 1-row probe job); on a corpus where the cap
     // is not binding the output must be identical to the probed/direct path
-    val ex = TextOps.shingleRows(spark, sf0001).persist()
-    val gx = TextOps.kgramRowsOf(
-      graft.sources.Tables.load(spark, sf0001, "documents")).persist()
+    // the memoized relations, not fresh per-test persists: a direct
+    // shingleRows(...).persist() here duplicates the standing memo entry's
+    // plan and trips CacheManager's "already cached" warning (r18 #1)
+    val ex = TextOps.shingleRelation(spark, sf0001)
+    val gx = TextOps.kgramRelation(spark, sf0001)
     try {
       val probedJ = TextOps.dedupJaccardFrom(ex).collect().map(_.toSeq).toSeq
       val probedN = TextOps.dedupNgramFrom(gx).collect().map(_.toSeq).toSeq
@@ -382,7 +384,6 @@ class TextOpsSpec extends SparkSpec {
       assert(forcedN == probedN)
     } finally {
       spark.conf.unset(TextOps.ForceCappedPlanKey)
-      ex.unpersist(); gx.unpersist()
     }
   }
 
