@@ -1208,22 +1208,29 @@ object StreamOps {
     * run dir dies on exit. */
   private[graft] def streamPostingsLog(spark: org.apache.spark.sql.SparkSession,
       sf: String): DataFrame =
-    streamPostingsDrain(spark, sf)._1
+    streamPostingsDrain(spark, sf, withCounts = false)._1
 
   /** The full postings-tier drain: the compacted per-document postings log
-    * AND the compacted per-batch raw document counts — the postings log
-    * alone cannot serve the all-documents counter, because a zero-token
-    * document produces no postings row yet counts toward n_docs (the
-    * whole reason [[graft.ops.TextOps.docCntPartArtifact]] exists apart
-    * from `lex_stats`). The count side is one extra 1-row aggregate per
+    * AND (when `withCounts`) the compacted per-batch raw document counts —
+    * the postings log alone cannot serve the all-documents counter,
+    * because a zero-token document produces no postings row yet counts
+    * toward n_docs (the whole reason
+    * [[graft.ops.TextOps.docCntPartArtifact]] exists apart from
+    * `lex_stats`). The count side is one extra 1-row aggregate per
     * micro-batch over the RAW slice (before tokenization), written to its
     * own idempotent (batch_id)-keyed log: counting is a pure deterministic
     * aggregate of the batch, so a replayed batch rewrites the identical
     * row and the keyed compaction drops it — the [[foreachBatchMerge]]
-    * contract shrunk to one number. Both frames eagerly checkpointed —
-    * the run dir dies on exit. */
+    * contract shrunk to one number. The count log is materialized ONLY
+    * when the caller serves the counter ([[streamNdocs]]): in a real
+    * deployment one drain serves every postings-tier relation and the
+    * count write amortizes across them, but the bench times each declared
+    * query's drain in isolation — charging the counter's per-batch write
+    * (+ its compaction checkpoint) to the four relations that never read
+    * it showed up as a uniform +0.6 s on the whole family. Frames eagerly
+    * checkpointed — the run dir dies on exit. */
   private[graft] def streamPostingsDrain(spark: org.apache.spark.sql.SparkSession,
-      sf: String): (DataFrame, DataFrame) = {
+      sf: String, withCounts: Boolean): (DataFrame, Option[DataFrame]) = {
     val inDir = stagedIngestDocsDir(spark, sf)
     withRunDir("stream_post_run_") { run =>
       val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/in").schema)
@@ -1236,9 +1243,10 @@ object StreamOps {
             .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$run/log")
-          batch.agg(count(lit(1)).as("n_docs"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$run/nlog")
+          if (withCounts)
+            batch.agg(count(lit(1)).as("n_docs"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$run/nlog")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1247,9 +1255,11 @@ object StreamOps {
       (spark.read.parquet(s"$run/log")
         .dropDuplicates("doc_id", "tok", "batch_id")
         .localCheckpoint(), // eager — the run dir (log + ckpt) dies on exit
-       spark.read.parquet(s"$run/nlog")
-        .dropDuplicates("batch_id")
-        .localCheckpoint())
+       if (withCounts)
+         Some(spark.read.parquet(s"$run/nlog")
+           .dropDuplicates("batch_id")
+           .localCheckpoint())
+       else None)
     }
   }
 
@@ -1335,7 +1345,7 @@ object StreamOps {
     * docs included: standing %10≠0 partition + the streamed %10==0
     * ingest = the whole corpus). */
   def streamNdocs(spark: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
-    val delta = streamPostingsDrain(spark, sf)._2
+    val delta = streamPostingsDrain(spark, sf, withCounts = true)._2.get
       .agg(coalesce(sum("n_docs"), lit(0L)).as("bn"))
     graft.ops.TextOps.docCntPartArtifact(spark, sf)
       .crossJoin(broadcast(delta))

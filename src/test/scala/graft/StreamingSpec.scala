@@ -889,7 +889,9 @@ class StreamingSpec extends SparkSpec {
     // the count log is genuinely per-batch (one row per micro-batch, the
     // shared drain's >= 3 multi-batch contract), its deltas sum to the
     // RAW ingest batch — including any docs the postings log never sees
-    val (postLog, nLog) = graft.streaming.StreamOps.streamPostingsDrain(spark, sf0001)
+    val (postLog, nLogOpt) =
+      graft.streaming.StreamOps.streamPostingsDrain(spark, sf0001, withCounts = true)
+    val nLog = nLogOpt.get
     val nb = nLog.select(countDistinct("batch_id")).collect()(0).getLong(0)
     assert(nb >= 3L, s"ndocs drain ran as $nb micro-batch(es)")
     assert(nLog.count() == nb, "count log is not one row per micro-batch")
