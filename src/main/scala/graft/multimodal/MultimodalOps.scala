@@ -175,27 +175,47 @@ object MultimodalOps {
     val raw = VectorOps.cosine(col("va"), col("vb"))
     val feats = byteHistogram(spark, sf)
       .select(col("media_id"), transform(col("hist"), _.cast("double")).as("v"))
-      .repartition(col("media_id"))
+      // EXPLICIT width: AQE would coalesce the ~MB exchange back to one
+      // task, serializing the featurize + banding pass (byte-based sizing
+      // is blind to downstream compute)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("media_id"))
       .persistOnce() // feeds the banding and BOTH verify re-attach joins
     val banded = feats
       .select(col("media_id"),
         posexplode(VectorOps.bandBuckets(col("v"))).as(Seq("band", "bucket")))
-      .persistOnce() // both sides of the candidate self-join
+      .persistOnce() // both sides of the candidate self-join; stream side
+                     // inherits feats' explicit machine-wide spread
+    // broadcast() pinned on the build side (tiny — rows × bands of 24-byte
+    // rows): hashing on (band, bucket) would skew (~bands×2^bits distinct
+    // values) and a sort-merge join would buffer giant equal-key runs; the
+    // broadcast-hash shape keeps pair generation map-side over the spread
+    // stream side
     val cands = banded.as("a")
-      .join(banded.select(col("media_id").as("ib"), col("band"), col("bucket")),
+      .join(broadcast(banded.select(col("media_id").as("ib"), col("band"), col("bucket"))),
         Seq("band", "bucket"))
       .filter(col("media_id") < col("ib"))
       .select(col("media_id").as("id_a"), col("ib").as("id_b"))
       .distinct()
     cands
-      .join(feats.select(col("media_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(feats.select(col("media_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      // broadcast() pinned on the cached feature table: AQE would otherwise
+      // runtime-flip these joins to broadcast the (measured-tiny) candidate
+      // side, and that broadcast future re-runs the whole quadratic
+      // pair-generation subplan instead of reusing its shuffle output
+      .join(broadcast(feats.select(col("media_id").as("id_a"), col("v").as("va"))), Seq("id_a"))
+      .join(broadcast(feats.select(col("media_id").as("id_b"), col("v").as("vb"))), Seq("id_b"))
       // same rounded-threshold discipline as mediaDedup: prefilter on the
       // raw codegen'd cosine with a full rounding step of slack, round only
       // the survivors
       .filter(raw >= MediaDupCos - 1e-4)
       .select(col("id_a"), col("id_b"), round(raw, 4).as("cos"))
       .filter(col("cos") >= MediaDupCos)
+      // persist the (tiny) verified pair set before the global sort: the
+      // range exchange's bound-sampling pass executes its child once and
+      // the sort pass executes it again — without this shield the whole
+      // quadratic candidate subtree runs TWICE per query (measured: the
+      // pair-generation stage is ~23 s of the query's CPU, duplicated)
+      .persistOnce()
       .orderBy("id_a", "id_b")
   }
 
@@ -205,8 +225,11 @@ object MultimodalOps {
       .select(col("media_id"), transform(col("hist"), _.cast("double")).as("v"))
       // the catalog parquet scan yields 1-2 partitions at bench scale, which
       // would serialize the O(n²) compare loop on 2 cores — spread the
-      // stream side so the broadcast NLJ uses the whole machine
-      .repartition(col("media_id"))
+      // stream side so the broadcast NLJ uses the whole machine. EXPLICIT
+      // count: AQE's byte-based coalescing would fold the ~MB exchange back
+      // to one task, re-serializing the pair loop it exists to spread
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("media_id"))
       .persistOnce() // one featurize pass feeds both join sides
     feats.as("a")
       .join(broadcast(feats.select(col("media_id").as("ib"), col("v").as("vb"))),

@@ -143,13 +143,30 @@ object VectorOps {
     * 100 TB path buckets by [[lshBucket]] first (see [[annLsh]]) so only
     * same-bucket pairs are compared. */
   def dedupCosine(spark: SparkSession, sf: String): DataFrame = {
+    val raw = cosine(col("v"), col("vb"))
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // the corpus parquet scan is 1-2 partitions at bench scale, which
+      // would run the O(n²) compare loop on 1-2 cores — spread the stream
+      // side so the broadcast NLJ uses the whole machine (the mediaDedup
+      // discipline; at cluster scale the scan is already wide and the
+      // node-sized exchange is noise next to the pair loop it parallelizes).
+      // EXPLICIT count: AQE's coalescing sizes partitions by shuffle BYTES,
+      // blind to the O(n²) compute each row fans into downstream — without
+      // it the 1 MB exchange coalesces straight back to one task
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("vec_id"))
     emb.as("a")
       .join(broadcast(emb.select(col("vec_id").as("ib"), col("v").as("vb"))),
         col("vec_id") < col("ib"))
+      // prefilter on the RAW cosine (pure codegen'd arithmetic) so the
+      // BigDecimal-allocating round() runs on the handful of survivors,
+      // not every one of the n²/2 candidate pairs; a full 1e-4 of slack
+      // (2× the rounding step) keeps every x that could still satisfy
+      // round(x,4) >= threshold — same predicate split as mediaDedup
+      .filter(raw >= 0.45 - 1e-4)
       .select(col("vec_id").as("ia"), col("ib"),
-        round(cosine(col("v"), col("vb")), 4).as("cos"))
+        round(raw, 4).as("cos"))
       .filter(col("cos") >= 0.45)
       .orderBy("ia", "ib")
   }
@@ -317,19 +334,38 @@ object VectorOps {
     val banded = emb
       .select(col("vec_id"),
         posexplode(bandBucketsOf(col("v"), bands, bits, planes)).as(Seq("band", "bucket")))
+      // spread the STREAM side of the candidate join by the high-cardinality
+      // id, with an EXPLICIT width — the scan is 1 partition at bench scale
+      // and AQE's byte-based coalescing would keep it there, serializing the
+      // pair-generating map stage (its sizing is blind to the quadratic
+      // compute each bucket row fans into). NOT by (band, bucket): that key
+      // has ~bands×2^bits distinct values, so hashing on it skews and forces
+      // a sort-merge join with giant equal-key runs — the broadcast-hash
+      // shape below keeps pair generation map-side at any stream width
+      .repartition(embSrc.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("vec_id"))
       .persistOnce()
     // distinct candidate id-pairs first (a pair colliding in k bands must be
-    // verified once, not k times), then re-attach vectors and exact-verify
+    // verified once, not k times), then re-attach vectors and exact-verify.
+    // broadcast() pinned: the build side is the same cached band table (tiny
+    // — rows × bands of 24-byte rows); without the hint a stats misestimate
+    // after the repartition could flip the plan to the skewed SMJ above
     val cand = banded.as("a")
-      .join(banded.select(col("vec_id").as("ib"), col("band"), col("bucket")),
+      .join(broadcast(banded.select(col("vec_id").as("ib"), col("band"), col("bucket"))),
         Seq("band", "bucket"))
       .filter(col("vec_id") < col("ib"))
       .select(col("vec_id").as("ia"), col("ib"))
       .distinct()
+    // prefilter on the RAW cosine so the BigDecimal-allocating round() runs
+    // on survivors only, not every candidate pair (the mediaDedup predicate
+    // split; 1e-4 slack = 2× the rounding step keeps every x that could
+    // still round over the threshold)
+    val raw = cosine(col("va"), col("vb"))
     cand
       .join(emb.select(col("vec_id").as("ia"), col("v").as("va")), Seq("ia"))
       .join(emb.select(col("vec_id").as("ib"), col("v").as("vb")), Seq("ib"))
-      .select(col("ia"), col("ib"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(raw >= threshold - 1e-4)
+      .select(col("ia"), col("ib"), round(raw, 4).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("ia", "ib")
   }
@@ -1775,11 +1811,15 @@ object VectorOps {
       _ => km.transform(emb).select(col("vec_id"), col("v"), col("cell")))
     if (assigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       assigned.persist()
+    // prefilter on the RAW cosine so the BigDecimal-allocating round() runs
+    // on survivors only, not every within-cell pair (the mediaDedup
+    // predicate split; 1e-4 slack = 2× the rounding step)
+    val raw = cosine(col("v"), col("vb"))
     val dropped = assigned
       .join(assigned.select(col("cell"), col("vec_id").as("ib"), col("v").as("vb")),
         Seq("cell"))
-      .filter(col("vec_id") > col("ib") &&
-        round(cosine(col("v"), col("vb")), 4) >= SemDedupThreshold)
+      .filter(col("vec_id") > col("ib") && raw >= SemDedupThreshold - 1e-4 &&
+        round(raw, 4) >= SemDedupThreshold)
       .select("vec_id").distinct()
     assigned
       .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
