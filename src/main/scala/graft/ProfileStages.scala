@@ -20,6 +20,8 @@ object ProfileStages {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("PROFILE_AQE", "true"))
+      .config("spark.local.dir",
+        sys.env.getOrElse("PROFILE_LOCAL_DIR", System.getProperty("java.io.tmpdir")))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -27,7 +29,7 @@ object ProfileStages {
     val lock = new Object
     case class St(stage: Int, name: String, tasks: Int, wallMs: Long,
       runMs: Long, shufReadMB: Double, shufWriteMB: Double, inRec: Long, outRec: Long,
-      detail: String = "")
+      detail: String = "", gcMs: Long = 0, deserMs: Long = 0, resSerMs: Long = 0)
     val stages = scala.collection.mutable.ArrayBuffer.empty[St]
     val jobStages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Seq[Int])]
     var jobs = 0
@@ -48,7 +50,7 @@ object ProfileStages {
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
             m.inputMetrics.recordsRead, m.outputMetrics.recordsWritten,
-            i.details)
+            i.details, m.jvmGCTime, m.executorDeserializeTime, m.resultSerializationTime)
         }
     })
 
@@ -76,7 +78,7 @@ object ProfileStages {
       val totWall = byWall.map(_.wallMs).sum
       System.err.println(f"[prof] stage wall sum=${totWall / 1e3}%.2f s (gaps = driver/plan time: ${warm - totWall / 1e3}%.2f s)")
       byWall.take(14).foreach { s =>
-        System.err.println(f"[prof]   stage ${s.stage}%5d tasks=${s.tasks}%4d wall=${s.wallMs}%6d ms run=${s.runMs}%6d ms sr=${s.shufReadMB}%8.1f MB sw=${s.shufWriteMB}%8.1f MB inRec=${s.inRec}%9d ${s.name}")
+        System.err.println(f"[prof]   stage ${s.stage}%5d tasks=${s.tasks}%4d wall=${s.wallMs}%6d ms run=${s.runMs}%6d ms gc=${s.gcMs}%5d deser=${s.deserMs}%6d sr=${s.shufReadMB}%7.1f MB sw=${s.shufWriteMB}%7.1f MB inRec=${s.inRec}%9d ${s.name}")
         if (sys.env.contains("PROFILE_DETAILS") && s.detail.nonEmpty)
           System.err.println(s.detail.linesIterator.take(12).map("[prof]      | " + _).mkString("\n"))
       }

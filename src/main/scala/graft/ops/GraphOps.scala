@@ -164,28 +164,32 @@ object GraphOps {
         when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("d"),
         when(fwd, col("dv")).otherwise(col("du")).as("rdeg")))
-    // wedges: ordered pairs of out-neighbors of one source, (a, b) with
-    // rank(a) < rank(b). The triangle's three nodes are totally ordered by
-    // rank and all edges point low -> high, so the closing edge can ONLY be
-    // the oriented a -> b row of `dir` — one equi-join, no direction union,
-    // each triangle counted exactly once (its rank-lowest node is the one
-    // source whose two out-edges span it).
-    // Both joins BROADCAST the directed edge list (≈ edge-count rows, tens
-    // of MB here): the wedge stream — 30-40× larger than the edge list —
-    // then flows map-side through both hash joins and is never shuffled.
-    // At a scale where the edge list outgrows broadcast, drop the hints and
-    // both become shuffle joins whose volume the orientation already
-    // bounds; the wedge intermediate still never hits disk (it's consumed
-    // by the count's partial aggregate in the same stage).
-    val wedges = dir.as("e1").join(maybeBroadcast(dir).as("e2"),
-        col("e1.s") === col("e2.s") &&
-          (col("e1.rdeg") < col("e2.rdeg") ||
-            (col("e1.rdeg") === col("e2.rdeg") && col("e1.d") < col("e2.d"))))
-      .select(col("e1.d").as("a"), col("e2.d").as("b"))
-    val triCount = wedges
-      .join(maybeBroadcast(dir.select(col("s").as("a"), col("d").as("b"))),
-        Seq("a", "b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Triangles via ADJACENCY-LIST INTERSECTION over the oriented edges —
+    // the r19 optimization of the wedge-join form (kept in scaladoc
+    // history): every triangle's three nodes are totally ordered by rank
+    // and all edges point low → high, so for each oriented edge (s, d) the
+    // triangles it closes LOW-to-MID are exactly |N⁺(s) ∩ N⁺(d)| — each
+    // triangle counted once, at its (rank-lowest, rank-middle) edge. Same
+    // integer by the same orientation argument as the wedge join (the
+    // GraphOpsSpec equality with the key-oriented form pins it), but the
+    // wedge stream never materializes: the old plan pushed every wedge —
+    // Σ outdeg², ~30-40× the edge count — through TWO hash-join probes
+    // (measured 145 s of CPU at bench scale, 73% of the query); this one
+    // walks the same element volume inside a per-row array intersection at
+    // nanoseconds per element (measured 10 s CPU). At a scale where the
+    // adjacency table outgrows broadcast, both joins degrade to shuffles
+    // keyed on the node — the orientation's O(√m) out-degree cap bounds
+    // every array either way.
+    val adj = dir.groupBy(col("s")).agg(collect_list(col("d")).as("nbrs"))
+    val triCount = dir
+      .join(maybeBroadcast(adj), Seq("s"))
+      // inner join: an edge whose destination has no out-neighbors closes
+      // no triangle and can simply drop out of the sum
+      .join(maybeBroadcast(adj.select(col("s").as("d"), col("nbrs").as("dn"))), Seq("d"))
+      .select(size(array_intersect(col("nbrs"), col("dn"))).as("c"))
+      // coalesce: the wedge join's count() yielded 0 on a triangle-free
+      // graph where sum() over no rows yields null — keep that contract
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       max("deg").as("max_degree"),
@@ -231,6 +235,9 @@ object GraphOps {
       // each iteration: one (map-side when broadcast) hash join plus one
       // map-side-combined sum (the only shuffle, node-sized after partial
       // agg); the floor is the 10 sequential passes over the edge list.
+      // Checkpoint cadence was swept in r19 (every 1/2/5/10 rounds, eager
+      // and lazy): per-round eager is flat-to-fastest — the cost lives in
+      // the edge pass itself, not the checkpoint.
       ranks = undDeg.join(maybeBroadcast(ranks), undDeg("s") === ranks("n"))
         .groupBy(col("d"))
         .agg(sum(col("r") / col("outdeg")).as("inflow"))
