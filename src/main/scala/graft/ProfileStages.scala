@@ -21,7 +21,7 @@ object ProfileStages {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("PROFILE_AQE", "true"))
       .config("spark.local.dir",
-        sys.env.getOrElse("PROFILE_LOCAL_DIR", System.getProperty("java.io.tmpdir")))
+        sys.env.getOrElse("PROFILE_LOCAL_DIR", Scratch.localDir))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

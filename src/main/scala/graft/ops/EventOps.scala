@@ -545,7 +545,15 @@ object EventOps {
   val OverlapBinMicros: Long = 3600L * 1000000L
 
   def intervalOverlap(spark: SparkSession, sf: String): DataFrame = {
-    val ev = events(spark, sf)
+    // EXPLICIT-width pre-partition on the window key: the sessionize
+    // windows, bin explode, bin join and both aggregates below all key on
+    // user_id (or supersets), so this ONE exchange feeds the whole
+    // pipeline — and AQE's byte-based coalescing can't fold the ~MB of
+    // events onto one task (its sizing is blind to the downstream
+    // window + join compute; measured 1.3 s single-task, twice, at bench
+    // scale). At cluster scale the same exchange is the window's anyway.
+    val ev = events(spark, sf).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("user_id"))
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val sessions = ev
       .select(col("user_id"), col("event_id"), col("ts"))

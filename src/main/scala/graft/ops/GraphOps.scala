@@ -88,6 +88,12 @@ object GraphOps {
     * deterministic. */
   def marketBasket(spark: SparkSession, sf: String): DataFrame = {
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+      // EXPLICIT-width pre-partition on the join key: the basket self-join
+      // and the pair aggregate both run on this one exchange's layout, and
+      // AQE's byte-based coalescing would otherwise fold the ~10 MB of
+      // lineitem onto 1-2 tasks, serializing the pair fan-out
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("l_orderkey"))
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))

@@ -977,6 +977,13 @@ object Relational {
   def winsorize(spark: SparkSession, sf: String): DataFrame = {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      // spread the single-row-group bench-scale scan with an EXPLICIT
+      // width: the exact percentile partials buffer a value→count map per
+      // task, the stage's real cost — AQE's byte-based coalescing would
+      // serialize it (blind to per-row aggregate compute); at cluster
+      // scale the scan is already wide and this exchange is noise
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("x"))
     val bands = li.groupBy("l_returnflag")
       .agg(
         percentile(col("x"), lit(0.05)).as("lo"),
@@ -1457,6 +1464,11 @@ object Relational {
   def madOutliers(spark: SparkSession, sf: String): DataFrame = {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      // spread the single-row-group bench-scale scan (see winsorize): all
+      // three percentile/census passes inherit machine-wide parallelism
+      // from this one explicit-width exchange
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("x"))
     val med = li.groupBy("l_returnflag")
       .agg(percentile(col("x"), lit(0.5)).as("med"))
     val dev = li.join(broadcast(med), "l_returnflag")
