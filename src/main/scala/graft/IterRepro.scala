@@ -63,6 +63,26 @@ object IterRepro {
         undDeg.select(sum(col("s"))).write.format("noop").mode("overwrite").save()
       }
     }
+    // width sweep: cache AND shuffle width pinned to p for the iteration
+    Seq(16, 8, 4, 2).foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      val ud = und.join(deg, "s").repartition(p, col("s")).persist()
+      ud.count()
+      var rk = ud.select(col("s").as("nd")).distinct().withColumn("r", lit(1.0 / n))
+      rk = ud.join(broadcast(rk), ud("s") === rk("nd"))
+        .groupBy(col("d")).agg(sum(col("r") / col("outdeg")).as("inflow"))
+        .select(col("d").as("nd"), (lit(0.15 / n) + lit(0.85) * col("inflow")).as("r"))
+        .localCheckpoint() // warm
+      (1 to 4).foreach { i =>
+        pass(s"width=$p iter $i") {
+          rk = ud.join(broadcast(rk), ud("s") === rk("nd"))
+            .groupBy(col("d")).agg(sum(col("r") / col("outdeg")).as("inflow"))
+            .select(col("d").as("nd"), (lit(0.15 / n) + lit(0.85) * col("inflow")).as("r"))
+            .localCheckpoint()
+        }
+      }
+      ud.unpersist()
+    }
     spark.stop()
   }
 }

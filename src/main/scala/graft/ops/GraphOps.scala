@@ -140,6 +140,34 @@ object GraphOps {
     spark.conf.getOption(GraphBroadcastMaxEdgesKey).map(_.toLong)
       .getOrElse(GraphBroadcastMaxEdges)
 
+  /** Data-derived shuffle width for the ITERATION loops (r19, guide §2:
+    * derive partitioning from input size, never a constant tuned for one
+    * machine): the per-round state shuffles are edge/node-sized — a few
+    * tens of MB at bench scale — and at the session's full shuffle width
+    * every round pays map+reduce TASK DISPATCH far out of proportion to
+    * its bytes (measured in IterRepro on a synthetic 2.4M-row undDeg:
+    * 0.75 s/round at width 32 vs 0.22-0.26 s at width 4-8 on the same
+    * data). Width = rows × ~24 B over an 8 MB/task target, capped at the
+    * configured width — a 100 TB edge list saturates the cap, so a
+    * cluster's sizing is untouched; only the small-relation regime stops
+    * over-splitting. */
+  private def iterParts(spark: SparkSession, rows: Long): Int = {
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(conf.toLong, rows * 24L / (8L << 20) + 1L)).toInt
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `p`,
+    * restoring the session value after — the StreamOps drain discipline.
+    * Only the EAGER work inside `body` (persist probes, per-round
+    * localCheckpoints) plans under `p`; a returned lazy frame keeps its
+    * checkpointed inputs and plans its own (node-sized) tail under the
+    * session conf. */
+  private def withLoopWidth[A](spark: SparkSession, p: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def graphMetrics(spark: SparkSession, sf: String): DataFrame = {
     val e = edgeRelation(spark, sf)
     // one count materializes the persisted edges, reuses as the n_edges
@@ -221,10 +249,18 @@ object GraphOps {
     * teleport term conserves rank mass exactly (asserted in the spec). */
   def pageRank(spark: SparkSession, sf: String): DataFrame = {
     val e = edges(spark, sf)
+    // staged-parquet row count (metadata-cheap) sizes the loop width BEFORE
+    // the persisted relation is built, so cache layout and every round's
+    // shuffle share the derived width
+    val p = iterParts(spark, 2L * e.count())
+    withLoopWidth(spark, p) {
     val und = e.select(col("u").as("s"), col("v").as("d"))
       .unionAll(e.select(col("v").as("s"), col("u").as("d")))
     val deg = und.groupBy("s").agg(count(lit(1)).as("outdeg"))
-    val undDeg = und.join(deg, "s").persist()
+    // explicit repartition: the degree join may plan as a broadcast that
+    // leaves the scan's (single-row-group) partitioning on the cache — pin
+    // the derived width so all 10 edge passes run at it
+    val undDeg = und.join(deg, "s").repartition(p, col("s")).persist()
     val n = undDeg.select(count_distinct(col("s"))).head().getLong(0)
     // node-sized rank state broadcasts only while it FITS (same guarded
     // choice as graphMetrics' wedge joins; node threshold via the shared
@@ -255,6 +291,7 @@ object GraphOps {
       .select(col("n"), round(col("r") * n, 4).as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("n"))
       .limit(20)
+    }
   }
 
   /** Key-oriented triangle count — the textbook u<v formulation the DuckDB
@@ -300,8 +337,12 @@ object GraphOps {
     * keeps the oracle a genuine depth-bounded `WITH RECURSIVE` twin. */
   def kHop(spark: SparkSession, sf: String): DataFrame = {
     val e = edges(spark, sf)
+    // derived loop width (see iterParts): staged row count is metadata-cheap
+    val p = iterParts(spark, 2L * e.count())
+    withLoopWidth(spark, p) {
     val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
+      .repartition(p, col("src"))
       .persist()
     // node-count probe for the guarded broadcast — same 1-row
     // data-dependent plan choice as graphMetrics/pageRank
@@ -330,6 +371,7 @@ object GraphOps {
     visited.groupBy("lvl")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("lvl")
+    }
   }
 
   /** Relaxation-round bound for [[sssp]] — results are exact for every
@@ -373,7 +415,11 @@ object GraphOps {
     * can check hand-computed distances. */
   def ssspFrom(spark: SparkSession, dirEdges: DataFrame, seeds: DataFrame,
       hops: Int): DataFrame = {
-    val dir = dirEdges.persist()
+    // size the loop width from the (cheap, un-persisted) edge count —
+    // one extra pass over the slim edge projection, paid once
+    val p = iterParts(spark, dirEdges.count())
+    withLoopWidth(spark, p) {
+    val dir = dirEdges.repartition(p, col("src")).persist()
     val n = dir.select(count_distinct(col("src"))).head().getLong(0)
     val maybeBroadcast: DataFrame => DataFrame =
       if (n <= broadcastMaxEdges(spark)) broadcast else identity
@@ -388,6 +434,7 @@ object GraphOps {
     }
     dir.unpersist()
     dist
+    }
   }
 
   /** Synchronous vote rounds in [[communities]] — fixed so the DuckDB
@@ -431,12 +478,17 @@ object GraphOps {
     * the SAME partition of the graph. */
   private[graft] def lpaLabels(spark: SparkSession, sf: String): DataFrame = {
     val e = edges(spark, sf)
+    // derived loop width (see iterParts): staged row count is metadata-cheap
+    val p = iterParts(spark, 2L * e.count())
+    withLoopWidth(spark, p) {
     val dir = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
     val nodes = dir.select(col("src").as("node")).distinct()
-    // self-vote = one extra (node, node) edge per node
+    // self-vote = one extra (node, node) edge per node; vote edges key the
+    // per-round join on dst — pin the derived width on that key
     val votesTo = dir
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(p, col("dst"))
       .persist()
     val n = votesTo.select(count_distinct(col("src"))).head().getLong(0)
     val maybeBroadcast: DataFrame => DataFrame =
@@ -453,6 +505,7 @@ object GraphOps {
     }
     votesTo.unpersist()
     labels
+    }
   }
 
   /** Modularity of the LPA partition (Newman & Girvan 2004) — the quality
@@ -539,8 +592,12 @@ object GraphOps {
     * per-round driver action, only the one k/N probe. */
   def kcore(spark: SparkSession, sf: String): DataFrame = {
     val e = edges(spark, sf)
+    // derived loop width (see iterParts): staged row count is metadata-cheap
+    val p = iterParts(spark, 2L * e.count())
+    withLoopWidth(spark, p) {
     var cur = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
+      .repartition(p, col("src"))
       .localCheckpoint()
     // one probe returns N and 2E: k = 2E/N + 1 and the broadcast guard
     val probe = cur.agg(count_distinct(col("src")), count(lit(1))).head()
@@ -564,6 +621,7 @@ object GraphOps {
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
     }
     census.reduce(_ unionAll _).orderBy("round")
+    }
   }
 
   /** Degree assortativity (Newman 2002, eq. 4 over the edge list): the
