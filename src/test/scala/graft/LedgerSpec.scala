@@ -50,19 +50,19 @@ class LedgerSpec extends AnyFunSuite {
     ("ops/GraphOps.scala", "graphMetrics") ->
       ("1-row edge-count scalar drives broadcast-vs-shuffle switchover", 1),
     ("ops/GraphOps.scala", "pageRank") ->
-      ("1-row node-count scalar drives the rank-state broadcast guard", 1),
+      ("1-row edge-count probe derives the loop width (iterParts) + 1-row node-count scalar drives the rank-state broadcast guard", 2),
     ("ops/GraphOps.scala", "trianglesKeyOriented") ->
       ("1-row triangle-count scalar (the metric itself is one number)", 1),
     ("ops/GraphOps.scala", "kHop") ->
-      ("1-row node-count scalar drives the frontier broadcast guard", 1),
+      ("1-row edge-count probe derives the loop width (iterParts) + 1-row node-count scalar drives the frontier broadcast guard", 2),
     ("ops/GraphOps.scala", "lpaLabels") ->
-      ("1-row node-count scalar drives the label-state broadcast guard", 1),
+      ("1-row edge-count probe derives the loop width (iterParts) + 1-row node-count scalar drives the label-state broadcast guard", 2),
     ("ops/GraphOps.scala", "kcore") ->
-      ("1-row (N, 2E) probe derives the peel threshold k and the broadcast guard", 1),
+      ("1-row edge-count probe derives the loop width (iterParts) + 1-row (N, 2E) probe derives the peel threshold k and the broadcast guard", 2),
     ("ops/GraphOps.scala", "assortativity") ->
       ("1-row node-count scalar drives the degree-table broadcast guard", 1),
     ("ops/GraphOps.scala", "ssspFrom") ->
-      ("1-row node-count scalar drives the distance-state broadcast guard", 1),
+      ("1-row edge-count probe derives the loop width (iterParts) + 1-row node-count scalar drives the distance-state broadcast guard", 2),
     ("ops/Relational.scala", "bomRollup") ->
       ("initial + per-round 1-row frontier count is the recursion's termination test", 2),
     ("ops/SourceOps.scala", "binaryFiles") ->
@@ -78,7 +78,7 @@ class LedgerSpec extends AnyFunSuite {
     val root = Paths.get("src/main/scala/graft")
     val mains = Set("Verify.scala", "Bench.scala", "Profile.scala",
       "ScaleSmoke.scala", "GeoSmoke.scala", "AsofSmoke.scala",
-      "DeepSmoke.scala", "Plans.scala")
+      "DeepSmoke.scala", "Plans.scala", "IterRepro.scala", "ProfileStages.scala")
     Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .filterNot(p => mains.contains(p.getFileName.toString))
