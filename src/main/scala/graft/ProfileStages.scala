@@ -22,7 +22,13 @@ object ProfileStages {
         sys.env.getOrElse("PROFILE_AQE", "true"))
       .config("spark.local.dir",
         sys.env.getOrElse("PROFILE_LOCAL_DIR", Scratch.localDir))
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // PROFILE_CONF="k1=v1;k2=v2" — arbitrary conf overrides for A/B runs
+      .config(sys.env.get("PROFILE_CONF").map(_.split(";").toSeq)
+        .getOrElse(Seq.empty).flatMap { kv =>
+          kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+        }.foldLeft(new org.apache.spark.SparkConf()) { case (c, (k, v)) => c.set(k, v) })
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     @volatile var collecting = false
@@ -65,15 +71,21 @@ object ProfileStages {
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
       val cold = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      // warm run with stage collection
-      lock.synchronized { stages.clear(); jobStages.clear(); jobs = 0 }
-      collecting = true
-      val t1 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
-      val warm = (System.nanoTime() - t1) / 1e9
-      collecting = false
-      spark.catalog.clearCache()
-      System.err.println(f"[prof] ==== $name cold=$cold%.2f warm=$warm%.2f jobs=$jobs stages=${stages.size} ====")
+      // warm runs (PROFILE_REPS, default 2): min = the JIT/load-free
+      // estimate; stages collected on the LAST rep
+      val repsN = sys.env.getOrElse("PROFILE_REPS", "2").toInt
+      val warms = (1 to repsN).map { r =>
+        lock.synchronized { stages.clear(); jobStages.clear(); jobs = 0 }
+        collecting = true
+        val t1 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t1) / 1e9
+        collecting = false
+        spark.catalog.clearCache()
+        w
+      }
+      val warm = warms.min
+      System.err.println(f"[prof] ==== $name cold=$cold%.2f warm=$warm%.2f (all: ${warms.map(w => f"$w%.2f").mkString(",")}) jobs=$jobs stages=${stages.size} ====")
       val byWall = lock.synchronized { stages.sortBy(-_.wallMs).toList }
       val totWall = byWall.map(_.wallMs).sum
       System.err.println(f"[prof] stage wall sum=${totWall / 1e3}%.2f s (gaps = driver/plan time: ${warm - totWall / 1e3}%.2f s)")

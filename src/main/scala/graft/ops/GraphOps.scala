@@ -153,8 +153,15 @@ object GraphOps {
     * over-splitting. */
   private def iterParts(spark: SparkSession, rows: Long): Int = {
     val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    math.max(1L, math.min(conf.toLong, rows * 24L / (8L << 20) + 1L)).toInt
+    val target = spark.conf.getOption(IterPartsTargetKey).map(_.toLong)
+      .getOrElse(8L << 20)
+    math.max(1L, math.min(conf.toLong, rows * 24L / target + 1L)).toInt
   }
+
+  /** Conf override for [[iterParts]]' per-task byte target (default 8 MB):
+    * a cluster whose per-round loop stages are compute-bound rather than
+    * dispatch-bound lowers it to widen the loops. */
+  val IterPartsTargetKey = "spark.graft.graph.iterPartsTargetBytes"
 
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `p`,
     * restoring the session value after — the StreamOps drain discipline.

@@ -53,8 +53,9 @@ object TextOps {
   /** Same base relation from any (doc_id, text) frame — the seam the
     * planted-near-dup property tests use (PropertySpec). */
   def shingleRowsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(transform(shingles3Raw(tokens(col("text"))), s => xxhash64(s))).as("s"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(transform(shingles3Raw(col("toks")), s => xxhash64(s))).as("s"))
       .distinct()
 
   /** Exact dedup — canonical row per distinct text (`dropDuplicates`
@@ -752,7 +753,8 @@ object TextOps {
     * volume is distinct-bigram cardinality, not token count. */
   def ngramTop(spark: SparkSession, sf: String): DataFrame = {
     fannedDocs(spark, sf)
-      .select(explode(bigramsOf(tokens(col("text")))).as("bigram"))
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(bigramsOf(col("toks"))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -788,7 +790,8 @@ object TextOps {
   def heavyHittersOf(docs: DataFrame, k: Int, maxTracked: Int): DataFrame = {
     val fetch = math.min(k + HhTieSlack, maxTracked)
     docs
-      .select(explode(bigramsOf(tokens(col("text")))).as("bigram"))
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(bigramsOf(col("toks"))).as("bigram"))
       .agg(expr(s"approx_top_k(bigram, $fetch, $maxTracked)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("bigram"), col("e.count").cast("long").as("est"))
@@ -896,12 +899,13 @@ object TextOps {
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to BpeRounds) {
-      val syms = split(col("s"), " ")
+      val syms = col("syms") // attribute-bound (see kgramRowsOf)
       val prs = when(size(syms) >= 2,
         transform(sequence(lit(1), size(syms) - 1), i =>
           concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
         .otherwise(array().cast("array<string>"))
-      val top = words.select(explode(prs).as("p"), col("n"))
+      val top = words.select(split(col("s"), " ").as("syms"), col("n"))
+        .select(explode(prs).as("p"), col("n"))
         .groupBy("p").agg(sum("n").as("cnt"))
         .orderBy(col("cnt").desc, col("p")).limit(1).collect()
       if (top.nonEmpty) {
@@ -1020,8 +1024,13 @@ object TextOps {
     * (same rationale as [[shingleRowsOf]]: longs shuffle, the 13-token
     * strings would BE the shuffle at 100 TB). */
   private[graft] def kgramRowsOf(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(col("doc_id"),
+    // toks bound as a real column: a free EXPRESSION captured inside the
+    // transform lambda re-evaluates per element (HOF lambdas are
+    // interpreted, no CSE) — the whole-text regex split would run once per
+    // gram, O(tokens²) per document (measured 1.4-2.2x on the dedup family)
+    val toks = col("toks")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
         explode(when(size(toks) >= NgramK,
           transform(sequence(lit(1), size(toks) - (NgramK - 1)), i =>
             xxhash64(concat_ws(" ", slice(toks, i, lit(NgramK))))))
@@ -1099,8 +1108,9 @@ object TextOps {
   /** Core over any (doc_id, text) relation, for spec-level planting. */
   private[graft] def dupSpanCoverageFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = tokens(col("text"))
-    val pos = docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+    val toks = col("toks") // attribute-bound (see kgramRowsOf)
+    val pos = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         posexplode(when(size(toks) >= NgramK,
           transform(sequence(lit(1), size(toks) - (NgramK - 1)), i =>
             xxhash64(concat_ws(" ", slice(toks, i, lit(NgramK))))))
@@ -1196,8 +1206,9 @@ object TextOps {
 
   /** Core over any (source, text) relation, for spec-level planting. */
   private[graft] def sourceOverlapFrom(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val sg = docs.select(col("source"),
+    val toks = col("toks") // attribute-bound (see kgramRowsOf)
+    val sg = docs.select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"),
         explode(when(size(toks) >= NgramK,
           transform(sequence(lit(1), size(toks) - (NgramK - 1)), i =>
             xxhash64(concat_ws(" ", slice(toks, i, lit(NgramK))))))
@@ -2637,7 +2648,8 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .persistOnce()
     val biAll = docs
-      .select(explode(bigramPairsOf(tokens(col("text")))).as("p"))
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(bigramPairsOf(col("toks"))).as("p"))
       .select(col("p._1").as("w1"), col("p._2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
       .persistOnce()
@@ -2689,7 +2701,7 @@ object TextOps {
     * texts at every scale). */
   private[graft] def dedupChunksFrom(docs: DataFrame): DataFrame = {
     val n = lit(ChunkTokens)
-    val toks = tokens(col("text"))
+    val toks = col("toks") // attribute-bound (see kgramRowsOf)
     // `sequence(0, -1)` DESCENDS in Spark, so a token-less doc must get an
     // explicit empty chunk array (it then drops out of the posexplode, as
     // the oracle's unnest-of-empty does)
@@ -2698,6 +2710,7 @@ object TextOps {
         i => array_join(slice(toks, i * n + 1, n), " ")))
       .otherwise(array().cast("array<string>"))
     val occ = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
     val keeper = occ.groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first_occ"))
@@ -2736,7 +2749,8 @@ object TextOps {
       .persistOnce()
     // bigram occurrences persist: corpus counts AND per-doc counts read it
     val bo = docs
-      .select(col("doc_id"), explode(bigramPairsOf(tokens(col("text")))).as("p"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigramPairsOf(col("toks"))).as("p"))
       .select(col("doc_id"), col("p._1").as("w1"), col("p._2").as("w2"))
       .persistOnce()
     val bc = bo.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
