@@ -186,24 +186,33 @@ object MultimodalOps {
         posexplode(VectorOps.bandBuckets(col("v"))).as(Seq("band", "bucket")))
       .persistOnce() // both sides of the candidate self-join; stream side
                      // inherits feats' explicit machine-wide spread
-    // broadcast() pinned on the build side (tiny — rows × bands of 24-byte
-    // rows): hashing on (band, bucket) would skew (~bands×2^bits distinct
-    // values) and a sort-merge join would buffer giant equal-key runs; the
-    // broadcast-hash shape keeps pair generation map-side over the spread
-    // stream side
+    // broadcast() GUARDED on the build side (1-row probe on the persisted
+    // feats — the VectorOps.dedupCosineLshFrom / GraphOps.broadcastMaxEdges
+    // pattern): below the cap the hint is load-bearing — hashing on
+    // (band, bucket) would skew (~bands×2^bits distinct values) and a
+    // sort-merge join would buffer giant equal-key runs, so broadcast-hash
+    // keeps pair generation map-side over the spread stream side; past the
+    // cap the banded relation no longer fits executor memory and the hint
+    // must drop to a shuffle join rather than pin an OOM (ADVICE r19)
+    val nFeats = feats.count()
+    val cap = spark.conf.getOption(VectorOps.VectorBroadcastMaxRowsKey)
+      .map(_.toLong).getOrElse(VectorOps.VectorBroadcastMaxRows)
+    val maybeBc: DataFrame => DataFrame =
+      if (nFeats * VectorOps.DedupBands <= cap) broadcast else identity
     val cands = banded.as("a")
-      .join(broadcast(banded.select(col("media_id").as("ib"), col("band"), col("bucket"))),
+      .join(maybeBc(banded.select(col("media_id").as("ib"), col("band"), col("bucket"))),
         Seq("band", "bucket"))
       .filter(col("media_id") < col("ib"))
       .select(col("media_id").as("id_a"), col("ib").as("id_b"))
       .distinct()
     cands
-      // broadcast() pinned on the cached feature table: AQE would otherwise
-      // runtime-flip these joins to broadcast the (measured-tiny) candidate
-      // side, and that broadcast future re-runs the whole quadratic
-      // pair-generation subplan instead of reusing its shuffle output
-      .join(broadcast(feats.select(col("media_id").as("id_a"), col("v").as("va"))), Seq("id_a"))
-      .join(broadcast(feats.select(col("media_id").as("id_b"), col("v").as("vb"))), Seq("id_b"))
+      // same guard on the cached feature table (node-sized, not banded):
+      // below the cap the hint stops AQE runtime-flipping these joins to
+      // broadcast the (measured-tiny) candidate side, whose broadcast
+      // future re-runs the whole quadratic pair-generation subplan instead
+      // of reusing its shuffle output
+      .join(maybeBc(feats.select(col("media_id").as("id_a"), col("v").as("va"))), Seq("id_a"))
+      .join(maybeBc(feats.select(col("media_id").as("id_b"), col("v").as("vb"))), Seq("id_b"))
       // same rounded-threshold discipline as mediaDedup: prefilter on the
       // raw codegen'd cosine with a full rounding step of slack, round only
       // the survivors

@@ -154,13 +154,20 @@ object GraphOps {
   private def iterParts(spark: SparkSession, rows: Long): Int = {
     val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val target = spark.conf.getOption(IterPartsTargetKey).map(_.toLong)
-      .getOrElse(8L << 20)
+      .getOrElse(4L << 20)
     math.max(1L, math.min(conf.toLong, rows * 24L / target + 1L)).toInt
   }
 
-  /** Conf override for [[iterParts]]' per-task byte target (default 8 MB):
+  /** Conf override for [[iterParts]]' per-task byte target (default 4 MB):
     * a cluster whose per-round loop stages are compute-bound rather than
-    * dispatch-bound lowers it to widen the loops. */
+    * dispatch-bound lowers it to widen the loops. The default comes from
+    * the r20 sweep (ProfileStages min-of-3 warm, local[32], sf0.1, targets
+    * 8M/4M/2M/1M ⇒ widths ~7/14/28/32): the vote/peel loops are fastest at
+    * width ~14 (q_communities 4.25 s vs 4.74 at w7 and 6.84 at w32;
+    * q_kcore 1.94 vs 2.20/2.80) while the lighter per-round joins are flat
+    * between w7 and w14 (q_pagerank 3.46/3.63, q_khop 1.46/1.47, q_sssp
+    * 1.94/2.01) and ALL loops degrade hard at session width 32 (pagerank
+    * 7.8 s — the r18 shape this family's width discipline removed). */
   val IterPartsTargetKey = "spark.graft.graph.iterPartsTargetBytes"
 
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `p`,

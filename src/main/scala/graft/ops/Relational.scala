@@ -962,6 +962,20 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** Insert an explicit-width exchange on `key` ONLY when `scan` is
+    * narrower than the session shuffle width — the bench-scale spread for
+    * compute-heavy aggregates over a single-row-group scan, without the
+    * 100 TB cost of an unconditional full-data exchange (r19 advisor #6:
+    * a wide production scan never needs it — aggregate partials merge
+    * buffers, not rows). Physical partition count read off the compiled
+    * scan (no job runs). */
+  private def spreadNarrowScan(spark: SparkSession, scan: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (scan.rdd.getNumPartitions < width) scan.repartition(width, key)
+    else scan
+  }
+
   /** Per-group winsorization — clip a value column to its group's
     * [p05, p95] band and report how many rows each tail clipped plus the
     * before/after means: the standard outlier-robustification pass a
@@ -975,15 +989,19 @@ object Relational {
     * `percentile` matches DuckDB's `quantile_cont` bit-for-bit
     * (the parity [[percentileExact]] pins). */
   def winsorize(spark: SparkSession, sf: String): DataFrame = {
-    val li = Tables.load(spark, sf, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-      // spread the single-row-group bench-scale scan with an EXPLICIT
-      // width: the exact percentile partials buffer a value→count map per
-      // task, the stage's real cost — AQE's byte-based coalescing would
-      // serialize it (blind to per-row aggregate compute); at cluster
-      // scale the scan is already wide and this exchange is noise
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("x"))
+    // spread the single-row-group bench-scale scan with an EXPLICIT
+    // width: the exact percentile partials buffer a value→count map per
+    // task, the stage's real cost — AQE's byte-based coalescing would
+    // serialize it (blind to per-row aggregate compute). GUARDED on scan
+    // parallelism (r19 advisor: at 100 TB the scan is already wide and an
+    // unconditional repartition would insert a full-data exchange the
+    // percentile partial-aggregate pipeline never needs — partials merge
+    // buffers, not rows): the exchange exists only while the scan is
+    // narrower than the session width
+    val li = spreadNarrowScan(spark,
+      Tables.load(spark, sf, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("x")),
+      col("x"))
     val bands = li.groupBy("l_returnflag")
       .agg(
         percentile(col("x"), lit(0.05)).as("lo"),
@@ -1462,13 +1480,13 @@ object Relational {
     * shape, one fewer decimal of accuracy. Median/MAD interpolation
     * matches DuckDB `quantile_cont` bit-for-bit (q_percentile pins). */
   def madOutliers(spark: SparkSession, sf: String): DataFrame = {
-    val li = Tables.load(spark, sf, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-      // spread the single-row-group bench-scale scan (see winsorize): all
-      // three percentile/census passes inherit machine-wide parallelism
-      // from this one explicit-width exchange
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("x"))
+    // spread the single-row-group bench-scale scan (see winsorize — same
+    // scan-parallelism guard): all three percentile/census passes inherit
+    // machine-wide parallelism from this one explicit-width exchange
+    val li = spreadNarrowScan(spark,
+      Tables.load(spark, sf, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("x")),
+      col("x"))
     val med = li.groupBy("l_returnflag")
       .agg(percentile(col("x"), lit(0.5)).as("med"))
     val dev = li.join(broadcast(med), "l_returnflag")

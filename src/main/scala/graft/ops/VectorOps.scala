@@ -318,6 +318,23 @@ object VectorOps {
   def dedupCosineLshProd(spark: SparkSession, sf: String): DataFrame =
     dedupCosineLshFrom(Tables.load(spark, sf, "embeddings"), 0.95, 8, 8)
 
+  /** Broadcast-side ROW cap for the similarity family's pinned build-side
+    * hints (the banded table and the verify re-attach features): the same
+    * guarded-broadcast discipline as GraphOps.broadcastMaxEdges. Below the
+    * cap the hint is load-bearing (a stats misestimate after the explicit
+    * repartition would otherwise flip the plan to a skewed SMJ on the
+    * low-cardinality band key); past it — a corpus whose banded relation
+    * no longer fits executor memory — the pinned hint would force an OOM
+    * where the unhinted planner degrades to a shuffle join, so the hint is
+    * dropped instead (ADVICE r19). Default sized like the graph family's
+    * edge cap (~4M 24-byte rows ≈ 100 MB broadcast). */
+  val VectorBroadcastMaxRowsKey = "spark.graft.vector.broadcastMaxRows"
+  val VectorBroadcastMaxRows = 4000000L
+
+  private def broadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption(VectorBroadcastMaxRowsKey).map(_.toLong)
+      .getOrElse(VectorBroadcastMaxRows)
+
   private[graft] def dedupCosineLshFrom(embSrc: DataFrame, threshold: Double,
                                         bands: Int, bits: Int): DataFrame = {
     // same seed offset for every shape: at (8, 2) the planes array equals
@@ -347,11 +364,16 @@ object VectorOps {
       .persistOnce()
     // distinct candidate id-pairs first (a pair colliding in k bands must be
     // verified once, not k times), then re-attach vectors and exact-verify.
-    // broadcast() pinned: the build side is the same cached band table (tiny
-    // — rows × bands of 24-byte rows); without the hint a stats misestimate
-    // after the repartition could flip the plan to the skewed SMJ above
+    // broadcast() GUARDED (1-row probe on the already-persisted emb — the
+    // graphMetrics pattern): below the row cap the hint is load-bearing (a
+    // stats misestimate after the repartition could flip the plan to the
+    // skewed SMJ above); past it the banded relation no longer fits
+    // executor memory and the hint must drop rather than pin an OOM
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (emb.count() * bands <= broadcastMaxRows(embSrc.sparkSession)) broadcast
+      else identity
     val cand = banded.as("a")
-      .join(broadcast(banded.select(col("vec_id").as("ib"), col("band"), col("bucket"))),
+      .join(maybeBroadcast(banded.select(col("vec_id").as("ib"), col("band"), col("bucket"))),
         Seq("band", "bucket"))
       .filter(col("vec_id") < col("ib"))
       .select(col("vec_id").as("ia"), col("ib"))
@@ -828,6 +850,13 @@ object VectorOps {
   private[graft] def retrievalMetricsRow(name: String, gt: DataFrame,
       sys: DataFrame, k: Int): DataFrame = {
     val g = graft.functions.CovFunctions.CovGridScale.toDouble
+    // NOT persisted, deliberately (r20): gt/sys are referenced 2-3× below
+    // and the callers fan the same gt into several rows, so caching looks
+    // attractive — but it measured 1.7× SLOWER (q_retrieval_eval_ann 9.1 s
+    // warm vs 5.2 s): the duplicated subtrees execute as concurrent
+    // broadcast-exchange futures across the union's branches (stage wall
+    // 19.8 s packs into 5.2 s elapsed), and a cache turns that overlap
+    // into sequential InMemoryRelation materialization barriers.
     val gtr = gt.select(col("probe_id"), col("rk").as("gt_rk"), col("vec_id"))
     // bound the system side to its top-k: every current caller passes a
     // top-3 table with k=3, but the helper's contract must hold for any

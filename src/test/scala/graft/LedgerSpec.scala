@@ -43,6 +43,10 @@ class LedgerSpec extends AnyFunSuite {
       ("1-row argmax per merge round (BPE is inherently sequential) + cache handoff barrier", 2),
     ("ops/VectorOps.scala", "semDedup") ->
       ("1-row n scalar drives the k=sqrt(n) cell count", 1),
+    ("ops/VectorOps.scala", "dedupCosineLshFrom") ->
+      ("1-row count on the persisted emb gates the banded-table broadcast hint (r19 advisor: past the row cap the pin would OOM; drop to the planner's shuffle join)", 1),
+    ("multimodal/MultimodalOps.scala", "mediaDedupLsh") ->
+      ("1-row count on the persisted feats gates the banded/feature broadcast hints (the dedupCosineLshFrom guard)", 1),
     ("ops/VectorOps.scala", "annCompact") ->
       ("one-time compaction audit: before/after row counts inside the memoized artifact rewrite (construction-sized, never per-probe)", 2),
     ("ops/VectorOps.scala", "buildLifecycleChain") ->
