@@ -234,10 +234,17 @@ object Bench {
         val sweepDetail = sweeps.zip(sweepLoads).map { case (s, la) =>
           s"""{"total":${fmt3(s.map(_._2).filter(_ >= 0).sum)},"loadavg_after":${fmt3(la)}}"""
         }.mkString("[", ",", "]")
-        val e = s"""{"reps":$reps,"min":${fmt3(sweepTotals.head)},"median":${fmt3(
+        // per-query minima across this run's sweeps — the round-over-round
+        // evidence trail (reinstated per the r19 verdict: the r19 envelope
+        // dropped it, leaving regressions unattributable). Placed LAST so
+        // the stdout compact extraction's top-level-prefix scan (which
+        // stops at the first nested '{') still sees the scalar fields.
+        val perQueryMin = results.map { case (k, v) =>
+          "\"" + k + "\":" + fmt3(v) }.mkString("{", ",", "}")
+        val e = s"""{"reps":$reps,"n_queries":${results.size},"min":${fmt3(sweepTotals.head)},"median":${fmt3(
           sweepTotals(sweepTotals.size / 2))},"max":${fmt3(sweepTotals.last)},"loadavg_start":${fmt3(
           loadAtStart)},"loadavg_before":${fmt3(
-          loadBefore)},"sweeps":$sweepDetail,"note":"per-sweep totals in run order; sweep 1 includes one-time codegen JIT (all per-corpus artifacts pre-build untimed); loadavg_start is sampled at process start, loadavg_before after the untimed staging preamble"}"""
+          loadBefore)},"sweeps":$sweepDetail,"note":"per-sweep totals in run order; sweep 1 includes one-time codegen JIT (all per-corpus artifacts pre-build untimed); loadavg_start is sampled at process start, loadavg_before after the untimed staging preamble","per_query_min":$perQueryMin}"""
         try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_ENVELOPE.json"), e + "\n")
         catch { case ex: Throwable => System.err.println(s"[bench] envelope write failed: ${ex.getMessage}") }
         Some(e)

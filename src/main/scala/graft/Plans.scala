@@ -9,9 +9,13 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = if (args.length > 1) args(1) else "target/plans"
-    val spark = SparkSession.builder().master("local[4]")
+    // SPARK_GRAFT_CPUS (default 4, the historical dump width) so a plan
+    // audit can also dump at the bench width — the loop-width exchanges
+    // (iterParts) are capped at the session conf and invisible at 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
